@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Schema-ful table registry over the driver-generated testdata
+  * (TESTDATA.md). Mirrors the reference's explicit-schema ingest
+  * (reference main.py:142 — `spark.read.schema(schema).json`) done
+  * Spark-first: parquet scans so Catalyst gets column pruning and
+  * filter pushdown for free; at 100 TB every query still starts from
+  * a pruned columnar scan, never a full-row materialization.
+  */
+object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS); Spark 4 rejects it
+    * (PARQUET_TYPE_ILLEGAL) unless read as a raw ns-epoch long via the
+    * legacy conf. We expose both `ts_ns` (exact long, equals DuckDB
+    * `epoch_ns(ts)`) and `ts` (microsecond-truncated timestamp for
+    * calendar functions). Integer `div` — a double division of a
+    * ~1.7e18 ns epoch would lose precision past 2^53.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
