@@ -17,6 +17,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed JVM/codegen warm-up: one scan + one agg/shuffle pipeline,
+    // so the first timed query doesn't pay JIT + codegen-compiler cost.
+    graft.sources.Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag").count().count()
     val hs = queries.Registry.headlines
     val results = hs.map { q =>
       val t0 = System.nanoTime()

@@ -1,0 +1,57 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.functions.VectorFunctions.toDouble
+
+/** Deterministic Lloyd's k-means over an array<float|double> column,
+  * expressed as DataFrame aggregations (reference: mlqueries.py:14
+  * run_kmeans_clustering, which used spark.ml KMeans on 2-D points).
+  *
+  * Spark-first shape: per iteration one codegen'd projection computes
+  * the argmin-distance assignment (centroids inlined as literals — k*d
+  * doubles in the plan, broadcast-free), then one posexplode+groupBy
+  * recomputes means. Only k*d values ever hit the driver per
+  * iteration. Init = the k lowest-id vectors (not kmeans||) so runs
+  * are reproducible across partitionings — at 100 TB swap init for a
+  * sampled sketch, the iteration shape is unchanged.
+  */
+object KMeansLite {
+
+  final case class Model(centroids: Array[Array[Double]], assignments: DataFrame)
+
+  def fit(df: DataFrame, idCol: Column, vecCol: Column, k: Int, iters: Int): Model = {
+    val data = df.select(idCol.as("id"), toDouble(vecCol).as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dim = data.select(size(col("v"))).first().getInt(0)
+
+    var cents: Array[Array[Double]] = data.orderBy("id").limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+
+    def assignCol: Column = {
+      val dists = array(cents.zipWithIndex.map { case (c, i) =>
+        struct(
+          aggregate(zip_with(col("v"), array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, z) => acc + z).as("d"),
+          lit(i).as("cluster"))
+      }: _*)
+      sort_array(dists)(0)("cluster") // min distance, ties -> lowest cluster id
+    }
+
+    var it = 0
+    while (it < iters) {
+      val means = data.withColumn("cluster", assignCol)
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos").agg(avg("x").as("m"))
+        .groupBy("cluster").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("mv"))
+        .select(col("cluster"), transform(col("mv"), s => s("m")).as("mean"))
+        .collect()
+      val next = cents.clone()
+      means.foreach(r => next(r.getInt(0)) = r.getSeq[Double](1).toArray)
+      cents = next
+      it += 1
+    }
+    Model(cents, data.withColumn("cluster", assignCol).select("id", "cluster"))
+  }
+}

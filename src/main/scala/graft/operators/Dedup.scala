@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.expressions.SimHash64.simhash64
+
+/** Deduplication family for training-data pipelines (SURVEY §2.4).
+  *
+  * Exact dedup groups on a digest of the content, near-dup variants
+  * all follow the same scale shape: derive a compact per-doc signal
+  * (shingle set / minhash signature / simhash), BLOCK on something
+  * shared by near-dups (band key, simhash prefix, shingle), join
+  * within blocks only, then verify candidates exactly. Shuffles are
+  * O(docs x small-factor); the quadratic all-pairs comparison never
+  * materializes.
+  */
+object Dedup {
+
+  /** Keep the first row (by tiebreak) of each exact-duplicate class.
+    * Partitions by a 128-bit digest of the content, not the content
+    * itself — at 100 TB the shuffle key stays 16 bytes however wide
+    * the document is. Reference analogue: data_cleaner.py:84
+    * `df.dropDuplicates()`. */
+  def exactKeepFirst(df: DataFrame, contentCol: Column, tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(md5(contentCol)).orderBy(tiebreak)
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Candidate near-dup pairs via MinHash + LSH banding.
+    * numHashes = bands * rowsPerBand. Docs sharing >= 1 band key meet
+    * in a bucket; pair emission is distinct on (a,b). `maxBucket`
+    * guards against degenerate buckets (all-identical corpora) the
+    * way frequent-shingle caps do in production dedup.
+    * Output: (id_a, id_b, jaccard_est) with id_a < id_b. */
+  def minhashCandidates(df: DataFrame, idCol: Column, textCol: Column,
+                        shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                        maxBucket: Int = 1000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigs = df.select(
+        idCol.as("id"),
+        array_distinct(shingleHashes(df.sparkSession, textCol, shingleSize)).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("id"), col("sig"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val a = sigs.as("a")
+    val b = sigs.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+              col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => (x === y).cast("int")),
+          v => v === 1)).cast("double") / lit(numHashes.toDouble)).as("jaccard_est"))
+      .groupBy("id_a", "id_b").agg(max("jaccard_est").as("jaccard_est"))
+  }
+
+  /** Exact n-gram Jaccard similarity join: block by shared shingle,
+    * count shared distinct shingles per pair, jaccard =
+    * |A∩B| / (|A|+|B|-|A∩B|) from exact ints. `maxShingleDf` drops
+    * ubiquitous shingles before pairing (the skew guard at scale —
+    * a shingle in m docs costs m^2 pair rows). */
+  def ngramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
+                        shingleSize: Int, minJaccard: Double,
+                        blockCol: Option[Column] = None,
+                        maxShingleDf: Option[Int] = None): DataFrame = {
+    val block = blockCol.getOrElse(lit(1))
+    // Hashed shingles (same set structure as the strings, long join
+    // keys) + persist: the shingle table feeds three branches (sizes,
+    // join side a, join side b) — without the persist each branch
+    // recomputes the HOF shingle pipeline, tripling the dominant cost.
+    val docs = df.select(idCol.as("id"), block.as("blk"),
+        array_distinct(shingleHashes(df.sparkSession, textCol, shingleSize)).as("sh"))
+      .where(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = docs.select(col("id"), col("blk"), size(col("sh")).as("n"))
+    val exploded0 = docs.select(col("id"), col("blk"), explode(col("sh")).as("s"))
+    val exploded = maxShingleDf match {
+      case Some(cap) =>
+        val dfreq = exploded0.groupBy("blk", "s").agg(count(lit(1)).as("df"))
+          .where(col("df") <= cap).select("blk", "s")
+        exploded0.join(dfreq, Seq("blk", "s"))
+      case None => exploded0
+    }
+    val shared = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.blk") === col("b.blk") && col("a.s") === col("b.s") &&
+        col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** SimHash near-dup candidates: 64-bit signature per doc, block on
+    * 16-bit signature prefix (near-dups almost always share it),
+    * verify with exact hamming distance <= maxHamming. */
+  def simhashPairs(df: DataFrame, idCol: Column, textCol: Column,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(idCol.as("id"),
+        simhash64(df.sparkSession, tokens(textCol)).as("sig"))
+      .withColumn("blk", shiftrightunsigned(col("sig"), 48))
+    sigs.as("a").join(sigs.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.functions.VectorFunctions._
+
+/** Embedding similarity search (SURVEY §2.4).
+  *
+  * Shapes: `bruteForceTopK` is the exact baseline — broadcast the
+  * (small) query set against the full collection, one normalized dot
+  * per (query, vector). `cosinePairs` is the exact all-pairs
+  * near-dup scan. `lshCosinePairs` is the scale path: random-
+  * hyperplane sign buckets (Charikar SimHash for vectors) block the
+  * join to same-bucket candidates, verified exactly — O(n x bucket)
+  * instead of O(n^2). Planes are derived from a fixed seed:
+  * deterministic across runs and partitionings.
+  */
+object Similarity {
+
+  private def normed(df: DataFrame, idCol: Column, vecCol: Column): DataFrame =
+    df.select(idCol.as("id"), normalize(vecCol).as("vn"))
+
+  /** Exact top-k nearest (cosine) rows for each query row.
+    * Cosine is rounded to 6 decimals BEFORE ranking, with the id as
+    * tiebreak — ranks are then invariant to last-ulp float noise. */
+  def bruteForceTopK(collection: DataFrame, colId: Column, colVec: Column,
+                     queries: DataFrame, qId: Column, qVec: Column,
+                     k: Int): DataFrame = {
+    val c = normed(collection, colId, colVec)
+    val q = normed(queries, qId, qVec)
+      .select(col("id").as("query_id"), col("vn").as("qn"))
+    val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        round(dot(col("vn"), col("qn")), 6).as("cosine"))
+    TopKPerGroup.topK(scored, Seq(col("query_id")),
+      Seq(desc("cosine"), col("id")), k, rankCol = "rnk")
+      .select("query_id", "id", "cosine", "rnk")
+  }
+
+  /** Exact cosine near-duplicate pairs (id_a < id_b, cosine >= tau).
+    * Quadratic — correctness baseline and small-collection tool. */
+  def cosinePairs(df: DataFrame, idCol: Column, vecCol: Column, tau: Double): DataFrame = {
+    val n = normed(df, idCol, vecCol).persist(StorageLevel.MEMORY_AND_DISK)
+    n.as("a").join(n.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(dot(col("a.vn"), col("b.vn")), 6).as("cosine"))
+      .where(col("cosine") >= tau)
+  }
+
+  /** Random-hyperplane LSH near-dup pairs: vectors sharing the full
+    * sign bucket of `planes` hyperplanes are candidates, verified with
+    * the exact cosine. Recall is tunable via planes (fewer planes =
+    * bigger buckets = higher recall, more work). */
+  def lshCosinePairs(df: DataFrame, idCol: Column, vecCol: Column, tau: Double,
+                     dim: Int, planes: Int = 8, seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val hyper: Seq[Seq[Double]] =
+      Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+    val n = normed(df, idCol, vecCol)
+    val bucket = (0 until planes).map { p =>
+      val plane = array(hyper(p).map(lit): _*)
+      (dot(col("vn"), plane) > 0).cast("int") * lit(1 << p)
+    }.reduce(_ + _)
+    val b = n.withColumn("bucket", bucket).persist(StorageLevel.MEMORY_AND_DISK)
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(dot(col("a.vn"), col("b.vn")), 6).as("cosine"))
+      .where(col("cosine") >= tau)
+  }
+
+  /** IVF-style ANN: assign every vector to its nearest of `nCells`
+    * deterministic coarse centroids (the lowest-id vectors), probe the
+    * `nProbe` best cells per query, brute-force inside. The scale
+    * shape for ANN top-k: per-query work is collection/nCells*nProbe. */
+  def ivfTopK(collection: DataFrame, colId: Column, colVec: Column,
+              queries: DataFrame, qId: Column, qVec: Column,
+              k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val c = normed(collection, colId, colVec).persist(StorageLevel.MEMORY_AND_DISK)
+    val cents: Array[(Int, Seq[Double])] = c.orderBy("id").limit(nCells)
+      .collect().zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
+    def cellScores(vn: Column): Column = array(cents.map { case (i, v) =>
+      struct(round(dot(vn, array(v.map(lit): _*)), 9).as("s"), lit(i).as("cell"))
+    }: _*)
+    val assigned = c.withColumn("cell",
+      sort_array(cellScores(col("vn")), asc = false)(0)("cell"))
+    val q = normed(queries, qId, qVec)
+      .select(col("id").as("query_id"), col("vn").as("qn"))
+      .withColumn("probe", slice(sort_array(cellScores(col("qn")), asc = false), 1, nProbe))
+      .select(col("query_id"), col("qn"), explode(col("probe")("cell")).as("qcell"))
+    val scored = assigned.join(broadcast(q),
+        col("cell") === col("qcell") && col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        round(dot(col("vn"), col("qn")), 6).as("cosine"))
+    TopKPerGroup.topK(scored, Seq(col("query_id")),
+      Seq(desc("cosine"), col("id")), k, rankCol = "rnk")
+      .select("query_id", "id", "cosine", "rnk")
+  }
+}

@@ -575,7 +575,7 @@ object Registry {
 
   // ---------------------------------------------------------------
 
-  val allQueries: Seq[BoundQuery] = Seq(
+  private val coreQueries: Seq[BoundQuery] = Seq(
     q1, q3, q5,
     qYears, qPaginate, qCountByGroup, qFilterByToken,
     qMonthlyPosted, qYearlyPosted, qMonthlyShipped, qYearlyShipped,
@@ -585,6 +585,8 @@ object Registry {
     qSizeDistribution, qTopWords, qUserCount,
     qOwnerLeaderboard, qTop50Owners, qSearch,
     qTopBrandsModels, qTopBrandsPerYear)
+
+  val allQueries: Seq[BoundQuery] = coreQueries ++ TextQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allQueries.map(q => q.name -> q.run).toMap

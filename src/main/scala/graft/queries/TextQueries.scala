@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFunctions._
+import graft.operators.{Cleaning, Dedup}
+
+/** SURVEY §2.3 (ETL/cleaning) + §2.4 (text/dedup) bindings. */
+object TextQueries {
+
+  /** Exact dedup keep-first — reference data_cleaner.py:84, scaled via
+    * md5-digest shuffle keys (Dedup.exactKeepFirst). */
+  private val qDedupExact = BoundQuery("q_dedup_exact", (s, d) => {
+    Dedup.exactKeepFirst(Tables.documents(s, d), col("text"), col("doc_id"))
+      .select("doc_id", "source").orderBy("doc_id")
+  }, Some("""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1 ORDER BY doc_id
+  """))
+
+  /** Document fingerprinting: md5 digest + polynomial rolling hash
+    * (TextFunctions.rollingFingerprint), both codegen-composable. */
+  private val qFingerprint = BoundQuery("q_fingerprint", (s, d) => {
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(col("text")).as("fp_md5"),
+      rollingFingerprint(col("text")).as("fp_roll"))
+      .orderBy("doc_id")
+  }, Some("""
+    SELECT doc_id, md5(text) AS fp_md5,
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1, length(text)+1),
+          i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+        (a, b) -> (a*31 + b) % 1000000007) AS fp_roll
+    FROM documents ORDER BY doc_id
+  """))
+
+  /** Exact 5-gram Jaccard near-dup pairs (Dedup.ngramJaccardPairs),
+    * shingle-blocked — never O(n^2). 5-gram (not 3-gram) shingles keep
+    * blocking selective on this corpus's tiny vocabulary: 34^5 possible
+    * shingles vs 34^3 means shingle document-frequency ~1, so the
+    * blocking join only pairs genuine near-dups. Lossless for a
+    * threshold defined over 5-gram sets: qualifying pairs must share
+    * a shingle. */
+  private val qNgramJaccard = BoundQuery("q_ngram_jaccard", (s, d) => {
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"),
+      shingleSize = 5, minJaccard = 0.3)
+      .orderBy("id_a", "id_b")
+  }, Some("""
+    WITH docs AS (
+      SELECT doc_id,
+        list_distinct(list_transform(range(1, greatest(len(w)-3, 1)),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS sh
+      FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents)
+      WHERE len(w) >= 5),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+      CAST(shared AS DOUBLE)/CAST(sa.n + sb.n - shared AS DOUBLE) AS jaccard
+    FROM shared JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(shared AS DOUBLE)/CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.3
+    ORDER BY id_a, id_b
+  """), headline = true)
+
+  /** MinHash+LSH candidate pairs — the sub-quadratic scale path for
+    * the same near-dup problem (rows-only: the estimate is
+    * approximate by construction; TextSpec checks recall vs the exact
+    * jaccard pairs). */
+  private val qMinhashPairs = BoundQuery("q_minhash_pairs", (s, d) => {
+    Dedup.minhashCandidates(Tables.documents(s, d), col("doc_id"), col("text"))
+      .where(col("jaccard_est") >= 0.5)
+      .orderBy("id_a", "id_b")
+  }, None)
+
+  /** SimHash near-dup pairs via the custom Catalyst expression
+    * (graft.expressions.SimHash64), 16-bit-prefix blocked. */
+  private val qSimhashPairs = BoundQuery("q_simhash_pairs", (s, d) => {
+    Dedup.simhashPairs(Tables.documents(s, d), col("doc_id"), col("text"), maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }, None)
+
+  /** Token counting: whitespace + BPE-ish pre-tokenizer split. */
+  private val qTokenCount = BoundQuery("q_token_count", (s, d) => {
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      size(bpeTokens(col("text"))).cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }, Some("""
+    SELECT doc_id,
+      CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+    FROM documents ORDER BY doc_id
+  """))
+
+  /** Quality scoring: token/punct/stopword ratios folded into one
+    * deterministic score (all ratios are int/int divisions). */
+  private val qTextStats = BoundQuery("q_text_stats", (s, d) => {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+    val nStop = stopwordCount(toks, "en").cast("long")
+    val sumLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
+    val punctRatio = nPunct.cast("double") / length(col("text")).cast("double")
+    val stopRatio = nStop.cast("double") / nTok.cast("double")
+    Tables.documents(s, d)
+      .where(size(tokens(col("text"))) > 0)
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        nPunct.as("n_punct"),
+        nStop.as("n_stop"),
+        (sumLen.cast("double") / nTok.cast("double")).as("avg_token_len"),
+        (lit(0.5) * least(nTok.cast("double") / lit(100.0), lit(1.0)) +
+         lit(0.3) * (lit(1.0) - punctRatio) +
+         lit(0.2) * least(stopRatio * lit(5.0), lit(1.0))).as("quality"))
+      .orderBy("doc_id")
+  }, Some("""
+    WITH t AS (
+      SELECT doc_id, text, list_filter(string_split(text,' '), x -> x <> '') AS toks
+      FROM documents)
+    SELECT doc_id,
+      CAST(len(toks) AS BIGINT) AS n_tokens,
+      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+      CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+      CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)/CAST(len(toks) AS DOUBLE) AS avg_token_len,
+      0.5 * least(CAST(len(toks) AS BIGINT)::DOUBLE / 100.0, 1.0)
+        + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT)::DOUBLE
+                        / CAST(length(text) AS DOUBLE))
+        + 0.2 * least(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS BIGINT)::DOUBLE
+                        / CAST(len(toks) AS DOUBLE) * 5.0, 1.0) AS quality
+    FROM t WHERE len(toks) > 0 ORDER BY doc_id
+  """))
+
+  /** Language-ID heuristic over stopword marker profiles
+    * (TextFunctions.langId) with per-profile hit counts. */
+  private val qLangid = BoundQuery("q_langid", (s, d) => {
+    val toks = tokens(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      langId(toks).as("lang_pred"),
+      stopwordCount(toks, "en").cast("long").as("c_en"),
+      stopwordCount(toks, "es").cast("long").as("c_es"),
+      stopwordCount(toks, "de").cast("long").as("c_de"),
+      stopwordCount(toks, "fr").cast("long").as("c_fr"))
+      .orderBy("doc_id")
+  }, Some("""
+    WITH t AS (
+      SELECT doc_id,
+        CAST(len(list_filter(list_filter(string_split(text,' '), x -> x <> ''), w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS c_en,
+        CAST(len(list_filter(list_filter(string_split(text,' '), x -> x <> ''), w -> w IN ('el','la','de','los','y'))) AS BIGINT) AS c_es,
+        CAST(len(list_filter(list_filter(string_split(text,' '), x -> x <> ''), w -> w IN ('der','die','das','und','ist'))) AS BIGINT) AS c_de,
+        CAST(len(list_filter(list_filter(string_split(text,' '), x -> x <> ''), w -> w IN ('le','les','des','et','une'))) AS BIGINT) AS c_fr
+      FROM documents)
+    SELECT doc_id,
+      CASE WHEN c_en > 0 AND c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+           WHEN c_es > 0 AND c_es >= c_de AND c_es >= c_fr THEN 'es'
+           WHEN c_de > 0 AND c_de >= c_fr THEN 'de'
+           WHEN c_fr > 0 THEN 'fr'
+           ELSE 'und' END AS lang_pred,
+      c_en, c_es, c_de, c_fr
+    FROM t ORDER BY doc_id
+  """))
+
+  /** Reference data_cleaner.py:82-97 end-to-end: dedup -> sentinel
+    * nullification -> regex filter -> default imputation. */
+  private val qCleanPipeline = BoundQuery("q_clean_pipeline", (s, d) => {
+    val deduped = Dedup.exactKeepFirst(Tables.documents(s, d), col("text"), col("doc_id"))
+    val nulled = Cleaning.nullifySentinels(deduped, "lang", Seq("zh"))
+    val filtered = Cleaning.filterByPattern(nulled, col("text"), "^[a-z]")
+    Cleaning.imputeDefault(filtered, "lang", lit("und"))
+      .select(col("doc_id"), col("lang").as("lang_clean"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }, Some("""
+    WITH dedup AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn = 1)
+    SELECT doc_id,
+      coalesce(CASE WHEN lang IN ('zh') THEN NULL ELSE lang END, 'und') AS lang_clean,
+      source, n_chars
+    FROM dedup WHERE regexp_matches(text, '^[a-z]') ORDER BY doc_id
+  """))
+
+  /** Reference adjust_camera_info.py:17 / adjust_comments.py:16:
+    * treat out-of-domain values as missing, impute defaults. */
+  private val qImputeDefaults = BoundQuery("q_impute_defaults", (s, d) => {
+    val sup = Tables.supplier(s, d)
+      .withColumn("s_acctbal",
+        when(col("s_acctbal") < 0, lit(null)).otherwise(col("s_acctbal")))
+    Cleaning.imputeDefault(sup, "s_acctbal", lit(0.0))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal").as("acctbal_clean"))
+      .orderBy("s_suppkey")
+  }, Some("""
+    SELECT s_suppkey, s_name,
+      coalesce(CASE WHEN s_acctbal < 0 THEN NULL ELSE s_acctbal END, 0.0) AS acctbal_clean
+    FROM supplier ORDER BY s_suppkey
+  """))
+
+  val all: Seq[BoundQuery] = Seq(
+    qDedupExact, qFingerprint, qNgramJaccard, qMinhashPairs, qSimhashPairs,
+    qTokenCount, qTextStats, qLangid, qCleanPipeline, qImputeDefaults)
+}
