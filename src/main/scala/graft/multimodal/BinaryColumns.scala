@@ -1,0 +1,63 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY §2.4): media as opaque binary
+  * payloads + typed metadata, processed partition-wise.
+  *
+  * The decode step is STUBBED (this container has no image/audio
+  * codecs): `FakeDecoder` derives deterministic pseudo-dimensions from
+  * the payload hash. Everything around it — binary column packing,
+  * metadata struct schema, per-partition decoder lifecycle in
+  * `extractFeatures` (init-once-per-partition, the exact shape a real
+  * libjpeg/ffmpeg binding needs), batch sizing via partitions — is
+  * real and tested.
+  */
+object BinaryColumns {
+
+  /** Pack content into (id, payload binary, meta struct). For real
+    * media the payload is the raw bytes; here text bytes stand in. */
+  def packPayload(df: DataFrame, idCol: Column, contentCol: Column, kind: String): DataFrame =
+    df.select(
+      idCol.as("id"),
+      encode(contentCol, "UTF-8").as("payload"))
+      .withColumn("meta", struct(
+        length(col("payload")).cast("long").as("n_bytes"),
+        lit(kind).as("kind"),
+        md5(col("payload")).as("checksum")))
+
+  /** STUB decoder: deterministic fake dims from a payload hash. A real
+    * implementation swaps `decode` for a codec call; the partition
+    * lifecycle and output schema stay identical. */
+  private object FakeDecoder {
+    final case class Features(width: Int, height: Int, channels: Int)
+    def decode(payload: Array[Byte]): Features = {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+      Features(
+        width = 64 + math.floorMod(h, 1857).toInt,
+        height = 64 + math.floorMod(h >>> 17, 1017).toInt,
+        channels = 3)
+    }
+  }
+
+  /** Partition-wise feature extraction over packed payloads: one
+    * decoder instance per partition (the init-heavy-codec shape),
+    * streaming through rows without collecting. */
+  def extractFeatures(packed: DataFrame): DataFrame = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] = packed
+      .select(col("id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { rows =>
+      val decoder = FakeDecoder // real codec: open once per partition
+      rows.map { case (id, payload) =>
+        val f = decoder.decode(payload)
+        (id, f.width, f.height, f.channels, payload.length.toLong)
+      }
+    }.toDF("id", "width", "height", "channels", "n_bytes")
+  }
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.functions.VectorFunctions._
+import graft.expressions.DotProduct.dotProduct
 
 /** Embedding similarity search (SURVEY §2.4).
   *
@@ -18,8 +19,14 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** id + L2-normalized double vector. The norm is materialized as
+    * its own column first: a `transform(v, x => x / norm(v))` lambda
+    * would re-evaluate the norm fold per element (no CSE across
+    * lambda bodies — same trap as ShingleHash64 documents). */
   private def normed(df: DataFrame, idCol: Column, vecCol: Column): DataFrame =
-    df.select(idCol.as("id"), normalize(vecCol).as("vn"))
+    df.select(idCol.as("id"), toDouble(vecCol).as("vd"))
+      .withColumn("nrm", sqrt(dotProduct(df.sparkSession, col("vd"), col("vd"))))
+      .select(col("id"), transform(col("vd"), x => x / col("nrm")).as("vn"))
 
   /** Exact top-k nearest (cosine) rows for each query row.
     * Cosine is rounded to 6 decimals BEFORE ranking, with the id as
@@ -32,7 +39,7 @@ object Similarity {
       .select(col("id").as("query_id"), col("vn").as("qn"))
     val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
-        round(dot(col("vn"), col("qn")), 6).as("cosine"))
+        round(dotProduct(collection.sparkSession, col("vn"), col("qn")), 6).as("cosine"))
     TopKPerGroup.topK(scored, Seq(col("query_id")),
       Seq(desc("cosine"), col("id")), k, rankCol = "rnk")
       .select("query_id", "id", "cosine", "rnk")
@@ -44,7 +51,7 @@ object Similarity {
     val n = normed(df, idCol, vecCol).persist(StorageLevel.MEMORY_AND_DISK)
     n.as("a").join(n.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(dot(col("a.vn"), col("b.vn")), 6).as("cosine"))
+        round(dotProduct(df.sparkSession, col("a.vn"), col("b.vn")), 6).as("cosine"))
       .where(col("cosine") >= tau)
   }
 
@@ -66,7 +73,7 @@ object Similarity {
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(dot(col("a.vn"), col("b.vn")), 6).as("cosine"))
+        round(dotProduct(df.sparkSession, col("a.vn"), col("b.vn")), 6).as("cosine"))
       .where(col("cosine") >= tau)
   }
 
@@ -92,7 +99,7 @@ object Similarity {
     val scored = assigned.join(broadcast(q),
         col("cell") === col("qcell") && col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
-        round(dot(col("vn"), col("qn")), 6).as("cosine"))
+        round(dotProduct(collection.sparkSession, col("vn"), col("qn")), 6).as("cosine"))
     TopKPerGroup.topK(scored, Seq(col("query_id")),
       Seq(desc("cosine"), col("id")), k, rankCol = "rnk")
       .select("query_id", "id", "cosine", "rnk")

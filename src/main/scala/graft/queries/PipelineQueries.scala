@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.GeoFunctions
+import graft.operators.Sessionize
+import graft.multimodal.BinaryColumns
+
+/** Geo, sessionization, streaming-rollup and multimodal bindings
+  * (SURVEY §2.2 haversine + §2.4 pipeline rows). */
+object PipelineQueries {
+
+  /** Haversine distances (reference mlqueries.py:77) from synthetic
+    * per-customer coordinates to a fixed landmark, averaged per
+    * nation. Distances are rounded to whole meters per row (exact
+    * longs) before averaging, so the only cross-engine risk is a trig
+    * ulp on a 0.5 m boundary (~1e-10 per row). */
+  private val qGeoDistance = BoundQuery("q_geo_distance", (s, d) => {
+    val lat = (col("c_custkey") % 180 - 90).cast("double") + lit(0.5)
+    val lon = ((col("c_custkey") * 7) % 360 - 180).cast("double") + lit(0.5)
+    val km = GeoFunctions.haversineKm(lat, lon, lit(41.9028), lit(12.4964))
+    Tables.customer(s, d)
+      .withColumn("dist_m", round(km * 1000, 0).cast("long"))
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(sum(col("dist_m")).as("sm"), count(lit(1)).as("cnt"))
+      .select(col("nationkey"),
+        (col("sm").cast("double") / col("cnt").cast("double") / lit(1000.0))
+          .as("avg_km"))
+      .orderBy("nationkey")
+  }, Some("""
+    WITH pts AS (
+      SELECT c_nationkey,
+        CAST(round(2 * 6371.0 * atan2(
+          sqrt(pow(sin(radians((41.9028) - (CAST(c_custkey % 180 - 90 AS DOUBLE) + 0.5)) / 2), 2)
+            + cos(radians(CAST(c_custkey % 180 - 90 AS DOUBLE) + 0.5)) * cos(radians(41.9028))
+              * pow(sin(radians((12.4964) - (CAST((c_custkey * 7) % 360 - 180 AS DOUBLE) + 0.5)) / 2), 2)),
+          sqrt(1.0 - (pow(sin(radians((41.9028) - (CAST(c_custkey % 180 - 90 AS DOUBLE) + 0.5)) / 2), 2)
+            + cos(radians(CAST(c_custkey % 180 - 90 AS DOUBLE) + 0.5)) * cos(radians(41.9028))
+              * pow(sin(radians((12.4964) - (CAST((c_custkey * 7) % 360 - 180 AS DOUBLE) + 0.5)) / 2), 2)))
+        ) * 1000, 0) AS BIGINT) AS dist_m
+      FROM customer)
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(sum(dist_m) AS DOUBLE)/CAST(count(*) AS DOUBLE)/1000.0 AS avg_km
+    FROM pts GROUP BY 1 ORDER BY 1
+  """))
+
+  /** Gap-based sessionization of the events stream (30 min gap). */
+  private val qWindowSessions = BoundQuery("q_window_sessions", (s, d) => {
+    Sessionize.sessionStats(Tables.events(s, d), col("user_id"), col("ts_ns"),
+        gapNanos = 1800000000000L)
+      .select(col("key").as("user_id"), col("n_sessions"), col("n_events"),
+        col("events_per_session"))
+      .orderBy("user_id")
+  }, Some("""
+    WITH marked AS (
+      SELECT user_id,
+        CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+                  OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)))
+    SELECT user_id,
+           CAST(sum(is_new) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) AS DOUBLE)/CAST(sum(is_new) AS DOUBLE) AS events_per_session
+    FROM marked GROUP BY user_id ORDER BY user_id
+  """))
+
+  /** Hourly event-type rollup — the batch twin of
+    * graft.streaming.EventStreams.hourlyCounts (StreamingSpec proves
+    * stream==batch on a replay). */
+  private val qStreamHourly = BoundQuery("q_stream_hourly", (s, d) => {
+    Tables.events(s, d)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("hour_start", "event_type")
+  }, Some("""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_start,
+           event_type, CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+  """))
+
+  /** Multimodal payload packing: binary column + typed metadata
+    * (decode itself is stubbed, see BinaryColumns). */
+  private val qMultimodalMeta = BoundQuery("q_multimodal_meta", (s, d) => {
+    BinaryColumns.packPayload(Tables.documents(s, d), col("doc_id"), col("text"), "text")
+      .select(col("id").as("doc_id"),
+        col("meta.n_bytes").as("n_bytes"),
+        col("meta.kind").as("kind"),
+        col("meta.checksum").as("checksum"))
+      .orderBy("doc_id")
+  }, Some("""
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           'text' AS kind, md5(text) AS checksum
+    FROM documents ORDER BY doc_id
+  """))
+
+  /** Partition-wise stub feature extraction over binary payloads
+    * (rows-only: the fake decoder has no SQL twin; MultimodalSpec
+    * pins its determinism). */
+  private val qMultimodalFeatures = BoundQuery("q_multimodal_features", (s, d) => {
+    BinaryColumns.extractFeatures(
+      BinaryColumns.packPayload(Tables.documents(s, d), col("doc_id"), col("text"), "text"))
+      .orderBy("id")
+  }, None)
+
+  val all: Seq[BoundQuery] = Seq(
+    qGeoDistance, qWindowSessions, qStreamHourly,
+    qMultimodalMeta, qMultimodalFeatures)
+}

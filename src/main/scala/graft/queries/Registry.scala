@@ -586,7 +586,8 @@ object Registry {
     qOwnerLeaderboard, qTop50Owners, qSearch,
     qTopBrandsModels, qTopBrandsPerYear)
 
-  val allQueries: Seq[BoundQuery] = coreQueries ++ TextQueries.all
+  val allQueries: Seq[BoundQuery] =
+    coreQueries ++ TextQueries.all ++ VectorQueries.all ++ PipelineQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allQueries.map(q => q.name -> q.run).toMap

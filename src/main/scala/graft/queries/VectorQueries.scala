@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.Similarity
+import graft.ml.{AssociationRules, KMeansLite}
+import graft.functions.TextFunctions.tokens
+
+/** SURVEY §2.2 (reference ML) + §2.4 vector ops bindings.
+  *
+  * Cosine parity note: both engines fold the dot product sequentially
+  * over per-element double products of float inputs (exact), so raw
+  * cosines agree to the last ulp in practice; outputs still round to
+  * 6 decimals and rank with id tiebreaks so a one-ulp divergence
+  * cannot flip a row.
+  */
+object VectorQueries {
+
+  // list_reduce (not list_sum) mirrors Spark's sequential aggregate
+  // fold bit-for-bit: ((p1+p2)+p3)... == ((0.0+p1)+p2)+p3...
+  private def duckCosine(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, 65), i -> CAST($a.embedding[i] AS DOUBLE)/$a.nrm * (CAST($b.embedding[i] AS DOUBLE)/$b.nrm)), (x, y) -> x + y)"""
+
+  private val duckNorm =
+    "sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (x, y) -> x + y))"
+
+  /** Embedding cosine near-dup pairs (exact baseline operator;
+    * Similarity.lshCosinePairs is the blocked scale path, spec'd for
+    * recall against this). */
+  private val qEmbeddingNeardup = BoundQuery("q_embedding_neardup", (s, d) => {
+    Similarity.cosinePairs(Tables.embeddings(s, d), col("vec_id"), col("embedding"), 0.4)
+      .orderBy("id_a", "id_b")
+  }, Some(s"""
+    WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(${duckCosine("a", "b")}, 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(${duckCosine("a", "b")}, 6) >= 0.4
+    ORDER BY id_a, id_b
+  """), headline = true)
+
+  /** Brute-force cosine top-k per query vector (queries = vec_id<5). */
+  private val qAnnTopk = BoundQuery("q_ann_topk", (s, d) => {
+    val e = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(
+      e, col("vec_id"), col("embedding"),
+      e.where(col("vec_id") < 5), col("vec_id"), col("embedding"),
+      k = 10)
+      .orderBy("query_id", "rnk")
+  }, Some(s"""
+    WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm
+               FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS id,
+             round(${duckCosine("a", "q")}, 6) AS cosine
+      FROM e a JOIN e q ON q.vec_id < 5 AND a.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT query_id, id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, id) AS BIGINT) AS rnk
+      FROM scored)
+    SELECT query_id, id, cosine, rnk FROM ranked WHERE rnk <= 10
+    ORDER BY query_id, rnk
+  """), headline = true)
+
+  /** IVF-bucketed ANN — the approximate scale path (rows-only;
+    * VectorSpec measures recall vs the brute-force baseline). */
+  private val qAnnIvf = BoundQuery("q_ann_ivf", (s, d) => {
+    val e = Tables.embeddings(s, d)
+    Similarity.ivfTopK(
+      e, col("vec_id"), col("embedding"),
+      e.where(col("vec_id") < 5), col("vec_id"), col("embedding"),
+      k = 10)
+      .orderBy("query_id", "rnk")
+  }, None)
+
+  /** Deterministic Lloyd's k-means (reference mlqueries.py:14) —
+    * cluster sizes after 5 iterations from lowest-id init. */
+  private val qKmeans = BoundQuery("q_kmeans", (s, d) => {
+    KMeansLite.fit(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+        k = 8, iters = 5)
+      .assignments
+      .groupBy("cluster").agg(count(lit(1)).as("n"))
+      .orderBy("cluster")
+  }, None)
+
+  /** Association rules via FPGrowth (reference mlqueries.py:148);
+    * rows-only — the SQL-expressible size-2 core is q_frequent_pairs. */
+  private val qAssociationRules = BoundQuery("q_association_rules", (s, d) => {
+    AssociationRules.fpGrowthRules(
+      Tables.documents(s, d).select(slice(tokens(col("text")), 1, 8).as("items")),
+      col("items"), minSupport = 0.03, minConfidence = 0.2)
+      .select(
+        array_join(array_sort(col("antecedent")), ",").as("antecedent"),
+        array_join(array_sort(col("consequent")), ",").as("consequent"),
+        round(col("confidence"), 6).as("confidence"),
+        round(col("support"), 6).as("support"))
+      .orderBy("antecedent", "consequent")
+  }, None)
+
+  /** Size-2 association rules with exact-count support/confidence —
+    * the oracle-checked relational core of rule mining. */
+  private val qFrequentPairs = BoundQuery("q_frequent_pairs", (s, d) => {
+    AssociationRules.frequentPairs(
+      Tables.documents(s, d), col("doc_id"), slice(tokens(col("text")), 1, 8),
+      minSupport = 0.03, minConfidence = 0.2)
+      .orderBy("antecedent", "consequent")
+  }, Some("""
+    WITH tx AS (
+      SELECT doc_id,
+        list_distinct((list_filter(string_split(text,' '), x -> x <> ''))[1:8]) AS items
+      FROM documents),
+    ex AS (SELECT doc_id, unnest(items) AS item FROM tx WHERE len(items) > 0),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tx WHERE len(items) > 0),
+    singles AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY 1),
+    pairs AS (
+      SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS nab
+      FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND a.item < b.item
+      GROUP BY 1, 2),
+    joined AS (
+      SELECT ia, ib, nab, sa.n AS na, sb.n AS nb, t
+      FROM pairs JOIN singles sa ON ia = sa.item
+                 JOIN singles sb ON ib = sb.item
+                 CROSS JOIN tot),
+    rules AS (
+      SELECT ia AS antecedent, ib AS consequent,
+             CAST(nab AS DOUBLE)/CAST(t AS DOUBLE) AS support,
+             CAST(nab AS DOUBLE)/CAST(na AS DOUBLE) AS confidence
+      FROM joined
+      UNION ALL
+      SELECT ib, ia,
+             CAST(nab AS DOUBLE)/CAST(t AS DOUBLE),
+             CAST(nab AS DOUBLE)/CAST(nb AS DOUBLE)
+      FROM joined)
+    SELECT * FROM rules WHERE support >= 0.03 AND confidence >= 0.2
+    ORDER BY antecedent, consequent
+  """))
+
+  val all: Seq[BoundQuery] = Seq(
+    qEmbeddingNeardup, qAnnTopk, qAnnIvf, qKmeans,
+    qAssociationRules, qFrequentPairs)
+}

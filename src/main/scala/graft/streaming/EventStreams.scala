@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table (SURVEY §2.4
+  * q_stream_hourly). The batch query in PipelineQueries computes the
+  * identical hourly rollup; StreamingSpec proves the readStream →
+  * watermark → windowed-agg → memory-sink pipeline converges to the
+  * same counts when the parquet history is replayed as a stream.
+  *
+  * Scale: the aggregation is keyed on (window, event_type); state is
+  * bounded by the watermark horizon; at 100 TB/day this is the
+  * standard continuous-ingest rollup with checkpointed state.
+  */
+object EventStreams {
+
+  /** events.parquet physical schema (ts read as ns-long, same trick as
+    * graft.sources.Tables — streaming sources need an explicit schema). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming hourly counts per event type with a 2h watermark. */
+  def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour_start"),
+        col("event_type"), col("cnt"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark._
+import graft.operators.Similarity
+import graft.ml.KMeansLite
+
+class VectorSpec extends AnyFunSuite {
+
+  private lazy val emb = graft.sources.Tables.embeddings(spark, sfTiny)
+
+  private lazy val bruteTop: Map[Long, Seq[Long]] =
+    Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+        emb.where(col("vec_id") < 5), col("vec_id"), col("embedding"), 10)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("id")).toSeq }
+
+  test("brute-force top-k: k rows per query, descending scores") {
+    val rows = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+        emb.where(col("vec_id") < 5), col("vec_id"), col("embedding"), 10)
+      .collect()
+    assert(rows.groupBy(_.getAs[Long]("query_id")).forall(_._2.length == 10))
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      val byRank = g.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("cosine"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("IVF ANN recalls a usable fraction of brute-force top-10") {
+    val ivf = Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
+        emb.where(col("vec_id") < 5), col("vec_id"), col("embedding"), 10)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("id")).toSet }
+    val recalls = bruteTop.map { case (q, brute) =>
+      ivf.get(q).map(c => brute.count(c.contains).toDouble / brute.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    // Random 64-dim vectors have near-uniform cells; with 4/16 probes
+    // expect >= ~25% of exact neighbors. This pins the plumbing, not
+    // state-of-the-art recall.
+    assert(mean >= 0.2, s"mean IVF recall $mean")
+  }
+
+  test("LSH cosine pairs are a subset of exact pairs at the same tau") {
+    val exact = Similarity.cosinePairs(emb, col("vec_id"), col("embedding"), 0.35)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val lsh = Similarity.lshCosinePairs(emb, col("vec_id"), col("embedding"), 0.35, dim = 64)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(exact.isEmpty || lsh.nonEmpty)
+  }
+
+  test("KMeansLite is deterministic and assigns every vector") {
+    val m1 = KMeansLite.fit(emb, col("vec_id"), col("embedding"), k = 4, iters = 3)
+    val m2 = KMeansLite.fit(emb, col("vec_id"), col("embedding"), k = 4, iters = 3)
+    val s1 = m1.assignments.groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val s2 = m2.assignments.groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(s1 == s2)
+    assert(s1.values.sum == emb.count())
+    assert(m1.centroids.length == 4 && m1.centroids.forall(_.length == 64))
+  }
+}
