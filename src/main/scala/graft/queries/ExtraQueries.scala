@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Num._
+
+/** Analytic-surface extensions beyond the reference's endpoints:
+  * running windows, rollup grouping sets, anti joins, semi-structured
+  * JSON extraction — the rest of the OLAP toolbox a reference user
+  * would expect from a complete engine. */
+object ExtraQueries {
+
+  /** Per-customer running revenue (window running sum over exact
+    * cents; customers < 100 keep the dump bounded). */
+  private val qRunningRevenue = BoundQuery("q_running_revenue", (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d).where(col("o_custkey") < 100)
+      .withColumn("run_c", sum(cents(col("o_totalprice"))).over(w))
+      .select(col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        money(col("run_c")).as("running_revenue"))
+      .orderBy("custkey", "orderkey")
+  }, Some("""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0
+             AS running_revenue
+    FROM orders WHERE o_custkey < 100
+    ORDER BY custkey, orderkey
+  """))
+
+  /** ROLLUP(year, status) revenue/count — hierarchical grouping sets
+    * with subtotal rows (sentinel-coalesced for deterministic output). */
+  private val qRollupRevenue = BoundQuery("q_rollup_revenue", (s, d) => {
+    Tables.orders(s, d).where(col("o_orderdate").isNotNull)
+      .rollup(year(col("o_orderdate")).cast("long").as("year"), col("o_orderstatus"))
+      .agg(sumCents(col("o_totalprice")).as("rc"), count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("year"), lit(-1L)).as("year_g"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status_g"),
+        money(col("rc")).as("revenue"), col("cnt"))
+      .orderBy("year_g", "status_g")
+  }, Some("""
+    SELECT coalesce(CAST(year(o_orderdate) AS BIGINT), -1) AS year_g,
+           coalesce(o_orderstatus, 'ALL') AS status_g,
+           CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM orders WHERE o_orderdate IS NOT NULL
+    GROUP BY ROLLUP(CAST(year(o_orderdate) AS BIGINT), o_orderstatus)
+    ORDER BY year_g, status_g
+  """))
+
+  /** Left-anti join: customers with zero urgent orders. */
+  private val qNoUrgentCustomers = BoundQuery("q_no_urgent_customers", (s, d) => {
+    val urgent = Tables.orders(s, d)
+      .where(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    Tables.customer(s, d)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey").as("custkey"), col("c_name").as("name"))
+      .orderBy("custkey")
+  }, Some("""
+    SELECT c_custkey AS custkey, c_name AS name
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    ORDER BY custkey
+  """))
+
+  /** Semi-structured extraction: parse the JSON props column and
+    * aggregate an extracted field (exact int sums). */
+  private val qJsonProps = BoundQuery("q_json_props", (s, d) => {
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .where(col("k").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("sum_k"), col("cnt"),
+        (col("sum_k").cast("double") / col("cnt").cast("double")).as("avg_k"))
+      .orderBy("event_type")
+  }, Some("""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS avg_k
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+  """))
+
+  val all: Seq[BoundQuery] = Seq(
+    qRunningRevenue, qRollupRevenue, qNoUrgentCustomers, qJsonProps)
+}

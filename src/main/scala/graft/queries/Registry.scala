@@ -587,7 +587,8 @@ object Registry {
     qTopBrandsModels, qTopBrandsPerYear)
 
   val allQueries: Seq[BoundQuery] =
-    coreQueries ++ TextQueries.all ++ VectorQueries.all ++ PipelineQueries.all
+    coreQueries ++ TextQueries.all ++ VectorQueries.all ++
+      PipelineQueries.all ++ ExtraQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allQueries.map(q => q.name -> q.run).toMap

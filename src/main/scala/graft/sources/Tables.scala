@@ -31,6 +31,28 @@ object Tables {
       spark.read.parquet(s"$dir/$name.parquet")
     }
 
+  /** Schema-ful JSON reader — the reference's ingest shape
+    * (main.py:144 `spark.read.schema(schema).json(path)`): an explicit
+    * schema skips the full inference pass (which at 100 TB would scan
+    * everything twice) and pins column types. */
+  def readJson(s: SparkSession, path: String,
+               schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.read.schema(schema).json(path)
+
+  /** JSON writer (reference data_cleaner.py:100 wrote
+    * `coalesce(1).write.json` — the coalesce(1) is dropped here: a
+    * single-file funnel is a driver-side convenience that serializes
+    * the whole write through one task at scale). */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Partitioned parquet writer for derived tables (hive-style
+    * partition pruning on the partition columns at read time). */
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
