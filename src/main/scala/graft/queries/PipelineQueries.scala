@@ -64,7 +64,7 @@ object PipelineQueries {
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(count(*) AS DOUBLE)/CAST(sum(is_new) AS DOUBLE) AS events_per_session
     FROM marked GROUP BY user_id ORDER BY user_id
-  """))
+  """), headline = true)
 
   /** Hourly event-type rollup — the batch twin of
     * graft.streaming.EventStreams.hourlyCounts (StreamingSpec proves
@@ -80,7 +80,7 @@ object PipelineQueries {
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_start,
            event_type, CAST(count(*) AS BIGINT) AS cnt
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
-  """))
+  """), headline = true)
 
   /** Multimodal payload packing: binary column + typed metadata
     * (decode itself is stubbed, see BinaryColumns). */

@@ -17,7 +17,7 @@ object TextQueries {
     SELECT doc_id, source FROM (
       SELECT doc_id, source, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
       FROM documents) WHERE rn = 1 ORDER BY doc_id
-  """))
+  """), headline = true)
 
   /** Document fingerprinting: md5 digest + polynomial rolling hash
     * (TextFunctions.rollingFingerprint), both codegen-composable. */
