@@ -17,8 +17,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed JVM/codegen warm-up: one scan + one agg/shuffle pipeline,
-    // so the first timed query doesn't pay JIT + codegen-compiler cost.
+    // Service mode, matching the reference's cached served DataFrame
+    // (main.py:147 df.cache()): tables persist once, queries run
+    // against the warm cache. Also absorbs JIT/codegen warm-up before
+    // the first timed query.
+    graft.sources.Tables.warm(spark, sfDir)
     graft.sources.Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag").count().count()
     val hs = queries.Registry.headlines

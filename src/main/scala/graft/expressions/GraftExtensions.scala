@@ -1,0 +1,35 @@
+package graft.expressions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point registering graft's custom
+  * Catalyst expressions as SQL functions, so a deployment can enable
+  * them cluster-wide via
+  * `spark.sql.extensions=graft.expressions.GraftExtensions` (no
+  * per-session register calls). The `register(spark)` helpers on each
+  * expression object remain for ad-hoc sessions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(name: String, builder: Seq[Expression] => Expression)
+    : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo("graft.expressions", name), builder)
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(fn("simhash64", exprs => SimHash64(exprs.head)))
+    e.injectFunction(fn("shingle_hash64", exprs => ShingleHash64(exprs(0), exprs(1))))
+    e.injectFunction(fn("dot_product", exprs => DotProduct(exprs(0), exprs(1))))
+  }
+}
+
+object GraftExtensions {
+  /** Register everything on an existing session (same effect as the
+    * spark.sql.extensions config for already-built sessions). */
+  def registerAll(spark: SparkSession): Unit = {
+    SimHash64.register(spark)
+    ShingleHash64.register(spark)
+    DotProduct.register(spark)
+  }
+}

@@ -152,6 +152,19 @@ object Registry {
     FROM orders WHERE o_orderdate IS NOT NULL ORDER BY year
   """))
 
+  /** Reference: queries.py:42 get_first_n_rows — `.limit(n)`, made
+    * deterministic with an explicit order (a bare limit is
+    * partition-order dependent and would flake any comparison). */
+  private val qFirstRows = BoundQuery("q_first_rows", (s, d) => {
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey").limit(25)
+  }, Some("""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders ORDER BY o_orderkey LIMIT 25
+  """))
+
   /** Reference: queries.py:10 paginate_dataframe_sql (page 3, size 20). */
   private val qPaginate = BoundQuery("q_paginate", (s, d) => {
     Pagination.page(
@@ -577,7 +590,7 @@ object Registry {
 
   private val coreQueries: Seq[BoundQuery] = Seq(
     q1, q3, q5,
-    qYears, qPaginate, qCountByGroup, qFilterByToken,
+    qYears, qFirstRows, qPaginate, qCountByGroup, qFilterByToken,
     qMonthlyPosted, qYearlyPosted, qMonthlyShipped, qYearlyShipped,
     qMonthInYear, qHourlyPosted, qHourlyByType,
     qAvgValueByYear, qAvgItemsByYear, qStatusDistribution,

@@ -26,6 +26,32 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Stateful per-user running aggregates via mapGroupsWithState —
+    * the custom-state shape (KeyValueGroupedDataset) for metrics a
+    * windowed agg can't express. State here is (event count, max ts
+    * micros); order-independent, so replay converges to the batch
+    * truth regardless of micro-batch slicing. */
+  def userRunningCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.readStream.schema(eventsSchema).parquet(dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      .as[(Long, Long)]
+    events.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          val (c0, m0) = state.getOption.getOrElse((0L, Long.MinValue))
+          var c = c0
+          var m = m0
+          rows.foreach { case (_, tsUs) => c += 1; if (tsUs > m) m = tsUs }
+          state.update((c, m))
+          (user, c, m)
+      }
+      .toDF("user_id", "n_events", "max_ts_us")
+  }
+
   /** Streaming hourly counts per event type with a 2h watermark. */
   def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

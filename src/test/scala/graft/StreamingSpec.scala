@@ -28,6 +28,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful mapGroupsWithState converges to batch per-user counts on replay") {
+    val dir = java.nio.file.Files.createTempDirectory("events_state")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfTiny/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStreams.userRunningCounts(spark, dir.toString)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("user_state_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      // update mode may emit a row per micro-batch; the LAST state per
+      // user must equal the batch truth
+      val streamed = spark.table("user_state_out")
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.max("n_events").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = graft.sources.Tables.events(spark, sfTiny)
+        .groupBy("user_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("GraftExtensions registers custom SQL functions") {
+    graft.expressions.GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       simhash64(array('a','b')) AS s,
+        |       size(shingle_hash64(array('a','b','c'), 2)) AS n""".stripMargin)
+      .collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getInt(2) == 2)
+  }
+
   test("multimodal feature extraction is deterministic and complete") {
     val docs = graft.sources.Tables.documents(spark, sfTiny)
     val packed = graft.multimodal.BinaryColumns.packPayload(docs, col("doc_id"), col("text"), "text")
