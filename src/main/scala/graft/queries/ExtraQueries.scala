@@ -94,6 +94,37 @@ object ExtraQueries {
     GROUP BY event_type ORDER BY event_type
   """))
 
+  /** Point-in-time join: each event paired with the user's most
+    * recent purchase at-or-before it (operators.AsOfJoin — composed
+    * union+window as-of; oracle is DuckDB's native ASOF JOIN, which
+    * shares the inclusive >= tie semantics). */
+  private val qAsofJoin = BoundQuery("q_asof_join", (s, d) => {
+    val ev = Tables.events(s, d)
+      .select("event_id", "user_id", "ts_ns", "event_type")
+    val purchases = ev.where(col("event_type") === "purchase")
+    graft.operators.AsOfJoin.lastAtOrBefore(
+      ev, purchases, col("user_id"), col("ts_ns"), col("event_id"), "purchase_id")
+      .select(col("event_id"), col("user_id"), col("asof_purchase_id"))
+      .orderBy("event_id")
+  }, Some("""
+    SELECT e.event_id, e.user_id, p.event_id AS asof_purchase_id
+    FROM events e ASOF LEFT JOIN
+      (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    ORDER BY e.event_id
+  """), headline = true)
+
+  /** Sketch aggregates: HyperLogLog distinct estimates next to exact
+    * counts (rows-only — HLL implementations differ across engines by
+    * design; SketchSpec pins the error envelope). */
+  private val qApproxDistinct = BoundQuery("q_approx_distinct", (s, d) => {
+    Tables.orders(s, d).agg(
+      approx_count_distinct(col("o_custkey")).as("approx_users"),
+      countDistinct(col("o_custkey")).as("exact_users"),
+      approx_count_distinct(col("o_orderkey")).as("approx_orders"))
+  }, None)
+
   val all: Seq[BoundQuery] = Seq(
-    qRunningRevenue, qRollupRevenue, qNoUrgentCustomers, qJsonProps)
+    qRunningRevenue, qRollupRevenue, qNoUrgentCustomers, qJsonProps,
+    qAsofJoin, qApproxDistinct)
 }

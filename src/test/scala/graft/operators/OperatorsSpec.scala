@@ -55,6 +55,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(keys.distinct.length == keys.length)
   }
 
+  test("AsOfJoin: purchases match themselves; non-purchase events get latest prior") {
+    val ev = graft.sources.Tables.events(spark, sfTiny)
+      .select("event_id", "user_id", "ts_ns", "event_type")
+    val purchases = ev.where(col("event_type") === "purchase")
+    val joined = AsOfJoin.lastAtOrBefore(ev, purchases,
+      col("user_id"), col("ts_ns"), col("event_id"), "purchase_id").collect()
+    val selfMatch = joined.filter(_.getAs[String]("event_type") == "purchase")
+    assert(selfMatch.nonEmpty)
+    assert(selfMatch.forall(r =>
+      r.getAs[Long]("asof_purchase_id") == r.getAs[Long]("event_id")))
+    // a user's first event before any purchase has a null asof id
+    assert(joined.exists(_.isNullAt(joined.head.fieldIndex("asof_purchase_id"))))
+  }
+
+  test("approx_count_distinct lands within 5% of exact") {
+    val r = graft.queries.Registry.queries("q_approx_distinct")(spark, sfTiny).collect()(0)
+    val approx = r.getAs[Long]("approx_users").toDouble
+    val exact = r.getAs[Long]("exact_users").toDouble
+    assert(math.abs(approx - exact) / exact <= 0.05, s"approx $approx vs exact $exact")
+  }
+
   test("Num.cents is an exact per-row integer scale") {
     val df = spark.range(1).select(
       Num.cents(lit(185.22)).as("a"), Num.cents(lit(9.64)).as("b"),
