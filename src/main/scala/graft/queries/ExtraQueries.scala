@@ -124,7 +124,24 @@ object ExtraQueries {
       approx_count_distinct(col("o_orderkey")).as("approx_orders"))
   }, None)
 
+  /** Salted two-phase aggregation (SkewTools): identical answer to a
+    * direct groupBy — the oracle IS the direct groupBy — with the
+    * skew-resistant shuffle shape. */
+  private val qSaltedAgg = BoundQuery("q_salted_agg", (s, d) => {
+    graft.operators.SkewTools.saltedAggregate(
+      Tables.lineitem(s, d),
+      keys = Seq("l_returnflag"),
+      saltSource = col("l_orderkey"),
+      sums = Map("qty_c" -> cents(col("l_quantity"))))
+      .select(col("l_returnflag"), col("cnt"), money(col("qty_c")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }, Some("""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty
+    FROM lineitem GROUP BY 1 ORDER BY 1
+  """))
+
   val all: Seq[BoundQuery] = Seq(
     qRunningRevenue, qRollupRevenue, qNoUrgentCustomers, qJsonProps,
-    qAsofJoin, qApproxDistinct)
+    qAsofJoin, qApproxDistinct, qSaltedAgg)
 }
