@@ -203,7 +203,21 @@ object TextQueries {
     FROM supplier ORDER BY s_suppkey
   """))
 
+  /** Heavy-hitter words via the space-saving TypedImperativeAggregate
+    * (graft.expressions.TopKSketch) — one capacity-bounded pass, no
+    * full word groupBy (rows-only; TopKSketchSpec proves it exact for
+    * words above the n/capacity guarantee). */
+  private val qHeavyHitters = BoundQuery("q_heavy_hitters", (s, d) => {
+    import graft.expressions.TopKSketch.topKSketch
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .agg(topKSketch(s, col("word"), k = 20, capacity = 4096).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.item").as("word"), col("e.cnt").as("cnt"))
+  }, None)
+
   val all: Seq[BoundQuery] = Seq(
     qDedupExact, qFingerprint, qNgramJaccard, qMinhashPairs, qSimhashPairs,
-    qTokenCount, qTextStats, qLangid, qCleanPipeline, qImputeDefaults)
+    qTokenCount, qTextStats, qLangid, qCleanPipeline, qImputeDefaults,
+    qHeavyHitters)
 }

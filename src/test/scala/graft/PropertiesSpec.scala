@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.apache.spark.sql.functions._
+import graft.TestSpark._
+
+/** Property-based invariants for the numeric/text kernels: ScalaCheck
+  * generators, evaluated in one batched Spark job per property. */
+class PropertiesSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], n: Int): Seq[T] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  test("cents scaling is exact for any 2-decimal amount") {
+    val cs = sample(Gen.chooseNum(-99999999L, 99999999L), 200)
+    val got = cs.map(_ / 100.0).toDF("a")
+      .select(graft.functions.Num.cents(col("a")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == cs)
+  }
+
+  test("rolling fingerprint matches the scalar model for any ascii string") {
+    val ss = sample(Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
+      .suchThat(_.nonEmpty), 100)
+    val got = ss.toDF("s")
+      .select(graft.functions.TextFunctions.rollingFingerprint(col("s")))
+      .collect().map(_.getLong(0)).toSeq
+    val expected = ss.map(_.foldLeft(0L)((a, ch) => (a * 31 + ch.toInt) % 1000000007L))
+    assert(got == expected)
+  }
+
+  test("shingle count is max(tokens - n + 1, 0) for any token list") {
+    for (n <- 1 to 5) {
+      val lists = sample(Gen.listOf(Gen.identifier.suchThat(_.nonEmpty)), 50)
+      val got = lists.map(_.mkString(" ")).toDF("s")
+        .select(size(graft.functions.TextFunctions.wordShingles(col("s"), n)))
+        .collect().map(_.getInt(0)).toSeq
+      assert(got == lists.map(l => math.max(l.length - n + 1, 0)))
+    }
+  }
+
+  test("null inputs propagate as nulls through the custom expressions") {
+    graft.expressions.GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT simhash64(CAST(NULL AS ARRAY<STRING>)) AS a,
+        |       dot_product(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS b,
+        |       shingle_hash64(CAST(NULL AS ARRAY<STRING>), 2) AS c""".stripMargin)
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+}
