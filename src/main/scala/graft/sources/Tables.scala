@@ -41,7 +41,15 @@ object Tables {
 
   /** Persist every table of a directory (lazy — materialized on first
     * use). Long-lived service mode, mirroring the reference's
-    * `df.cache()`; batch one-shot jobs skip this. */
+    * `df.cache()`; batch one-shot jobs skip this.
+    *
+    * Measured note (sf0.1, local[32]): the testdata ships one
+    * single-row-group file per table, so the cache holds ONE partition
+    * per table. A repartition-before-persist variant was tried and
+    * REGRESSED the bench ~35% — at tens of MB the extra exchange and
+    * 32-way task overhead cost more than the scan parallelism wins.
+    * At real multi-GB-per-file scale the scan splits by row groups and
+    * this is moot. */
   def warm(spark: SparkSession, dir: String): Unit =
     all.foreach(n =>
       load(spark, dir, n).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
