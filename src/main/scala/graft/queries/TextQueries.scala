@@ -205,8 +205,9 @@ object TextQueries {
 
   /** Heavy-hitter words via the space-saving TypedImperativeAggregate
     * (graft.expressions.TopKSketch) — one capacity-bounded pass, no
-    * full word groupBy (rows-only; TopKSketchSpec proves it exact for
-    * words above the n/capacity guarantee). */
+    * full word groupBy. With capacity >> distinct items no eviction
+    * ever fires, so the sketch is EXACT and oracle-checkable here;
+    * TopKSketchSpec separately proves the tight-capacity guarantees. */
   private val qHeavyHitters = BoundQuery("q_heavy_hitters", (s, d) => {
     import graft.expressions.TopKSketch.topKSketch
     Tables.documents(s, d)
@@ -214,7 +215,12 @@ object TextQueries {
       .agg(topKSketch(s, col("word"), k = 20, capacity = 4096).as("top"))
       .select(explode(col("top")).as("e"))
       .select(col("e.item").as("word"), col("e.cnt").as("cnt"))
-  }, None)
+  }, Some("""
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS word
+          FROM documents)
+    GROUP BY word ORDER BY cnt DESC, word LIMIT 20
+  """))
 
   val all: Seq[BoundQuery] = Seq(
     qDedupExact, qFingerprint, qNgramJaccard, qMinhashPairs, qSimhashPairs,
