@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the missing
+  * last step of near-dup deduplication: candidate PAIRS (minhash /
+  * simhash / exact-jaccard) must be grouped into duplicate CLUSTERS
+  * so one canonical document per cluster survives. The reference stops
+  * at `dropDuplicates` (data_cleaner.py:84, exact only); a training-
+  * data pipeline needs the transitive closure of near-dup pairs.
+  *
+  * Algorithm: min-label propagation with pointer-doubling (the
+  * DataFrame form of hash-to-min, Rastogi et al., "Finding Connected
+  * Components in Map-Reduce in Logarithmic Rounds", ICDE 2013). Each
+  * node holds a candidate label (initially itself); every round each
+  * node takes the min of its own and its neighbors' labels, THEN
+  * follows its label's label (shortcutting). Neighbor-min alone needs
+  * O(diameter) rounds — a 1M-node chain would need 1M shuffles; the
+  * shortcut halves remaining path length each round, so rounds =
+  * O(log diameter). Each round is two shuffles keyed by node id —
+  * never materializes anything super-linear in |edges|.
+  *
+  * Scale notes: `localCheckpoint` every round truncates the lineage so
+  * plan size stays O(1) across iterations (iterative DataFrame jobs
+  * otherwise re-plan an exponentially growing tree); convergence is
+  * detected with a cheap count of changed labels.
+  */
+object ConnectedComponents {
+
+  /** Edge list (aCol, bCol: long node ids, undirected) → (id, component)
+    * for every node appearing in an edge; `component` is the minimum
+    * node id of the component (deterministic canonical choice). */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       maxIter: Int = 25): DataFrame = {
+    val e = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    // Undirected: propagate both ways.
+    val adj = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = adj.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // min label among neighbors, then min with own label
+      val nbrMin = adj.join(labels, adj("b") === labels("id"))
+        .groupBy(adj("a").as("id")).agg(min(col("label")).as("nbr"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+      // pointer doubling: label := label(label). Labels are node ids of
+      // the same component, so this only ever jumps closer to the min.
+      val roots = stepped.select(col("id").as("rid"), col("label").as("rlabel"))
+      val next = stepped.join(roots, stepped("label") === roots("rid"), "left")
+        .select(stepped("id"),
+          least(stepped("label"), coalesce(col("rlabel"), stepped("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .where(col("n.label") =!= col("o.label")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    adj.unpersist()
+    labels.select(col("id"), col("label").as("component"))
+  }
+}

@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Num._
+import graft.operators.{Profiling, RangeJoin, Upsert}
+
+/** Second analytic-surface wave: pivot/cube reshaping, the full
+  * window-function suite, deterministic hash sampling, semi-join
+  * pruning, CDC upsert, single-pass profiling, and bucketed range
+  * join — rounding out the OLAP + pipeline-maintenance toolbox. */
+object ExtraQueries2 {
+
+  /** Wide pivot: year x event_type count matrix. Explicit pivot values
+    * keep the plan single-pass (no distinct-values pre-query) — the
+    * 100 TB form pivots only enumerable-domain columns. */
+  private val qPivot = BoundQuery("q_pivot", (s, d) => {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables.events(s, d).where(col("ts").isNotNull)
+      .groupBy(year(col("ts")).cast("long").as("year"))
+      .pivot("event_type", types).count()
+    p.select(col("year") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("year")
+  }, Some("""
+    SELECT CAST(year(ts) AS BIGINT) AS year,
+      CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events WHERE ts IS NOT NULL GROUP BY 1 ORDER BY year
+  """))
+
+  /** CUBE(year, priority): all 2^2 grouping sets in one pass
+    * (sentinel-coalesced like q_rollup_revenue). */
+  private val qCube = BoundQuery("q_cube", (s, d) => {
+    Tables.orders(s, d).where(col("o_orderdate").isNotNull)
+      .cube(year(col("o_orderdate")).cast("long").as("year"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), sumCents(col("o_totalprice")).as("rc"))
+      .select(
+        coalesce(col("year"), lit(-1L)).as("year_g"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority_g"),
+        col("cnt"), money(col("rc")).as("revenue"))
+      .orderBy("year_g", "priority_g")
+  }, Some("""
+    SELECT coalesce(CAST(year(o_orderdate) AS BIGINT), -1) AS year_g,
+           coalesce(o_orderpriority, 'ALL') AS priority_g,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
+    FROM orders WHERE o_orderdate IS NOT NULL
+    GROUP BY CUBE(CAST(year(o_orderdate) AS BIGINT), o_orderpriority)
+    ORDER BY year_g, priority_g
+  """))
+
+  /** Window-function suite over per-customer order history: lag /
+    * lead / ntile / percent_rank / cume_dist in ONE window (one
+    * shuffle + one sort serves all five). */
+  private val qWindowSuite = BoundQuery("q_window_suite", (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .where(col("o_custkey") < 50 && col("o_orderdate").isNotNull)
+      .select(
+        col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"),
+        money(lag(cents(col("o_totalprice")), 1).over(w)).as("prev_price"),
+        money(lead(cents(col("o_totalprice")), 1).over(w)).as("next_price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("custkey", "orderkey")
+  }, Some("""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+      CAST(lag(CAST(round(o_totalprice*100,0) AS BIGINT), 1)
+        OVER w AS DOUBLE)/100.0 AS prev_price,
+      CAST(lead(CAST(round(o_totalprice*100,0) AS BIGINT), 1)
+        OVER w AS DOUBLE)/100.0 AS next_price,
+      CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      percent_rank() OVER w AS pr,
+      cume_dist() OVER w AS cd
+    FROM orders WHERE o_custkey < 50 AND o_orderdate IS NOT NULL
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY custkey, orderkey
+  """))
+
+  /** Deterministic ~10% hash sample (md5 prefix of the key), then a
+    * stratified aggregate. Hash sampling is reproducible across
+    * engines, runs, and partitionings — the only sane sample at
+    * 100 TB (BERNOULLI samples differ per run). 0x1a/0x100 = 10.2%. */
+  private val qHashSample = BoundQuery("q_hash_sample", (s, d) => {
+    Tables.orders(s, d)
+      .where(substring(md5(col("o_orderkey").cast("string").cast("binary")), 1, 2) < "1a")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sumCents(col("o_totalprice")).as("rc"))
+      .select(col("o_orderstatus"), col("n_sampled"), money(col("rc")).as("sample_revenue"))
+      .orderBy("o_orderstatus")
+  }, Some("""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS sample_revenue
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+  """))
+
+  /** Semi-join pruning: lineitems of urgent orders via LEFT SEMI —
+    * the fact table is filtered by key existence without duplicating
+    * rows or carrying the dimension's columns through the shuffle. */
+  private val qSemiPrune = BoundQuery("q_semi_prune", (s, d) => {
+    val urgent = Tables.orders(s, d)
+      .where(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    Tables.lineitem(s, d)
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"), sumCents(col("l_quantity")).as("qc"))
+      .select(col("l_returnflag"), col("cnt"), money(col("qc")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }, Some("""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty
+    FROM lineitem
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
+    GROUP BY l_returnflag ORDER BY l_returnflag
+  """))
+
+  /** CDC upsert (operators.Upsert): latest order value per customer
+    * applied over the customer balance snapshot; op column marks
+    * update / insert / keep. */
+  private val qUpsert = BoundQuery("q_upsert", (s, d) => {
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey").as("key"), cents(col("c_acctbal")).as("bal_c"))
+    val changes = Tables.orders(s, d).where(col("o_orderdate").isNotNull)
+      .select(col("o_custkey").as("key"), cents(col("o_totalprice")).as("bal_c"),
+        col("o_orderdate").as("v"), col("o_orderkey").as("tb"))
+    Upsert.applyChanges(base, changes, "key", col("v"), col("tb"))
+      .select(col("key"), money(col("bal_c")).as("balance"), col("op"))
+      .orderBy("key")
+  }, Some("""
+    WITH latest AS (
+      SELECT key, bal_c FROM (
+        SELECT o_custkey AS key, CAST(round(o_totalprice*100,0) AS BIGINT) AS bal_c,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate IS NOT NULL) WHERE rn = 1),
+    base AS (SELECT c_custkey AS key, CAST(round(c_acctbal*100,0) AS BIGINT) AS bal_c
+             FROM customer)
+    SELECT coalesce(l.key, b.key) AS key,
+           CAST(coalesce(l.bal_c, b.bal_c) AS DOUBLE)/100.0 AS balance,
+           CASE WHEN l.key IS NOT NULL AND b.key IS NOT NULL THEN 'U'
+                WHEN l.key IS NOT NULL THEN 'I' ELSE 'K' END AS op
+    FROM base b FULL OUTER JOIN latest l ON b.key = l.key
+    ORDER BY key
+  """))
+
+  /** Single-pass column profiling (operators.Profiling): nulls /
+    * distincts / min / max for five columns from ONE scan. */
+  private val qProfile = BoundQuery("q_profile", (s, d) => {
+    Profiling.profile(Tables.orders(s, d),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"))
+      .withColumnRenamed("column", "col_name")
+      .orderBy("col_name")
+  }, Some("""
+    WITH p AS (
+      SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+             sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+             count(DISTINCT o_orderkey) AS n_distinct,
+             CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+             CAST(max(o_orderkey) AS VARCHAR) AS max_val FROM orders
+      UNION ALL
+      SELECT 'o_custkey', count(*),
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT o_custkey),
+             CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', count(*),
+             sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT o_orderstatus),
+             min(o_orderstatus), max(o_orderstatus) FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', count(*),
+             sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT o_orderpriority),
+             min(o_orderpriority), max(o_orderpriority) FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', count(*),
+             sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT o_orderdate),
+             CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR) FROM orders)
+    SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows, CAST(n_null AS BIGINT) AS n_null,
+           CAST(n_distinct AS BIGINT) AS n_distinct, min_val, max_val
+    FROM p ORDER BY col_name
+  """))
+
+  /** Bucketed range join (operators.RangeJoin): orders matched to
+    * overlapping price bands as an EQUI join on bucket id + residual
+    * filter — never the BroadcastNestedLoop a raw BETWEEN plans. */
+  private val qRangeJoin = BoundQuery("q_range_join", (s, d) => {
+    val bands = s.range(0, 45).select(
+      col("id").as("band_id"),
+      (col("id") * 12000.0).as("lo"),
+      (col("id") * 12000.0 + 30000.0).as("hi"))
+    RangeJoin.bucketed(Tables.orders(s, d), col("o_totalprice"),
+      bands, col("lo"), col("hi"), bucketWidth = 10000.0)
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("cnt"), sumCents(col("o_totalprice")).as("rc"))
+      .select(col("band_id"), col("cnt"), money(col("rc")).as("revenue"))
+      .orderBy("band_id")
+  }, Some("""
+    WITH bands AS (SELECT i AS band_id, i*12000.0 AS lo, i*12000.0+30000.0 AS hi
+                   FROM range(0,45) t(i))
+    SELECT band_id, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
+    FROM bands JOIN orders ON o_totalprice >= lo AND o_totalprice <= hi
+    GROUP BY band_id ORDER BY band_id
+  """))
+
+  /** Approximate quantile sketch next to the exact answer (rows-only:
+    * sketch internals are engine-specific; PropertiesSpec pins the
+    * error envelope against the exact percentiles). */
+  private val qApproxQuantiles = BoundQuery("q_approx_quantiles", (s, d) => {
+    Tables.orders(s, d).agg(
+      percentile_approx(col("o_totalprice"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("approx"),
+      expr("percentile(o_totalprice, array(0.5D, 0.9D, 0.99D))").as("exact"))
+      .select(
+        element_at(col("approx"), 1).as("approx_p50"),
+        element_at(col("approx"), 2).as("approx_p90"),
+        element_at(col("approx"), 3).as("approx_p99"),
+        element_at(col("exact"), 1).as("exact_p50"),
+        element_at(col("exact"), 2).as("exact_p90"),
+        element_at(col("exact"), 3).as("exact_p99"))
+  }, None)
+
+  val all: Seq[BoundQuery] = Seq(
+    qPivot, qCube, qWindowSuite, qHashSample, qSemiPrune, qUpsert,
+    qProfile, qRangeJoin, qApproxQuantiles)
+}

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFunctions._
+import graft.operators.{ConnectedComponents, Dedup}
+
+/** Second text/dedup wave: TF-IDF term scoring, edit-distance blocked
+  * pairs, and near-dup CLUSTERS (the transitive closure the pair
+  * queries stop short of). */
+object TextQueries2 {
+
+  /** TF-IDF top-5 terms per document. Ranking deliberately orders by
+    * the exact integers (tf desc, df asc, term) — never by the float
+    * score — so row selection is engine-exact; the score itself is
+    * emitted rounded. N-docs is a 1-row broadcast, not a collect. */
+  private val qTfidf = BoundQuery("q_tfidf", (s, d) => {
+    val toks = Tables.documents(s, d).where(col("doc_id") < 200)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nd = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(df_, "term").crossJoin(broadcast(nd))
+      .withColumn("score",
+        round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "term")
+  }, Some("""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS term
+      FROM documents WHERE doc_id < 200),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+        round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE)/CAST(df AS DOUBLE)), 6) AS score,
+        row_number() OVER (PARTITION BY doc_id
+                           ORDER BY tf DESC, df ASC, term ASC) AS rn
+      FROM tf JOIN dfq USING (term) CROSS JOIN nd)
+    SELECT doc_id, term, tf, df, score FROM scored WHERE rn <= 5
+    ORDER BY doc_id, term
+  """))
+
+  /** Edit-distance near-dup pairs: brand-blocked self-join, codegen'd
+    * levenshtein, dist <= 3. Blocking keeps the candidate set
+    * O(sum of block^2), never corpus^2 — same scale discipline as the
+    * shingle-blocked jaccard join. */
+  private val qLevenshteinPairs = BoundQuery("q_levenshtein_pairs", (s, d) => {
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_name"))
+    p.as("a").join(p.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+        col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_partkey").as("id_a"), col("b.p_partkey").as("id_b"),
+        levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
+      .where(col("dist") <= 3)
+      .orderBy("id_a", "id_b")
+  }, Some("""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY id_a, id_b
+  """))
+
+  /** Near-dup CLUSTERS: exact-jaccard pairs (same config as
+    * q_ngram_jaccard) closed under transitivity by
+    * ConnectedComponents.labelPropagation; cluster id = min doc id,
+    * which is also the kept canonical. Oracle: DuckDB recursive CTE
+    * reachability over the identical pair set. */
+  private val qDedupClusters = BoundQuery("q_dedup_clusters", (s, d) => {
+    val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d),
+      col("doc_id"), col("text"), shingleSize = 5, minJaccard = 0.3)
+    ConnectedComponents.labelPropagation(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+        (col("id") === col("component")).as("is_canonical"))
+      .orderBy("doc_id")
+  }, Some("""
+    WITH RECURSIVE pairs AS (
+      WITH docs AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, greatest(len(w)-3, 1)),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS sh
+        FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w
+              FROM documents)
+        WHERE len(w) >= 5),
+      sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+      ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+      shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b
+      FROM shared JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(shared AS DOUBLE)/CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.3),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b)
+    SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id,
+           (id = min(r)) AS is_canonical
+    FROM reach GROUP BY id ORDER BY doc_id
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qTfidf, qLevenshteinPairs, qDedupClusters)
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark._
+
+class Operators2Spec extends AnyFunSuite {
+
+  import spark.implicits._
+
+  test("ConnectedComponents matches union-find on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 200
+    val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // reference: driver-side union-find
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .map(id => id -> {
+        // canonical = min node id in component
+        val root = find(id.toInt)
+        edges.flatMap { case (x, y) => Seq(x, y) }
+          .filter(m => find(m.toInt) == root).min
+      }).toMap
+    val got = ConnectedComponents
+      .labelPropagation(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("ConnectedComponents resolves a 200-node path in O(log diameter) rounds") {
+    // plain neighbor-min would need 199 rounds; pointer doubling must
+    // finish well inside the default maxIter=25 (~log2 diameter).
+    val chain = (0L until 200L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = ConnectedComponents.labelPropagation(chain.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 200 && got.values.forall(_ == 0L))
+  }
+
+  test("RangeJoin.bucketed equals the naive BETWEEN join") {
+    val points = Tables.orders.limit(500)
+    def naive = points.crossJoin(bandsDf)
+      .where(col("o_totalprice") >= col("lo") && col("o_totalprice") <= col("hi"))
+      .select("o_orderkey", "band_id")
+    def bucketed = RangeJoin.bucketed(points, col("o_totalprice"),
+        bandsDf, col("lo"), col("hi"), bucketWidth = 7000.0)
+      .select("o_orderkey", "band_id")
+    val a = naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = bucketed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  private object Tables {
+    def orders = graft.sources.Tables.orders(spark, sfTiny)
+  }
+  private lazy val bandsDf = spark.range(0, 30).select(
+    col("id").as("band_id"),
+    (col("id") * 15000.0).as("lo"),
+    (col("id") * 15000.0 + 40000.0).as("hi"))
+
+  test("Upsert.applyChanges: latest change wins, inserts and keeps flagged") {
+    val base = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("key", "v_c")
+    val changes = Seq(
+      (2L, 99L, 5L, 1L), (2L, 77L, 9L, 1L), // key 2: version 9 wins
+      (9L, 55L, 1L, 1L)                      // key 9: new
+    ).toDF("key", "v_c", "ver", "tb")
+    val got = Upsert.applyChanges(base, changes, "key", col("ver"), col("tb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((1L, 10L, "K"), (2L, 77L, "U"), (3L, 30L, "K"), (9L, 55L, "I")))
+  }
+
+  test("Profiling.profile counts nulls/distincts and renders min/max") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), None), (None, Some("c")), (Some(2L), Some("a"))
+    ).toDF("x", "s")
+    val rows = Profiling.profile(df, Seq("x", "s")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val x = rows("x"); val s = rows("s")
+    assert(x.getAs[Long]("n_rows") == 4 && x.getAs[Long]("n_null") == 1 &&
+      x.getAs[Long]("n_distinct") == 2 &&
+      x.getAs[String]("min_val") == "1" && x.getAs[String]("max_val") == "2")
+    assert(s.getAs[Long]("n_null") == 1 && s.getAs[Long]("n_distinct") == 2 &&
+      s.getAs[String]("min_val") == "a" && s.getAs[String]("max_val") == "c")
+  }
+
+  test("approx quantiles stay inside the error envelope of the exact answer") {
+    val o = Tables.orders
+    val r = o.agg(
+      percentile_approx(col("o_totalprice"), array(lit(0.5), lit(0.9)), lit(10000)).as("ap"),
+      expr("percentile(o_totalprice, array(0.5D, 0.9D))").as("ex")).head()
+    val ap = r.getSeq[Double](0); val ex = r.getSeq[Double](1)
+    ap.zip(ex).foreach { case (a, e) =>
+      assert(math.abs(a - e) / e < 0.05, s"approx $a vs exact $e") }
+  }
+}
