@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Event-stream analytics wave: ordered funnels, gap-filled
+  * time series, cohort retention — the product-analytics surface a
+  * large event pipeline serves (complementing q_window_sessions /
+  * q_stream_hourly).
+  *
+  * All timestamp ordering uses the exact ns-epoch long (`ts_ns`, see
+  * Tables) so strict `>` comparisons can't be flipped by
+  * microsecond truncation between engines. */
+object EventQueries {
+
+  private val stepNs = 24L * 3600 * 1000000000L // 24h per funnel step
+
+  /** Ordered 3-step funnel (view -> click -> purchase), each step
+    * within 24h of the previous. Each stage is one groupBy on user_id
+    * + a key-only join back to events — shuffles keyed consistently on
+    * user_id, so AQE plans them as one co-partitioned chain; nothing
+    * is ever per-(user, event) quadratic. */
+  private val qFunnel = BoundQuery("q_funnel", (s, d) => {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts_ns")
+    val t1 = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_ns").as("t1"))
+    val t2 = ev.where(col("event_type") === "click").join(t1, "user_id")
+      .where(col("ts_ns") > col("t1") && col("ts_ns") - col("t1") <= lit(stepNs))
+      .groupBy("user_id").agg(min("ts_ns").as("t2"))
+    val t3 = ev.where(col("event_type") === "purchase").join(t2, "user_id")
+      .where(col("ts_ns") > col("t2") && col("ts_ns") - col("t2") <= lit(stepNs))
+      .groupBy("user_id").agg(min("ts_ns").as("t3"))
+    t1.agg(count(lit(1)).as("users")).select(lit("1_view").as("step"), col("users"))
+      .unionAll(t2.agg(count(lit(1)).as("users")).select(lit("2_click").as("step"), col("users")))
+      .unionAll(t3.agg(count(lit(1)).as("users")).select(lit("3_purchase").as("step"), col("users")))
+      .orderBy("step")
+  }, Some("""
+    WITH t1 AS (SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
+                WHERE event_type='view' GROUP BY 1),
+    t2 AS (SELECT e.user_id, min(epoch_ns(ts)) AS t2 FROM events e JOIN t1 USING (user_id)
+           WHERE event_type='click' AND epoch_ns(ts) > t1
+             AND epoch_ns(ts) - t1 <= 86400000000000 GROUP BY 1),
+    t3 AS (SELECT e.user_id, min(epoch_ns(ts)) AS t3 FROM events e JOIN t2 USING (user_id)
+           WHERE event_type='purchase' AND epoch_ns(ts) > t2
+             AND epoch_ns(ts) - t2 <= 86400000000000 GROUP BY 1)
+    SELECT step, users FROM (
+      SELECT '1_view' AS step, CAST(count(*) AS BIGINT) AS users FROM t1
+      UNION ALL
+      SELECT '2_click', CAST(count(*) AS BIGINT) FROM t2
+      UNION ALL
+      SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM t3)
+    ORDER BY step
+  """))
+
+  /** Gap-filled daily purchase series + 7-day moving average. The date
+    * spine comes from a 1-row bounds agg exploded with sequence() — no
+    * driver collect. The trailing window is a global orderBy, safe
+    * here by construction: it runs over the DAILY series (rows =
+    * calendar days, thousands at most), not over raw events. */
+  private val qGapFill = BoundQuery("q_gap_fill", (s, d) => {
+    val ev = Tables.events(s, d)
+    val daily = ev.where(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("cnt"))
+    val spine = ev.agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    spine.join(daily, Seq("day"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("cnt"),
+        (sum(col("cnt")).over(w).cast("double") /
+          count(col("cnt")).over(w).cast("double")).as("ma7"))
+      .orderBy("day")
+  }, Some("""
+    WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+                   FROM events WHERE event_type='purchase' GROUP BY 1),
+    bounds AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM bounds),
+    filled AS (SELECT spine.day AS day, coalesce(cnt, CAST(0 AS BIGINT)) AS cnt
+               FROM spine LEFT JOIN daily USING (day))
+    SELECT strftime(day, '%Y-%m-%d') AS day, cnt,
+      CAST(sum(cnt) OVER w AS DOUBLE) / CAST(count(cnt) OVER w AS DOUBLE) AS ma7
+    FROM filled
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY day
+  """))
+
+  /** Cohort retention: users grouped by first-active week, distinct
+    * actives counted per week offset. Two shuffles (per-user min,
+    * per-cohort distinct) — both partial-agg friendly. */
+  private val qRetention = BoundQuery("q_retention", (s, d) => {
+    val ev = Tables.events(s, d)
+    val firstW = ev.groupBy("user_id").agg(date_trunc("week", min(col("ts"))).as("cw"))
+    val activeW = ev.select(col("user_id"), date_trunc("week", col("ts")).as("aw")).distinct()
+    firstW.join(activeW, "user_id")
+      .select(col("cw"), (datediff(col("aw"), col("cw")) / 7).cast("long").as("week_offset"),
+        col("user_id"))
+      .groupBy(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .orderBy("cohort_week", "week_offset")
+  }, Some("""
+    WITH fw AS (SELECT user_id, date_trunc('week', min(ts)) AS cw FROM events GROUP BY 1),
+    aw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events)
+    SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cw, aw.aw)/7 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users
+    FROM fw JOIN aw USING (user_id)
+    GROUP BY 1, 2 ORDER BY cohort_week, week_offset
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qFunnel, qGapFill, qRetention)
+}

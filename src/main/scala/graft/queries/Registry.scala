@@ -602,7 +602,7 @@ object Registry {
   val allQueries: Seq[BoundQuery] =
     coreQueries ++ TextQueries.all ++ VectorQueries.all ++
       PipelineQueries.all ++ ExtraQueries.all ++
-      ExtraQueries2.all ++ TextQueries2.all
+      ExtraQueries2.all ++ TextQueries2.all ++ EventQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allQueries.map(q => q.name -> q.run).toMap

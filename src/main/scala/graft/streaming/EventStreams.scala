@@ -52,6 +52,24 @@ object EventStreams {
       .toDF("user_id", "n_events", "max_ts_us")
   }
 
+  /** Streaming exact dedup: first occurrence per event_id wins,
+    * duplicate re-deliveries (at-least-once sources re-send) are
+    * dropped. `dropDuplicatesWithinWatermark` bounds the dedup state
+    * to the watermark horizon — the unbounded-state `dropDuplicates`
+    * would OOM on an infinite stream. Downstream agg = per-type counts
+    * so the spec can compare against batch distinct. */
+  def dedupedTypeCounts(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "24 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Streaming hourly counts per event type with a 2h watermark. */
   def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

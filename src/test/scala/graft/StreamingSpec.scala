@@ -51,6 +51,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered events, equals batch distinct") {
+    // simulate at-least-once delivery: the same parquet file lands twice
+    val dir = java.nio.file.Files.createTempDirectory("events_dup")
+    Seq("events_a.parquet", "events_b.parquet").foreach { n =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfTiny/events.parquet"), dir.resolve(n))
+    }
+    val q = EventStreams.dedupedTypeCounts(spark, dir.toString)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("dedup_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_out")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = graft.sources.Tables.events(spark, sfTiny)
+        .dropDuplicates("event_id")
+        .groupBy("event_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == batch, s"dedup diverges: $streamed vs $batch")
+    } finally q.stop()
+  }
+
   test("GraftExtensions registers custom SQL functions") {
     graft.expressions.GraftExtensions.registerAll(spark)
     val r = spark.sql(

@@ -63,6 +63,16 @@ class Operators2Spec extends AnyFunSuite {
     (col("id") * 15000.0).as("lo"),
     (col("id") * 15000.0 + 40000.0).as("hi"))
 
+  test("RangeJoin.bucketed plans a hash join where raw BETWEEN plans a nested loop") {
+    val points = Tables.orders
+    val naive = points.join(bandsDf,
+      col("o_totalprice") >= col("lo") && col("o_totalprice") <= col("hi"))
+    val bucketed = RangeJoin.bucketed(points, col("o_totalprice"),
+      bandsDf, col("lo"), col("hi"), bucketWidth = 10000.0)
+    assert(naive.queryExecution.executedPlan.toString.contains("NestedLoop"))
+    assert(!bucketed.queryExecution.executedPlan.toString.contains("NestedLoop"))
+  }
+
   test("Upsert.applyChanges: latest change wins, inserts and keeps flagged") {
     val base = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("key", "v_c")
     val changes = Seq(
