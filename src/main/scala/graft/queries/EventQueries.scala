@@ -108,5 +108,44 @@ object EventQueries {
     GROUP BY 1, 2 ORDER BY cohort_week, week_offset
   """))
 
-  val all: Seq[BoundQuery] = Seq(qFunnel, qGapFill, qRetention)
+  /** Sliding-window counts: 2h windows sliding by 1h (each event lands
+    * in exactly two windows). The batch twin of the streaming
+    * `window(slide)` shape; the oracle expands the two covering window
+    * starts per event explicitly. */
+  private val qSlidingWindow = BoundQuery("q_sliding_window", (s, d) => {
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("win_start"),
+        col("event_type"), col("cnt"))
+      .orderBy("win_start", "event_type")
+  }, Some("""
+    SELECT strftime(ws, '%Y-%m-%d %H:00') AS win_start, event_type,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT event_type,
+            unnest([date_trunc('hour', ts),
+                    date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+          FROM events)
+    GROUP BY ws, event_type ORDER BY win_start, event_type
+  """))
+
+  /** The engine's raw-SQL surface: the exact same ANSI string runs on
+    * Spark (over Tables.registerViews temp views) and on the DuckDB
+    * oracle — dialect-shared by construction. */
+  private val sharedSql = """
+    SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY nation
+  """
+
+  private val qSqlSurface = BoundQuery("q_sql_surface", (s, d) => {
+    Tables.registerViews(s, d)
+    s.sql(sharedSql)
+  }, Some(sharedSql))
+
+  val all: Seq[BoundQuery] =
+    Seq(qFunnel, qGapFill, qRetention, qSlidingWindow, qSqlSurface)
 }

@@ -76,6 +76,16 @@ object Tables {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Register every table as a temp view (plus the custom SQL
+    * functions) so the engine serves raw ANSI SQL next to the
+    * DataFrame API — the reference's users talk to a query surface,
+    * not a Scala API, and `spark.sql` over these views hits the very
+    * same cached/pruned scans the DataFrame bindings use. */
+  def registerViews(s: SparkSession, d: String): Unit = {
+    all.foreach(n => load(s, d, n).createOrReplaceTempView(n))
+    graft.expressions.GraftExtensions.registerAll(s)
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
