@@ -112,5 +112,25 @@ object TextQueries2 {
     FROM reach GROUP BY id ORDER BY doc_id
   """))
 
-  val all: Seq[BoundQuery] = Seq(qTfidf, qLevenshteinPairs, qDedupClusters)
+  /** Per-source document cap: keep at most 15 docs per source,
+    * selected by hash order (md5 of content + id tiebreak) — the
+    * standard "no domain dominates the corpus" rebalancing op. Hash
+    * order makes the KEPT SET deterministic and engine-portable,
+    * unlike any sample()-based cap. */
+  private val qCapPerSource = BoundQuery("q_cap_per_source", (s, d) => {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("text")), col("doc_id"))
+    Tables.documents(s, d).withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 15)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }, Some("""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+      FROM documents) WHERE rn <= 15 ORDER BY doc_id
+  """))
+
+  val all: Seq[BoundQuery] =
+    Seq(qTfidf, qLevenshteinPairs, qDedupClusters, qCapPerSource)
 }

@@ -69,10 +69,29 @@ object Tables {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Schema-ful CSV reader (same explicit-schema discipline as
+    * readJson — inference would double-scan at scale). */
+  def readCsv(s: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType,
+              header: Boolean = true): DataFrame =
+    s.read.schema(schema).option("header", header.toString).csv(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
   /** Partitioned parquet writer for derived tables (hive-style
-    * partition pruning on the partition columns at read time). */
-  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("overwrite")
+    * partition pruning on the partition columns at read time).
+    * `sortBy` sorts WITHIN each output file — clustered layout so a
+    * later range filter on those columns skips row groups via
+    * parquet min/max stats (the poor man's z-order; at 100 TB layout
+    * is the difference between scanning 1% and 100%). */
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+                   sortBy: Seq[String] = Nil): Unit = {
+    val sorted =
+      if (sortBy.nonEmpty)
+        df.sortWithinPartitions(sortBy.map(org.apache.spark.sql.functions.col): _*)
+      else df
+    val w = sorted.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 

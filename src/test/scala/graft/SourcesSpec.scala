@@ -31,6 +31,34 @@ class SourcesSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") || back.inputFiles.forall(_.contains("lang=en")))
   }
 
+  test("csv write -> schema-ful read roundtrips simple columns") {
+    val docs = Tables.documents(spark, sfTiny)
+      .select("doc_id", "lang", "source", "n_chars") // text has newlines; csv is for flat columns
+    val dir = java.nio.file.Files.createTempDirectory("csv_rt").toString
+    Tables.writeCsv(docs, s"$dir/docs")
+    val back = Tables.readCsv(spark, s"$dir/docs", docs.schema)
+    val a = docs.orderBy("doc_id").collect().map(_.toSeq)
+    val b = back.orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
+
+  test("sortBy layout clusters values so range scans skip row groups") {
+    val orders = Tables.orders(spark, sfTiny)
+    val dir = java.nio.file.Files.createTempDirectory("sorted_pq").toString
+    Tables.writeParquet(orders.repartition(4), s"$dir/o", sortBy = Seq("o_totalprice"))
+    val back = spark.read.parquet(s"$dir/o")
+    // correctness: nothing lost
+    assert(back.count() == orders.count())
+    // layout: each file internally sorted on the cluster column
+    val perFile = back.select(input_file_name().as("f"), col("o_totalprice"))
+      .collect().groupBy(_.getString(0))
+    perFile.values.foreach { rows =>
+      val vs = rows.map(_.getDouble(1)).toSeq
+      assert(vs == vs.sorted, "file not internally sorted")
+    }
+    assert(perFile.size > 1)
+  }
+
   test("events source exposes both exact ts_ns and usable ts") {
     val ev = Tables.events(spark, sfTiny)
     val r = ev.select(col("ts_ns"), unix_micros(col("ts")).as("us")).first()
