@@ -28,13 +28,21 @@ object Similarity {
       .withColumn("nrm", sqrt(dotProduct(df.sparkSession, col("vd"), col("vd"))))
       .select(col("id"), transform(col("vd"), x => x / col("nrm")).as("vn"))
 
+  /** Spread the probe side of a broadcast/nested-loop product across
+    * all cores. The cached tables arrive as ONE partition (single
+    * row-group files), which would serialize the whole O(n*m) compare
+    * through one task — the repartition costs one small shuffle and
+    * buys full parallelism on the quadratic stage. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Exact top-k nearest (cosine) rows for each query row.
     * Cosine is rounded to 6 decimals BEFORE ranking, with the id as
     * tiebreak — ranks are then invariant to last-ulp float noise. */
   def bruteForceTopK(collection: DataFrame, colId: Column, colVec: Column,
                      queries: DataFrame, qId: Column, qVec: Column,
                      k: Int): DataFrame = {
-    val c = normed(collection, colId, colVec)
+    val c = spread(normed(collection, colId, colVec))
     val q = normed(queries, qId, qVec)
       .select(col("id").as("query_id"), col("vn").as("qn"))
     val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
@@ -49,7 +57,7 @@ object Similarity {
     * Quadratic — correctness baseline and small-collection tool. */
   def cosinePairs(df: DataFrame, idCol: Column, vecCol: Column, tau: Double): DataFrame = {
     val n = normed(df, idCol, vecCol).persist(StorageLevel.MEMORY_AND_DISK)
-    n.as("a").join(n.as("b"), col("a.id") < col("b.id"))
+    spread(n).as("a").join(broadcast(n).as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(dotProduct(df.sparkSession, col("a.vn"), col("b.vn")), 6).as("cosine"))
       .where(col("cosine") >= tau)
@@ -90,8 +98,8 @@ object Similarity {
     def cellScores(vn: Column): Column = array(cents.map { case (i, v) =>
       struct(round(dot(vn, array(v.map(lit): _*)), 9).as("s"), lit(i).as("cell"))
     }: _*)
-    val assigned = c.withColumn("cell",
-      sort_array(cellScores(col("vn")), asc = false)(0)("cell"))
+    val assigned = spread(c.withColumn("cell",
+      sort_array(cellScores(col("vn")), asc = false)(0)("cell")))
     val q = normed(queries, qId, qVec)
       .select(col("id").as("query_id"), col("vn").as("qn"))
       .withColumn("probe", slice(sort_array(cellScores(col("qn")), asc = false), 1, nProbe))

@@ -232,7 +232,85 @@ object ExtraQueries2 {
         element_at(col("exact"), 3).as("exact_p99"))
   }, None)
 
+  /** Fixed-width histogram of order values. Bin id from one double
+    * division + floor — identical IEEE ops on both engines, so bin
+    * edges can't disagree. One partial-agg pass. */
+  private val qHistogram = BoundQuery("q_histogram", (s, d) => {
+    Tables.orders(s, d)
+      .groupBy(floor(col("o_totalprice") / lit(25000.0)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"), sumCents(col("o_totalprice")).as("rc"))
+      .select(col("bin"), col("cnt"), money(col("rc")).as("bin_revenue"))
+      .orderBy("bin")
+  }, Some("""
+    SELECT CAST(floor(o_totalprice/25000.0) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS bin_revenue
+    FROM orders GROUP BY 1 ORDER BY bin
+  """))
+
+  /** Pearson correlation per group, computed from exact integer
+    * moment sums (n, Σx, Σy, Σxx, Σxy, Σyy over cents ints) converted
+    * to double only for the final closed-form — the Num discipline
+    * applied to second moments, so the statistic is bit-identical
+    * across engines AND partitionings (a naive corr() accumulates
+    * doubles in partition order). */
+  private val qCorrelation = BoundQuery("q_correlation", (s, d) => {
+    val qc = cents(col("l_quantity"))
+    val dc = cents(col("l_discount"))
+    Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(qc).as("sx"), sum(dc).as("sy"),
+        sum(qc * qc).as("sxx"), sum(qc * dc).as("sxy"), sum(dc * dc).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("n").cast("double") * col("sxy").cast("double") -
+               col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+           sqrt(col("n").cast("double") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))), 9).as("corr_qty_disc"))
+      .orderBy("l_returnflag")
+  }, Some("""
+    WITH m AS (
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sx,
+        CAST(sum(CAST(round(l_discount*100,0) AS BIGINT)) AS BIGINT) AS sy,
+        CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)*CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sxx,
+        CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)*CAST(round(l_discount*100,0) AS BIGINT)) AS BIGINT) AS sxy,
+        CAST(sum(CAST(round(l_discount*100,0) AS BIGINT)*CAST(round(l_discount*100,0) AS BIGINT)) AS BIGINT) AS syy
+      FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, n,
+      round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+        (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+         sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 9)
+        AS corr_qty_disc
+    FROM m ORDER BY l_returnflag
+  """))
+
+  /** Decile bucketing (feature engineering): ntile over a uniquely
+    * tie-broken global order. Global-sort window — same quarantine
+    * contract as Pagination: bounded inputs only (here a customer
+    * slice); the scalable form buckets by pre-computed quantile
+    * thresholds instead. */
+  private val qDecile = BoundQuery("q_decile", (s, d) => {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d).where(col("o_custkey") < 200)
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"), sumCents(col("o_totalprice")).as("rc"))
+      .select(col("decile"), col("n"), money(col("rc")).as("revenue"))
+      .orderBy("decile")
+  }, Some("""
+    WITH t AS (
+      SELECT o_totalprice,
+             CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
+      FROM orders WHERE o_custkey < 200)
+    SELECT decile, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
+    FROM t GROUP BY decile ORDER BY decile
+  """))
+
   val all: Seq[BoundQuery] = Seq(
     qPivot, qCube, qWindowSuite, qHashSample, qSemiPrune, qUpsert,
-    qProfile, qRangeJoin, qApproxQuantiles)
+    qProfile, qRangeJoin, qApproxQuantiles, qHistogram, qCorrelation,
+    qDecile)
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark._
+
+/** Plan-shape assertions for the scale rules of SURVEY §5 — the
+  * explain-audit, pinned as tests so a regression that silently turns
+  * a broadcast into a shuffle or drops a pushed filter fails CI, not
+  * a 100 TB run. Runs against cold parquet scans (no warm()), the
+  * shape a real cluster read has. */
+class ExplainSpec extends AnyFunSuite {
+
+  private def plan(name: String): String =
+    graft.queries.Registry.queries(name)(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+
+  test("q1 scan prunes columns and pushes the date filter") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    // column pruning: the 2-column projection never drags the full row
+    assert(!p.contains("l_comment") && !p.contains("l_shipmode"))
+  }
+
+  test("q3 joins broadcast the filtered dimension sides") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("PushedFilters"), p)
+  }
+
+  test("q5 star join broadcasts dims and keeps partial aggregation") {
+    val p = plan("q5_local_volume")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // partial (map-side) aggregation before the exchange
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+  }
+
+  test("leaderboard's rank-limit collapses to TakeOrdered, not a global sort") {
+    val p = plan("q_top50_owners")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("semi-prune plans a LeftSemi join") {
+    val p = plan("q_semi_prune")
+    assert(p.contains("LeftSemi"), p)
+  }
+}
