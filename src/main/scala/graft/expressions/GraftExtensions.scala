@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("simhash64", exprs => SimHash64(exprs.head)))
     e.injectFunction(fn("shingle_hash64", exprs => ShingleHash64(exprs(0), exprs(1))))
     e.injectFunction(fn("dot_product", exprs => DotProduct(exprs(0), exprs(1))))
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }
 
