@@ -23,6 +23,23 @@ object TextFunctions {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
 
+  /** Composite quality score in [0,1]: length credit + punctuation
+    * penalty + stopword-density credit (the q_text_stats formula,
+    * factored for reuse). All ratios are int/int single divisions —
+    * deterministic across engines. Callers must guard empty-token
+    * docs (the stopword ratio divides by token count). */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("long")
+    val nPunct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+    val nStop = stopwordCount(toks, "en").cast("long")
+    val punctRatio = nPunct.cast("double") / length(text).cast("double")
+    val stopRatio = nStop.cast("double") / nTok.cast("double")
+    lit(0.5) * least(nTok.cast("double") / lit(100.0), lit(1.0)) +
+      lit(0.3) * (lit(1.0) - punctRatio) +
+      lit(0.2) * least(stopRatio * lit(5.0), lit(1.0))
+  }
+
   /** Contiguous n-word shingles ("a b c" strings). Guarded: Spark's
     * `sequence(1, k)` counts DOWN for k<1, so short docs get []. */
   def wordShingles(text: Column, n: Int): Column = {

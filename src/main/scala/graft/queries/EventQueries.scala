@@ -146,6 +146,37 @@ object EventQueries {
     s.sql(sharedSql)
   }, Some(sharedSql))
 
+  /** Per-user exponentially-weighted moving average of event values —
+    * an ORDER-DEPENDENT float fold made engine-exact by pinning the
+    * fold order: collect per user, sort on (ts_ns, event_id) (unique),
+    * fold left with literal coefficients. Both engines execute the
+    * identical IEEE op sequence, so even this "inherently floaty"
+    * statistic is bit-checkable. Scale note: collect_list is bounded
+    * by per-user event counts (state the watermarked streaming twin
+    * would hold anyway); the fold itself is codegen'd, no UDF. */
+  private val qEwma = BoundQuery("q_ewma", (s, d) => {
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(
+        struct(col("ts_ns"), col("event_id"), col("value")))).as("seq"))
+      .select(col("user_id"),
+        size(col("seq")).cast("long").as("n"),
+        round(aggregate(col("seq"), lit(0.0),
+          (acc, x) => lit(0.3) * x("value") + lit(0.7) * acc), 9).as("ewma"))
+      .orderBy("user_id")
+  }, Some("""
+    WITH seqs AS (
+      SELECT user_id,
+        list_transform(
+          list_sort(list(struct_pack(ts_ns := epoch_ns(ts), eid := event_id, v := value))),
+          x -> x.v) AS vals
+      FROM events GROUP BY user_id)
+    SELECT user_id, CAST(len(vals) AS BIGINT) AS n,
+      round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vals),
+        (acc, v) -> 0.3*v + 0.7*acc), 9) AS ewma
+    FROM seqs ORDER BY user_id
+  """))
+
   val all: Seq[BoundQuery] =
-    Seq(qFunnel, qGapFill, qRetention, qSlidingWindow, qSqlSurface)
+    Seq(qFunnel, qGapFill, qRetention, qSlidingWindow, qSqlSurface, qEwma)
 }

@@ -107,8 +107,6 @@ object TextQueries {
     val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
     val nStop = stopwordCount(toks, "en").cast("long")
     val sumLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
-    val punctRatio = nPunct.cast("double") / length(col("text")).cast("double")
-    val stopRatio = nStop.cast("double") / nTok.cast("double")
     Tables.documents(s, d)
       .where(size(tokens(col("text"))) > 0)
       .select(
@@ -117,9 +115,7 @@ object TextQueries {
         nPunct.as("n_punct"),
         nStop.as("n_stop"),
         (sumLen.cast("double") / nTok.cast("double")).as("avg_token_len"),
-        (lit(0.5) * least(nTok.cast("double") / lit(100.0), lit(1.0)) +
-         lit(0.3) * (lit(1.0) - punctRatio) +
-         lit(0.2) * least(stopRatio * lit(5.0), lit(1.0))).as("quality"))
+        qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
   }, Some("""
     WITH t AS (

@@ -131,6 +131,71 @@ object TextQueries2 {
       FROM documents) WHERE rn <= 15 ORDER BY doc_id
   """))
 
+  /** The dedup pipeline end-to-end: near-dup pairs → clusters → keep
+    * the highest-quality doc per cluster (rounded quality + doc-id
+    * tiebreak, so rank order is float-noise-proof). This is the
+    * operation a training-data pipeline actually runs; the pair/
+    * cluster queries are its observable stages. */
+  private val qDedupKeepBest = BoundQuery("q_dedup_keep_best", (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      shingleSize = 5, minJaccard = 0.3)
+    val cc = ConnectedComponents.labelPropagation(pairs, "id_a", "id_b")
+    val scored = docs.join(cc, docs("doc_id") === cc("id"))
+      .select(col("doc_id"), col("component").as("cluster_id"),
+        round(graft.functions.TextFunctions.qualityScore(col("text")), 9).as("quality"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .select(col("cluster_id"), col("doc_id"), col("quality"),
+        (col("rn") === 1).as("keep"))
+      .orderBy("cluster_id", "doc_id")
+  }, Some("""
+    WITH RECURSIVE pairs AS (
+      WITH docs AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, greatest(len(w)-3, 1)),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS sh
+        FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w
+              FROM documents)
+        WHERE len(w) >= 5),
+      sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+      ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+      shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b
+      FROM shared JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(shared AS DOUBLE)/CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.3),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+    cc AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+           FROM reach GROUP BY id),
+    q AS (
+      SELECT doc_id,
+        round(0.5 * least(CAST(len(toks) AS BIGINT)::DOUBLE / 100.0, 1.0)
+          + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT)::DOUBLE
+                          / CAST(length(text) AS DOUBLE))
+          + 0.2 * least(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS BIGINT)::DOUBLE
+                          / CAST(len(toks) AS DOUBLE) * 5.0, 1.0), 9) AS quality
+      FROM (SELECT doc_id, text,
+              list_filter(string_split(text,' '), x -> x <> '') AS toks
+            FROM documents)),
+    scored AS (SELECT cc.doc_id AS doc_id, cluster_id, quality
+               FROM cc JOIN q ON cc.doc_id = q.doc_id),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                            ORDER BY quality DESC, doc_id) AS rn
+               FROM scored)
+    SELECT cluster_id, doc_id, quality, (rn = 1) AS keep
+    FROM ranked ORDER BY cluster_id, doc_id
+  """))
+
   val all: Seq[BoundQuery] =
-    Seq(qTfidf, qLevenshteinPairs, qDedupClusters, qCapPerSource)
+    Seq(qTfidf, qLevenshteinPairs, qDedupClusters, qCapPerSource, qDedupKeepBest)
 }
