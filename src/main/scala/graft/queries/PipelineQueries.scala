@@ -44,6 +44,42 @@ object PipelineQueries {
     FROM pts GROUP BY 1 ORDER BY 1
   """))
 
+  /** Spatial radius join (GeoJoin.latBandRadiusPairs): customer pairs
+    * within 200 km on the synthetic key-derived coordinates — the
+    * lat-band blocked form; oracle is the naive all-pairs filter. */
+  private val qGeoRadiusJoin = BoundQuery("q_geo_radius_join", (s, d) => {
+    val lat = (col("c_custkey") % 180 - 90).cast("double") + lit(0.5)
+    val lon = ((col("c_custkey") * 7) % 360 - 180).cast("double") + lit(0.5)
+    graft.operators.GeoJoin.latBandRadiusPairs(
+      Tables.customer(s, d), col("c_custkey"), lat, lon, radiusKm = 200.0)
+      .orderBy("id_a", "id_b")
+  }, Some("""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST(c_custkey % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+             CAST((c_custkey * 7) % 360 - 180 AS DOUBLE) + 0.5 AS lon
+      FROM customer)
+    SELECT a.id AS id_a, b.id AS id_b,
+      CAST(round(2 * 6371.0 * atan2(
+        sqrt(pow(sin(radians((b.lat) - (a.lat)) / 2), 2)
+          + cos(radians(a.lat)) * cos(radians(b.lat))
+            * pow(sin(radians((b.lon) - (a.lon)) / 2), 2)),
+        sqrt(1.0 - (pow(sin(radians((b.lat) - (a.lat)) / 2), 2)
+          + cos(radians(a.lat)) * cos(radians(b.lat))
+            * pow(sin(radians((b.lon) - (a.lon)) / 2), 2)))
+      ) * 1000, 0) AS BIGINT) AS dist_m
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE CAST(round(2 * 6371.0 * atan2(
+        sqrt(pow(sin(radians((b.lat) - (a.lat)) / 2), 2)
+          + cos(radians(a.lat)) * cos(radians(b.lat))
+            * pow(sin(radians((b.lon) - (a.lon)) / 2), 2)),
+        sqrt(1.0 - (pow(sin(radians((b.lat) - (a.lat)) / 2), 2)
+          + cos(radians(a.lat)) * cos(radians(b.lat))
+            * pow(sin(radians((b.lon) - (a.lon)) / 2), 2)))
+      ) * 1000, 0) AS BIGINT) <= 200000
+    ORDER BY id_a, id_b
+  """))
+
   /** Gap-based sessionization of the events stream (30 min gap). */
   private val qWindowSessions = BoundQuery("q_window_sessions", (s, d) => {
     Sessionize.sessionStats(Tables.events(s, d), col("user_id"), col("ts_ns"),
@@ -65,6 +101,34 @@ object PipelineQueries {
            CAST(count(*) AS DOUBLE)/CAST(sum(is_new) AS DOUBLE) AS events_per_session
     FROM marked GROUP BY user_id ORDER BY user_id
   """), headline = true)
+
+  /** Spark's NATIVE session_window, cross-checked against the
+    * lag/gap-cumsum formulation (q_window_sessions is the manual
+    * twin). Boundary semantics pinned: Spark closes a session when the
+    * next event is >= gap after the previous one, and assigns
+    * window.start = first event time; the oracle mirrors both on
+    * microsecond epochs (the precision session_window actually sees). */
+  private val qSessionWindow = BoundQuery("q_session_window", (s, d) => {
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+        col("n"))
+      .orderBy("user_id", "session_start_us")
+  }, Some("""
+    WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS us FROM events),
+    t AS (SELECT user_id, us,
+            CASE WHEN lag(us) OVER w IS NULL
+                      OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+    s AS (SELECT user_id, us,
+            sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM t)
+    SELECT user_id, CAST(min(us) AS BIGINT) AS session_start_us,
+           CAST(count(*) AS BIGINT) AS n
+    FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us
+  """))
 
   /** Hourly event-type rollup — the batch twin of
     * graft.streaming.EventStreams.hourlyCounts (StreamingSpec proves
@@ -107,6 +171,6 @@ object PipelineQueries {
   }, None)
 
   val all: Seq[BoundQuery] = Seq(
-    qGeoDistance, qWindowSessions, qStreamHourly,
-    qMultimodalMeta, qMultimodalFeatures)
+    qGeoDistance, qGeoRadiusJoin, qWindowSessions, qSessionWindow,
+    qStreamHourly, qMultimodalMeta, qMultimodalFeatures)
 }
