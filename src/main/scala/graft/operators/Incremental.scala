@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregation: maintain a (key -> partial sums) state
+  * table and fold in deltas, instead of re-aggregating history — how
+  * a 100 TB/day pipeline keeps daily rollups O(delta), not O(all
+  * time). Works for any algebraic aggregate (sum/count/min/max and
+  * anything derivable from them — avg, variance via moment sums);
+  * the merge is the same commutative agg applied to state ∪ delta.
+  *
+  * Scale notes: both inputs are already keyed aggregates, so the
+  * merge shuffle carries |keys| rows, not |events|; with the state
+  * bucketed on the key the exchange disappears entirely
+  * (BucketingSpec shows the pattern).
+  */
+object Incremental {
+
+  /** Merge two partial-aggregate tables sharing `keys` + numeric
+    * partial columns (each summed). min/max partials go in
+    * `mins`/`maxs`. */
+  def merge(state: DataFrame, delta: DataFrame, keys: Seq[String],
+            sums: Seq[String], mins: Seq[String] = Nil, maxs: Seq[String] = Nil): DataFrame = {
+    val aggs = sums.map(c => sum(col(c)).as(c)) ++
+      mins.map(c => min(col(c)).as(c)) ++ maxs.map(c => max(col(c)).as(c))
+    state.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

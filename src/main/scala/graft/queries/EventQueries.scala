@@ -177,6 +177,43 @@ object EventQueries {
     FROM seqs ORDER BY user_id
   """))
 
+  /** Incremental aggregation (operators.Incremental): history is
+    * aggregated once into per-key partial state, the new slice is
+    * aggregated alone, and the two partial tables merge — the answer
+    * must be IDENTICAL to re-aggregating everything (the oracle is
+    * exactly that direct groupBy). Cents-integer partials make the
+    * equivalence exact, not approximate. */
+  private val qIncremental = BoundQuery("q_incremental", (s, d) => {
+    import graft.functions.Num._
+    val ev = Tables.events(s, d)
+    val cut = lit("2024-01-15").cast("date")
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("vc"),
+          min("ts_ns").as("first_ns"), max("ts_ns").as("last_ns"))
+    val state = partial(ev.where(to_date(col("ts")) < cut))
+    val delta = partial(ev.where(to_date(col("ts")) >= cut))
+    graft.operators.Incremental.merge(state, delta,
+        keys = Seq("user_id", "event_type"), sums = Seq("cnt", "vc"),
+        mins = Seq("first_ns"), maxs = Seq("last_ns"))
+      .select(col("user_id"), col("event_type"), col("cnt"),
+        money(col("vc")).as("sum_value"),
+        // us-epochs in the OUTPUT: DuckDB reads TIMESTAMP(NANOS) parquet
+        // micro-truncated, so ns values can't cross-check; min/max
+        // commute with the monotone truncation, so partials stay exact ns
+        expr("first_ns div 1000").as("first_us"),
+        expr("last_ns div 1000").as("last_us"))
+      .orderBy("user_id", "event_type")
+  }, Some("""
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS first_us,
+           CAST(epoch_us(max(ts)) AS BIGINT) AS last_us
+    FROM events GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+  """))
+
   val all: Seq[BoundQuery] =
-    Seq(qFunnel, qGapFill, qRetention, qSlidingWindow, qSqlSurface, qEwma)
+    Seq(qFunnel, qGapFill, qRetention, qSlidingWindow, qSqlSurface, qEwma,
+      qIncremental)
 }

@@ -70,6 +70,27 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Stream-stream interval join: each view matched to the same
+    * user's purchases within 30 minutes after it. Both sides carry
+    * watermarks and the join condition bounds event time in BOTH
+    * directions — that's what lets Spark expire join state instead of
+    * buffering either stream forever. */
+  def viewPurchaseJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def side(t: String, idAs: String, tsAs: String) =
+      spark.readStream.schema(eventsSchema).parquet(dir)
+        .where(col("event_type") === t)
+        .select(col("user_id").as(idAs), col("event_id").as(s"${idAs}_event"),
+          timestamp_micros(expr("ts div 1000")).as(tsAs))
+        .withWatermark(tsAs, "1 hour")
+    val views = side("view", "v_user", "vts")
+    val purchases = side("purchase", "p_user", "pts")
+    views.join(purchases,
+      col("v_user") === col("p_user") &&
+      col("pts") >= col("vts") &&
+      col("pts") <= col("vts") + expr("INTERVAL 30 MINUTES"))
+  }
+
   /** Streaming hourly counts per event type with a 2h watermark. */
   def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

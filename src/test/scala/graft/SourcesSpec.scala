@@ -59,6 +59,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(perFile.size > 1)
   }
 
+  test("json reader quarantines corrupt records instead of failing the load") {
+    val dir = java.nio.file.Files.createTempDirectory("bad_json")
+    java.nio.file.Files.writeString(dir.resolve("part.json"),
+      """{"doc_id": 1, "lang": "en"}
+        |{"doc_id": oops not json
+        |{"doc_id": 3, "lang": "de"}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_corrupt_record", org.apache.spark.sql.types.StringType)))
+    // PERMISSIVE (default): bad lines land in _corrupt_record, good rows load.
+    // cache() first — Spark refuses raw filters on the corrupt column alone.
+    val df = Tables.readJson(spark, dir.toString, schema).cache()
+    try {
+      assert(df.where(col("_corrupt_record").isNull).count() == 2)
+      assert(df.where(col("_corrupt_record").isNotNull).count() == 1)
+    } finally df.unpersist()
+  }
+
   test("events source exposes both exact ts_ns and usable ts") {
     val ev = Tables.events(spark, sfTiny)
     val r = ev.select(col("ts_ns"), unix_micros(col("ts")).as("us")).first()

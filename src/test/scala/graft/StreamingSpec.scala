@@ -74,6 +74,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch join on replay") {
+    val dir = java.nio.file.Files.createTempDirectory("events_ssj")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfTiny/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStreams.viewPurchaseJoin(spark, dir.toString)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_out")
+        .select("v_user_event", "p_user_event")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ev = graft.sources.Tables.events(spark, sfTiny)
+      val v = ev.where(col("event_type") === "view")
+        .select(col("user_id").as("vu"), col("event_id").as("ve"), col("ts").as("vts"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("pe"), col("ts").as("pts"))
+      val batch = v.join(p, col("vu") === col("pu") &&
+          col("pts") >= col("vts") &&
+          col("pts") <= col("vts") + expr("INTERVAL 30 MINUTES"))
+        .select("ve", "pe").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("GraftExtensions registers custom SQL functions") {
     graft.expressions.GraftExtensions.registerAll(spark)
     val r = spark.sql(
