@@ -309,8 +309,47 @@ object ExtraQueries2 {
     FROM t GROUP BY decile ORDER BY decile
   """))
 
+  /** Z-order key (LayoutFunctions.zValue2) over (custkey, nationkey):
+    * the layout sort key for two-dimensional clustering. Oracle builds
+    * the identical 16-bit interleave with SQL shift/mask terms. */
+  private val qZorder = {
+    val duckZ = (0 until 16).map { i =>
+      s"(((c_custkey >> $i) & 1) << ${2 * i}) | (((c_nationkey >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", ") | (", ")")
+    BoundQuery("q_zorder", (s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          col("c_nationkey").cast("long").as("nationkey"),
+          graft.functions.LayoutFunctions
+            .zValue2(col("c_custkey"), col("c_nationkey").cast("long")).as("z"))
+        .orderBy("c_custkey")
+    }, Some(s"""
+      SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+             CAST($duckZ AS BIGINT) AS z
+      FROM customer ORDER BY c_custkey
+    """))
+  }
+
+  /** PII scrubbing: pseudonymize the user key (salted sha-256) and
+    * redact digit runs from the free-form props payload — the
+    * anonymization pass a training-data pipeline runs before anything
+    * leaves the trust boundary. All codegen'd (sha2/regexp_replace),
+    * no UDF. */
+  private val qPiiScrub = BoundQuery("q_pii_scrub", (s, d) => {
+    Tables.events(s, d)
+      .select(col("event_id"),
+        sha2(concat(lit("pepper:"), col("user_id").cast("string")), 256).as("user_pseud"),
+        regexp_replace(col("props"), "[0-9]+", "#").as("props_redacted"))
+      .orderBy("event_id")
+  }, Some("""
+    SELECT event_id,
+           sha256('pepper:' || CAST(user_id AS VARCHAR)) AS user_pseud,
+           regexp_replace(props, '[0-9]+', '#', 'g') AS props_redacted
+    FROM events ORDER BY event_id
+  """))
+
   val all: Seq[BoundQuery] = Seq(
     qPivot, qCube, qWindowSuite, qHashSample, qSemiPrune, qUpsert,
     qProfile, qRangeJoin, qApproxQuantiles, qHistogram, qCorrelation,
-    qDecile)
+    qDecile, qZorder, qPiiScrub)
 }

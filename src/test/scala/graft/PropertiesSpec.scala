@@ -41,6 +41,21 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("zValue2 matches a reference bit-interleave for any 16-bit pair") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val rnd = new scala.util.Random(7)
+    val cases = Seq.fill(200)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = cases.toDF("x", "y")
+      .select(graft.functions.LayoutFunctions.zValue2(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == cases.map { case (x, y) => ref(x, y) })
+    // locality sanity: z of close points shares high bits (prefix property)
+    assert(ref(5, 5) < ref(60000, 60000))
+  }
+
   test("null inputs propagate as nulls through the custom expressions") {
     graft.expressions.GraftExtensions.registerAll(spark)
     val r = spark.sql(
