@@ -141,7 +141,54 @@ object ExtraQueries {
     FROM lineitem GROUP BY 1 ORDER BY 1
   """))
 
+  /** Rolling 30-day spend per customer — a RANGE frame over epoch
+    * seconds (value-based, unlike q_running_revenue's ROWS frame):
+    * every order sums the customer's orders in the trailing 30 days,
+    * however many rows that is. Integer frame bounds on both engines. */
+  private val qRolling30d = BoundQuery("q_rolling_30d", (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(unix_timestamp(col("o_orderdate")))
+      .rangeBetween(-30L * 86400, 0)
+    Tables.orders(s, d)
+      .where(col("o_custkey") < 100 && col("o_orderdate").isNotNull)
+      .withColumn("roll_c", sum(cents(col("o_totalprice"))).over(w))
+      .select(col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"),
+        money(col("roll_c")).as("rolling_30d"))
+      .orderBy("custkey", "orderkey")
+  }, Some("""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT))
+                  OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                        RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0
+             AS rolling_30d
+    FROM orders WHERE o_custkey < 100 AND o_orderdate IS NOT NULL
+    ORDER BY custkey, orderkey
+  """))
+
+  /** Unpivot (melt): wide per-flag aggregates to (flag, measure,
+    * value) long form via stack() — the reshaping twin of q_pivot. */
+  private val qUnpivot = BoundQuery("q_unpivot", (s, d) => {
+    Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(sumCents(col("l_quantity")).as("qty_c"),
+        sumCents(col("l_extendedprice")).as("price_c"))
+      .select(col("l_returnflag"),
+        expr("stack(2, 'sum_qty', qty_c, 'sum_price', price_c) AS (measure, val_c)"))
+      .select(col("l_returnflag"), col("measure"), money(col("val_c")).as("value"))
+      .orderBy("l_returnflag", "measure")
+  }, Some("""
+    WITH wide AS (
+      SELECT l_returnflag,
+        CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS qty_c,
+        CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS price_c
+      FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, measure, CAST(val_c AS DOUBLE)/100.0 AS value FROM (
+      SELECT l_returnflag, 'sum_qty' AS measure, qty_c AS val_c FROM wide
+      UNION ALL
+      SELECT l_returnflag, 'sum_price', price_c FROM wide)
+    ORDER BY l_returnflag, measure
+  """))
+
   val all: Seq[BoundQuery] = Seq(
     qRunningRevenue, qRollupRevenue, qNoUrgentCustomers, qJsonProps,
-    qAsofJoin, qApproxDistinct, qSaltedAgg)
+    qAsofJoin, qApproxDistinct, qSaltedAgg, qRolling30d, qUnpivot)
 }
