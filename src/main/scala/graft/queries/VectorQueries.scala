@@ -75,6 +75,26 @@ object VectorQueries {
       .orderBy("query_id", "rnk")
   }, None)
 
+  /** Product-quantization ANN (ml.ProductQuantizer): 64-dim floats
+    * compressed to 8 codebook codes, ranked by ADC lookup distance
+    * (rows-only; VectorSpec pins recall vs exact L2 top-k). The
+    * 64x-compressed path is what still fits in memory at 100 TB of
+    * embeddings. */
+  private val qPqTopk = BoundQuery("q_pq_topk", (s, d) => {
+    import graft.ml.ProductQuantizer
+    val e = Tables.embeddings(s, d)
+    val cb = ProductQuantizer.train(e, col("vec_id"), col("embedding"),
+      m = 8, k = 16, iters = 3)
+    val enc = ProductQuantizer.encode(e, col("vec_id"), col("embedding"), cb)
+    // queries are a serving-side handful, collected by design
+    val qs = e.where(col("vec_id") < 5)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    ProductQuantizer.adcTopK(enc, qs, cb, kTop = 10)
+      .orderBy("query_id", "rnk")
+  }, None)
+
   /** Deterministic Lloyd's k-means (reference mlqueries.py:14) —
     * cluster sizes after 5 iterations from lowest-id init. */
   private val qKmeans = BoundQuery("q_kmeans", (s, d) => {
@@ -138,6 +158,6 @@ object VectorQueries {
   """))
 
   val all: Seq[BoundQuery] = Seq(
-    qEmbeddingNeardup, qAnnTopk, qAnnIvf, qKmeans,
+    qEmbeddingNeardup, qAnnTopk, qAnnIvf, qPqTopk, qKmeans,
     qAssociationRules, qFrequentPairs)
 }

@@ -70,6 +70,14 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Raw event stream with the usable (us) timestamp restored —
+    * the readStream entry point sinks and joins build on. */
+  def raw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Stream-stream interval join: each view matched to the same
     * user's purchases within 30 minutes after it. Both sides carry
     * watermarks and the join condition bounds event time in BOTH

@@ -101,6 +101,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch + Incremental.merge maintains exact per-key state") {
+    // the streaming face of q_incremental: each micro-batch is
+    // partially aggregated and merged into driver-held state; after
+    // replay the state equals the batch aggregate exactly
+    val dir = java.nio.file.Files.createTempDirectory("events_fb")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfTiny/events.parquet"),
+      dir.resolve("events.parquet"))
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = EventStreams.raw(spark, dir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = batch.groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"))
+        val merged = state match {
+          case Some(s0) => graft.operators.Incremental.merge(
+            s0, delta, keys = Seq("event_type"), sums = Seq("cnt"))
+          case None => delta
+        }
+        // materialize so the merged state doesn't re-read consumed batches
+        state = Some(merged.localCheckpoint(true))
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = state.get.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = graft.sources.Tables.events(spark, sfTiny)
+        .groupBy("event_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("GraftExtensions registers custom SQL functions") {
     graft.expressions.GraftExtensions.registerAll(spark)
     val r = spark.sql(
