@@ -41,6 +41,25 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("aggregates are partition-invariant (the Num discipline, proven)") {
+    // same queries, radically different parallelism -> identical bytes.
+    // This is the property that makes results reproducible on a
+    // 1000-executor cluster, not just against the oracle.
+    def snapshot(): Seq[Seq[String]] =
+      Seq("q1_pricing_summary", "q_correlation", "q_value_stats", "q_ewma")
+        .map { n =>
+          graft.queries.Registry.queries(n)(spark, sfTiny)
+            .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+        }
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val a = snapshot()
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try {
+      val b = snapshot()
+      assert(a == b)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("zValue2 matches a reference bit-interleave for any 16-bit pair") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
