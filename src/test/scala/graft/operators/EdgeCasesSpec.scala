@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark._
+
+/** Degenerate-input behavior: empty inputs, no-match joins, single
+  * rows. At 100 TB some partition, some day, WILL be empty — operators
+  * must degrade to empty results, not exceptions. */
+class EdgeCasesSpec extends AnyFunSuite {
+
+  import spark.implicits._
+
+  private val emptyEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+  private val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("ConnectedComponents on an empty edge list is empty") {
+    assert(ConnectedComponents.labelPropagation(emptyEdges, "a", "b").count() == 0)
+  }
+
+  test("ConnectedComponents on a single self-loop resolves to itself") {
+    val got = ConnectedComponents
+      .labelPropagation(Seq((7L, 7L)).toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((7L, 7L)))
+  }
+
+  test("Dedup joins on empty corpora are empty, not exceptions") {
+    assert(Dedup.ngramJaccardPairs(emptyDocs, col("doc_id"), col("text"),
+      shingleSize = 3, minJaccard = 0.5).count() == 0)
+    assert(Dedup.minhashCandidates(emptyDocs, col("doc_id"), col("text")).count() == 0)
+    assert(Dedup.simhashPairs(emptyDocs, col("doc_id"), col("text")).count() == 0)
+  }
+
+  test("Dedup ignores docs shorter than the shingle size") {
+    val docs = Seq((1L, "too short"), (2L, "too short")).toDF("doc_id", "text")
+    // 5-gram shingles of 2-token docs: no signal, no pairs, no crash
+    assert(Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      shingleSize = 5, minJaccard = 0.1).count() == 0)
+  }
+
+  test("RangeJoin with no overlapping intervals is empty") {
+    val points = Seq(1.0, 2.0, 3.0).toDF("p")
+    val ranges = Seq((100.0, 200.0)).toDF("lo", "hi")
+    assert(RangeJoin.bucketed(points, col("p"), ranges, col("lo"), col("hi"),
+      bucketWidth = 10.0).count() == 0)
+  }
+
+  test("Upsert with an empty change set keeps the base verbatim") {
+    val base = Seq((1L, 10L), (2L, 20L)).toDF("key", "v")
+    val changes = Seq.empty[(Long, Long, Long)].toDF("key", "v", "ver")
+    val got = Upsert.applyChanges(base, changes, "key", col("ver"), col("ver"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((1L, 10L, "K"), (2L, 20L, "K")))
+  }
+
+  test("Upsert onto an empty base inserts everything") {
+    val base = Seq.empty[(Long, Long)].toDF("key", "v")
+    val changes = Seq((5L, 50L, 1L)).toDF("key", "v", "ver")
+    val got = Upsert.applyChanges(base, changes, "key", col("ver"), col("ver"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((5L, 50L, "I")))
+  }
+
+  test("Sessionize-style single-event keys form one session (via registry)") {
+    val one = Seq((1L, 1000L)).toDF("user_id", "ts_ns")
+    val got = Sessionize.sessionStats(one, col("user_id"), col("ts_ns"), 100L)
+      .collect()
+    assert(got.length == 1 && got(0).getAs[Long]("n_sessions") == 1)
+  }
+
+  test("Profiling an all-null column reports full nulls and no distincts") {
+    val df = Seq[(Option[Long], Long)]((None, 1L), (None, 2L)).toDF("x", "y")
+    val p = Profiling.profile(df, Seq("x")).collect()(0)
+    assert(p.getAs[Long]("n_null") == 2 && p.getAs[Long]("n_distinct") == 0)
+    assert(p.getAs[String]("min_val") == null)
+  }
+
+  test("GeoJoin with a single point yields no pairs") {
+    val df = Seq((1L, 10.0, 20.0)).toDF("id", "lat", "lon")
+    assert(GeoJoin.latBandRadiusPairs(df, col("id"), col("lat"), col("lon"),
+      radiusKm = 100.0).count() == 0)
+  }
+}
