@@ -22,6 +22,8 @@ object Incremental {
     * `mins`/`maxs`. */
   def merge(state: DataFrame, delta: DataFrame, keys: Seq[String],
             sums: Seq[String], mins: Seq[String] = Nil, maxs: Seq[String] = Nil): DataFrame = {
+    require(sums.nonEmpty || mins.nonEmpty || maxs.nonEmpty,
+      "merge needs at least one partial column")
     val aggs = sums.map(c => sum(col(c)).as(c)) ++
       mins.map(c => min(col(c)).as(c)) ++ maxs.map(c => max(col(c)).as(c))
     state.unionByName(delta)

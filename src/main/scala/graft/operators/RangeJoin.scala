@@ -24,8 +24,14 @@ object RangeJoin {
                ranges: DataFrame, loCol: Column, hiCol: Column,
                bucketWidth: Double): DataFrame = {
     val w = lit(bucketWidth)
-    val r = ranges.withColumn("__bkt",
-      explode(sequence(floor(loCol / w).cast("long"), floor(hiCol / w).cast("long"))))
+    // guard inverted/empty intervals: sequence(start, stop) THROWS when
+    // start > stop with a positive step; a malformed range row must
+    // yield zero matches (like the naive BETWEEN), not kill the job
+    val lob = floor(loCol / w).cast("long")
+    val hib = floor(hiCol / w).cast("long")
+    val buckets = when(lob <= hib, sequence(lob, hib))
+      .otherwise(array().cast("array<long>"))
+    val r = ranges.withColumn("__bkt", explode(buckets))
     val p = points.withColumn("__bkt", floor(pointCol / w).cast("long"))
     p.join(r, Seq("__bkt"))
       .where(pointCol >= loCol && pointCol <= hiCol)

@@ -89,10 +89,17 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     // Sequence is TimeZoneAwareExpression: without a timezone stamp it
     // reports unresolved and fails plan validation (optimizer rules
     // run after the analyzer, nothing re-resolves for us).
-    val seq = new Sequence(bucketOf(lo), bucketOf(hi), Literal(1L, LongType))
+    val loB = bucketOf(lo)
+    val hiB = bucketOf(hi)
+    val seq = new Sequence(loB, hiB, Literal(1L, LongType))
       .withTimeZone(SQLConf.get.sessionLocalTimeZone)
+    // inverted/empty intervals must emit zero buckets, not throw
+    // (sequence rejects start > stop with a positive step)
+    val guarded = If(LessThanOrEqual(loB, hiB), seq,
+      Literal.create(Array.empty[Long],
+        org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)))
     val ranges = Generate(
-      Explode(seq),
+      Explode(guarded),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(rBkt), child = rangeSide)
     val joined = Join(points, ranges, Inner,

@@ -46,6 +46,26 @@ class EdgeCasesSpec extends AnyFunSuite {
       bucketWidth = 10.0).count() == 0)
   }
 
+  test("RangeJoin survives inverted (lo > hi) intervals like the naive join") {
+    val points = Seq(1.0, 150.0).toDF("p")
+    val ranges = Seq((100.0, 200.0), (300.0, 50.0)).toDF("lo", "hi") // 2nd inverted
+    val got = RangeJoin.bucketed(points, col("p"), ranges, col("lo"), col("hi"),
+      bucketWidth = 20.0).select("p", "lo").collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((150.0, 100.0)))
+  }
+
+  test("RangeJoinRewrite survives inverted intervals too") {
+    val old = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = old :+ graft.plans.RangeJoinRewrite
+    try {
+      val points = Seq(1.0, 150.0).toDF("p")
+      val ranges = Seq((100.0, 200.0), (300.0, 50.0)).toDF("lo", "hi")
+      val got = points.join(ranges, col("p") >= col("lo") && col("p") <= col("hi"))
+        .select("p").collect().map(_.getDouble(0)).toSeq
+      assert(got == Seq(150.0))
+    } finally spark.experimental.extraOptimizations = old
+  }
+
   test("Upsert with an empty change set keeps the base verbatim") {
     val base = Seq((1L, 10L), (2L, 20L)).toDF("key", "v")
     val changes = Seq.empty[(Long, Long, Long)].toDF("key", "v", "ver")
