@@ -21,6 +21,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("simhash64", exprs => SimHash64(exprs.head)))
     e.injectFunction(fn("shingle_hash64", exprs => ShingleHash64(exprs(0), exprs(1))))
     e.injectFunction(fn("dot_product", exprs => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction(fn("normalize_string", exprs => {
+      val form = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v,
+          org.apache.spark.sql.types.StringType) => v.toString
+        case _ => "NFC"
+      }
+      NormalizeString(exprs.head, form)
+    }))
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }
@@ -32,5 +40,6 @@ object GraftExtensions {
     SimHash64.register(spark)
     ShingleHash64.register(spark)
     DotProduct.register(spark)
+    NormalizeString.register(spark)
   }
 }

@@ -196,6 +196,38 @@ object TextQueries2 {
     FROM ranked ORDER BY cluster_id, doc_id
   """))
 
+  /** Unicode canonicalization (expressions.NormalizeString): a
+    * decomposed-form prefix ("Cafe" + combining acute, "o" + combining
+    * diaeresis) is prepended to each doc, NFC-normalized and
+    * accent-stripped. Composed-vs-decomposed is invisible to the eye
+    * but breaks md5 dedup — canonicalize-first is the fix; the oracle
+    * is DuckDB's native nfc_normalize / strip_accents. */
+  private val qNormalize = BoundQuery("q_normalize", (s, d) => {
+    import graft.expressions.NormalizeString.normalizeString
+    // "Cafe" U+0301 " " U+00C5 "ngstro" U+0308 "m " — decomposed é/ö, composed Å
+    val raw = concat(lit("Cafe\u0301 \u00C5ngstro\u0308m "), substring(col("text"), 1, 20))
+    val nfc = normalizeString(s, raw, "NFC")
+    val stripped = regexp_replace(normalizeString(s, raw, "NFD"), "\\p{Mn}", "")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      nfc.as("nfc"),
+      stripped.as("stripped"),
+      length(raw).cast("long").as("len_raw"),
+      length(nfc).cast("long").as("len_nfc"))
+      .orderBy("doc_id")
+  }, Some("""
+    WITH t AS (
+      SELECT doc_id,
+        'Cafe' || chr(769) || ' ' || chr(197) || 'ngstro' || chr(776) || 'm ' ||
+          substring(text, 1, 20) AS raw
+      FROM documents)
+    SELECT doc_id, nfc_normalize(raw) AS nfc, strip_accents(raw) AS stripped,
+           CAST(length(raw) AS BIGINT) AS len_raw,
+           CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc
+    FROM t ORDER BY doc_id
+  """))
+
   val all: Seq[BoundQuery] =
-    Seq(qTfidf, qLevenshteinPairs, qDedupClusters, qCapPerSource, qDedupKeepBest)
+    Seq(qTfidf, qLevenshteinPairs, qDedupClusters, qCapPerSource,
+      qDedupKeepBest, qNormalize)
 }

@@ -47,6 +47,26 @@ class TextSpec extends AnyFunSuite {
     assert(d <= 20, s"hamming of near-identical sets was $d")
   }
 
+  test("NormalizeString canonicalizes composed/decomposed to one form") {
+    import graft.expressions.NormalizeString.normalizeString
+    import spark.implicits._
+    val composed = "Caf\u00e9"       // e-acute as one codepoint
+    val decomposed = "Cafe\u0301"    // e + combining acute
+    val df = Seq((1L, composed), (2L, decomposed)).toDF("id", "s")
+    val nfc = df.select(normalizeString(spark, col("s"), "NFC").as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(nfc(0) == nfc(1) && nfc(0) == composed)
+    // idempotent; registered for SQL; exact dedup now sees ONE document
+    graft.expressions.NormalizeString.register(spark)
+    // NB Spark's chr() is ASCII-only (mod 256), unlike DuckDB's —
+    // use a \u escape in the SQL literal instead
+    val viaSql = spark.sql("SELECT normalize_string('Cafe\\u0301', 'NFC')")
+      .collect()(0).getString(0)
+    assert(viaSql == composed)
+    assert(df.select(normalizeString(spark, col("s"), "NFC").as("n"))
+      .distinct().count() == 1)
+  }
+
   test("rolling fingerprint equals a reference implementation") {
     val got = docs.limit(5).select(col("text"), rollingFingerprint(col("text")).as("fp"))
       .collect()
