@@ -29,6 +29,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
       NormalizeString(exprs.head, form)
     }))
+    e.injectFunction(fn("bloom_agg", exprs =>
+      BloomFilterAgg(exprs(0), exprs(1), exprs(2)).toAggregateExpression()))
+    e.injectFunction(fn("bloom_might_contain", exprs => {
+      val k = exprs(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+          org.apache.spark.sql.types.IntegerType) => v
+        case _ => 5
+      }
+      BloomMightContain(exprs(0), exprs(1), k)
+    }))
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

@@ -348,8 +348,38 @@ object ExtraQueries2 {
     FROM events ORDER BY event_id
   """))
 
+  /** Bloom-filter runtime pruning (expressions.BloomFilter): the
+    * urgent-order keys build one ~128 KB bit set; the fact scan drops
+    * non-members BEFORE the shuffle; the exact semi join then removes
+    * the false positives. Same answer as q_semi_prune's direct EXISTS
+    * (the oracle), but the shuffle carries only ~matching rows — at
+    * 100 TB the bloom probe runs inside the scan's codegen stage and
+    * the exchange shrinks by the selectivity factor. */
+  private val qBloomPrune = BoundQuery("q_bloom_prune", (s, d) => {
+    import graft.expressions.BloomFilter._
+    val urgent = Tables.orders(s, d)
+      .where(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val bloom = urgent
+      .agg(bloomAgg(s, col("o_orderkey"), numBits = 1 << 20, numHashes = 5).as("bf"))
+      .first().getAs[Array[Byte]](0)
+    val pruned = Tables.lineitem(s, d)
+      .where(mightContain(s, lit(bloom), col("l_orderkey"), numHashes = 5))
+    pruned.join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"), sumCents(col("l_extendedprice")).as("pc"))
+      .select(col("l_returnflag"), col("cnt"), money(col("pc")).as("sum_price"))
+      .orderBy("l_returnflag")
+  }, Some("""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS sum_price
+    FROM lineitem
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
+    GROUP BY l_returnflag ORDER BY l_returnflag
+  """))
+
   val all: Seq[BoundQuery] = Seq(
     qPivot, qCube, qWindowSuite, qHashSample, qSemiPrune, qUpsert,
     qProfile, qRangeJoin, qApproxQuantiles, qHistogram, qCorrelation,
-    qDecile, qZorder, qPiiScrub)
+    qDecile, qZorder, qPiiScrub, qBloomPrune)
 }
