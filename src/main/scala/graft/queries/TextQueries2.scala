@@ -227,7 +227,50 @@ object TextQueries2 {
     FROM t ORDER BY doc_id
   """))
 
+  /** Deterministic train/val/test split: md5-prefix ranges give a
+    * reproducible ~80/10/10 partition of the corpus — stable under
+    * re-runs, engine changes, and data re-ordering, which no random
+    * split is. Per-split counts + char totals as the check. */
+  private val qTrainSplit = BoundQuery("q_train_split", (s, d) => {
+    val h = substring(md5(col("text")), 1, 2)
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(h < "cc", "train").when(h < "e6", "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy("split")
+  }, Some("""
+    SELECT CASE WHEN substr(md5(text),1,2) < 'cc' THEN 'train'
+                WHEN substr(md5(text),1,2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM documents GROUP BY 1 ORDER BY split
+  """))
+
+  /** Vocabulary induction: corpus token frequencies ranked into
+    * contiguous ids (freq desc, token asc) with a min-count floor —
+    * the relational core of tokenizer training. */
+  private val qVocab = BoundQuery("q_vocab", (s, d) => {
+    val w = Window.orderBy(col("freq").desc, col("token").asc)
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .where(col("freq") >= 5)
+      .withColumn("vocab_id", row_number().over(w).cast("long") - 1)
+      .orderBy("vocab_id")
+  }, Some("""
+    WITH tf AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS token
+            FROM documents)
+      GROUP BY token HAVING count(*) >= 5)
+    SELECT token, freq,
+           CAST(row_number() OVER (ORDER BY freq DESC, token ASC) AS BIGINT) - 1 AS vocab_id
+    FROM tf ORDER BY vocab_id
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qTfidf, qLevenshteinPairs, qDedupClusters, qCapPerSource,
-      qDedupKeepBest, qNormalize)
+      qDedupKeepBest, qNormalize, qTrainSplit, qVocab)
 }
