@@ -270,7 +270,32 @@ object TextQueries2 {
     FROM tf ORDER BY vocab_id
   """))
 
+  /** Count-min frequency estimates (expressions.CountMinSketch) for
+    * the exact top-20 words. Width 1<<14 >> the corpus vocabulary, so
+    * collisions vanish and the sketch is provably EXACT here — the
+    * oracle simply repeats the exact count; CmsSpec pins the
+    * never-undercount and bounded-overcount guarantees under tight
+    * widths where collisions do happen. */
+  private val qCmsWords = BoundQuery("q_cms_words", (s, d) => {
+    import graft.expressions.CountMinSketch._
+    val words = Tables.documents(s, d).select(explode(tokens(col("text"))).as("word"))
+    val sketch = words.agg(cmsAgg(s, col("word"), depth = 4, width = 1 << 14).as("sk"))
+      .first().getAs[Array[Byte]](0)
+    words.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(20)
+      .select(col("word"), col("cnt"),
+        cmsEstimate(s, lit(sketch), col("word"), depth = 4, width = 1 << 14).as("est"))
+      .orderBy("word")
+  }, Some("""
+    SELECT word, cnt, cnt AS est FROM (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS word
+            FROM documents)
+      GROUP BY word ORDER BY cnt DESC, word LIMIT 20)
+    ORDER BY word
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qTfidf, qLevenshteinPairs, qDedupClusters, qCapPerSource,
-      qDedupKeepBest, qNormalize, qTrainSplit, qVocab)
+      qDedupKeepBest, qNormalize, qTrainSplit, qVocab, qCmsWords)
 }
