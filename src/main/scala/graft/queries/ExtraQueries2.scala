@@ -378,8 +378,101 @@ object ExtraQueries2 {
     GROUP BY l_returnflag ORDER BY l_returnflag
   """))
 
+  /** Equi-depth histogram: ntile assigns equal-count buckets, then
+    * per-bucket [min, max] boundaries — the histogram a cost optimizer
+    * keeps (equi-WIDTH q_histogram is its fixed-bin sibling). Bounded
+    * input per the Pagination global-sort contract. */
+  private val qEquiDepth = BoundQuery("q_equi_depth", (s, d) => {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d).where(col("o_custkey") < 300)
+      .withColumn("bucket", ntile(8).over(w).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(cents(col("o_totalprice"))).as("lo_c"),
+        max(cents(col("o_totalprice"))).as("hi_c"))
+      .select(col("bucket"), col("n"),
+        money(col("lo_c")).as("lo"), money(col("hi_c")).as("hi"))
+      .orderBy("bucket")
+  }, Some("""
+    WITH t AS (
+      SELECT o_totalprice,
+             CAST(ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket
+      FROM orders WHERE o_custkey < 300)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(CAST(round(o_totalprice*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS lo,
+           CAST(max(CAST(round(o_totalprice*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS hi
+    FROM t GROUP BY bucket ORDER BY bucket
+  """))
+
+  /** Chi-square statistic for event_type x weekday independence, from
+    * exact integer contingency counts (expected/deviation math in
+    * identically-ordered doubles; one deterministic statistic out). */
+  private val qChiSquare = BoundQuery("q_chi_square", (s, d) => {
+    val cells = Tables.events(s, d)
+      .groupBy(col("event_type").as("r"), dayofweek(col("ts")).cast("long").as("c"))
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy("r").agg(sum("o").as("rt"))
+    val colsT = cells.groupBy("c").agg(sum("o").as("ct"))
+    val total = cells.agg(sum("o").as("t"))
+    // the cell-term SUM is an order-dependent float fold — pin it like
+    // q_ewma: sort the terms on (r, c), fold left. (Engines label
+    // weekdays differently — Spark 1-7, DuckDB 0-6 — but both order
+    // Sun<..<Sat, so the sorted term SEQUENCE is identical and the
+    // statistic is label-invariant.)
+    cells.join(rows, "r").join(colsT, "c").crossJoin(broadcast(total))
+      .select(col("r"), col("c"),
+        ((col("o").cast("double") -
+          col("rt").cast("double") * col("ct").cast("double") / col("t").cast("double")) *
+         (col("o").cast("double") -
+          col("rt").cast("double") * col("ct").cast("double") / col("t").cast("double")) /
+         (col("rt").cast("double") * col("ct").cast("double") / col("t").cast("double")))
+          .as("term"))
+      .agg(sort_array(collect_list(struct(col("r"), col("c"), col("term")))).as("ts"))
+      .select(
+        round(aggregate(col("ts"), lit(0.0), (a, x) => a + x("term")), 6).as("chi2"),
+        size(col("ts")).cast("long").as("n_cells"))
+  }, Some("""
+    WITH cells AS (
+      SELECT event_type AS r, CAST(dayofweek(ts) AS BIGINT) AS c,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2),
+    rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY r),
+    ct AS (SELECT c, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY c),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM cells),
+    terms AS (
+      SELECT r, c,
+             (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)/CAST(t AS DOUBLE))
+           * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)/CAST(t AS DOUBLE))
+           / (CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)/CAST(t AS DOUBLE)) AS term
+      FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tot)
+    SELECT round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(list_sort(list(struct_pack(r := r, c := c, term := term))),
+               x -> x.term)), (a, b) -> a + b), 6) AS chi2,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM terms
+  """))
+
+  /** Bottom-k-by-hash sampling: the k rows with the smallest md5 of
+    * the key — a FIXED-SIZE uniform sample that is deterministic and
+    * mergeable across partitions (each partition's bottom-k union'd
+    * and re-trimmed), unlike rand()-based sampling. */
+  private val qBottomkSample = BoundQuery("q_bottomk_sample", (s, d) => {
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), md5(col("o_orderkey").cast("string").cast("binary")).as("h"))
+      .orderBy("h")
+      .limit(100)
+      .select(col("o_orderkey"), col("h"))
+      .orderBy("o_orderkey")
+  }, Some("""
+    SELECT o_orderkey, h FROM (
+      SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)) AS h
+      FROM orders ORDER BY h LIMIT 100)
+    ORDER BY o_orderkey
+  """))
+
   val all: Seq[BoundQuery] = Seq(
     qPivot, qCube, qWindowSuite, qHashSample, qSemiPrune, qUpsert,
     qProfile, qRangeJoin, qApproxQuantiles, qHistogram, qCorrelation,
-    qDecile, qZorder, qPiiScrub, qBloomPrune)
+    qDecile, qZorder, qPiiScrub, qBloomPrune, qEquiDepth, qChiSquare,
+    qBottomkSample)
 }
