@@ -470,9 +470,46 @@ object ExtraQueries2 {
     ORDER BY o_orderkey
   """))
 
+  /** Closed-form least squares (discount ~ quantity per return flag)
+    * from the same exact integer moment sums as q_correlation — ML as
+    * partial-aggregable DataFrame math: one scan, five exact sums, a
+    * deterministic closed form. slope = (n·Σxy − ΣxΣy)/(n·Σxx − Σx²),
+    * intercept = (Σy − slope·Σx)/n, in cents units. */
+  private val qLinreg = BoundQuery("q_linreg", (s, d) => {
+    val qc = cents(col("l_quantity"))
+    val dc = cents(col("l_discount"))
+    val n = col("n").cast("double"); val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double"); val sxx = col("sxx").cast("double")
+    val sxy = col("sxy").cast("double")
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(qc).as("sx"), sum(dc).as("sy"),
+        sum(qc * qc).as("sxx"), sum(qc * dc).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        round(slope, 9).as("slope"),
+        round((sy - slope * sx) / n, 9).as("intercept"))
+      .orderBy("l_returnflag")
+  }, Some("""
+    WITH m AS (
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sx,
+        CAST(sum(CAST(round(l_discount*100,0) AS BIGINT)) AS BIGINT) AS sy,
+        CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)*CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sxx,
+        CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)*CAST(round(l_discount*100,0) AS BIGINT)) AS BIGINT) AS sxy
+      FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, n,
+      round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+          / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 9) AS slope,
+      round((CAST(sy AS DOUBLE)
+             - (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+               * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 9) AS intercept
+    FROM m ORDER BY l_returnflag
+  """))
+
   val all: Seq[BoundQuery] = Seq(
     qPivot, qCube, qWindowSuite, qHashSample, qSemiPrune, qUpsert,
     qProfile, qRangeJoin, qApproxQuantiles, qHistogram, qCorrelation,
     qDecile, qZorder, qPiiScrub, qBloomPrune, qEquiDepth, qChiSquare,
-    qBottomkSample)
+    qBottomkSample, qLinreg)
 }
