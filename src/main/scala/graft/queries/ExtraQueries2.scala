@@ -507,9 +507,35 @@ object ExtraQueries2 {
     FROM m ORDER BY l_returnflag
   """))
 
+  /** Weighted sampling without replacement, derandomized
+    * (Efraimidis–Spirakis '06 via exponential clocks): each row gets
+    * priority -ln(u)/w where u is a hash-derived uniform — higher
+    * weight, earlier clock, so the k smallest priorities are a
+    * weighted sample that is REPRODUCIBLE across runs and engines.
+    * Selection ranks on the rounded priority + key tiebreak, so a
+    * last-ulp libm divergence can't flip the k-th boundary. */
+  private val qWeightedSample = BoundQuery("q_weighted_sample", (s, d) => {
+    // u in (0,1] from the first 8 md5 hex digits; w = o_totalprice
+    val u = (conv(substring(md5(col("o_orderkey").cast("string").cast("binary")), 1, 8),
+      16, 10).cast("double") + lit(1.0)) / lit(4294967296.0)
+    Tables.orders(s, d)
+      .withColumn("priority", round(-log(u) / col("o_totalprice"), 15))
+      .orderBy(col("priority"), col("o_orderkey"))
+      .limit(50)
+      .select(col("o_orderkey"), col("priority"))
+      .orderBy("o_orderkey")
+  }, Some("""
+    SELECT o_orderkey, priority FROM (
+      SELECT o_orderkey,
+        round(-ln((CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),1,8) AS UBIGINT)
+                   + 1.0) / 4294967296.0) / o_totalprice, 15) AS priority
+      FROM orders ORDER BY priority, o_orderkey LIMIT 50)
+    ORDER BY o_orderkey
+  """))
+
   val all: Seq[BoundQuery] = Seq(
     qPivot, qCube, qWindowSuite, qHashSample, qSemiPrune, qUpsert,
     qProfile, qRangeJoin, qApproxQuantiles, qHistogram, qCorrelation,
     qDecile, qZorder, qPiiScrub, qBloomPrune, qEquiDepth, qChiSquare,
-    qBottomkSample, qLinreg)
+    qBottomkSample, qLinreg, qWeightedSample)
 }
