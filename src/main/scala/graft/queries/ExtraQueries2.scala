@@ -533,9 +533,37 @@ object ExtraQueries2 {
     ORDER BY o_orderkey
   """))
 
+  /** Keyed snapshot diff (operators.Diff): the current orders table
+    * against a deterministically-derived "next release" (every 11th
+    * key deleted, every 7th repriced) — per-status counts must match
+    * the full-outer CASE oracle. */
+  private val qTableDiff = BoundQuery("q_table_diff", (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("v"))
+    val next = o.where(col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, col("v") + 100).otherwise(col("v")).as("v"))
+    graft.operators.Diff.byKey(o, next, "o_orderkey", Seq("v"))
+      .groupBy("status").agg(count(lit(1)).as("n"))
+      .orderBy("status")
+  }, Some("""
+    WITH a AS (SELECT o_orderkey, CAST(round(o_totalprice*100,0) AS BIGINT) AS v
+               FROM orders),
+    b AS (SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 7 = 0 THEN v + 100 ELSE v END AS v
+          FROM a WHERE o_orderkey % 11 <> 0)
+    SELECT status, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                  WHEN b.o_orderkey IS NULL THEN 'removed'
+                  WHEN a.v IS DISTINCT FROM b.v THEN 'changed'
+                  ELSE 'same' END AS status
+      FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+    GROUP BY status ORDER BY status
+  """))
+
   val all: Seq[BoundQuery] = Seq(
     qPivot, qCube, qWindowSuite, qHashSample, qSemiPrune, qUpsert,
     qProfile, qRangeJoin, qApproxQuantiles, qHistogram, qCorrelation,
     qDecile, qZorder, qPiiScrub, qBloomPrune, qEquiDepth, qChiSquare,
-    qBottomkSample, qLinreg, qWeightedSample)
+    qBottomkSample, qLinreg, qWeightedSample, qTableDiff)
 }

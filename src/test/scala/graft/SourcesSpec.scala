@@ -59,6 +59,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(perFile.size > 1)
   }
 
+  test("mergeSchema read unifies evolved parquet schemas") {
+    // schema evolution: v2 of a table adds a column; a mergeSchema
+    // read sees the union, with nulls where v1 files lack it
+    import org.apache.spark.sql.functions.lit
+    val docs = Tables.documents(spark, sfTiny).select("doc_id", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    docs.where(col("doc_id") < 100).write.parquet(s"$dir/t/v=1")
+    docs.where(col("doc_id") >= 100).withColumn("quality", lit(0.5))
+      .write.parquet(s"$dir/t/v=2")
+    val back = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(back.columns.contains("quality"))
+    assert(back.where(col("quality").isNull).count() ==
+      docs.where(col("doc_id") < 100).count())
+    assert(back.count() == docs.count())
+  }
+
   test("json reader quarantines corrupt records instead of failing the load") {
     val dir = java.nio.file.Files.createTempDirectory("bad_json")
     java.nio.file.Files.writeString(dir.resolve("part.json"),

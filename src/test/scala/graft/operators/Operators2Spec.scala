@@ -84,6 +84,14 @@ class Operators2Spec extends AnyFunSuite {
     assert(got == Set((1L, 10L, "K"), (2L, 77L, "U"), (3L, 30L, "K"), (9L, 55L, "I")))
   }
 
+  test("Diff.byKey classifies added/removed/changed/same correctly") {
+    val a = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    val b = Seq((2L, 20L), (3L, 99L), (4L, 40L)).toDF("k", "v")
+    val got = Diff.byKey(a, b, "k", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "same", 3L -> "changed", 4L -> "added"))
+  }
+
   test("Profiling.profile counts nulls/distincts and renders min/max") {
     val df = Seq(
       (Some(1L), Some("a")), (Some(2L), None), (None, Some("c")), (Some(2L), Some("a"))
