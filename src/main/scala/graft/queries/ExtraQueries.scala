@@ -188,7 +188,87 @@ object ExtraQueries {
     ORDER BY l_returnflag, measure
   """))
 
+  /** Set algebra over keyed snapshots: customers active in BOTH 1995
+    * and 1996 (INTERSECT), only-1995 (EXCEPT), either (UNION) — as
+    * counts so the output is stable. Spark intersect/except plan as
+    * semi/anti joins — no distinct-sort. */
+  private val qSetOps = BoundQuery("q_set_ops", (s, d) => {
+    def custs(y: Int) = Tables.orders(s, d)
+      .where(year(col("o_orderdate")) === y).select("o_custkey").distinct()
+    val c95 = custs(1995); val c96 = custs(1996)
+    c95.intersect(c96).agg(count(lit(1)).as("n"))
+      .select(lit("1_both").as("op"), col("n"))
+      .unionAll(c95.except(c96).agg(count(lit(1)).as("n"))
+        .select(lit("2_only_1995").as("op"), col("n")))
+      .unionAll(c95.union(c96).distinct().agg(count(lit(1)).as("n"))
+        .select(lit("3_either").as("op"), col("n")))
+      .orderBy("op")
+  }, Some("""
+    WITH c95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+    c96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+    SELECT op, n FROM (
+      SELECT '1_both' AS op,
+             CAST((SELECT count(*) FROM (SELECT * FROM c95 INTERSECT SELECT * FROM c96)) AS BIGINT) AS n
+      UNION ALL
+      SELECT '2_only_1995',
+             CAST((SELECT count(*) FROM (SELECT * FROM c95 EXCEPT SELECT * FROM c96)) AS BIGINT)
+      UNION ALL
+      SELECT '3_either',
+             CAST((SELECT count(*) FROM (SELECT * FROM c95 UNION SELECT * FROM c96)) AS BIGINT))
+    ORDER BY op
+  """))
+
+  /** Scalar-subquery filter: orders above the global average price.
+    * The average is computed ONCE (cents-exact, then one division)
+    * and broadcast into the scan's filter. */
+  private val qAboveAvg = BoundQuery("q_above_avg", (s, d) => {
+    val avgC = Tables.orders(s, d)
+      .agg((sumCents(col("o_totalprice")).cast("double") /
+        count(lit(1)).cast("double")).as("avg_c"))
+    Tables.orders(s, d).crossJoin(broadcast(avgC))
+      .where(cents(col("o_totalprice")).cast("double") > col("avg_c"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sumCents(col("o_totalprice")).as("rc"))
+      .select(col("o_orderpriority"), col("n"), money(col("rc")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }, Some("""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
+    FROM orders
+    WHERE CAST(CAST(round(o_totalprice*100,0) AS BIGINT) AS DOUBLE) >
+          (SELECT CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) FROM orders)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+  """))
+
+  /** Calendar-function suite: quarter / last_day / +30 days / datediff
+    * on the order dates — the date toolbox with cross-engine-identical
+    * semantics, one row per (year, quarter). */
+  private val qCalendar = BoundQuery("q_calendar", (s, d) => {
+    Tables.orders(s, d).where(col("o_orderdate").isNotNull)
+      .select(
+        year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("due"),
+        datediff(lit("1999-01-01").cast("date"), col("o_orderdate")).cast("long").as("age_days"))
+      .groupBy("y", "q")
+      .agg(count(lit(1)).as("n"), max("month_end").as("max_month_end"),
+        max("due").as("max_due"), sum("age_days").as("sum_age"))
+      .orderBy("y", "q")
+  }, Some("""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(quarter(o_orderdate) AS BIGINT) AS q,
+           CAST(count(*) AS BIGINT) AS n,
+           max(strftime(last_day(o_orderdate), '%Y-%m-%d')) AS max_month_end,
+           max(strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')) AS max_due,
+           CAST(sum(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01')) AS BIGINT) AS sum_age
+    FROM orders WHERE o_orderdate IS NOT NULL
+    GROUP BY 1, 2 ORDER BY y, q
+  """))
+
   val all: Seq[BoundQuery] = Seq(
     qRunningRevenue, qRollupRevenue, qNoUrgentCustomers, qJsonProps,
-    qAsofJoin, qApproxDistinct, qSaltedAgg, qRolling30d, qUnpivot)
+    qAsofJoin, qApproxDistinct, qSaltedAgg, qRolling30d, qUnpivot,
+    qSetOps, qAboveAvg, qCalendar)
 }
