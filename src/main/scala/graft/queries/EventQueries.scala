@@ -213,7 +213,32 @@ object EventQueries {
     ORDER BY user_id, event_type
   """))
 
+  /** Explicit GROUPING SETS through the SQL surface (the DataFrame
+    * API offers rollup/cube; arbitrary set lists are SQL-only) —
+    * per-type totals and per-day totals in ONE pass over events,
+    * grouping() disambiguating the all-rows from the null-key sets. */
+  private val qGroupingSets = BoundQuery("q_grouping_sets", (s, d) => {
+    Tables.registerViews(s, d)
+    s.sql("""
+      SELECT coalesce(event_type, 'ALL') AS type_g,
+             coalesce(CAST(dayofmonth(ts) AS BIGINT), -1) AS day_g,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(grouping(event_type) AS BIGINT) AS g_type
+      FROM events
+      GROUP BY GROUPING SETS ((event_type), (dayofmonth(ts)))
+      ORDER BY type_g, day_g
+    """)
+  }, Some("""
+    SELECT coalesce(event_type, 'ALL') AS type_g,
+           coalesce(CAST(dayofmonth(ts) AS BIGINT), -1) AS day_g,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(grouping(event_type) AS BIGINT) AS g_type
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (dayofmonth(ts)))
+    ORDER BY type_g, day_g
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qFunnel, qGapFill, qRetention, qSlidingWindow, qSqlSurface, qEwma,
-      qIncremental)
+      qIncremental, qGroupingSets)
 }
