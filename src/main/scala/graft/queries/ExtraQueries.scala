@@ -267,8 +267,27 @@ object ExtraQueries {
     GROUP BY 1, 2 ORDER BY y, q
   """))
 
+  /** Keyset pagination (Pagination.keysetPage) — the scale path the
+    * offset q_paginate can't take at 100 TB: page 2 is a pushed-down
+    * `key > cursor` + TakeOrdered, no global window. The cursor comes
+    * from page 1's max key (in serving, from the client). */
+  private val qKeysetPage = BoundQuery("q_keyset_page", (s, d) => {
+    import graft.operators.Pagination
+    val cust = Tables.customer(s, d)
+    val cursor = Pagination.keysetPage(cust, col("c_custkey"), None, 20)
+      .agg(max("c_custkey")).first().getLong(0)
+    Pagination.keysetPage(cust, col("c_custkey"), Some(lit(cursor)), 20)
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }, Some("""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey > (SELECT max(c_custkey) FROM
+                       (SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 20))
+    ORDER BY c_custkey LIMIT 20
+  """))
+
   val all: Seq[BoundQuery] = Seq(
     qRunningRevenue, qRollupRevenue, qNoUrgentCustomers, qJsonProps,
     qAsofJoin, qApproxDistinct, qSaltedAgg, qRolling30d, qUnpivot,
-    qSetOps, qAboveAvg, qCalendar)
+    qSetOps, qAboveAvg, qCalendar, qKeysetPage)
 }
