@@ -29,6 +29,12 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   * median interval width). Disable with
   * `spark.graft.rangeJoin.enabled=false`.
   *
+  * Sizing caveat: each range row explodes into (hi-lo)/bucketWidth
+  * buckets, so a width orders of magnitude below the interval span
+  * makes Sequence refuse the oversized array at runtime — set the
+  * width per workload (it is a runtime conf) or disable the rule for
+  * pathological range tables.
+  *
   * Re-application is self-guarding: the rewritten join's condition has
   * a top-level equality conjunct, which the matcher rejects.
   */

@@ -95,6 +95,19 @@ object Tables {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Globally-sorted parquet: range-partition on the sort key, sort
+    * within each partition — file k's values all precede file k+1's,
+    * so the dataset has a TOTAL order across files without any single
+    * task ever seeing all rows (contrast a global .orderBy().write,
+    * which funnels through one sort per output split of a single
+    * range-shuffled stage anyway — this is the same plan made
+    * explicit, with the file count under caller control). */
+  def writeSortedParquet(df: DataFrame, path: String, sortCol: String,
+                         numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, org.apache.spark.sql.functions.col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+
   /** Register every table as a temp view (plus the custom SQL
     * functions) so the engine serves raw ANSI SQL next to the
     * DataFrame API — the reference's users talk to a query surface,

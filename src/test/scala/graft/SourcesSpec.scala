@@ -59,6 +59,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(perFile.size > 1)
   }
 
+  test("writeSortedParquet produces a total order across files") {
+    val orders = Tables.orders(spark, sfTiny)
+    val dir = java.nio.file.Files.createTempDirectory("gsorted").toString
+    Tables.writeSortedParquet(orders, s"$dir/o", "o_totalprice", numFiles = 4)
+    val back = spark.read.parquet(s"$dir/o")
+    assert(back.count() == orders.count())
+    // per-file [min, max] ranges must not overlap, and file NAME order
+    // (part-00000 < part-00001 ...) must equal range order
+    val spans = back.select(input_file_name().as("f"), col("o_totalprice"))
+      .groupBy("f").agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(spans.length > 1)
+    spans.sliding(2).foreach { case Array((_, _, hi1), (_, lo2, _)) =>
+      assert(hi1 <= lo2, s"file ranges overlap: $hi1 > $lo2")
+    }
+  }
+
   test("mergeSchema read unifies evolved parquet schemas") {
     // schema evolution: v2 of a table adds a column; a mergeSchema
     // read sees the union, with nulls where v1 files lack it
