@@ -95,6 +95,19 @@ object VectorQueries {
       .orderBy("query_id", "rnk")
   }, None)
 
+  /** PCA energy spectrum (ml.Pca): top-5 covariance eigenvalues +
+    * variance ratios. Rows-only: float moment sums are partition-order
+    * dependent by nature; VectorSpec pins spectral properties
+    * (positive, descending, ratios summing below 1). */
+  private val qPca = BoundQuery("q_pca", (s, d) => {
+    val (top, total) = graft.ml.Pca.covarianceSpectrum(
+      Tables.embeddings(s, d), col("embedding"), k = 5)
+    import s.implicits._
+    top.toSeq.zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, math.rint(v * 1e6) / 1e6, math.rint(v / total * 1e6) / 1e6)
+    }.toDF("rank", "eigenvalue", "variance_ratio")
+  }, None)
+
   /** Deterministic Lloyd's k-means (reference mlqueries.py:14) —
     * cluster sizes after 5 iterations from lowest-id init. */
   private val qKmeans = BoundQuery("q_kmeans", (s, d) => {
@@ -158,6 +171,6 @@ object VectorQueries {
   """))
 
   val all: Seq[BoundQuery] = Seq(
-    qEmbeddingNeardup, qAnnTopk, qAnnIvf, qPqTopk, qKmeans,
+    qEmbeddingNeardup, qAnnTopk, qAnnIvf, qPqTopk, qPca, qKmeans,
     qAssociationRules, qFrequentPairs)
 }

@@ -83,6 +83,16 @@ class VectorSpec extends AnyFunSuite {
     assert(c == Seq(8))
   }
 
+  test("PCA covariance spectrum has valid spectral structure") {
+    val (top, total) = graft.ml.Pca.covarianceSpectrum(emb, col("embedding"), 5)
+    assert(top.length == 5 && total > 0)
+    assert(top.forall(_ > 0))
+    assert(top.zip(top.tail).forall { case (a, b) => a >= b })
+    assert(top.sum <= total * (1 + 1e-9))
+    // near-isotropic synthetic embeddings: no single direction dominates
+    assert(top.head / total < 0.5)
+  }
+
   test("KMeansLite is deterministic and assigns every vector") {
     val m1 = KMeansLite.fit(emb, col("vec_id"), col("embedding"), k = 4, iters = 3)
     val m2 = KMeansLite.fit(emb, col("vec_id"), col("embedding"), k = 4, iters = 3)
