@@ -286,8 +286,52 @@ object ExtraQueries {
     ORDER BY c_custkey LIMIT 20
   """))
 
+  /** Ratio-to-report: each priority's share of total revenue — an
+    * unpartitioned SUM-over-window on the already-aggregated 5-row
+    * result (windows over aggregates, not rows, at scale). */
+  private val qPercentTotal = BoundQuery("q_percent_total", (s, d) => {
+    val w = Window.partitionBy()
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(sumCents(col("o_totalprice")).as("rc"))
+      .withColumn("share",
+        round(col("rc").cast("double") / sum(col("rc")).over(w).cast("double"), 9))
+      .select(col("o_orderpriority"), money(col("rc")).as("revenue"), col("share"))
+      .orderBy("o_orderpriority")
+  }, Some("""
+    WITH agg AS (
+      SELECT o_orderpriority,
+             CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS rc
+      FROM orders GROUP BY 1)
+    SELECT o_orderpriority, CAST(rc AS DOUBLE)/100.0 AS revenue,
+           round(CAST(rc AS DOUBLE) / CAST(sum(rc) OVER () AS DOUBLE), 9) AS share
+    FROM agg ORDER BY o_orderpriority
+  """))
+
+  /** First-touch attribution via max_by/min_by: each user's first
+    * event type and last purchase value in ONE aggregation — no
+    * window, no self-join (DuckDB twin: arg_min/arg_max). Ordered on
+    * the exact ns epoch; event_id breaks ties via the packed struct. */
+  private val qFirstTouch = BoundQuery("q_first_touch", (s, d) => {
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        min_by(col("event_type"),
+          format_string("%020d-%010d", col("ts_ns"), col("event_id"))).as("first_type"),
+        max_by(col("event_type"),
+          format_string("%020d-%010d", col("ts_ns"), col("event_id"))).as("last_type"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id")
+  }, Some("""
+    SELECT user_id,
+           arg_min(event_type, printf('%020d-%010d', epoch_ns(ts), event_id)) AS first_type,
+           arg_max(event_type, printf('%020d-%010d', epoch_ns(ts), event_id)) AS last_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id ORDER BY user_id
+  """))
+
   val all: Seq[BoundQuery] = Seq(
     qRunningRevenue, qRollupRevenue, qNoUrgentCustomers, qJsonProps,
     qAsofJoin, qApproxDistinct, qSaltedAgg, qRolling30d, qUnpivot,
-    qSetOps, qAboveAvg, qCalendar, qKeysetPage)
+    qSetOps, qAboveAvg, qCalendar, qKeysetPage, qPercentTotal, qFirstTouch)
 }
