@@ -330,8 +330,49 @@ object ExtraQueries {
     FROM events GROUP BY user_id ORDER BY user_id
   """))
 
+  /** Ordered string aggregation: per-customer, per-priority ordered
+    * key list. Built portably as sort(collect) + join — NUMERIC sort
+    * before stringification (a lexicographic listagg would order
+    * "10" before "2"); DuckDB twin is string_agg(... ORDER BY). */
+  private val qStringAgg = BoundQuery("q_string_agg", (s, d) => {
+    Tables.orders(s, d).where(col("o_custkey") < 20)
+      .groupBy(col("o_custkey"), col("o_orderpriority"))
+      .agg(array_join(
+        transform(sort_array(collect_list(col("o_orderkey"))), x => x.cast("string")),
+        ",").as("keys"))
+      .orderBy("o_custkey", "o_orderpriority")
+  }, Some("""
+    SELECT o_custkey, o_orderpriority,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS keys
+    FROM orders WHERE o_custkey < 20
+    GROUP BY 1, 2 ORDER BY o_custkey, o_orderpriority
+  """))
+
+  /** Per-group mode (most frequent priority per customer, ties to the
+    * lexicographically smallest) — count + rank, deterministic where a
+    * native mode()'s tie behavior is engine-defined. */
+  private val qMode = BoundQuery("q_mode", (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("cnt").desc, col("o_orderpriority"))
+    Tables.orders(s, d).where(col("o_custkey") < 100)
+      .groupBy(col("o_custkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderpriority").as("mode_priority"), col("cnt"))
+      .orderBy("o_custkey")
+  }, Some("""
+    SELECT o_custkey, o_orderpriority AS mode_priority, cnt FROM (
+      SELECT o_custkey, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY count(*) DESC, o_orderpriority) AS rn
+      FROM orders WHERE o_custkey < 100 GROUP BY 1, 2)
+    WHERE rn = 1 ORDER BY o_custkey
+  """))
+
   val all: Seq[BoundQuery] = Seq(
     qRunningRevenue, qRollupRevenue, qNoUrgentCustomers, qJsonProps,
     qAsofJoin, qApproxDistinct, qSaltedAgg, qRolling30d, qUnpivot,
-    qSetOps, qAboveAvg, qCalendar, qKeysetPage, qPercentTotal, qFirstTouch)
+    qSetOps, qAboveAvg, qCalendar, qKeysetPage, qPercentTotal, qFirstTouch,
+    qStringAgg, qMode)
 }
