@@ -97,6 +97,32 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Containment (overlap coefficient) pairs: |A∩B| / min(|A|,|B|) —
+    * catches near-SUBSET duplication (a doc embedded in a longer one)
+    * that symmetric jaccard under-scores: a 10-shingle doc fully
+    * inside a 100-shingle doc has jaccard 0.1 but containment 1.0.
+    * Same shingle-blocked, never-quadratic join shape as
+    * ngramJaccardPairs. */
+  def ngramContainmentPairs(df: DataFrame, idCol: Column, textCol: Column,
+                            shingleSize: Int, minContainment: Double): DataFrame = {
+    val docs = df.select(idCol.as("id"),
+        array_distinct(shingleHashes(df.sparkSession, textCol, shingleSize)).as("sh"))
+      .where(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = docs.select(col("id"), size(col("sh")).as("n"))
+    val exploded = docs.select(col("id"), explode(col("sh")).as("s"))
+    exploded.as("a")
+      .join(exploded.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("shared").cast("double") / least(col("na"), col("nb")).cast("double"))
+          .as("containment"))
+      .where(col("containment") >= minContainment)
+  }
+
   /** SimHash near-dup candidates: 64-bit signature per doc, block on
     * 16-bit signature prefix (near-dups almost always share it),
     * verify with exact hamming distance <= maxHamming. */

@@ -295,7 +295,35 @@ object TextQueries2 {
     ORDER BY word
   """))
 
+  /** Containment near-dup pairs (Dedup.ngramContainmentPairs): the
+    * subset-duplication detector jaccard under-scores. */
+  private val qContainmentPairs = BoundQuery("q_containment_pairs", (s, d) => {
+    Dedup.ngramContainmentPairs(Tables.documents(s, d), col("doc_id"), col("text"),
+      shingleSize = 5, minContainment = 0.5)
+      .orderBy("id_a", "id_b")
+  }, Some("""
+    WITH docs AS (
+      SELECT doc_id,
+        list_distinct(list_transform(range(1, greatest(len(w)-3, 1)),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS sh
+      FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents)
+      WHERE len(w) >= 5),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+      CAST(shared AS DOUBLE)/CAST(least(sa.n, sb.n) AS DOUBLE) AS containment
+    FROM shared JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(shared AS DOUBLE)/CAST(least(sa.n, sb.n) AS DOUBLE) >= 0.5
+    ORDER BY id_a, id_b
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qTfidf, qLevenshteinPairs, qDedupClusters, qCapPerSource,
-      qDedupKeepBest, qNormalize, qTrainSplit, qVocab, qCmsWords)
+      qDedupKeepBest, qNormalize, qTrainSplit, qVocab, qCmsWords,
+      qContainmentPairs)
 }
