@@ -47,6 +47,18 @@ class TextSpec extends AnyFunSuite {
     assert(d <= 20, s"hamming of near-identical sets was $d")
   }
 
+  test("containment dominates jaccard on every shared pair") {
+    // |A∩B|/min(|A|,|B|) >= |A∩B|/|A∪B| always; equality iff A ⊆ B or B ⊆ A
+    val jac = graft.operators.Dedup
+      .ngramJaccardPairs(docs, col("doc_id"), col("text"), 5, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val con = graft.operators.Dedup
+      .ngramContainmentPairs(docs, col("doc_id"), col("text"), 5, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jac.keySet == con.keySet && jac.nonEmpty)
+    jac.foreach { case (k, j) => assert(con(k) >= j - 1e-12, s"pair $k") }
+  }
+
   test("NormalizeString canonicalizes composed/decomposed to one form") {
     import graft.expressions.NormalizeString.normalizeString
     import spark.implicits._
