@@ -48,7 +48,7 @@ object BloomFns {
     var i = 0
     while (i < numHashes) {
       val bit = java.lang.Long.remainderUnsigned(h1 + i * h2, numBits)
-      if ((bytes((bit >>> 3).toInt) & (1 << (bit & 7))) == 0) return false
+      if ((bytes((bit >>> 3).toInt) & (1 << (bit & 7).toInt)) == 0) return false
       i += 1
     }
     true
