@@ -22,6 +22,20 @@ class RegistrySpec extends AnyFunSuite {
     assert(Registry.oracles.keySet.subsetOf(Registry.queries.keySet))
   }
 
+  test("SURVEY §2 inventory and the Registry agree (no doc drift)") {
+    val survey = scala.io.Source.fromFile("SURVEY.md", "UTF-8").getLines().mkString("\n")
+    val documented = "\\| (q_?[a-z0-9_]+) \\|".r
+      .findAllMatchIn(survey).map(_.group(1)).toSet
+      .filter(n => n.startsWith("q_") || n.matches("q\\d.*"))
+    val bound = Registry.queries.keySet
+    // every documented query row must be runnable...
+    val missing = documented -- bound
+    assert(missing.isEmpty, s"SURVEY rows with no bound query: $missing")
+    // ...and every bound query must be documented
+    val undocumented = bound -- documented
+    assert(undocumented.isEmpty, s"bound queries missing from SURVEY: $undocumented")
+  }
+
   test("q1 aggregates match a hand check at sf0.001") {
     val row = Registry.queries("q1_pricing_summary")(spark, sfTiny)
       .where("l_returnflag = 'A' and l_linestatus = 'F'")
