@@ -99,6 +99,41 @@ object EventStreams {
       col("pts") <= col("vts") + expr("INTERVAL 30 MINUTES"))
   }
 
+  /** Streaming sessionization via flatMapGroupsWithState: emits each
+    * CLOSED session (start, event count) as soon as a later event
+    * proves the gap elapsed; the possibly-still-open trailing session
+    * per user lives in state (in production an event-time timeout
+    * would flush it — kept NoTimeout here so replay semantics are
+    * exact). Gap boundary matches session_window: a diff >= gap opens
+    * a new session. The zero-or-more-outputs-per-invocation shape is
+    * what mapGroupsWithState cannot express. */
+  def sessionizedCounts(spark: SparkSession, dir: String,
+                        gapMinutes: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val events = spark.readStream.schema(eventsSchema).parquet(dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      .as[(Long, Long)]
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[List[Long], (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          // state: the open trailing session's timestamps (sorted)
+          val all = (state.getOption.getOrElse(Nil) ++ rows.map(_._2)).sorted
+          val closed = scala.collection.mutable.ListBuffer[Vector[Long]]()
+          var cur = Vector.empty[Long]
+          all.foreach { t =>
+            if (cur.isEmpty || t - cur.last < gapUs) cur :+= t
+            else { closed += cur; cur = Vector(t) }
+          }
+          state.update(cur.toList)
+          closed.iterator.map(s => (user, s.head, s.length.toLong))
+      }
+      .toDF("user_id", "session_start_us", "n_events")
+  }
+
   /** Streaming hourly counts per event type with a 2h watermark. */
   def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

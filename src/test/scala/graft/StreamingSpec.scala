@@ -135,6 +135,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionizer emits exactly the closed sessions") {
+    val dir = java.nio.file.Files.createTempDirectory("events_fmgs")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfTiny/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStreams.sessionizedCounts(spark, dir.toString, gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("fmgs_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("fmgs_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // batch truth: native session_window with the same gap
+      val batch = graft.sources.Tables.events(spark, sfTiny)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), unix_micros(col("w.start")), col("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // the stream never closes each user's final session (NoTimeout):
+      // emitted = batch minus exactly one trailing session per user
+      val users = batch.map(_._1)
+      assert(emitted.subsetOf(batch), s"phantom sessions: ${emitted -- batch}")
+      assert(batch.size - emitted.size == users.size,
+        s"${batch.size} batch vs ${emitted.size} emitted for ${users.size} users")
+    } finally q.stop()
+  }
+
   test("GraftExtensions registers custom SQL functions") {
     graft.expressions.GraftExtensions.registerAll(spark)
     val r = spark.sql(
