@@ -72,6 +72,28 @@ object ExtraQueries {
     ORDER BY custkey
   """))
 
+  /** Schema-ful JSON parsing with from_json (vs q_json_props'
+    * path extraction): the whole payload becomes a typed struct once,
+    * then fields are ordinary columns — the right shape when several
+    * fields are read (one parse, not one per path). */
+  private val qJsonStruct = BoundQuery("q_json_struct", (s, d) => {
+    Tables.events(s, d)
+      .withColumn("j", from_json(col("props"), lit("k BIGINT")))
+      .where(col("j.k").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(sum(col("j.k")).as("sum_k"),
+        min(col("j.k")).as("min_k"), max(col("j.k")).as("max_k"))
+      .orderBy("event_type")
+  }, Some("""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+  """))
+
   /** Semi-structured extraction: parse the JSON props column and
     * aggregate an extracted field (exact int sums). */
   private val qJsonProps = BoundQuery("q_json_props", (s, d) => {
@@ -372,7 +394,7 @@ object ExtraQueries {
 
   val all: Seq[BoundQuery] = Seq(
     qRunningRevenue, qRollupRevenue, qNoUrgentCustomers, qJsonProps,
-    qAsofJoin, qApproxDistinct, qSaltedAgg, qRolling30d, qUnpivot,
-    qSetOps, qAboveAvg, qCalendar, qKeysetPage, qPercentTotal, qFirstTouch,
-    qStringAgg, qMode)
+    qJsonStruct, qAsofJoin, qApproxDistinct, qSaltedAgg, qRolling30d,
+    qUnpivot, qSetOps, qAboveAvg, qCalendar, qKeysetPage, qPercentTotal,
+    qFirstTouch, qStringAgg, qMode)
 }
