@@ -561,9 +561,47 @@ object ExtraQueries2 {
     GROUP BY status ORDER BY status
   """))
 
+  /** Robust statistics: median absolute deviation and IQR outlier
+    * fences — the outlier toolkit mean/stddev can't provide (one
+    * extreme value moves the mean; the median shrugs). Two passes:
+    * exact quartiles broadcast as a 1-row aggregate, then MAD and
+    * fence counts in a second scan. Exact-interpolation percentiles
+    * agree across engines (proven by q_value_stats). */
+  private val qRobustStats = BoundQuery("q_robust_stats", (s, d) => {
+    val o = Tables.orders(s, d)
+    val quartiles = o.agg(
+      expr("percentile(o_totalprice, 0.25D)").as("q1"),
+      expr("percentile(o_totalprice, 0.5D)").as("med"),
+      expr("percentile(o_totalprice, 0.75D)").as("q3"))
+    o.crossJoin(broadcast(quartiles))
+      .agg(
+        first(col("med")).as("median"),
+        expr("percentile(abs(o_totalprice - med), 0.5D)").as("mad"),
+        sum(when(col("o_totalprice") < col("q1") - (col("q3") - col("q1")) * 1.5, 1L)
+          .otherwise(0L)).as("low_outliers"),
+        sum(when(col("o_totalprice") > col("q3") + (col("q3") - col("q1")) * 1.5, 1L)
+          .otherwise(0L)).as("high_outliers"))
+      .select(round(col("median"), 6).as("median"), round(col("mad"), 6).as("mad"),
+        col("low_outliers"), col("high_outliers"))
+  }, Some("""
+    WITH q AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+                      quantile_cont(o_totalprice, 0.5) AS med,
+                      quantile_cont(o_totalprice, 0.75) AS q3
+               FROM orders)
+    SELECT round(med, 6) AS median,
+           round((SELECT quantile_cont(abs(o_totalprice - med), 0.5)
+                  FROM orders), 6) AS mad,
+           CAST(sum(CASE WHEN o_totalprice < q1 - (q3 - q1) * 1.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS low_outliers,
+           CAST(sum(CASE WHEN o_totalprice > q3 + (q3 - q1) * 1.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS high_outliers
+    FROM orders CROSS JOIN q
+    GROUP BY q1, med, q3
+  """))
+
   val all: Seq[BoundQuery] = Seq(
     qPivot, qCube, qWindowSuite, qHashSample, qSemiPrune, qUpsert,
     qProfile, qRangeJoin, qApproxQuantiles, qHistogram, qCorrelation,
     qDecile, qZorder, qPiiScrub, qBloomPrune, qEquiDepth, qChiSquare,
-    qBottomkSample, qLinreg, qWeightedSample, qTableDiff)
+    qBottomkSample, qLinreg, qWeightedSample, qTableDiff, qRobustStats)
 }
