@@ -138,6 +138,50 @@ object Registry {
     GROUP BY n_name ORDER BY revenue DESC, n_name
   """), headline = true)
 
+  /** TPC-H Q7 shape: bilateral trade volume — supplier nation x
+    * customer nation pairs (both directions), revenue by year. The
+    * nation pair filter broadcasts; the fact joins shuffle on their
+    * natural keys. */
+  private val q7 = BoundQuery("q7_volume_shipping", (s, d) => {
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val pairs = Seq("NATION_1", "NATION_2", "NATION_3")
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .where(col("o_orderdate").isNotNull &&
+        col("supp_nation") =!= col("cust_nation") &&
+        col("supp_nation").isin(pairs: _*) && col("cust_nation").isin(pairs: _*))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("o_orderdate")).cast("long").as("l_year"))
+      .agg(sumCents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rc"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        money(col("rc")).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }, Some("""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(o_orderdate) AS BIGINT) AS l_year,
+           CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100,0) AS BIGINT)) AS DOUBLE)/100.0
+             AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE o_orderdate IS NOT NULL
+      AND sn.n_name <> cn.n_name
+      AND sn.n_name IN ('NATION_1','NATION_2','NATION_3')
+      AND cn.n_name IN ('NATION_1','NATION_2','NATION_3')
+    GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year
+  """))
+
   // ---------------------------------------------------------------
   // §2.1 Reference analytics (queries.py)
   // ---------------------------------------------------------------
@@ -589,7 +633,7 @@ object Registry {
   // ---------------------------------------------------------------
 
   private val coreQueries: Seq[BoundQuery] = Seq(
-    q1, q3, q5,
+    q1, q3, q5, q7,
     qYears, qFirstRows, qPaginate, qCountByGroup, qFilterByToken,
     qMonthlyPosted, qYearlyPosted, qMonthlyShipped, qYearlyShipped,
     qMonthInYear, qHourlyPosted, qHourlyByType,
