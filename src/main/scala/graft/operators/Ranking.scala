@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global ranking. A bare `row_number() OVER (ORDER BY …)`
+  * has no PARTITION BY, so Spark plans a single-partition WindowExec —
+  * every row funnels through one task, the classic scale-killer for
+  * "assign contiguous ids by rank" (vocabulary induction, leaderboard
+  * materialization). This is the two-phase form:
+  *
+  *   1. range-repartition on the sort key (a sampled RangePartitioner
+  *      gives contiguous, ordered key ranges per partition id),
+  *   2. row_number WITHIN each partition (parallel),
+  *   3. add each partition's start offset = sum of earlier partition
+  *      counts (one tiny P-row aggregate, P = shuffle partitions).
+  *
+  * Output is bit-identical to the single-partition window as long as
+  * the sort is total (pass a tiebreak column); no task ever sees more
+  * than ~n/P rows. Same decomposition Spark's own `zipWithIndex` uses,
+  * expressed in DataFrame ops so Catalyst keeps optimizing around it.
+  */
+object Ranking {
+
+  /** `df` + `outCol` = 0-based dense global row number by `sortCols`
+    * (must define a total order for a deterministic result). */
+  def globalRowNumber(df: DataFrame, outCol: String, sortCols: Column*): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val local = parted.withColumn("__lrn",
+      row_number().over(Window.partitionBy("__pid").orderBy(sortCols: _*)).cast("long"))
+    // Prefix sums over the P per-partition counts via a P×P self-join
+    // (P = shuffle partitions, so ~32² rows) — NOT an unpartitioned
+    // window, which would plan the very single-partition WindowExec
+    // this operator exists to avoid.
+    val cnts = local.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+    val offsets = cnts.as("x")
+      .join(cnts.as("y"), col("y.__pid") < col("x.__pid"), "left")
+      .groupBy(col("x.__pid").as("__pid"))
+      .agg(coalesce(sum(col("y.__cnt")), lit(0L)).as("__off"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(outCol, col("__off") + col("__lrn") - 1)
+      .drop("__pid", "__lrn", "__off")
+  }
+}

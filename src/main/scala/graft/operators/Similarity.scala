@@ -14,7 +14,8 @@ import graft.expressions.DotProduct.dotProduct
   * near-dup scan. `lshCosinePairs` is the scale path: random-
   * hyperplane sign buckets (Charikar SimHash for vectors) block the
   * join to same-bucket candidates, verified exactly — O(n x bucket)
-  * instead of O(n^2). Planes are derived from a fixed seed:
+  * instead of O(n^2), with banding (multiple independent tables)
+  * buying recall back. Planes are derived from a fixed seed:
   * deterministic across runs and partitionings.
   */
 object Similarity {
@@ -63,26 +64,67 @@ object Similarity {
       .where(col("cosine") >= tau)
   }
 
-  /** Random-hyperplane LSH near-dup pairs: vectors sharing the full
-    * sign bucket of `planes` hyperplanes are candidates, verified with
-    * the exact cosine. Recall is tunable via planes (fewer planes =
-    * bigger buckets = higher recall, more work). */
+  /** Random-hyperplane LSH near-dup pairs (Charikar '02), banded:
+    * `tables` independent hash tables of `planes` hyperplanes each.
+    * Two vectors are candidates when they share the full sign
+    * signature of ANY table; candidates are deduped then verified with
+    * the exact cosine, so precision is exact and only recall is
+    * approximate. Per-plane collision probability for angle θ is
+    * 1-θ/π, so recall at threshold τ is ≥ 1-(1-(1-acos(τ)/π)^planes)^tables
+    * — planes controls bucket selectivity (bucket size ~ n/2^planes on
+    * isotropic data; grow it with n), tables buys recall back. This is
+    * the same band trick as Dedup.minhashCandidates: O(n·tables)
+    * bucket rows, never the O(n²) compare. `maxBucket` drops
+    * degenerate buckets (all-near-identical corpora) the way frequent-
+    * shingle caps do — candidates only ever shrink, so the exact-verify
+    * subset property is preserved. Planes derive from a fixed seed:
+    * deterministic across runs and partitionings. */
   def lshCosinePairs(df: DataFrame, idCol: Column, vecCol: Column, tau: Double,
-                     dim: Int, planes: Int = 8, seed: Long = 42L): DataFrame = {
+                     dim: Int, planes: Int = 8, tables: Int = 1,
+                     maxBucket: Int = 100000, seed: Long = 42L): DataFrame = {
     val rnd = new scala.util.Random(seed)
     val hyper: Seq[Seq[Double]] =
-      Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
-    val n = normed(df, idCol, vecCol)
-    val bucket = (0 until planes).map { p =>
-      val plane = array(hyper(p).map(lit): _*)
-      (dot(col("vn"), plane) > 0).cast("int") * lit(1 << p)
-    }.reduce(_ + _)
-    val b = n.withColumn("bucket", bucket).persist(StorageLevel.MEMORY_AND_DISK)
-    b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      Seq.fill(tables * planes)(Seq.fill(dim)(rnd.nextGaussian()))
+    val n = normed(df, idCol, vecCol).persist(StorageLevel.MEMORY_AND_DISK)
+    // One typedLit constant + one transform pass computes all
+    // tables*planes sign bits — inlining each plane as its own array()
+    // literal would put tables*planes*dim literal nodes in the plan and
+    // dominate runtime with analysis/codegen, not math.
+    val planesLit = typedLit(hyper)
+    val bits = transform(planesLit, p => (dot(col("vn"), p) > 0).cast("int"))
+    val sigCols = (0 until tables).map { t =>
+      val sig = (0 until planes).map { p =>
+        element_at(col("__bits"), t * planes + p + 1) * lit(1 << p)
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), sig.as("sig"))
+    }
+    // Vectors ride along with the bucket rows: the in-bucket join then
+    // verifies candidates INLINE (cosine + tau filter pipelined in the
+    // join task, never materialized), and the pair-dedup groupBy runs
+    // AFTER the filter, over true pairs only — orders of magnitude
+    // smaller than a distinct over all candidates. Shuffle volume is
+    // O(n·tables·dim): the same factor the signature computation
+    // already pays.
+    val buckets = n
+      .withColumn("__bits", bits)
+      .select(col("id"), col("vn"), explode(array(sigCols: _*)).as("bk"))
+      .select(col("id"), col("vn"), col("bk.tbl").as("tbl"), col("bk.sig").as("sig"))
+    // Degenerate-bucket guard: one count window over the bucket shuffle
+    // the join needs anyway. (A groupBy + anti-join variant was tried
+    // and REGRESSED 2.5×: it forks the plan above the signature stage,
+    // recomputing it per branch.)
+    val capped = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("tbl", "sig")
+      buckets.withColumn("__bn", count(lit(1)).over(w))
+        .where(col("__bn") <= maxBucket).drop("__bn")
+    }
+    capped.as("a").join(capped.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+        col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(dotProduct(df.sparkSession, col("a.vn"), col("b.vn")), 6).as("cosine"))
       .where(col("cosine") >= tau)
+      .groupBy("id_a", "id_b").agg(first(col("cosine")).as("cosine"))
   }
 
   /** IVF-style ANN: assign every vector to its nearest of `nCells`

@@ -250,14 +250,18 @@ object TextQueries2 {
 
   /** Vocabulary induction: corpus token frequencies ranked into
     * contiguous ids (freq desc, token asc) with a min-count floor —
-    * the relational core of tokenizer training. */
+    * the relational core of tokenizer training. Ids come from
+    * operators.Ranking.globalRowNumber (range-partition + local rank +
+    * offset), not a bare ORDER BY window: a web-scale vocabulary is
+    * 10⁷–10⁸ rows, which a single-partition WindowExec would funnel
+    * through one task. */
   private val qVocab = BoundQuery("q_vocab", (s, d) => {
-    val w = Window.orderBy(col("freq").desc, col("token").asc)
-    Tables.documents(s, d)
+    val tf = Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
       .where(col("freq") >= 5)
-      .withColumn("vocab_id", row_number().over(w).cast("long") - 1)
+    graft.operators.Ranking.globalRowNumber(tf, "vocab_id",
+        col("freq").desc, col("token").asc)
       .orderBy("vocab_id")
   }, Some("""
     WITH tf AS (

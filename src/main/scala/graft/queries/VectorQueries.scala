@@ -24,9 +24,11 @@ object VectorQueries {
   private val duckNorm =
     "sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (x, y) -> x + y))"
 
-  /** Embedding cosine near-dup pairs (exact baseline operator;
-    * Similarity.lshCosinePairs is the blocked scale path, spec'd for
-    * recall against this). */
+  /** Embedding cosine near-dup pairs — the EXACT all-pairs baseline.
+    * Oracle-support + recall reference only; the bench headline is
+    * q_lsh_cosine_pairs below, whose banded blocking is the shape that
+    * survives 100× data (this one broadcasts the collection into an
+    * O(n²) compare by construction). */
   private val qEmbeddingNeardup = BoundQuery("q_embedding_neardup", (s, d) => {
     Similarity.cosinePairs(Tables.embeddings(s, d), col("vec_id"), col("embedding"), 0.4)
       .orderBy("id_a", "id_b")
@@ -38,7 +40,20 @@ object VectorQueries {
     FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE round(${duckCosine("a", "b")}, 6) >= 0.4
     ORDER BY id_a, id_b
-  """), headline = true)
+  """))
+
+  /** Banded hyperplane-LSH cosine near-dup pairs — the near-dup
+    * HEADLINE and the 100 TB path: O(n·tables) bucket rows + in-bucket
+    * joins instead of the exact baseline's O(n²) broadcast compare.
+    * Exact verification means every emitted pair is a true pair at
+    * tau; rows-only by design (the hyperplane buckets are seeded
+    * Gaussian draws, not SQL-expressible) — VectorSpec pins subset +
+    * recall ≥ floor vs the exact baseline at these same parameters. */
+  private val qLshCosinePairs = BoundQuery("q_lsh_cosine_pairs", (s, d) => {
+    Similarity.lshCosinePairs(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+      tau = 0.4, dim = 64, planes = 5, tables = 16)
+      .orderBy("id_a", "id_b")
+  }, None, headline = true)
 
   /** Brute-force cosine top-k per query vector (queries = vec_id<5). */
   private val qAnnTopk = BoundQuery("q_ann_topk", (s, d) => {
@@ -171,6 +186,6 @@ object VectorQueries {
   """))
 
   val all: Seq[BoundQuery] = Seq(
-    qEmbeddingNeardup, qAnnTopk, qAnnIvf, qPqTopk, qPca, qKmeans,
+    qEmbeddingNeardup, qLshCosinePairs, qAnnTopk, qAnnIvf, qPqTopk, qPca, qKmeans,
     qAssociationRules, qFrequentPairs)
 }

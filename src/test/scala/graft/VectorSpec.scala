@@ -53,6 +53,26 @@ class VectorSpec extends AnyFunSuite {
     assert(exact.isEmpty || lsh.nonEmpty)
   }
 
+  test("banded LSH at the q_lsh_cosine_pairs parameters: subset, exact scores, recall floor") {
+    val exact = Similarity.cosinePairs(emb, col("vec_id"), col("embedding"), 0.4)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("cosine"))
+      .toMap
+    val lsh = Similarity.lshCosinePairs(emb, col("vec_id"), col("embedding"),
+        tau = 0.4, dim = 64, planes = 5, tables = 16)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("cosine"))
+      .toMap
+    // precision is exact: every emitted pair is a true pair with the true score
+    assert(lsh.keySet.subsetOf(exact.keySet))
+    lsh.foreach { case (k, c) => assert(c == exact(k)) }
+    // theory: per-plane collision p = 1-acos(0.4)/pi ≈ 0.631 at the
+    // threshold (higher above it), recall ≥ 1-(1-p^5)^16 ≈ 0.81.
+    // 0.55 floors it with slack for the finite-sample draw.
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.55, s"banded LSH recall $recall (${lsh.size}/${exact.size})")
+  }
+
   test("PQ ADC top-k recalls most of the exact L2 top-k") {
     import graft.ml.ProductQuantizer
     val cb = ProductQuantizer.train(emb, col("vec_id"), col("embedding"),

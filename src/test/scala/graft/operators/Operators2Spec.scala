@@ -84,6 +84,25 @@ class Operators2Spec extends AnyFunSuite {
     assert(got == Set((1L, 10L, "K"), (2L, 77L, "U"), (3L, 30L, "K"), (9L, 55L, "I")))
   }
 
+  test("Ranking.globalRowNumber equals the single-partition window rank") {
+    val rnd = new scala.util.Random(7)
+    // duplicate freqs force the tiebreak column to matter
+    val df = (0 until 5000).map(i => (s"tok_$i", rnd.nextInt(40).toLong))
+      .toDF("token", "freq").repartition(8)
+    val twoPhase = Ranking.globalRowNumber(df, "rid", col("freq").desc, col("token").asc)
+      .collect().map(r => (r.getAs[String]("token"), r.getAs[Long]("rid"))).toMap
+    val oneTask = df.withColumn("rid",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("token").asc)).cast("long") - 1)
+      .collect().map(r => (r.getAs[String]("token"), r.getAs[Long]("rid"))).toMap
+    assert(twoPhase == oneTask)
+  }
+
+  test("Ranking.globalRowNumber on empty input is empty") {
+    val df = Seq.empty[(String, Long)].toDF("token", "freq")
+    assert(Ranking.globalRowNumber(df, "rid", col("freq").desc).count() == 0)
+  }
+
   test("Diff.byKey classifies added/removed/changed/same correctly") {
     val a = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
     val b = Seq((2L, 20L), (3L, 99L), (4L, 40L)).toDF("k", "v")
