@@ -30,22 +30,36 @@ object CmsFns {
     z ^ (z >>> 31)
   }
 
-  // String.hashCode is specified and stable across JVMs
-  private def bucket(item: String, row: Int, width: Int): Int =
-    java.lang.Long.remainderUnsigned(mix(item.hashCode.toLong ^ (row * 0x9e3779b9L)), width).toInt
+  /** Per-row 64-bit hash over the string BYTES, seeded by the row
+    * index. Scrambling one shared 32-bit String.hashCode would make
+    * any hashCode collision collide in EVERY row — depth would no
+    * longer reduce overcount for such pairs, voiding the standard CMS
+    * error bound. Independent byte-wise hashes per row restore it
+    * (deterministic across JVMs: UTF-8 bytes + fixed constants). */
+  private def rowHash(bytes: Array[Byte], row: Int): Long = {
+    var h = mix((row + 1).toLong * 0x9e3779b97f4a7c15L)
+    var i = 0
+    while (i < bytes.length) { h = mix(h ^ (bytes(i) & 0xffL)); i += 1 }
+    h
+  }
+
+  private def bucket(bytes: Array[Byte], row: Int, width: Int): Int =
+    java.lang.Long.remainderUnsigned(rowHash(bytes, row), width).toInt
 
   def add(counters: Array[Long], item: String, depth: Int, width: Int, by: Long): Unit = {
+    val bytes = item.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var d = 0
-    while (d < depth) { counters(d * width + bucket(item, d, width)) += by; d += 1 }
+    while (d < depth) { counters(d * width + bucket(bytes, d, width)) += by; d += 1 }
   }
 
   /** Called from both interpreted eval and generated code. */
   def estimate(bytes: Array[Byte], item: String, depth: Int, width: Int): Long = {
+    val itemBytes = item.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     var min = Long.MaxValue
     var d = 0
     while (d < depth) {
-      val c = bb.getLong((d * width + bucket(item, d, width)) * 8)
+      val c = bb.getLong((d * width + bucket(itemBytes, d, width)) * 8)
       if (c < min) min = c
       d += 1
     }

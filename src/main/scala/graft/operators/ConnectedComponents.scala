@@ -30,9 +30,24 @@ object ConnectedComponents {
 
   /** Edge list (aCol, bCol: long node ids, undirected) → (id, component)
     * for every node appearing in an edge; `component` is the minimum
-    * node id of the component (deterministic canonical choice). */
+    * node id of the component (deterministic canonical choice).
+    *
+    * If `maxIter` is hit before convergence (possible only on graphs
+    * whose diameter >> 2^maxIter-reachable — pathological at 25), the
+    * labels are PARTIAL: a cluster may carry several "canonical" ids.
+    * That must not pass silently into a dedup pipeline, so this either
+    * throws (`requireConvergence = true`) or logs a loud warning;
+    * callers needing the flag programmatically use
+    * `labelPropagationWithStatus`. */
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
-                       maxIter: Int = 25): DataFrame = {
+                       maxIter: Int = 25, requireConvergence: Boolean = false): DataFrame =
+    labelPropagationWithStatus(edges, aCol, bCol, maxIter, requireConvergence)._1
+
+  /** As labelPropagation, additionally returning whether the labels
+    * converged within maxIter rounds. */
+  def labelPropagationWithStatus(edges: DataFrame, aCol: String, bCol: String,
+                                 maxIter: Int = 25, requireConvergence: Boolean = false)
+      : (DataFrame, Boolean) = {
     val e = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
     // Undirected: propagate both ways.
     val adj = e.union(e.select(col("b").as("a"), col("a").as("b")))
@@ -64,6 +79,12 @@ object ConnectedComponents {
       iter += 1
     }
     adj.unpersist()
-    labels.select(col("id"), col("label").as("component"))
+    if (!converged) {
+      val msg = s"ConnectedComponents.labelPropagation did NOT converge within " +
+        s"$maxIter rounds — labels are partial (multiple canonical ids per cluster possible)"
+      if (requireConvergence) throw new IllegalStateException(msg)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
+    (labels.select(col("id"), col("label").as("component")), converged)
   }
 }

@@ -22,7 +22,11 @@ object Upsert {
     * newer, ties broken by `tiebreak` for determinism). Returns the
     * merged snapshot with an `op` column: 'U' where a change replaced
     * a base row, 'I' where a change inserted a new key, 'K' where the
-    * base row was kept. */
+    * base row was kept. A winning change row replaces the base row
+    * WHOLESALE (keyed on the change row's presence, not per-column
+    * coalesce), so an explicit NULL payload in a change nulls the
+    * field out — true MERGE 'update set row' semantics; a coalesce
+    * merge would silently make null-out updates unexpressible. */
   def applyChanges(base: DataFrame, changes: DataFrame, keyCol: String,
                    versionCol: Column, tiebreak: Column): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(versionCol.desc, tiebreak.desc)
@@ -32,11 +36,12 @@ object Upsert {
     val b = base.as("b")
     val c = latest.as("c")
     val merged = b.join(c, col(s"b.$keyCol") === col(s"c.$keyCol"), "full_outer")
+    val fromChange = col(s"c.$keyCol").isNotNull
     val cols =
-      coalesce(col(s"c.$keyCol"), col(s"b.$keyCol")).as(keyCol) +:
-        payload.map(p => coalesce(col(s"c.$p"), col(s"b.$p")).as(p)) :+
-        when(col(s"c.$keyCol").isNotNull && col(s"b.$keyCol").isNotNull, lit("U"))
-          .when(col(s"c.$keyCol").isNotNull, lit("I"))
+      when(fromChange, col(s"c.$keyCol")).otherwise(col(s"b.$keyCol")).as(keyCol) +:
+        payload.map(p => when(fromChange, col(s"c.$p")).otherwise(col(s"b.$p")).as(p)) :+
+        when(fromChange && col(s"b.$keyCol").isNotNull, lit("U"))
+          .when(fromChange, lit("I"))
           .otherwise(lit("K")).as("op")
     merged.select(cols: _*)
   }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
@@ -29,14 +29,22 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   * median interval width). Disable with
   * `spark.graft.rangeJoin.enabled=false`.
   *
-  * Sizing caveat: each range row explodes into (hi-lo)/bucketWidth
-  * buckets, so a width orders of magnitude below the interval span
-  * makes Sequence refuse the oversized array at runtime — set the
-  * width per workload (it is a runtime conf) or disable the rule for
-  * pathological range tables.
+  * Sizing: each range row explodes into (hi-lo)/bucketWidth buckets.
+  * Rows whose span exceeds `spark.graft.rangeJoin.maxBucketsPerRow`
+  * (default 10000) are split off into a nested-loop fallback branch
+  * (a Union of bucketed-join-on-small-spans and plain-join-on-huge-
+  * spans): a width orders of magnitude below some outlier interval's
+  * span can therefore never turn a working (slow) query into a
+  * Sequence runtime failure or an executor OOM — the rewrite
+  * degrades, worst case, to exactly the nested loop it replaces, and
+  * only for the outlier rows. Set the width per workload (it is a
+  * runtime conf) to keep the fallback branch empty.
   *
-  * Re-application is self-guarding: the rewritten join's condition has
-  * a top-level equality conjunct, which the matcher rejects.
+  * Re-application is self-guarding: the rewritten bucketed join's
+  * condition gains a top-level equality conjunct and the fallback
+  * join's a top-level span-guard conjunct — either breaks the
+  * two-comparison BETWEEN shape the matcher requires, so transform's
+  * descent into the rewritten children cannot match again.
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] {
 
@@ -88,6 +96,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
                       cond: Expression, hint: org.apache.spark.sql.catalyst.plans.logical.JoinHint)
       : LogicalPlan = {
     val w = Literal(conf("bucketWidth", "10000.0").toDouble, DoubleType)
+    val maxBuckets = Literal(conf("maxBucketsPerRow", "10000").toLong, LongType)
     def bucketOf(e: Expression): Expression = Floor(Divide(Cast(e, DoubleType), w))
     val pBkt = Alias(bucketOf(p), "__graft_p_bkt")()
     val points = Project(pointSide.output :+ pBkt, pointSide)
@@ -97,6 +106,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     // run after the analyzer, nothing re-resolves for us).
     val loB = bucketOf(lo)
     val hiB = bucketOf(hi)
+    val span = Subtract(hiB, loB)
     val seq = new Sequence(loB, hiB, Literal(1L, LongType))
       .withTimeZone(SQLConf.get.sessionLocalTimeZone)
     // inverted/empty intervals must emit zero buckets, not throw
@@ -104,12 +114,22 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     val guarded = If(LessThanOrEqual(loB, hiB), seq,
       Literal.create(Array.empty[Long],
         org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)))
+    // Small-span rows take the bucketed equi-join; rows whose interval
+    // would explode into more than maxBucketsPerRow buckets fall back
+    // to the plain (nested-loop) join. Null-span rows (null bound)
+    // drop from both branches — they cannot satisfy the BETWEEN
+    // anyway. Identical output set, bounded per-row work.
+    val smallRanges = Filter(LessThanOrEqual(span, maxBuckets), rangeSide)
     val ranges = Generate(
       Explode(guarded),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
-      generatorOutput = Seq(rBkt), child = rangeSide)
-    val joined = Join(points, ranges, Inner,
-      Some(And(EqualTo(pBkt.toAttribute, rBkt), cond)), hint)
-    Project(output, joined)
+      generatorOutput = Seq(rBkt), child = smallRanges)
+    val bucketed = Project(output,
+      Join(points, ranges, Inner,
+        Some(And(EqualTo(pBkt.toAttribute, rBkt), cond)), hint))
+    val fallback = Project(output,
+      Join(pointSide, rangeSide, Inner,
+        Some(And(GreaterThan(span, maxBuckets), cond)), hint))
+    Union(Seq(bucketed, fallback))
   }
 }

@@ -146,7 +146,8 @@ object ExtraQueries2 {
     base AS (SELECT c_custkey AS key, CAST(round(c_acctbal*100,0) AS BIGINT) AS bal_c
              FROM customer)
     SELECT coalesce(l.key, b.key) AS key,
-           CAST(coalesce(l.bal_c, b.bal_c) AS DOUBLE)/100.0 AS balance,
+           CAST(CASE WHEN l.key IS NOT NULL THEN l.bal_c ELSE b.bal_c END
+                AS DOUBLE)/100.0 AS balance,
            CASE WHEN l.key IS NOT NULL AND b.key IS NOT NULL THEN 'U'
                 WHEN l.key IS NOT NULL THEN 'I' ELSE 'K' END AS op
     FROM base b FULL OUTER JOIN latest l ON b.key = l.key
@@ -313,7 +314,7 @@ object ExtraQueries2 {
     * the layout sort key for two-dimensional clustering. Oracle builds
     * the identical 16-bit interleave with SQL shift/mask terms. */
   private val qZorder = {
-    val duckZ = (0 until 16).map { i =>
+    val duckZ = (0 until 21).map { i =>
       s"(((c_custkey >> $i) & 1) << ${2 * i}) | (((c_nationkey >> $i) & 1) << ${2 * i + 1})"
     }.mkString("(", ") | (", ")")
     BoundQuery("q_zorder", (s, d) => {

@@ -40,12 +40,15 @@ object TextQueries {
     * shingle-blocked — never O(n^2). 5-gram (not 3-gram) shingles keep
     * blocking selective on this corpus's tiny vocabulary: 34^5 possible
     * shingles vs 34^3 means shingle document-frequency ~1, so the
-    * blocking join only pairs genuine near-dups. Lossless for a
-    * threshold defined over 5-gram sets: qualifying pairs must share
-    * a shingle. */
+    * blocking join only pairs genuine near-dups. The maxShingleDf=20
+    * skew cap is BOUND here (df maxes at 3-4 on this corpus, so the
+    * oracle stays exact) — on a web corpus it is what stops one
+    * boilerplate shingle from exploding into m² candidate rows;
+    * capped candidates re-verify against full shingle sets, so
+    * emitted jaccards are the true values either way. */
   private val qNgramJaccard = BoundQuery("q_ngram_jaccard", (s, d) => {
     Dedup.ngramJaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"),
-      shingleSize = 5, minJaccard = 0.3)
+      shingleSize = 5, minJaccard = 0.3, maxShingleDf = Some(20))
       .orderBy("id_a", "id_b")
   }, Some("""
     WITH docs AS (

@@ -31,7 +31,10 @@ class PlansSpec extends AnyFunSuite {
     val expected = pairs(naive)
     withRule {
       val rewritten = points.join(bands, betweenCond)
-      assert(!rewritten.queryExecution.executedPlan.toString.contains("NestedLoop"))
+      val plan = rewritten.queryExecution.executedPlan.toString
+      // the bucketed equi branch carries the data; the NestedLoop that
+      // remains is the (empty here) oversized-span fallback branch
+      assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
       assert(pairs(rewritten) == expected && expected.nonEmpty)
     }
   }
@@ -40,8 +43,37 @@ class PlansSpec extends AnyFunSuite {
     val expected = pairs(bands.join(points, betweenCond))
     withRule {
       val rewritten = bands.join(points, betweenCond)
-      assert(!rewritten.queryExecution.executedPlan.toString.contains("NestedLoop"))
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
       assert(pairs(rewritten) == expected)
+    }
+  }
+
+  test("RangeJoinRewrite: oversized-span rows fall back losslessly instead of exploding") {
+    // one band spans 1e9 price units = 1e5 buckets at width 10000 —
+    // above maxBucketsPerRow (10000), so it must take the fallback
+    // branch; without the guard this row alone would sequence() 100k
+    // elements per row (and OOM/abort at wider spans).
+    val wild = bands.union(
+      spark.range(1).select(lit(999L).as("band_id"),
+        lit(0.0).as("lo"), lit(1.0e9).as("hi")))
+    val expected = pairs(points.join(wild, betweenCond))
+    withRule {
+      val rewritten = points.join(wild, betweenCond)
+      assert(pairs(rewritten) == expected)
+      // every point falls inside the wild band
+      assert(pairs(rewritten).count(_._2 == 999L) == points.count())
+    }
+  }
+
+  test("RangeJoinRewrite maxBucketsPerRow=0 sends everything to the fallback, still correct") {
+    val expected = pairs(points.join(bands, betweenCond))
+    withRule {
+      spark.conf.set("spark.graft.rangeJoin.maxBucketsPerRow", "0")
+      try {
+        val rewritten = points.join(bands, betweenCond)
+        assert(pairs(rewritten) == expected)
+      } finally spark.conf.unset("spark.graft.rangeJoin.maxBucketsPerRow")
     }
   }
 

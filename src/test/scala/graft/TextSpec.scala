@@ -26,6 +26,50 @@ class TextSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"minhash recall $recall over ${exactDupPairs.size} pairs")
   }
 
+  test("maxShingleDf cap is lossless at the bound threshold on the corpus") {
+    // the q_ngram_jaccard / q_containment_pairs parameters exactly
+    val uncappedJ = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 5, 0.3)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("jaccard"))).toMap
+    val cappedJ = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 5, 0.3,
+        maxShingleDf = Some(20))
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("jaccard"))).toMap
+    assert(cappedJ == uncappedJ)
+    val uncappedC = Dedup.ngramContainmentPairs(docs, col("doc_id"), col("text"), 5, 0.5)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("containment"))).toMap
+    val cappedC = Dedup.ngramContainmentPairs(docs, col("doc_id"), col("text"), 5, 0.5,
+        maxShingleDf = Some(20))
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("containment"))).toMap
+    assert(cappedC == uncappedC)
+  }
+
+  test("maxShingleDf keeps true scores on a skewed corpus, prunes only all-boilerplate pairs") {
+    import spark.implicits._
+    // every doc shares the boilerplate prefix (shingle df = n); pairs
+    // 1-2 and 3-4 also share rare tails. Docs 5 and 6 are boilerplate-
+    // ONLY: their pair shares no sub-cap shingle — the one shape the
+    // cap knowingly gives up.
+    val boiler = "terms of service apply to all"
+    val corpus = Seq(
+      (1L, s"$boiler alpha beta gamma delta epsilon"),
+      (2L, s"$boiler alpha beta gamma delta zeta"),
+      (3L, s"$boiler omega psi chi phi upsilon"),
+      (4L, s"$boiler omega psi chi phi tau"),
+      (5L, boiler),
+      (6L, boiler)
+    ).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(corpus, col("doc_id"), col("text"), 3, 0.2)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("jaccard"))).toMap
+    val capped = Dedup.ngramJaccardPairs(corpus, col("doc_id"), col("text"), 3, 0.2,
+        maxShingleDf = Some(4))
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("jaccard"))).toMap
+    // pairs that share any sub-cap shingle survive with their TRUE
+    // (full-set) jaccard — the cap never distorts a score
+    assert(capped.contains((1L, 2L)) && capped.contains((3L, 4L)))
+    capped.foreach { case (k, j) => assert(j == uncapped(k), s"pair $k: $j vs ${uncapped(k)}") }
+    // the boilerplate-only pair is the documented loss
+    assert(uncapped.contains((5L, 6L)) && !capped.contains((5L, 6L)))
+  }
+
   test("simhash pairs overlap the exact near-dup pairs") {
     val sim = Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxHamming = 6)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet

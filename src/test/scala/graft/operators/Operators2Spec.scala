@@ -84,6 +84,16 @@ class Operators2Spec extends AnyFunSuite {
     assert(got == Set((1L, 10L, "K"), (2L, 77L, "U"), (3L, 30L, "K"), (9L, 55L, "I")))
   }
 
+  test("Upsert.applyChanges: a change row with an explicit NULL payload nulls the field out") {
+    val base = Seq((1L, Some(10L)), (2L, Some(20L))).toDF("key", "v_c")
+    val changes = Seq((2L, Option.empty[Long], 5L, 1L)).toDF("key", "v_c", "ver", "tb")
+    val got = Upsert.applyChanges(base, changes, "key", col("ver"), col("tb"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getString(2)))
+      .toSet
+    assert(got == Set((1L, Some(10L), "K"), (2L, None, "U")))
+  }
+
   test("Ranking.globalRowNumber equals the single-partition window rank") {
     val rnd = new scala.util.Random(7)
     // duplicate freqs force the tiebreak column to matter
