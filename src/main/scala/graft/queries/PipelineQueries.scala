@@ -170,7 +170,28 @@ object PipelineQueries {
       .orderBy("id")
   }, None)
 
+  /** Per-file manifest of the lineitem scan (sources.Manifest): file
+    * basename, row count, key/date/price min-max — the layout-audit
+    * table. The oracle names the single physical file the test corpus
+    * ships per table; ManifestSpec exercises the real multi-file case
+    * (disjoint ascending ranges after a clustered write). */
+  private val qManifest = BoundQuery("q_manifest", (s, d) => {
+    graft.sources.Manifest.fileStatsOf(Tables.lineitem(s, d),
+      Seq("l_orderkey", "l_shipdate", "l_extendedprice"))
+      .orderBy("file")
+  }, Some("""
+    SELECT 'lineitem.parquet' AS file,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(l_orderkey) AS min_l_orderkey,
+           max(l_orderkey) AS max_l_orderkey,
+           min(l_shipdate) AS min_l_shipdate,
+           max(l_shipdate) AS max_l_shipdate,
+           min(l_extendedprice) AS min_l_extendedprice,
+           max(l_extendedprice) AS max_l_extendedprice
+    FROM lineitem
+  """))
+
   val all: Seq[BoundQuery] = Seq(
     qGeoDistance, qGeoRadiusJoin, qWindowSessions, qSessionWindow,
-    qStreamHourly, qMultimodalMeta, qMultimodalFeatures)
+    qStreamHourly, qMultimodalMeta, qMultimodalFeatures, qManifest)
 }

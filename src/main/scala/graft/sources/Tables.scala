@@ -95,6 +95,26 @@ object Tables {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Bucket-materialize as a managed table: rows are hash-distributed
+    * into `numBuckets` files per partition BY THE WRITE, and the
+    * metastore records it, so every later equi-join or aggregation on
+    * the bucket columns gets its required hash distribution from the
+    * LAYOUT — zero exchange at query time. The pre-shuffle strategy
+    * for repeated large-large joins at 100 TB: pay the shuffle once at
+    * ingest, never again per query (BucketingSpec proves the no-
+    * exchange plan via tools.PlanChecks). `sortCols` additionally
+    * sorts within each bucket file (sort-merge joins skip their sort).
+    * Both sides of a join must agree on numBuckets; bucket pruning
+    * applies to point filters on the first bucket column. */
+  def writeBucketed(df: DataFrame, table: String, numBuckets: Int,
+                    bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketed needs at least one bucket column")
+    val w = df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** Globally-sorted parquet: range-partition on the sort key, sort
     * within each partition — file k's values all precede file k+1's,
     * so the dataset has a TOTAL order across files without any single

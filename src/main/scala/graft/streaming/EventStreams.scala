@@ -30,23 +30,50 @@ object EventStreams {
     * the custom-state shape (KeyValueGroupedDataset) for metrics a
     * windowed agg can't express. State here is (event count, max ts
     * micros); order-independent, so replay converges to the batch
-    * truth regardless of micro-batch slicing. */
-  def userRunningCounts(spark: SparkSession, dir: String): DataFrame = {
+    * truth regardless of micro-batch slicing.
+    *
+    * State is TTL-bounded by an EVENT-TIME timeout: a user idle past
+    * `ttl` (by the watermark clock) has their state evicted — without
+    * this, per-user state grows without bound on an infinite stream
+    * (the one-row-per-ever-seen-user table IS the 100 TB/day failure
+    * mode). The documented trade: a user returning after a >ttl gap
+    * restarts from zero; StreamingSpec pins both eviction and the
+    * convergence that a generous ttl preserves. On eviction the last
+    * state is re-emitted (update-mode sinks already hold it; map —
+    * unlike flatMap — must return a row per invocation). */
+  def userRunningCounts(spark: SparkSession, dir: String,
+                        ttl: String = "30 days",
+                        watermarkDelay: String = "1 hour",
+                        readerOptions: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.readStream.schema(eventsSchema).parquet(dir)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
-      .as[(Long, Long)]
+    val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
+    val ttlMsLong = ttlMs.days.toLong * 86400000L + ttlMs.microseconds / 1000L
+    // the watermark marker lives as metadata ON the event-time column:
+    // it must survive into the stateful operator's input, so tsc rides
+    // along in the tuple
+    val events = spark.readStream.options(readerOptions)
+      .schema(eventsSchema).parquet(dir)
+      .withColumn("tsc", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("tsc", watermarkDelay)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("tsc"))
+      .as[(Long, Long, java.sql.Timestamp)]
     events.groupByKey(_._1)
       .mapGroupsWithState[(Long, Long), (Long, Long, Long)](
-        GroupStateTimeout.NoTimeout) {
+        GroupStateTimeout.EventTimeTimeout) {
+        case (user, _, state) if state.hasTimedOut =>
+          val (c, m) = state.get
+          state.remove()
+          (user, c, m)
         case (user, rows, state) =>
           val (c0, m0) = state.getOption.getOrElse((0L, Long.MinValue))
           var c = c0
           var m = m0
-          rows.foreach { case (_, tsUs) => c += 1; if (tsUs > m) m = tsUs }
+          rows.foreach { case (_, tsUs, _) => c += 1; if (tsUs > m) m = tsUs }
           state.update((c, m))
+          state.setTimeoutTimestamp(m / 1000L + ttlMsLong)
           (user, c, m)
       }
       .toDF("user_id", "n_events", "max_ts_us")
@@ -101,24 +128,39 @@ object EventStreams {
 
   /** Streaming sessionization via flatMapGroupsWithState: emits each
     * CLOSED session (start, event count) as soon as a later event
-    * proves the gap elapsed; the possibly-still-open trailing session
-    * per user lives in state (in production an event-time timeout
-    * would flush it — kept NoTimeout here so replay semantics are
-    * exact). Gap boundary matches session_window: a diff >= gap opens
-    * a new session. The zero-or-more-outputs-per-invocation shape is
-    * what mapGroupsWithState cannot express. */
+    * proves the gap elapsed. The possibly-still-open trailing session
+    * per user lives in state with an EVENT-TIME timeout at
+    * (last event + gap): once the watermark passes that point no
+    * earlier-timestamped event can extend the session, so the timeout
+    * flushes it — exactly session_window's close rule — and clears
+    * the state. Without the timeout every user's trailing session
+    * (and one state row per ever-seen user) would sit in the store
+    * forever. Gap boundary matches session_window: a diff >= gap
+    * opens a new session. The zero-or-more-outputs-per-invocation
+    * shape is what mapGroupsWithState cannot express. */
   def sessionizedCounts(spark: SparkSession, dir: String,
-                        gapMinutes: Int): DataFrame = {
+                        gapMinutes: Int,
+                        watermarkDelay: String = "1 hour"): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val gapUs = gapMinutes.toLong * 60L * 1000000L
+    // watermark metadata must ride into the stateful operator's input
+    // on the tsc column (see userRunningCounts)
     val events = spark.readStream.schema(eventsSchema).parquet(dir)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
-      .as[(Long, Long)]
+      .withColumn("tsc", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("tsc", watermarkDelay)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("tsc"))
+      .as[(Long, Long, java.sql.Timestamp)]
     events.groupByKey(_._1)
       .flatMapGroupsWithState[List[Long], (Long, Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, _, state) if state.hasTimedOut =>
+          // watermark passed last+gap: the trailing session is closed
+          val cur = state.getOption.getOrElse(Nil)
+          state.remove()
+          if (cur.isEmpty) Iterator.empty
+          else Iterator.single((user, cur.min, cur.length.toLong))
         case (user, rows, state) =>
           // state: the open trailing session's timestamps (sorted)
           val all = (state.getOption.getOrElse(Nil) ++ rows.map(_._2)).sorted
@@ -129,6 +171,8 @@ object EventStreams {
             else { closed += cur; cur = Vector(t) }
           }
           state.update(cur.toList)
+          if (cur.nonEmpty)
+            state.setTimeoutTimestamp(cur.last / 1000L + gapUs / 1000L)
           closed.iterator.map(s => (user, s.head, s.length.toLong))
       }
       .toDF("user_id", "session_start_us", "n_events")

@@ -15,10 +15,10 @@ class BucketingSpec extends AnyFunSuite {
     // are dropped (files included) in the finally block
     val ord = graft.sources.Tables.orders(spark, sfTiny)
     val li = graft.sources.Tables.lineitem(spark, sfTiny)
-    ord.write.mode("overwrite").bucketBy(8, "o_orderkey")
-      .sortBy("o_orderkey").saveAsTable("orders_b")
-    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
-      .sortBy("l_orderkey").saveAsTable("lineitem_b")
+    graft.sources.Tables.writeBucketed(ord, "orders_b", 8,
+      Seq("o_orderkey"), Seq("o_orderkey"))
+    graft.sources.Tables.writeBucketed(li, "lineitem_b", 8,
+      Seq("l_orderkey"), Seq("l_orderkey"))
     val joined = spark.table("lineitem_b")
       .join(spark.table("orders_b"),
         col("l_orderkey") === col("o_orderkey"))
@@ -33,9 +33,11 @@ class BucketingSpec extends AnyFunSuite {
         s"expected SMJ in:\n$plan")
       // no Exchange on the JOIN keys: bucketing supplied the hash
       // distribution (the rollup's own status-key exchange is expected)
-      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
-             !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      assert(graft.tools.PlanChecks.shuffleExchangesOn(joined, "l_orderkey").isEmpty &&
+             graft.tools.PlanChecks.shuffleExchangesOn(joined, "o_orderkey").isEmpty,
         s"bucketed join still shuffles join keys:\n$plan")
+      assert(graft.tools.PlanChecks.shuffleExchangesOn(joined, "o_orderstatus").nonEmpty,
+        "sanity: the rollup's own status-key exchange should exist")
       assert("Bucketed: true".r.findAllIn(plan).length == 2, plan)
       val expected = li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderstatus").count()

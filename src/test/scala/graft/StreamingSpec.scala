@@ -135,12 +135,13 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("flatMapGroupsWithState sessionizer emits exactly the closed sessions") {
+  test("flatMapGroupsWithState sessionizer emits closed sessions incl. watermark-flushed trailers") {
     val dir = java.nio.file.Files.createTempDirectory("events_fmgs")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfTiny/events.parquet"),
       dir.resolve("events.parquet"))
-    val q = EventStreams.sessionizedCounts(spark, dir.toString, gapMinutes = 30)
+    val q = EventStreams.sessionizedCounts(spark, dir.toString, gapMinutes = 30,
+        watermarkDelay = "1 hour")
       .writeStream.outputMode("append")
       .format("memory").queryName("fmgs_out")
       .start()
@@ -148,19 +149,80 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val emitted = spark.table("fmgs_out")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      // batch truth: native session_window with the same gap
+      // batch truth: native session_window with the same gap.
+      // session_window.end = last event + gap = exactly the event-time
+      // timeout the stream sets, so a session must be emitted iff its
+      // window end is at or below the final watermark (max ts - delay)
+      // — data-closed sessions trivially are, and the timeout flushes
+      // the trailing ones up to the watermark.
       val batch = graft.sources.Tables.events(spark, sfTiny)
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
         .agg(count(lit(1)).as("n"))
-        .select(col("user_id"), unix_micros(col("w.start")), col("n"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      // the stream never closes each user's final session (NoTimeout):
-      // emitted = batch minus exactly one trailing session per user
-      val users = batch.map(_._1)
-      assert(emitted.subsetOf(batch), s"phantom sessions: ${emitted -- batch}")
-      assert(batch.size - emitted.size == users.size,
-        s"${batch.size} batch vs ${emitted.size} emitted for ${users.size} users")
+        .select(col("user_id"), unix_micros(col("w.start")).as("s"),
+          unix_micros(col("w.end")).as("e"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val maxTsUs = graft.sources.Tables.events(spark, sfTiny)
+        .agg(max(unix_micros(col("ts")))).first().getLong(0)
+      val watermarkUs = maxTsUs - 3600L * 1000000L
+      val expected = batch.filter(_._3 <= watermarkUs).map(t => (t._1, t._2, t._4)).toSet
+      val all = batch.map(t => (t._1, t._2, t._4)).toSet
+      assert(emitted.subsetOf(all), s"phantom sessions: ${emitted -- all}")
+      assert(emitted == expected,
+        s"missing: ${expected -- emitted}; extra: ${emitted -- expected}")
+      // the flush is doing real work: strictly more than the data-closed
+      // sessions of the old NoTimeout behavior
+      val users = all.map(_._1)
+      assert(all.size - emitted.size < users.size)
     } finally q.stop()
+  }
+
+  test("mapGroupsWithState TTL evicts idle users; generous TTL preserves convergence") {
+    // 4 synthetic micro-batches (maxFilesPerTrigger=1):
+    //   f1: user1+user2 @t0 · f2: user2 @t0+10h · f3: user2 @t0+12h
+    //   f4: user1+user2 @t0+20h
+    // With ttl=1h, f3's batch has watermark t0+10h-1m > user1's timeout
+    // t0+1h and no user1 data, so user1's state is evicted; their f4
+    // event restarts at 1. With the default 30-day ttl nothing evicts
+    // and user1 converges to the full count 2.
+    import spark.implicits._
+    val t0 = 1700000000L * 1000000000L // ns epoch
+    def hours(h: Long) = h * 3600L * 1000000000L
+    def mkFile(dir: java.nio.file.Path, name: String, seq: Int,
+               rows: Seq[(Long, Long, Long)]): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("events_ttl_stage")
+      rows.map { case (id, ts, user) => (id, ts, user, "view", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dir.resolve(name))
+      // explicit increasing mod times pin the file processing order
+      java.nio.file.Files.setLastModifiedTime(dir.resolve(name),
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + seq * 60000L))
+    }
+    def run(ttl: String, sink: String): Map[Long, Long] = {
+      val dir = java.nio.file.Files.createTempDirectory(s"events_ttl_$sink")
+      mkFile(dir, "f1.parquet", 1, Seq((1L, t0, 1L), (2L, t0, 2L)))
+      mkFile(dir, "f2.parquet", 2, Seq((3L, t0 + hours(10), 2L)))
+      mkFile(dir, "f3.parquet", 3, Seq((4L, t0 + hours(12), 2L)))
+      mkFile(dir, "f4.parquet", 4, Seq((5L, t0 + hours(20), 1L), (6L, t0 + hours(20), 2L)))
+      val q = EventStreams.userRunningCounts(spark, dir.toString, ttl = ttl,
+          watermarkDelay = "1 minute",
+          readerOptions = Map("maxFilesPerTrigger" -> "1"))
+        .writeStream.outputMode("update")
+        .format("memory").queryName(sink)
+        .start()
+      try {
+        q.processAllAvailable()
+        spark.table(sink).groupBy("user_id").agg(max("n_events").as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      } finally q.stop()
+    }
+    val evicted = run("1 hour", "ttl_tiny_out")
+    assert(evicted(1L) == 1L, s"user1 state should have been TTL-evicted: $evicted")
+    assert(evicted(2L) == 4L, s"active user2 must keep full state: $evicted")
+    val kept = run("30 days", "ttl_big_out")
+    assert(kept == Map(1L -> 2L, 2L -> 4L), s"generous TTL must converge to batch truth: $kept")
   }
 
   test("exactly-once sink: idempotent partition overwrite survives redelivery") {
