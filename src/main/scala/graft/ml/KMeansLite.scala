@@ -41,9 +41,15 @@ object KMeansLite {
 
     var it = 0
     while (it < iters) {
+      // means round to 9 decimals: the cross-engine (and cross-
+      // partitioning) parity anchor — a raw double avg is summed in
+      // partition order, so its last ulps are engine-dependent and
+      // would propagate into the next iteration's assignments; at 1e-9
+      // the rounding is far below inter-centroid distances and far
+      // above ulp noise
       val means = data.withColumn("cluster", assignCol)
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cluster", "pos").agg(avg("x").as("m"))
+        .groupBy("cluster", "pos").agg(round(avg("x"), 9).as("m"))
         .groupBy("cluster").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("mv"))
         .select(col("cluster"), transform(col("mv"), s => s("m")).as("mean"))
         .collect()

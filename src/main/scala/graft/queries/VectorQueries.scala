@@ -79,8 +79,13 @@ object VectorQueries {
     ORDER BY query_id, rnk
   """), headline = true)
 
-  /** IVF-bucketed ANN — the approximate scale path (rows-only;
-    * VectorSpec measures recall vs the brute-force baseline). */
+  /** IVF-bucketed ANN — the approximate scale path. Full oracle: the
+    * coarse quantizer is deterministic (centroids = the 16 lowest-id
+    * vectors, cell scores rounded to 9 decimals before the argmax /
+    * probe ranking, cell-desc tiebreak matching sort_array's
+    * descending struct order), so DuckDB replays assignment, probing
+    * and in-cell ranking exactly; VectorSpec separately measures
+    * recall vs brute force. */
   private val qAnnIvf = BoundQuery("q_ann_ivf", (s, d) => {
     val e = Tables.embeddings(s, d)
     Similarity.ivfTopK(
@@ -88,7 +93,41 @@ object VectorQueries {
       e.where(col("vec_id") < 5), col("vec_id"), col("embedding"),
       k = 10)
       .orderBy("query_id", "rnk")
-  }, None)
+  }, Some(s"""
+    WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+    n AS (SELECT vec_id,
+            list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)/nrm) AS vn
+          FROM e),
+    cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cell,
+                     vn AS cv
+              FROM (SELECT * FROM n ORDER BY vec_id LIMIT 16)),
+    scores AS (SELECT n.vec_id, c.cell,
+                 round(list_reduce(list_transform(range(1, 65),
+                   i -> n.vn[i]*c.cv[i]), (x, y) -> x + y), 9) AS s
+               FROM n CROSS JOIN cents c),
+    assigned AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+        FROM scores) WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cell AS qcell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+        FROM scores WHERE vec_id < 5) WHERE rn <= 4),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS id,
+             round(list_reduce(list_transform(range(1, 65),
+               i -> na.vn[i]*nq.vn[i]), (x, y) -> x + y), 6) AS cosine
+      FROM assigned a
+      JOIN probes p ON a.cell = p.qcell AND a.vec_id <> p.query_id
+      JOIN n na ON na.vec_id = a.vec_id
+      JOIN n nq ON nq.vec_id = p.query_id),
+    ranked AS (SELECT query_id, id, cosine,
+        CAST(row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, id) AS BIGINT) AS rnk
+      FROM scored)
+    SELECT query_id, id, cosine, rnk FROM ranked WHERE rnk <= 10
+    ORDER BY query_id, rnk
+  """))
 
   /** Product-quantization ANN (ml.ProductQuantizer): 64-dim floats
     * compressed to 8 codebook codes, ranked by ADC lookup distance
@@ -124,14 +163,44 @@ object VectorQueries {
   }, None)
 
   /** Deterministic Lloyd's k-means (reference mlqueries.py:14) —
-    * cluster sizes after 5 iterations from lowest-id init. */
+    * cluster sizes after 5 iterations from lowest-id init. Full
+    * oracle: init is the 8 lowest-id vectors, per-iteration means
+    * round to 9 decimals (the cross-engine parity anchor — see
+    * KMeansLite), distances fold sequentially on both engines, ties
+    * break to the lowest cluster id; the SQL below unrolls the 5
+    * assign/update iterations as generated CTEs. */
   private val qKmeans = BoundQuery("q_kmeans", (s, d) => {
     KMeansLite.fit(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
         k = 8, iters = 5)
       .assignments
       .groupBy("cluster").agg(count(lit(1)).as("n"))
       .orderBy("cluster")
-  }, None)
+  }, Some {
+    def assign(t: Int): String = s"""
+      a$t AS (SELECT vec_id, v, cluster FROM (
+        SELECT v0.vec_id, v0.v, c.cluster,
+               row_number() OVER (PARTITION BY v0.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, 65),
+                   i -> (v0.v[i]-c.cv[i])*(v0.v[i]-c.cv[i])), (x, y) -> x + y) ASC,
+                 c.cluster ASC) AS rn
+        FROM v v0 CROSS JOIN c$t c) WHERE rn = 1)"""
+    def update(t: Int): String = s"""
+      c${t + 1} AS (SELECT cluster, list(m ORDER BY pos) AS cv FROM (
+        SELECT cluster, i AS pos, round(avg(v[i]), 9) AS m
+        FROM a$t, range(1, 65) r$t(i) GROUP BY cluster, i) GROUP BY cluster)"""
+    val iterations = (0 until 5).map(t => assign(t) + "," + update(t)).mkString(",")
+    s"""
+    WITH v AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cluster,
+                  v AS cv
+           FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)),
+    $iterations,
+    ${assign(5)}
+    SELECT cluster, CAST(count(*) AS BIGINT) AS n
+    FROM a5 GROUP BY cluster ORDER BY cluster
+  """})
 
   /** Association rules via FPGrowth (reference mlqueries.py:148);
     * rows-only — the SQL-expressible size-2 core is q_frequent_pairs. */
