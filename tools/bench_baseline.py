@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""DuckDB wall-clock baseline for the bench headliners.
+
+Runs each headline query's oracle SQL (the semantically identical
+DuckDB formulation the correctness gate already trusts) against the
+same parquet tables Bench times Spark on, and prints a per-query
+markdown table. This is the single-node engine-vs-engine reference
+BENCH_r{N}.json is graded against in BASELINE.md.
+
+Usage: python3 tools/bench_baseline.py [sfDir] [verifyOut] [runs]
+(verifyOut must hold a current oracle_sql.json — run graft.Verify
+first.)
+"""
+import sys, json, time
+import duckdb
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+# keep in sync with Registry.headlines (ExplainAudit prints the list)
+HEADLINERS = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_volume",
+    "q_owner_leaderboard", "q_top_brands_per_year", "q_dedup_exact",
+    "q_ngram_jaccard", "q_lsh_cosine_pairs", "q_ann_topk",
+    "q_window_sessions", "q_stream_hourly", "q_asof_join",
+]
+# rows-only headliners have no oracle SQL; time the exact-equivalent
+# query instead (same task, exact formulation) and say so
+SUBSTITUTES = {"q_lsh_cosine_pairs": "q_embedding_neardup"}
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+oracles = json.load(open(f"{out}/oracle_sql.json"))
+
+total = 0.0
+rows = []
+for q in HEADLINERS:
+    src = SUBSTITUTES.get(q, q)
+    sql = oracles.get(src)
+    if sql is None:
+        rows.append((q, src, None))
+        continue
+    best = None
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    total += best
+    rows.append((q, src, best))
+
+print(f"| headline | duckdb source | best-of-{runs} sec |")
+print("| --- | --- | --- |")
+for q, src, sec in rows:
+    label = src if src != q else "oracle"
+    print(f"| {q} | {label} | {'n/a' if sec is None else f'{sec:.3f}'} |")
+print(f"| **total** | | **{total:.3f}** |")
