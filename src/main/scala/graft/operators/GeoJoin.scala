@@ -7,33 +7,72 @@ import graft.functions.GeoFunctions
 /** Spatial radius self-join: all point pairs within `radiusKm`,
   * without the O(n^2) cross product.
   *
-  * Blocking: 1-degree LATITUDE bands. Great-circle distance is
-  * bounded below by the meridian arc of the latitude difference
-  * (~111.19 km/deg on the 6371 km sphere), so any pair within r km
-  * differs by at most ceil(r/111.19) bands — probing that many
-  * neighbor bands is LOSSLESS at every latitude. (Longitude grids are
-  * the classic trap: a degree of longitude shrinks to ~0 km at the
-  * poles, so a lon-cell neighbor join silently drops polar pairs.)
-  * Each point lives in ONE band and probes 2k+1, so the equi join
-  * emits every qualifying pair exactly once; candidates are then
-  * verified with the exact haversine, meter-rounded BEFORE the
-  * threshold compare so the kept set is engine-exact.
+  * Blocking is TWO-dimensional: 1-degree latitude bands × per-band
+  * longitude cells. Great-circle distance is bounded below by the
+  * meridian arc of the latitude difference (~111.19 km/deg on the
+  * 6371 km sphere), so any pair within r km differs by at most
+  * ceil(r/111.19) bands. Within a band, the longitude difference of a
+  * qualifying pair is at most r/(111.19·cos φ) degrees, where cos φ
+  * is taken at the band edge NEAREST the pole (the widest case — a
+  * degree of longitude shrinks toward the poles, the classic trap of
+  * fixed lon grids). Each band therefore gets its own cell width
+  * ≥ that bound, and bands touching ≥85° collapse to a single cell
+  * (cos → 0 blows the width up past 360° anyway), which degrades
+  * polar bands to the old 1-D behavior instead of dropping pairs.
+  * Cells wrap modulo 360° so antimeridian pairs block together.
+  *
+  * Each point is INDEXED once under (band, cell) and PROBES the
+  * (2k+1)×3 neighbor keys; the equi join emits candidates that are
+  * verified with the exact haversine (meter-rounded BEFORE the
+  * threshold compare, so the kept set is engine-exact) and deduped
+  * per pair after the filter. Without the lon dimension a band's
+  * entire population lands in one block: block size grows linearly
+  * with data and the within-block O(block²) compare dominates — the
+  * sf1 scaling smoke measured exactly that (~10 min for 150k points);
+  * 2-D cells keep blocks at neighborhood density, so candidates grow
+  * with n·density, not n².
   */
 object GeoJoin {
 
   def latBandRadiusPairs(df: DataFrame, idCol: Column, latCol: Column,
                          lonCol: Column, radiusKm: Double): DataFrame = {
     val k = math.ceil(radiusKm / 111.19).toInt
+    val dlonKmPerDeg = radiusKm / 111.19
+    val polarCos = math.cos(math.toRadians(85.0))
+
+    // widest lon-degree span of an r-km leg anywhere inside the band:
+    // use cos at the band edge nearest the pole; polar bands → 1 cell
+    def cellsOf(band: Column): Column = {
+      val edge = least(lit(89.9999),
+        greatest(abs(band.cast("double")), abs(band.cast("double") + 1)))
+      val c = cos(radians(edge))
+      val width = when(c <= lit(polarCos), lit(360.0))
+        .otherwise(least(lit(360.0), lit(dlonKmPerDeg) / c))
+      greatest(floor(lit(360.0) / width), lit(1.0)).cast("long")
+    }
+    def cellOf(band: Column, lon: Column): Column = {
+      val n = cellsOf(band)
+      pmod(floor((lon + lit(180.0)) * n.cast("double") / lit(360.0)).cast("long"), n)
+    }
+
     val pts = df.select(idCol.as("id"), latCol.as("lat"), lonCol.as("lon"))
       .withColumn("band", floor(col("lat")).cast("long"))
-    val probe = pts.withColumn("pband",
-      explode(sequence(col("band") - k, col("band") + k)))
-    probe.as("a").join(pts.as("b"),
-        col("a.pband") === col("b.band") && col("a.id") < col("b.id"))
+    val indexed = pts.withColumn("cell", cellOf(col("band"), col("lon")))
+    val probe = pts
+      .withColumn("pband", explode(sequence(col("band") - k, col("band") + k)))
+      .withColumn("dc", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("pcell",
+        pmod(cellOf(col("pband"), col("lon")) + col("dc"), cellsOf(col("pband"))))
+    probe.as("a").join(indexed.as("b"),
+        col("a.pband") === col("b.band") && col("a.pcell") === col("b.cell") &&
+        col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(GeoFunctions.haversineKm(
           col("a.lat"), col("a.lon"), col("b.lat"), col("b.lon")) * 1000, 0)
           .cast("long").as("dist_m"))
       .where(col("dist_m") <= (radiusKm * 1000).toLong)
+      // a pair can meet in several probed cells (wrap-around, dc
+      // overlap at tiny cell counts): dedup after the cheap filter
+      .groupBy("id_a", "id_b").agg(first(col("dist_m")).as("dist_m"))
   }
 }

@@ -48,18 +48,18 @@ object TextQueries2 {
     ORDER BY doc_id, term
   """))
 
-  /** Edit-distance near-dup pairs: brand-blocked self-join, codegen'd
-    * levenshtein, dist <= 3. Blocking keeps the candidate set
-    * O(sum of block^2), never corpus^2 — same scale discipline as the
-    * shingle-blocked jaccard join. */
+  /** Edit-distance near-dup pairs within brand, dist <= 3, via
+    * operators.EditDistance (PassJoin segment blocking + banded
+    * levenshtein verify). The brand key stays as query SEMANTICS, not
+    * as the scale mechanism: a constant-cardinality block makes block
+    * size grow linearly with data and the within-block self-join
+    * quadratic — the sf1 smoke measured the old brand-blocked form at
+    * ~800M levenshtein calls; segment blocking keeps candidates at
+    * aligned-substring-match density. */
   private val qLevenshteinPairs = BoundQuery("q_levenshtein_pairs", (s, d) => {
-    val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_name"))
-    p.as("a").join(p.as("b"),
-        col("a.p_brand") === col("b.p_brand") &&
-        col("a.p_partkey") < col("b.p_partkey"))
-      .select(col("a.p_partkey").as("id_a"), col("b.p_partkey").as("id_b"),
-        levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
-      .where(col("dist") <= 3)
+    graft.operators.EditDistance.editDistancePairs(
+      Tables.part(s, d), col("p_partkey"), col("p_name"), maxDist = 3,
+      blockCol = Some(col("p_brand")))
       .orderBy("id_a", "id_b")
   }, Some("""
     SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,

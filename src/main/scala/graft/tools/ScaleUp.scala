@@ -1,0 +1,91 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-smoke data generator: replicates the sf0.1 testdata
+  * `factor`× with foreign-key-consistent key shifts (replica i shifts
+  * every key domain by i·(max+1), so joins fan out exactly like real
+  * larger data instead of degenerating into cross products). Dims
+  * (region, nation) stay fixed, fact/entity tables scale; document
+  * texts get a per-replica prefix token so exact-dup classes don't
+  * explode combinatorially; embeddings replicate as-is. Output uses
+  * the driver's one-file-per-table layout so tools/selfcheck.py and
+  * Bench run against it unchanged.
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> <factor>
+  * This is a local test utility — the driver's gates always run on
+  * the pristine /root/testdata dirs.
+  */
+object ScaleUp {
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, factorS) = args
+    val factor = factorS.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(out).mkdirs()
+
+    def shiftOf(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).first().getLong(0) + 1L
+
+    def replicate(df: DataFrame, shifts: Map[String, Long],
+                  perReplica: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
+      (0 until factor).map { i =>
+        val shifted = shifts.foldLeft(df) { case (d, (k, s)) =>
+          d.withColumn(k, col(k) + lit(i.toLong * s))
+        }
+        perReplica(shifted, i)
+      }.reduce(_ union _)
+
+    def writeOne(df: DataFrame, name: String): Unit = {
+      val stage = s"$out/.stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$out/$name.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    }
+
+    def read(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+
+    // fixed dims: copy through
+    Seq("region", "nation").foreach(t => writeOne(read(t), t))
+
+    val cust = read("customer"); val custS = shiftOf(cust, "c_custkey")
+    val supp = read("supplier"); val suppS = shiftOf(supp, "s_suppkey")
+    val part = read("part"); val partS = shiftOf(part, "p_partkey")
+    val ord = read("orders"); val ordS = shiftOf(ord, "o_orderkey")
+    writeOne(replicate(cust, Map("c_custkey" -> custS)), "customer")
+    writeOne(replicate(supp, Map("s_suppkey" -> suppS)), "supplier")
+    writeOne(replicate(part, Map("p_partkey" -> partS)), "part")
+    writeOne(replicate(ord, Map("o_orderkey" -> ordS, "o_custkey" -> custS)), "orders")
+    writeOne(replicate(read("lineitem"), Map(
+      "l_orderkey" -> ordS, "l_partkey" -> partS, "l_suppkey" -> suppS)), "lineitem")
+
+    val ev = read("events")
+    writeOne(replicate(ev, Map(
+      "event_id" -> shiftOf(ev, "event_id"),
+      "user_id" -> shiftOf(ev, "user_id"))), "events")
+
+    val docs = read("documents")
+    writeOne(replicate(docs, Map("doc_id" -> shiftOf(docs, "doc_id")),
+      (d, i) => if (i == 0) d
+                else d.withColumn("text", concat(lit(s"r$i "), col("text")))), "documents")
+
+    val emb = read("embeddings")
+    writeOne(replicate(emb, Map("vec_id" -> shiftOf(emb, "vec_id"))), "embeddings")
+
+    println(s"[scaleup] wrote ${factor}x of $src to $out")
+    spark.stop()
+  }
+}

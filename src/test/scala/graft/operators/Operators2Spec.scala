@@ -94,6 +94,54 @@ class Operators2Spec extends AnyFunSuite {
     assert(got == Set((1L, Some(10L), "K"), (2L, None, "U")))
   }
 
+  test("EditDistance.editDistancePairs equals the naive quadratic join") {
+    val rnd = new scala.util.Random(11)
+    val alpha = "abcdef"
+    def word(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    // mix: random strings, planted near-dups (1-3 edits), exact dups,
+    // and short strings that exercise the degenerate-segment path
+    val strs = scala.collection.mutable.ArrayBuffer[String]()
+    (0 until 150).foreach { _ => strs += word(8 + rnd.nextInt(20)) }
+    (0 until 40).foreach { _ =>
+      val s = strs(rnd.nextInt(150))
+      val mutations = 1 + rnd.nextInt(3)
+      var t = s
+      (0 until mutations).foreach { _ =>
+        val p = rnd.nextInt(t.length)
+        t = rnd.nextInt(3) match {
+          case 0 => t.updated(p, alpha(rnd.nextInt(alpha.length)))  // sub
+          case 1 => t.take(p) + alpha(rnd.nextInt(alpha.length)) + t.drop(p) // ins
+          case 2 if t.length > 1 => t.take(p) + t.drop(p + 1)       // del
+          case _ => t
+        }
+      }
+      strs += t
+    }
+    (0 until 10).foreach(_ => strs += strs(rnd.nextInt(150)))       // exact dups
+    (0 until 20).foreach(_ => strs += word(1 + rnd.nextInt(6)))     // shorts
+    val df = strs.toSeq.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "str")
+    val naive = df.as("a").join(df.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        levenshtein(col("a.str"), col("b.str")).cast("long").as("dist"))
+      .where(col("dist") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = EditDistance.editDistancePairs(df, col("id"), col("str"), maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == naive,
+      s"missing: ${naive -- got}; extra: ${got -- naive} (naive ${naive.size})")
+    assert(naive.nonEmpty)
+  }
+
+  test("EditDistance respects the block column") {
+    val df = Seq((1L, "g1", "abcdefghij"), (2L, "g1", "abcdefghix"),
+      (3L, "g2", "abcdefghij")).toDF("id", "g", "str")
+    val got = EditDistance.editDistancePairs(df, col("id"), col("str"), 3,
+        blockCol = Some(col("g")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cross-block pair (1,3) is excluded even though dist 0
+    assert(got == Set((1L, 2L)))
+  }
+
   test("Ranking.globalRowNumber equals the single-partition window rank") {
     val rnd = new scala.util.Random(7)
     // duplicate freqs force the tiebreak column to matter

@@ -18,6 +18,16 @@ for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
+# ScaleUp-generated dirs store events.ts as a raw ns-epoch BIGINT
+# (Spark cannot write TIMESTAMP(NANOS)); rebuild the view with the
+# µs-truncated timestamp the driver data presents to DuckDB.
+ts_type = dict((r[0], r[1]) for r in
+               con.execute("DESCRIBE SELECT * FROM events").fetchall())
+if ts_type.get("ts") == "BIGINT":
+    con.execute(f"""CREATE OR REPLACE VIEW events AS
+        SELECT * REPLACE (make_timestamp(ts // 1000) AS ts)
+        FROM '{sf}/events.parquet'""")
+
 oracles = json.load(open(f"{out}/oracle_sql.json"))
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
