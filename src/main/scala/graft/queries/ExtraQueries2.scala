@@ -233,6 +233,26 @@ object ExtraQueries2 {
         element_at(col("exact"), 3).as("exact_p99"))
   }, None)
 
+  /** Mergeable KLL quantile sketch (expressions.KllSketch) probed at
+    * five quantiles. Capacity 2^21 exceeds the row count through sf1,
+    * so level 0 never compacts and the sketch is provably EXACT —
+    * rank = max(1, ceil(q·n)), which is precisely DuckDB's
+    * quantile_disc convention, hence a full oracle; KllSpec pins the
+    * error envelope under tight capacities where compaction runs. */
+  private val qKllQuantiles = BoundQuery("q_kll_quantiles", (s, d) => {
+    import graft.expressions.KllSketch._
+    val sk = Tables.orders(s, d)
+      .agg(kllAgg(s, col("o_totalprice"), 1 << 21)).first().getAs[Array[Byte]](0)
+    import s.implicits._
+    Seq(0.1, 0.25, 0.5, 0.75, 0.9).toDF("q")
+      .select(col("q"), kllQuantile(s, lit(sk), col("q")).as("value"))
+      .orderBy("q")
+  }, Some {
+    val arms = Seq(0.1, 0.25, 0.5, 0.75, 0.9).map(q =>
+      s"SELECT CAST($q AS DOUBLE) AS q, quantile_disc(o_totalprice, $q) AS value FROM orders")
+    arms.mkString("", " UNION ALL ", " ORDER BY q")
+  })
+
   /** Fixed-width histogram of order values. Bin id from one double
     * division + floor — identical IEEE ops on both engines, so bin
     * edges can't disagree. One partial-agg pass. */
@@ -602,7 +622,8 @@ object ExtraQueries2 {
 
   val all: Seq[BoundQuery] = Seq(
     qPivot, qCube, qWindowSuite, qHashSample, qSemiPrune, qUpsert,
-    qProfile, qRangeJoin, qApproxQuantiles, qHistogram, qCorrelation,
-    qDecile, qZorder, qPiiScrub, qBloomPrune, qEquiDepth, qChiSquare,
-    qBottomkSample, qLinreg, qWeightedSample, qTableDiff, qRobustStats)
+    qProfile, qRangeJoin, qApproxQuantiles, qKllQuantiles, qHistogram,
+    qCorrelation, qDecile, qZorder, qPiiScrub, qBloomPrune, qEquiDepth,
+    qChiSquare, qBottomkSample, qLinreg, qWeightedSample, qTableDiff,
+    qRobustStats)
 }
