@@ -89,9 +89,13 @@ object Similarity {
     // One typedLit constant + one transform pass computes all
     // tables*planes sign bits — inlining each plane as its own array()
     // literal would put tables*planes*dim literal nodes in the plan and
-    // dominate runtime with analysis/codegen, not math.
+    // dominate runtime with analysis/codegen, not math. The inner dot
+    // is the codegen'd DotProduct expression: the HOF zip_with form
+    // allocates an intermediate array per plane per row, which at
+    // tables*planes in the hundreds dominated the sf1 bench.
     val planesLit = typedLit(hyper)
-    val bits = transform(planesLit, p => (dot(col("vn"), p) > 0).cast("int"))
+    val bits = transform(planesLit,
+      p => (dotProduct(df.sparkSession, col("vn"), p) > 0).cast("int"))
     val sigCols = (0 until tables).map { t =>
       val sig = (0 until planes).map { p =>
         element_at(col("__bits"), t * planes + p + 1) * lit(1 << p)
@@ -112,11 +116,13 @@ object Similarity {
     // Degenerate-bucket guard: one count window over the bucket shuffle
     // the join needs anyway. (A groupBy + anti-join variant was tried
     // and REGRESSED 2.5×: it forks the plan above the signature stage,
-    // recomputing it per branch.)
+    // recomputing it per branch.) The persist stops the self-join from
+    // recomputing the signature stage once per side.
     val capped = {
       val w = org.apache.spark.sql.expressions.Window.partitionBy("tbl", "sig")
       buckets.withColumn("__bn", count(lit(1)).over(w))
         .where(col("__bn") <= maxBucket).drop("__bn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     }
     capped.as("a").join(capped.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
@@ -125,6 +131,28 @@ object Similarity {
         round(dotProduct(df.sparkSession, col("a.vn"), col("b.vn")), 6).as("cosine"))
       .where(col("cosine") >= tau)
       .groupBy("id_a", "id_b").agg(first(col("cosine")).as("cosine"))
+  }
+
+  /** lshCosinePairs with parameters derived from the collection size
+    * and a recall target instead of hand tuning — the knob that keeps
+    * the operator's cost LINEAR as data grows. Fixed planes make
+    * bucket population n/2^planes, so in-bucket candidate work grows
+    * quadratically with n; sizing planes to hold ~`targetBucket`
+    * vectors per bucket (planes = ceil(log2(n/targetBucket))) pins
+    * per-bucket work, and tables then comes from inverting the recall
+    * formula at the threshold: tables = ceil(ln(1-recall)/ln(1-p^planes)),
+    * p = 1-acos(tau)/π. One count() job buys the sizing. */
+  def lshCosinePairsAuto(df: DataFrame, idCol: Column, vecCol: Column, tau: Double,
+                         dim: Int, targetRecall: Double = 0.8, targetBucket: Int = 100,
+                         maxTables: Int = 64, seed: Long = 42L): DataFrame = {
+    val n = df.count()
+    val planes = math.min(24, math.max(1,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
+    val p = 1.0 - math.acos(tau) / math.Pi
+    val pSig = math.pow(p, planes)
+    val tables = math.min(maxTables, math.max(1,
+      math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - pSig)).toInt))
+    lshCosinePairs(df, idCol, vecCol, tau, dim, planes, tables, seed = seed)
   }
 
   /** IVF-style ANN: assign every vector to its nearest of `nCells`

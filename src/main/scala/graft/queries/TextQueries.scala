@@ -40,15 +40,18 @@ object TextQueries {
     * shingle-blocked — never O(n^2). 5-gram (not 3-gram) shingles keep
     * blocking selective on this corpus's tiny vocabulary: 34^5 possible
     * shingles vs 34^3 means shingle document-frequency ~1, so the
-    * blocking join only pairs genuine near-dups. The maxShingleDf=20
-    * skew cap is BOUND here (df maxes at 3-4 on this corpus, so the
-    * oracle stays exact) — on a web corpus it is what stops one
+    * blocking join only pairs genuine near-dups. The maxShingleDf
+    * skew cap is BOUND here — on a web corpus it is what stops one
     * boilerplate shingle from exploding into m² candidate rows;
     * capped candidates re-verify against full shingle sets, so
-    * emitted jaccards are the true values either way. */
+    * emitted jaccards are the true values either way. Cap sizing:
+    * comfortably above the corpus's real shingle-df tail (3-4 here,
+    * ~40 on the replicated sf1 smoke data — a cap of 20 measurably
+    * dropped true pairs there), far below the 10⁵⁺ boilerplate dfs
+    * the guard exists for. */
   private val qNgramJaccard = BoundQuery("q_ngram_jaccard", (s, d) => {
     Dedup.ngramJaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"),
-      shingleSize = 5, minJaccard = 0.3, maxShingleDf = Some(20))
+      shingleSize = 5, minJaccard = 0.3, maxShingleDf = Some(1000))
       .orderBy("id_a", "id_b")
   }, Some("""
     WITH docs AS (

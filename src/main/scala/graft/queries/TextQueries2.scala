@@ -301,12 +301,13 @@ object TextQueries2 {
 
   /** Containment near-dup pairs (Dedup.ngramContainmentPairs): the
     * subset-duplication detector jaccard under-scores. The
-    * maxShingleDf=20 skew cap is bound (lossless on this corpus where
-    * df maxes at 3-4, m²-guard on boilerplate-heavy corpora); capped
-    * candidates re-verify against full shingle sets. */
+    * maxShingleDf skew cap is bound (sized per the q_ngram_jaccard
+    * note: above the real df tail incl. the sf1 smoke's ~40, far
+    * below boilerplate scale); capped candidates re-verify against
+    * full shingle sets. */
   private val qContainmentPairs = BoundQuery("q_containment_pairs", (s, d) => {
     Dedup.ngramContainmentPairs(Tables.documents(s, d), col("doc_id"), col("text"),
-      shingleSize = 5, minContainment = 0.5, maxShingleDf = Some(20))
+      shingleSize = 5, minContainment = 0.5, maxShingleDf = Some(1000))
       .orderBy("id_a", "id_b")
   }, Some("""
     WITH docs AS (

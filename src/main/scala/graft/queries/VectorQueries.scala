@@ -44,14 +44,18 @@ object VectorQueries {
 
   /** Banded hyperplane-LSH cosine near-dup pairs — the near-dup
     * HEADLINE and the 100 TB path: O(n·tables) bucket rows + in-bucket
-    * joins instead of the exact baseline's O(n²) broadcast compare.
-    * Exact verification means every emitted pair is a true pair at
-    * tau; rows-only by design (the hyperplane buckets are seeded
-    * Gaussian draws, not SQL-expressible) — VectorSpec pins subset +
-    * recall ≥ floor vs the exact baseline at these same parameters. */
+    * joins instead of the exact baseline's O(n²) broadcast compare,
+    * with planes/tables AUTO-SIZED from the collection size and an
+    * 0.8 recall target (Similarity.lshCosinePairsAuto) so per-bucket
+    * work stays pinned as data grows — the sf1 smoke showed fixed
+    * planes re-growing quadratic buckets at 10×. Exact verification
+    * means every emitted pair is a true pair at tau; rows-only by
+    * design (seeded Gaussian hyperplanes are not SQL-expressible) —
+    * VectorSpec pins subset + recall ≥ floor for both the fixed and
+    * auto parameterizations. */
   private val qLshCosinePairs = BoundQuery("q_lsh_cosine_pairs", (s, d) => {
-    Similarity.lshCosinePairs(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
-      tau = 0.4, dim = 64, planes = 5, tables = 16)
+    Similarity.lshCosinePairsAuto(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+      tau = 0.4, dim = 64)
       .orderBy("id_a", "id_b")
   }, None, headline = true)
 

@@ -31,13 +31,13 @@ class TextSpec extends AnyFunSuite {
     val uncappedJ = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 5, 0.3)
       .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("jaccard"))).toMap
     val cappedJ = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 5, 0.3,
-        maxShingleDf = Some(20))
+        maxShingleDf = Some(1000))
       .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("jaccard"))).toMap
     assert(cappedJ == uncappedJ)
     val uncappedC = Dedup.ngramContainmentPairs(docs, col("doc_id"), col("text"), 5, 0.5)
       .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("containment"))).toMap
     val cappedC = Dedup.ngramContainmentPairs(docs, col("doc_id"), col("text"), 5, 0.5,
-        maxShingleDf = Some(20))
+        maxShingleDf = Some(1000))
       .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("containment"))).toMap
     assert(cappedC == uncappedC)
   }

@@ -73,6 +73,18 @@ class VectorSpec extends AnyFunSuite {
     assert(recall >= 0.55, s"banded LSH recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("auto-sized LSH meets its recall target with subset precision") {
+    val exact = Similarity.cosinePairs(emb, col("vec_id"), col("embedding"), 0.4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val lsh = Similarity.lshCosinePairsAuto(emb, col("vec_id"), col("embedding"),
+        tau = 0.4, dim = 64)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(lsh.subsetOf(exact))
+    // target 0.8 with finite-sample slack
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.55, s"auto LSH recall $recall (${lsh.size}/${exact.size})")
+  }
+
   test("PQ ADC top-k recalls most of the exact L2 top-k") {
     import graft.ml.ProductQuantizer
     val cb = ProductQuantizer.train(emb, col("vec_id"), col("embedding"),
