@@ -299,6 +299,60 @@ object TextQueries2 {
     ORDER BY word
   """))
 
+  /** Corpus-trained bigram language-model scoring — the LM-based
+    * quality signal (CCNet/Gopher-style perplexity filtering) of a
+    * training-data pipeline: train add-one-smoothed bigram
+    * probabilities on the corpus itself, score every document by its
+    * mean token-transition log-probability. Two count aggregations
+    * (bigram, preceding-unigram) + one broadcastable vocab scalar +
+    * one join back to the exploded bigrams — no model state outside
+    * the data. Determinism: each ln-term rounds to integer micro-nats
+    * BEFORE the per-doc sum, so the aggregation is exact long
+    * arithmetic in any order on any engine (the cents-integer rule of
+    * Num.scala applied to log space). */
+  private val qBigramLm = BoundQuery("q_bigram_lm", (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 2)
+    val bigrams = docs.select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1))).as("bg"))
+      .select(col("doc_id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = bigrams.agg(countDistinct(col("w2")).as("v"))
+    bigrams
+      .join(c12, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(broadcast(vocab))
+      .withColumn("nats_u",
+        round(log((col("c12") + 1).cast("double") / (col("c1") + col("v")).cast("double")) * 1e6, 0)
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nats_u")).as("sum_u"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_u").cast("double") / col("n_bigrams").cast("double") / 1e6, 6)
+          .as("avg_logprob"))
+      .orderBy("doc_id")
+  }, Some("""
+    WITH docs AS (
+      SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks
+      FROM documents),
+    bigrams AS (
+      SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+            FROM docs WHERE len(toks) >= 2)),
+    c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bigrams GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bigrams GROUP BY 1),
+    v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM bigrams),
+    terms AS (
+      SELECT doc_id,
+        CAST(round(ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)) * 1e6, 0) AS BIGINT) AS nats_u
+      FROM bigrams JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(nats_u) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6, 6) AS avg_logprob
+    FROM terms GROUP BY doc_id ORDER BY doc_id
+  """))
+
   /** Containment near-dup pairs (Dedup.ngramContainmentPairs): the
     * subset-duplication detector jaccard under-scores. The
     * maxShingleDf skew cap is bound (sized per the q_ngram_jaccard
@@ -333,5 +387,5 @@ object TextQueries2 {
   val all: Seq[BoundQuery] =
     Seq(qTfidf, qLevenshteinPairs, qDedupClusters, qCapPerSource,
       qDedupKeepBest, qNormalize, qTrainSplit, qVocab, qCmsWords,
-      qContainmentPairs)
+      qBigramLm, qContainmentPairs)
 }

@@ -34,6 +34,14 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
+# same shim as selfcheck.py: ScaleUp dirs carry events.ts as ns BIGINT
+ts_type = dict((r[0], r[1]) for r in
+               con.execute("DESCRIBE SELECT * FROM events").fetchall())
+if ts_type.get("ts") == "BIGINT":
+    con.execute(f"""CREATE OR REPLACE VIEW events AS
+        SELECT * REPLACE (make_timestamp(ts // 1000) AS ts)
+        FROM '{sf}/events.parquet'""")
+
 oracles = json.load(open(f"{out}/oracle_sql.json"))
 
 total = 0.0
