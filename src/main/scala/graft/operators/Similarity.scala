@@ -155,6 +155,43 @@ object Similarity {
     lshCosinePairs(df, idCol, vecCol, tau, dim, planes, tables, seed = seed)
   }
 
+  /** IVF with a TRAINED coarse quantizer: spherical k-means
+    * (KMeansLite over the normalized vectors) replaces ivfTopK's
+    * lowest-id centroids, giving balanced cells that track the data
+    * distribution — the production IVF shape (FAISS-style) — while
+    * staying deterministic (lowest-id init, rounded means). Same
+    * probe/verify plan as ivfTopK; only the centroid table differs,
+    * and cell assignment comes straight from the k-means model's
+    * assignments (no second argmax pass over the collection). */
+  def ivfTopKTrained(collection: DataFrame, colId: Column, colVec: Column,
+                     queries: DataFrame, qId: Column, qVec: Column,
+                     k: Int, nCells: Int = 16, nProbe: Int = 4,
+                     iters: Int = 3): DataFrame = {
+    val c = normed(collection, colId, colVec).persist(StorageLevel.MEMORY_AND_DISK)
+    val model = graft.ml.KMeansLite.fit(c, col("id"), col("vn"), nCells, iters)
+    val assigned = spread(c.join(
+      model.assignments.withColumnRenamed("cluster", "cell"), "id"))
+    // nearest-centroid ranking by exact L2 (the training metric):
+    // d² = |q|² + |cent|² − 2·q·cent with |q|² = 1 on normalized input
+    val cents = model.centroids.zipWithIndex
+    def cellScores(qn: Column): Column = array(cents.map { case (v, i) =>
+      val c2 = v.map(x => x * x).sum
+      struct(round(lit(1.0 + c2) - lit(2.0) * dot(qn, array(v.map(lit): _*)), 9).as("d"),
+        lit(i).as("cell"))
+    }: _*)
+    val q = normed(queries, qId, qVec)
+      .select(col("id").as("query_id"), col("vn").as("qn"))
+      .withColumn("probe", slice(sort_array(cellScores(col("qn"))), 1, nProbe))
+      .select(col("query_id"), col("qn"), explode(col("probe")("cell")).as("qcell"))
+    val scored = assigned.join(broadcast(q),
+        col("cell") === col("qcell") && col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        round(dotProduct(collection.sparkSession, col("vn"), col("qn")), 6).as("cosine"))
+    TopKPerGroup.topK(scored, Seq(col("query_id")),
+      Seq(desc("cosine"), col("id")), k, rankCol = "rnk")
+      .select("query_id", "id", "cosine", "rnk")
+  }
+
   /** IVF-style ANN: assign every vector to its nearest of `nCells`
     * deterministic coarse centroids (the lowest-id vectors), probe the
     * `nProbe` best cells per query, brute-force inside. The scale

@@ -133,6 +133,19 @@ object VectorQueries {
     ORDER BY query_id, rnk
   """))
 
+  /** IVF with a spherical-k-means-trained coarse quantizer
+    * (Similarity.ivfTopKTrained) — the production FAISS-style ANN
+    * shape; rows-only (k-means means round trip through distributed
+    * double avgs; VectorSpec pins recall vs brute force). */
+  private val qAnnIvfTrained = BoundQuery("q_ann_ivf_trained", (s, d) => {
+    val e = Tables.embeddings(s, d)
+    Similarity.ivfTopKTrained(
+      e, col("vec_id"), col("embedding"),
+      e.where(col("vec_id") < 5), col("vec_id"), col("embedding"),
+      k = 10)
+      .orderBy("query_id", "rnk")
+  }, None)
+
   /** Product-quantization ANN (ml.ProductQuantizer): 64-dim floats
     * compressed to 8 codebook codes, ranked by ADC lookup distance
     * (rows-only; VectorSpec pins recall vs exact L2 top-k). The
@@ -259,6 +272,6 @@ object VectorQueries {
   """))
 
   val all: Seq[BoundQuery] = Seq(
-    qEmbeddingNeardup, qLshCosinePairs, qAnnTopk, qAnnIvf, qPqTopk, qPca, qKmeans,
-    qAssociationRules, qFrequentPairs)
+    qEmbeddingNeardup, qLshCosinePairs, qAnnTopk, qAnnIvf, qAnnIvfTrained,
+    qPqTopk, qPca, qKmeans, qAssociationRules, qFrequentPairs)
 }

@@ -44,6 +44,27 @@ class VectorSpec extends AnyFunSuite {
     assert(mean >= 0.2, s"mean IVF recall $mean")
   }
 
+  test("trained-centroid IVF recalls at least as usably as lowest-id IVF") {
+    val ivfT = Similarity.ivfTopKTrained(emb, col("vec_id"), col("embedding"),
+        emb.where(col("vec_id") < 5), col("vec_id"), col("embedding"), 10)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("id")).toSet }
+    val recalls = bruteTop.map { case (q, brute) =>
+      ivfT.get(q).map(c => brute.count(c.contains).toDouble / brute.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.2, s"mean trained-IVF recall $mean")
+    // determinism: same model, same result
+    val again = Similarity.ivfTopKTrained(emb, col("vec_id"), col("embedding"),
+        emb.where(col("vec_id") < 5), col("vec_id"), col("embedding"), 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"), r.getAs[Long]("id"))).toSet
+    val first = Similarity.ivfTopKTrained(emb, col("vec_id"), col("embedding"),
+        emb.where(col("vec_id") < 5), col("vec_id"), col("embedding"), 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"), r.getAs[Long]("id"))).toSet
+    assert(again == first)
+  }
+
   test("LSH cosine pairs are a subset of exact pairs at the same tau") {
     val exact = Similarity.cosinePairs(emb, col("vec_id"), col("embedding"), 0.35)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
