@@ -353,6 +353,17 @@ object TextQueries2 {
     FROM terms GROUP BY doc_id ORDER BY doc_id
   """))
 
+  /** BPE tokenizer training (ml.BpeTrainer): the first 12 byte-pair
+    * merges over the corpus, with weighted pair counts. Rows-only —
+    * each merge REWRITES the tokenization the next iteration counts,
+    * which a SQL oracle cannot unroll without the same fold; BpeSpec
+    * pins the full merge sequence against an independent reference
+    * implementation. */
+  private val qBpeMerges = BoundQuery("q_bpe_merges", (s, d) => {
+    graft.ml.BpeTrainer.mergesDF(Tables.documents(s, d), col("text"), numMerges = 12)
+      .orderBy("rank")
+  }, None)
+
   /** Containment near-dup pairs (Dedup.ngramContainmentPairs): the
     * subset-duplication detector jaccard under-scores. The
     * maxShingleDf skew cap is bound (sized per the q_ngram_jaccard
@@ -387,5 +398,5 @@ object TextQueries2 {
   val all: Seq[BoundQuery] =
     Seq(qTfidf, qLevenshteinPairs, qDedupClusters, qCapPerSource,
       qDedupKeepBest, qNormalize, qTrainSplit, qVocab, qCmsWords,
-      qBigramLm, qContainmentPairs)
+      qBigramLm, qBpeMerges, qContainmentPairs)
 }
