@@ -205,6 +205,73 @@ object TextQueries {
     FROM supplier ORDER BY s_suppkey
   """))
 
+  /** End-to-end filter DECISION table — the composed keep/reject
+    * verdict a training-data pipeline materializes per document:
+    * exact-dup demotion (keep-first), language gate, length gate,
+    * quality-score gate, first failing rule as the reject reason.
+    * Every rule is an already-oracle-checked component (q_dedup_exact,
+    * q_langid, q_token_count, q_text_stats) composed in ONE pass: one
+    * dedup window + codegen'd per-row predicates, no extra shuffles
+    * beyond the dedup's digest partition. */
+  private val qQualityFilter = BoundQuery("q_quality_filter", (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("lang_pred", langId(toks))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("quality", qualityScore(col("text")))
+      .select(
+        col("doc_id"), col("lang_pred"), col("n_tokens"),
+        round(col("quality"), 6).as("quality"),
+        when(col("rn") > 1, "duplicate")
+          .when(col("lang_pred") === "und", "language")
+          .when(col("n_tokens") < 5, "too_short")
+          .when(col("quality") < 0.55, "low_quality")
+          .otherwise("keep").as("decision"))
+      .orderBy("doc_id")
+  }, Some("""
+    WITH t AS (
+      SELECT doc_id, text,
+        list_filter(string_split(text,' '), x -> x <> '') AS toks,
+        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents),
+    scored AS (
+      SELECT doc_id, rn,
+        CASE WHEN len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) > 0
+              AND len(list_filter(toks, x -> x IN ('the','a','of','and','to')))
+                  >= len(list_filter(toks, x -> x IN ('el','la','de','los','y')))
+              AND len(list_filter(toks, x -> x IN ('the','a','of','and','to')))
+                  >= len(list_filter(toks, x -> x IN ('der','die','das','und','ist')))
+              AND len(list_filter(toks, x -> x IN ('the','a','of','and','to')))
+                  >= len(list_filter(toks, x -> x IN ('le','les','des','et','une'))) THEN 'en'
+             WHEN len(list_filter(toks, x -> x IN ('el','la','de','los','y'))) > 0
+              AND len(list_filter(toks, x -> x IN ('el','la','de','los','y')))
+                  >= len(list_filter(toks, x -> x IN ('der','die','das','und','ist')))
+              AND len(list_filter(toks, x -> x IN ('el','la','de','los','y')))
+                  >= len(list_filter(toks, x -> x IN ('le','les','des','et','une'))) THEN 'es'
+             WHEN len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) > 0
+              AND len(list_filter(toks, x -> x IN ('der','die','das','und','ist')))
+                  >= len(list_filter(toks, x -> x IN ('le','les','des','et','une'))) THEN 'de'
+             WHEN len(list_filter(toks, x -> x IN ('le','les','des','et','une'))) > 0 THEN 'fr'
+             ELSE 'und' END AS lang_pred,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        0.5 * least(CAST(len(toks) AS BIGINT)::DOUBLE / 100.0, 1.0)
+          + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT)::DOUBLE
+                          / CAST(length(text) AS DOUBLE))
+          + 0.2 * least(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS BIGINT)::DOUBLE
+                          / CAST(len(toks) AS DOUBLE) * 5.0, 1.0) AS quality
+      FROM t)
+    SELECT doc_id, lang_pred, n_tokens, round(quality, 6) AS quality,
+      CASE WHEN rn > 1 THEN 'duplicate'
+           WHEN lang_pred = 'und' THEN 'language'
+           WHEN n_tokens < 5 THEN 'too_short'
+           WHEN quality < 0.55 THEN 'low_quality'
+           ELSE 'keep' END AS decision
+    FROM scored ORDER BY doc_id
+  """))
+
   /** Heavy-hitter words via the space-saving TypedImperativeAggregate
     * (graft.expressions.TopKSketch) — one capacity-bounded pass, no
     * full word groupBy. With capacity >> distinct items no eviction
@@ -227,5 +294,5 @@ object TextQueries {
   val all: Seq[BoundQuery] = Seq(
     qDedupExact, qFingerprint, qNgramJaccard, qMinhashPairs, qSimhashPairs,
     qTokenCount, qTextStats, qLangid, qCleanPipeline, qImputeDefaults,
-    qHeavyHitters)
+    qQualityFilter, qHeavyHitters)
 }

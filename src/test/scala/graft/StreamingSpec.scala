@@ -225,6 +225,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Map(1L -> 2L, 2L -> 4L), s"generous TTL must converge to batch truth: $kept")
   }
 
+  test("stateful operators run on the RocksDB state store (the at-scale provider)") {
+    // the default HDFSBackedStateStoreProvider keeps state on the
+    // executor heap — at 100 TB/day the store must spill; RocksDB is
+    // the production provider, so the TTL operator must behave
+    // identically on it
+    val dir = java.nio.file.Files.createTempDirectory("events_rocks")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfTiny/events.parquet"),
+      dir.resolve("events.parquet"))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = EventStreams.userRunningCounts(spark, dir.toString)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("rocks_out")
+        .start()
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table("rocks_out")
+          .groupBy("user_id").agg(org.apache.spark.sql.functions.max("n_events").as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val batch = graft.sources.Tables.events(spark, sfTiny)
+          .groupBy("user_id").count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(streamed == batch)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("exactly-once sink: idempotent partition overwrite survives redelivery") {
     // the production sink pattern: each micro-batch dynamically
     // overwrites ONLY the partitions it carries, so replaying a batch
