@@ -39,6 +39,24 @@ class EdgeCasesSpec extends AnyFunSuite {
       shingleSize = 5, minJaccard = 0.1).count() == 0)
   }
 
+  test("EditDistance on an empty corpus is empty, not an exception") {
+    assert(EditDistance.editDistancePairs(emptyDocs, col("doc_id"), col("text"), 3)
+      .count() == 0)
+  }
+
+  test("auto-sized LSH on an empty collection is empty") {
+    val emptyVecs = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    assert(Similarity.lshCosinePairsAuto(emptyVecs, col("vec_id"), col("embedding"),
+      tau = 0.5, dim = 2).count() == 0)
+  }
+
+  test("KLL of an empty input yields NaN quantiles, not a crash") {
+    import graft.expressions.{KllFns, KllSketch}
+    val empty = Seq.empty[Double].toDF("v")
+    val sk = empty.agg(KllSketch.kllAgg(spark, col("v"), 64)).first().getAs[Array[Byte]](0)
+    assert(KllFns.quantile(KllFns.fromBytes(sk), 0.5).isNaN)
+  }
+
   test("RangeJoin with no overlapping intervals is empty") {
     val points = Seq(1.0, 2.0, 3.0).toDF("p")
     val ranges = Seq((100.0, 200.0)).toDF("lo", "hi")
