@@ -23,14 +23,46 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
+  /** `df` + `outCol` = INCLUSIVE global running sum of `valueCol` in
+    * `sortCols` order (total order required) — same two-phase
+    * decomposition as globalRowNumber: local cumsum within range
+    * partitions + per-partition prefix offsets. The scale-safe form
+    * of `sum().over(Window.orderBy(...))`, which plans a
+    * single-partition WindowExec. */
+  def globalCumSum(df: DataFrame, valueCol: Column, outCol: String,
+                   sortCols: Column*): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = df.withColumn("__v", valueCol.cast("long"))
+      .repartitionByRange(parts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    // pin the partitioning: the plan forks below (offsets + join), and
+    // an unpersisted repartitionByRange RESAMPLES its boundaries per
+    // branch — the branches can then disagree on __pid and corrupt
+    // the offsets (observed: a 4000-row spec diff at a boundary)
+    val local = parted.withColumn("__lcs",
+      sum(col("__v")).over(Window.partitionBy("__pid").orderBy(sortCols: _*)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sums = local.groupBy("__pid").agg(sum(col("__v")).as("__psum"))
+    val offsets = sums.as("x")
+      .join(sums.as("y"), col("y.__pid") < col("x.__pid"), "left")
+      .groupBy(col("x.__pid").as("__pid"))
+      .agg(coalesce(sum(col("y.__psum")), lit(0L)).as("__off"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(outCol, col("__off") + col("__lcs"))
+      .drop("__pid", "__v", "__lcs", "__off")
+  }
+
   /** `df` + `outCol` = 0-based dense global row number by `sortCols`
     * (must define a total order for a deterministic result). */
   def globalRowNumber(df: DataFrame, outCol: String, sortCols: Column*): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val parted = df.repartitionByRange(parts, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
+    // persist pins the sampled range boundaries across the fork below
+    // (see globalCumSum — an unpinned fork can re-sample per branch)
     val local = parted.withColumn("__lrn",
       row_number().over(Window.partitionBy("__pid").orderBy(sortCols: _*)).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Prefix sums over the P per-partition counts via a P×P self-join
     // (P = shuffle partitions, so ~32² rows) — NOT an unpartitioned
     // window, which would plan the very single-partition WindowExec

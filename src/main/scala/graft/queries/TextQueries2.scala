@@ -353,6 +353,92 @@ object TextQueries2 {
     FROM terms GROUP BY doc_id ORDER BY doc_id
   """))
 
+  /** Sequence packing for pretraining: concatenate the corpus in
+    * deterministic doc order and cut every `ctx` tokens (the packed-
+    * sequences shape), emitting one row per (bin, document span) with
+    * the token count the document contributes to that bin — the
+    * batch-assembly table a trainer's data loader consumes. The
+    * global token offset comes from Ranking.globalCumSum (two-phase,
+    * scale-safe), never an unpartitioned window; a document spanning
+    * a cut contributes rows to both bins. */
+  private val qPackSequences = BoundQuery("q_pack_sequences", (s, d) => {
+    val ctx = 256L
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .where(col("n_tok") > 0)
+    graft.operators.Ranking.globalCumSum(docs, col("n_tok"), "cum", col("doc_id").asc)
+      .withColumn("start", col("cum") - col("n_tok"))
+      .withColumn("bin", explode(sequence(
+        floor(col("start") / ctx).cast("long"),
+        floor((col("cum") - 1) / ctx).cast("long"))))
+      .select(col("bin"), col("doc_id"),
+        (least(col("cum"), (col("bin") + 1) * ctx) -
+         greatest(col("start"), col("bin") * ctx)).as("n_tok_in_bin"))
+      .orderBy("bin", "doc_id")
+  }, Some("""
+    WITH docs AS (
+      SELECT doc_id,
+        CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents
+      WHERE len(list_filter(string_split(text,' '), x -> x <> '')) > 0),
+    cums AS (
+      SELECT doc_id, n_tok,
+             sum(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM docs),
+    spans AS (
+      SELECT doc_id, n_tok, cum, cum - n_tok AS start,
+             unnest(range(CAST(floor((cum - n_tok) / 256) AS BIGINT),
+                          CAST(floor((cum - 1) / 256) AS BIGINT) + 1)) AS bin
+      FROM cums)
+    SELECT bin, doc_id,
+           CAST(least(cum, (bin + 1) * 256) - greatest(start, bin * 256) AS BIGINT)
+             AS n_tok_in_bin
+    FROM spans ORDER BY bin, doc_id
+  """))
+
+  /** Document chunking: fixed-size token windows with overlap (stride
+    * < window), the long-document splitter feeding context-bounded
+    * training examples; emits provenance (doc, chunk index, token
+    * range) plus the chunk's first/last token for spot checks. Pure
+    * per-row sequence arithmetic — embarrassingly parallel, no
+    * shuffle at all beyond the scan. */
+  private val qChunkDocs = BoundQuery("q_chunk_docs", (s, d) => {
+    val (win, stride) = (40L, 32L)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .where(col("n") > 0)
+    docs
+      .withColumn("chunk_idx", explode(sequence(lit(0L),
+        greatest(ceil((col("n") - win).cast("double") / stride).cast("long"), lit(0L)))))
+      .withColumn("start", col("chunk_idx") * stride)
+      .where(col("start") < col("n")) // stride tail guard
+      .select(col("doc_id"), col("chunk_idx"),
+        (least(col("start") + win, col("n")) - col("start")).as("chunk_len"),
+        element_at(col("toks"), (col("start") + 1).cast("int")).as("first_tok"),
+        element_at(col("toks"),
+          least(col("start") + win, col("n")).cast("int")).as("last_tok"))
+      .orderBy("doc_id", "chunk_idx")
+  }, Some("""
+    WITH docs AS (
+      SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks
+      FROM documents),
+    sized AS (
+      SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM docs WHERE len(toks) > 0),
+    chunks AS (
+      SELECT doc_id, toks, n,
+             unnest(range(0, greatest(CAST(ceil(CAST(n - 40 AS DOUBLE) / 32) AS BIGINT), 0) + 1)) AS chunk_idx
+      FROM sized)
+    SELECT doc_id, chunk_idx,
+           least(chunk_idx * 32 + 40, n) - chunk_idx * 32 AS chunk_len,
+           toks[chunk_idx * 32 + 1] AS first_tok,
+           toks[least(chunk_idx * 32 + 40, n)] AS last_tok
+    FROM chunks
+    WHERE chunk_idx * 32 < n
+    ORDER BY doc_id, chunk_idx
+  """))
+
   /** BPE tokenizer training (ml.BpeTrainer): the first 12 byte-pair
     * merges over the corpus, with weighted pair counts. Rows-only —
     * each merge REWRITES the tokenization the next iteration counts,
@@ -398,5 +484,5 @@ object TextQueries2 {
   val all: Seq[BoundQuery] =
     Seq(qTfidf, qLevenshteinPairs, qDedupClusters, qCapPerSource,
       qDedupKeepBest, qNormalize, qTrainSplit, qVocab, qCmsWords,
-      qBigramLm, qBpeMerges, qContainmentPairs)
+      qBigramLm, qBpeMerges, qPackSequences, qChunkDocs, qContainmentPairs)
 }

@@ -156,6 +156,18 @@ class Operators2Spec extends AnyFunSuite {
     assert(twoPhase == oneTask)
   }
 
+  test("Ranking.globalCumSum equals the single-partition running sum") {
+    val rnd = new scala.util.Random(5)
+    val df = (0 until 4000).map(i => (i.toLong, rnd.nextInt(50).toLong))
+      .toDF("id", "v").repartition(7)
+    val twoPhase = Ranking.globalCumSum(df, col("v"), "cs", col("id").asc)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("cs"))).toMap
+    val oneTask = df.withColumn("cs",
+        sum(col("v")).over(org.apache.spark.sql.expressions.Window.orderBy(col("id").asc)))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("cs"))).toMap
+    assert(twoPhase == oneTask)
+  }
+
   test("Ranking.globalRowNumber on empty input is empty") {
     val df = Seq.empty[(String, Long)].toDF("token", "freq")
     assert(Ranking.globalRowNumber(df, "rid", col("freq").desc).count() == 0)
