@@ -460,11 +460,14 @@ object Registry {
   """))
 
   /** Reference: queries.py:298 search_owner — per-owner totals,
-    * max_by-struct "best item", global rank window, formatted URL.
-    * The reference used a Python UDF for the URL (flickrapi_utils.py:31
+    * max_by-struct "best item", global rank, formatted URL. The
+    * reference used a Python UDF for the URL (flickrapi_utils.py:31
     * construct_photo_url); `format_string` keeps it in codegen. The
-    * global rank ranks the already-aggregated per-customer rollup
-    * (|customers| << |orders|), then keeps the top 100. */
+    * top-100 selection is a distributed TakeOrdered over the
+    * aggregated rollup and ranks come from Ranking.globalRowNumber on
+    * the 100 survivors — no unpartitioned rank window anywhere, so
+    * the plan stays single-task-free even when the owner rollup is
+    * millions of rows. */
   private val qOwnerLeaderboard = BoundQuery("q_owner_leaderboard", (s, d) => {
     val per = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
@@ -475,8 +478,11 @@ object Registry {
           .as("best"))
       .select(col("o_custkey"), col("spent_c"), col("order_count"),
         col("best.ok").as("best_orderkey"), col("best.pc").as("best_price_c"))
-    val ranked = TopKPerGroup.topK(per, Seq(), Seq(desc("spent_c"), col("o_custkey")),
-      k = 100, rankCol = "rank")
+    val top = TopKPerGroup.topKGlobal(per,
+      Seq(desc("spent_c"), col("o_custkey")), 100)
+    val ranked = graft.operators.Ranking
+      .globalRowNumber(top, "rank0", col("spent_c").desc, col("o_custkey").asc)
+      .withColumn("rank", col("rank0") + 1)
     ranked
       .join(Tables.customer(s, d).select("c_custkey", "c_name"),
         col("o_custkey") === col("c_custkey"))
