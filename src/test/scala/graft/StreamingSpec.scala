@@ -225,6 +225,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Map(1L -> 2L, 2L -> 4L), s"generous TTL must converge to batch truth: $kept")
   }
 
+  test("stream-static enrichment join equals the batch join on replay") {
+    // the dimension-enrichment shape: an unbounded stream joined to a
+    // bounded static table — Spark broadcasts/rescans the static side
+    // per micro-batch, no state store involved (contrast the
+    // stream-stream interval join, which buffers watermarked state)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("events_ss")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfTiny/events.parquet"),
+      dir.resolve("events.parquet"))
+    val dim = Seq(("view", "browse"), ("click", "browse"),
+      ("cart", "intent"), ("purchase", "convert"), ("like", "social"))
+      .toDF("event_type", "category")
+    val q = EventStreams.raw(spark, dir.toString)
+      .join(dim, "event_type")
+      .groupBy("category").agg(count(lit(1)).as("cnt"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ss_join_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ss_join_out")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = graft.sources.Tables.events(spark, sfTiny)
+        .join(dim, "event_type")
+        .groupBy("category").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful operators run on the RocksDB state store (the at-scale provider)") {
     // the default HDFSBackedStateStoreProvider keeps state on the
     // executor heap — at 100 TB/day the store must spill; RocksDB is
