@@ -35,8 +35,13 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        // scope: unpersist THIS query's operator-internal caches once
+        // its dump finishes — ~125 queries in one session would
+        // otherwise accumulate every intermediate cache block
+        try graft.util.CacheScope.withScope {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        }
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }

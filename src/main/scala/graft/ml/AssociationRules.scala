@@ -30,8 +30,8 @@ object AssociationRules {
                     minSupport: Double, minConfidence: Double): DataFrame = {
     val tx = df.select(txId.as("tid"), array_distinct(itemsCol).as("items"))
       .where(size(col("items")) > 0)
-    val ex = tx.select(col("tid"), explode(col("items")).as("item"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = graft.util.CacheScope.persist(
+      tx.select(col("tid"), explode(col("items")).as("item")))
     val tot = tx.agg(count(lit(1)).as("t"))
     val singles = ex.groupBy("item").agg(count(lit(1)).as("n"))
     val pairs = ex.as("a").join(ex.as("b"),

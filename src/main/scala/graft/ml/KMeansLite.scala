@@ -22,8 +22,8 @@ object KMeansLite {
   final case class Model(centroids: Array[Array[Double]], assignments: DataFrame)
 
   def fit(df: DataFrame, idCol: Column, vecCol: Column, k: Int, iters: Int): Model = {
-    val data = df.select(idCol.as("id"), toDouble(vecCol).as("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val data = graft.util.CacheScope.persist(
+      df.select(idCol.as("id"), toDouble(vecCol).as("v")))
     val dim = data.select(size(col("v"))).first().getInt(0)
 
     var cents: Array[Array[Double]] = data.orderBy("id").limit(k)

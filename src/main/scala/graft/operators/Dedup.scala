@@ -79,10 +79,10 @@ object Dedup {
     // keys) + persist: the shingle table feeds three branches (sizes,
     // join side a, join side b) — without the persist each branch
     // recomputes the HOF shingle pipeline, tripling the dominant cost.
-    val docs = df.select(idCol.as("id"), block.as("blk"),
-        array_distinct(shingleHashes(df.sparkSession, textCol, shingleSize)).as("sh"))
-      .where(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = graft.util.CacheScope.persist(
+      df.select(idCol.as("id"), block.as("blk"),
+          array_distinct(shingleHashes(df.sparkSession, textCol, shingleSize)).as("sh"))
+        .where(size(col("sh")) > 0))
     val sizes = docs.select(col("id"), col("blk"), size(col("sh")).as("n"))
     val exploded0 = docs.select(col("id"), col("blk"), explode(col("sh")).as("s"))
     maxShingleDf match {
@@ -142,10 +142,10 @@ object Dedup {
   def ngramContainmentPairs(df: DataFrame, idCol: Column, textCol: Column,
                             shingleSize: Int, minContainment: Double,
                             maxShingleDf: Option[Int] = None): DataFrame = {
-    val docs = df.select(idCol.as("id"),
-        array_distinct(shingleHashes(df.sparkSession, textCol, shingleSize)).as("sh"))
-      .where(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = graft.util.CacheScope.persist(
+      df.select(idCol.as("id"),
+          array_distinct(shingleHashes(df.sparkSession, textCol, shingleSize)).as("sh"))
+        .where(size(col("sh")) > 0))
     val sizes = docs.select(col("id"), size(col("sh")).as("n"))
     val exploded0 = docs.select(col("id"), explode(col("sh")).as("s"))
     val contain = (shared: Column, na: Column, nb: Column) =>

@@ -37,9 +37,9 @@ object EditDistance {
     val k = maxDist
     require(k >= 1, "maxDist must be >= 1")
     val block = blockCol.getOrElse(lit(1))
-    val base = df.select(idCol.as("id"), block.as("blk"), strCol.as("s"))
-      .withColumn("l", length(col("s")).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = graft.util.CacheScope.persist(
+      df.select(idCol.as("id"), block.as("blk"), strCol.as("s"))
+        .withColumn("l", length(col("s")).cast("long")))
 
     // canonical even partition of a length-l string into k+1 segments:
     // the first (k+1 - l%(k+1)) get floor(l/(k+1)) chars, the rest one

@@ -11,14 +11,23 @@ import graft.functions.GeoFunctions
   * longitude cells. Great-circle distance is bounded below by the
   * meridian arc of the latitude difference (~111.19 km/deg on the
   * 6371 km sphere), so any pair within r km differs by at most
-  * ceil(r/111.19) bands. Within a band, the longitude difference of a
-  * qualifying pair is at most r/(111.19·cos φ) degrees, where cos φ
-  * is taken at the band edge NEAREST the pole (the widest case — a
-  * degree of longitude shrinks toward the poles, the classic trap of
-  * fixed lon grids). Each band therefore gets its own cell width
-  * ≥ that bound, and bands touching ≥85° collapse to a single cell
-  * (cos → 0 blows the width up past 360° anyway), which degrades
-  * polar bands to the old 1-D behavior instead of dropping pairs.
+  * k = ceil(r/111.19) bands. A band's cells must be wide enough for
+  * EVERY pair that meets in it — and the probing point can sit up to
+  * k bands poleward of the band it probes, where a degree of
+  * longitude is narrower. So cell width for band b is derived from
+  * E = min(poleNearestEdge(b) + k, 90°), the pole-most latitude any
+  * point of a qualifying pair probing b can have. (Sizing from the
+  * band's OWN edge dropped polar pairs: at r=500 km the points
+  * (85.68, 44.9) and (83.9999, 90.9) are 479.8 km apart yet landed
+  * 2 cells apart in band 83's grid.)
+  *
+  * The width bound itself is the exact spherical one, not the linear
+  * r/(111.19·cos E) approximation: haversine gives, for both points
+  * at |φ| ≤ E, d ≥ 2R·asin(cos E · sin(Δλ/2)), so d ≤ r implies
+  * Δλ ≤ 2·asin(sin(r/2R)/cos E). (The linear form is ~3% narrower
+  * than this at 85°/500 km — sin x < x — i.e. slightly lossy even
+  * within one band.) Bands whose E reaches 85° collapse to a single
+  * cell (the 1-D fallback; cos → 0 blows the width past 360° anyway).
   * Cells wrap modulo 360° so antimeridian pairs block together.
   *
   * Each point is INDEXED once under (band, cell) and PROBES the
@@ -37,17 +46,19 @@ object GeoJoin {
   def latBandRadiusPairs(df: DataFrame, idCol: Column, latCol: Column,
                          lonCol: Column, radiusKm: Double): DataFrame = {
     val k = math.ceil(radiusKm / 111.19).toInt
-    val dlonKmPerDeg = radiusKm / 111.19
+    val sinHalfR = math.sin(radiusKm / (2.0 * 6371.0)) // sin(r/2R)
     val polarCos = math.cos(math.toRadians(85.0))
 
-    // widest lon-degree span of an r-km leg anywhere inside the band:
-    // use cos at the band edge nearest the pole; polar bands → 1 cell
+    // widest lon-degree span of an r-km pair PROBING this band: exact
+    // spherical bound at the pole-most latitude reachable within the
+    // ±k-band probe window; bands whose window touches 85° → 1 cell
     def cellsOf(band: Column): Column = {
       val edge = least(lit(89.9999),
-        greatest(abs(band.cast("double")), abs(band.cast("double") + 1)))
+        greatest(abs(band.cast("double")), abs(band.cast("double") + 1)) + lit(k.toDouble))
       val c = cos(radians(edge))
-      val width = when(c <= lit(polarCos), lit(360.0))
-        .otherwise(least(lit(360.0), lit(dlonKmPerDeg) / c))
+      val s = lit(sinHalfR) / c
+      val width = when(c <= lit(polarCos) || s >= lit(1.0), lit(360.0))
+        .otherwise(least(lit(360.0), degrees(asin(s) * lit(2.0))))
       greatest(floor(lit(360.0) / width), lit(1.0)).cast("long")
     }
     def cellOf(band: Column, lon: Column): Column = {

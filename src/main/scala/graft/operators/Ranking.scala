@@ -28,9 +28,19 @@ object Ranking {
     * decomposition as globalRowNumber: local cumsum within range
     * partitions + per-partition prefix offsets. The scale-safe form
     * of `sum().over(Window.orderBy(...))`, which plans a
-    * single-partition WindowExec. */
+    * single-partition WindowExec.
+    *
+    * INTEGER-ONLY contract: the running sum accumulates as long (the
+    * only type whose partial sums are partition-order-invariant — a
+    * double cumsum would drift by summation order). Non-integral
+    * inputs are rejected rather than silently truncated; scale a
+    * decimal into integral units (cents, micros) first. */
   def globalCumSum(df: DataFrame, valueCol: Column, outCol: String,
                    sortCols: Column*): DataFrame = {
+    val vt = df.select(valueCol).schema.head.dataType
+    require(Seq("byte", "short", "integer", "long").contains(vt.typeName),
+      s"globalCumSum accumulates exact longs; got $vt — cast to an " +
+        "integral unit (e.g. cents) explicitly at the call site")
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val parted = df.withColumn("__v", valueCol.cast("long"))
       .repartitionByRange(parts, sortCols: _*)
@@ -39,9 +49,8 @@ object Ranking {
     // an unpersisted repartitionByRange RESAMPLES its boundaries per
     // branch — the branches can then disagree on __pid and corrupt
     // the offsets (observed: a 4000-row spec diff at a boundary)
-    val local = parted.withColumn("__lcs",
-      sum(col("__v")).over(Window.partitionBy("__pid").orderBy(sortCols: _*)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val local = graft.util.CacheScope.persist(parted.withColumn("__lcs",
+      sum(col("__v")).over(Window.partitionBy("__pid").orderBy(sortCols: _*))))
     val sums = local.groupBy("__pid").agg(sum(col("__v")).as("__psum"))
     val offsets = sums.as("x")
       .join(sums.as("y"), col("y.__pid") < col("x.__pid"), "left")
@@ -60,9 +69,8 @@ object Ranking {
       .withColumn("__pid", spark_partition_id())
     // persist pins the sampled range boundaries across the fork below
     // (see globalCumSum — an unpinned fork can re-sample per branch)
-    val local = parted.withColumn("__lrn",
-      row_number().over(Window.partitionBy("__pid").orderBy(sortCols: _*)).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val local = graft.util.CacheScope.persist(parted.withColumn("__lrn",
+      row_number().over(Window.partitionBy("__pid").orderBy(sortCols: _*)).cast("long")))
     // Prefix sums over the P per-partition counts via a P×P self-join
     // (P = shuffle partitions, so ~32² rows) — NOT an unpartitioned
     // window, which would plan the very single-partition WindowExec

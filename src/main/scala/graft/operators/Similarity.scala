@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
+import graft.util.CacheScope
 import graft.functions.VectorFunctions._
 import graft.expressions.DotProduct.dotProduct
 
@@ -57,7 +57,7 @@ object Similarity {
   /** Exact cosine near-duplicate pairs (id_a < id_b, cosine >= tau).
     * Quadratic — correctness baseline and small-collection tool. */
   def cosinePairs(df: DataFrame, idCol: Column, vecCol: Column, tau: Double): DataFrame = {
-    val n = normed(df, idCol, vecCol).persist(StorageLevel.MEMORY_AND_DISK)
+    val n = CacheScope.persist(normed(df, idCol, vecCol))
     spread(n).as("a").join(broadcast(n).as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(dotProduct(df.sparkSession, col("a.vn"), col("b.vn")), 6).as("cosine"))
@@ -85,7 +85,7 @@ object Similarity {
     val rnd = new scala.util.Random(seed)
     val hyper: Seq[Seq[Double]] =
       Seq.fill(tables * planes)(Seq.fill(dim)(rnd.nextGaussian()))
-    val n = normed(df, idCol, vecCol).persist(StorageLevel.MEMORY_AND_DISK)
+    val n = CacheScope.persist(normed(df, idCol, vecCol))
     // One typedLit constant + one transform pass computes all
     // tables*planes sign bits — inlining each plane as its own array()
     // literal would put tables*planes*dim literal nodes in the plan and
@@ -120,9 +120,8 @@ object Similarity {
     // recomputing the signature stage once per side.
     val capped = {
       val w = org.apache.spark.sql.expressions.Window.partitionBy("tbl", "sig")
-      buckets.withColumn("__bn", count(lit(1)).over(w))
-        .where(col("__bn") <= maxBucket).drop("__bn")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      CacheScope.persist(buckets.withColumn("__bn", count(lit(1)).over(w))
+        .where(col("__bn") <= maxBucket).drop("__bn"))
     }
     capped.as("a").join(capped.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
@@ -167,7 +166,7 @@ object Similarity {
                      queries: DataFrame, qId: Column, qVec: Column,
                      k: Int, nCells: Int = 16, nProbe: Int = 4,
                      iters: Int = 3): DataFrame = {
-    val c = normed(collection, colId, colVec).persist(StorageLevel.MEMORY_AND_DISK)
+    val c = CacheScope.persist(normed(collection, colId, colVec))
     val model = graft.ml.KMeansLite.fit(c, col("id"), col("vn"), nCells, iters)
     val assigned = spread(c.join(
       model.assignments.withColumnRenamed("cluster", "cell"), "id"))
@@ -199,7 +198,7 @@ object Similarity {
   def ivfTopK(collection: DataFrame, colId: Column, colVec: Column,
               queries: DataFrame, qId: Column, qVec: Column,
               k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val c = normed(collection, colId, colVec).persist(StorageLevel.MEMORY_AND_DISK)
+    val c = CacheScope.persist(normed(collection, colId, colVec))
     val cents: Array[(Int, Seq[Double])] = c.orderBy("id").limit(nCells)
       .collect().zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
     def cellScores(vn: Column): Column = array(cents.map { case (i, v) =>

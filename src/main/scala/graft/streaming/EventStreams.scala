@@ -50,6 +50,12 @@ object EventStreams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
+    // month-denominated intervals have no fixed millisecond length and
+    // would silently parse to 0 here — i.e. evict every user at the
+    // first watermark tick. Fail fast instead.
+    require(ttlMs.months == 0,
+      s"ttl '$ttl' uses months/years — variable-length units don't define " +
+        "a fixed timeout; express the TTL in days or smaller")
     val ttlMsLong = ttlMs.days.toLong * 86400000L + ttlMs.microseconds / 1000L
     // the watermark marker lives as metadata ON the event-time column:
     // it must survive into the stateful operator's input, so tsc rides

@@ -42,6 +42,47 @@ class Operators2Spec extends AnyFunSuite {
     assert(got.size == 200 && got.values.forall(_ == 0L))
   }
 
+  test("GeoJoin matches the naive join on polar latitudes and large radii") {
+    import graft.functions.GeoFunctions
+    // the k-band probe trap: a pair whose poleward point probes an
+    // equator-ward band needs that band's cells sized for the PAIR's
+    // lon spread, not the band's own — these two points are 479.8 km
+    // apart (bands 85 and 83) and were dropped by own-edge cell sizing
+    val seedPts = Seq((1L, 85.68, 44.9), (2L, 83.9999, 90.9))
+    val rnd = new scala.util.Random(7)
+    val polar = (0 until 150).map { i =>
+      val lat = 75.0 + rnd.nextDouble() * 14.9
+      (10L + i, if (rnd.nextBoolean()) lat else -lat,
+        rnd.nextDouble() * 360.0 - 180.0)
+    }
+    val midLat = (0 until 50).map { i =>
+      (300L + i, rnd.nextDouble() * 120.0 - 60.0,
+        rnd.nextDouble() * 360.0 - 180.0)
+    }
+    val pts = seedPts ++ polar ++ midLat
+    def pairsOf(ps: Seq[(Long, Double, Double)]): (Set[(Long, Long)], Set[(Long, Long)]) = {
+      val df = ps.toDF("id", "lat", "lon")
+      val got = GeoJoin.latBandRadiusPairs(df, col("id"), col("lat"), col("lon"),
+          radiusKm = 500.0)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = df.as("a").join(df.as("b"), col("a.id") < col("b.id"))
+        .where(round(GeoFunctions.haversineKm(
+          col("a.lat"), col("a.lon"), col("b.lat"), col("b.lon")) * 1000, 0)
+          .cast("long") <= 500000L)
+        .select(col("a.id"), col("b.id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got, naive)
+    }
+    val (got, naive) = pairsOf(pts)
+    assert(naive.contains((1L, 2L)))
+    assert(got == naive,
+      s"missing: ${naive -- got}; extra: ${got -- naive} (naive ${naive.size})")
+    // both id orderings: flip which endpoint is the probe side
+    val (gotF, naiveF) = pairsOf(pts.map { case (i, la, lo) => (1000L - i, la, lo) })
+    assert(gotF == naiveF,
+      s"flipped missing: ${naiveF -- gotF}; extra: ${gotF -- naiveF}")
+  }
+
   test("RangeJoin.bucketed equals the naive BETWEEN join") {
     val points = Tables.orders.limit(500)
     def naive = points.crossJoin(bandsDf)
