@@ -87,4 +87,30 @@ object BpeTrainer {
       .map(m => (m.rank.toLong, m.left, m.right, m.count))
       .toDF("rank", "left", "right", "count")
   }
+
+  /** Apply a trained merge table to the DISTINCT words of a corpus:
+    * (word, toks) where toks is the word's subword segmentation under
+    * the merges, applied in rank order with the same leftmost
+    * non-overlapping fold as training.
+    *
+    * Encoding the distinct-word table instead of the corpus is the
+    * standard trick that makes BPE application corpus-size-
+    * independent: the iterated state is vocab-sized (10⁵–10⁶ rows at
+    * web scale), and the corpus only pays one hash join against it.
+    * One localCheckpoint per merge keeps the plan depth O(1) — the
+    * naive alternative (numMerges nested `aggregate` HOFs in a single
+    * expression) blows up analysis/codegen time quadratically. */
+  def encodeWords(df: DataFrame, textCol: Column, merges: Seq[Merge]): DataFrame = {
+    var words = df
+      .select(explode(graft.functions.TextFunctions.tokens(textCol)).as("word"))
+      .distinct()
+      .withColumn("toks", chars(col("word")))
+      .localCheckpoint(true)
+    merges.sortBy(_.rank).foreach { m =>
+      words = words
+        .withColumn("toks", applyMerge(col("toks"), m.left, m.right))
+        .localCheckpoint(true)
+    }
+    words
+  }
 }

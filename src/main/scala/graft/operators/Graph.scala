@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.util.CacheScope
+
+/** Distributed graph primitives over edge-list DataFrames — the
+  * relational (GraphFrames-style) formulation: a graph is just an
+  * edges DataFrame, every round is a join + partial aggregation, and
+  * Catalyst/AQE handle physical placement. No vertex-centric runtime
+  * needed for these shapes, and the edge list is the only state that
+  * is ever O(|graph|).
+  *
+  * Complements ConnectedComponents (min-label + pointer doubling);
+  * together: components, ranks, triangles, hop distances — the graph
+  * ops a training-data pipeline runs over citation/link/co-occurrence
+  * graphs for quality weighting and leakage-safe splits.
+  *
+  * Numeric determinism: PageRank traditionally sums doubles, whose
+  * partial sums depend on partitioning — unacceptable under the
+  * engine-parity rules (functions.Num). Ranks here are exact BIGINT
+  * micro-units: rank/outdeg and the damping both use integer `div`,
+  * so every partial sum is order-invariant and the result is
+  * bit-identical on any cluster AND in the DuckDB oracle.
+  */
+object Graph {
+
+  /** Initial integer rank mass per node: 10^12 "rank micro-units".
+    * Headroom proof: a partial sum at a destination is bounded by the
+    * total mass N·10^12, and the damping multiplies by 85 before
+    * dividing — so 85·N·10^12 must stay under 2^63 ≈ 9.2·10^18,
+    * i.e. N < ~10^5 per unit of scale. For graphs beyond ~10^7 nodes
+    * shrink `scale` (rank precision trades against node count). */
+  val DefaultScale = 1000000000000L
+
+  /** Fixed-iteration damped PageRank over a DIRECTED edge list
+    * (`src`, `dst` string node ids). Every node must have outdegree
+    * ≥ 1 (feed a symmetrized edge list for undirected graphs — which
+    * also eliminates dangling-mass redistribution); nodes with no
+    * in-edges settle at the base mass.
+    *
+    * rank'(v) = (15·scale) div 100  +  (85 · Σ_{u→v} rank(u) div deg(u)) div 100
+    *
+    * Per iteration: one shuffle keyed by dst (the contribution agg,
+    * map-side partial) + one left join back to the node set — both
+    * hash-partitioned on the node id, so AQE coalesces and reuses the
+    * partitioning. `localCheckpoint` each round truncates lineage
+    * (same discipline as ConnectedComponents). Edges and outdegrees
+    * are computed once and persisted through CacheScope.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, scale: Long = DefaultScale): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = CacheScope.persist(
+      edges.select(col(srcCol).cast("string").as("src"),
+                   col(dstCol).cast("string").as("dst")).distinct())
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // src carries (deg) with it so the per-iteration contribution needs
+    // no extra join against the degree table
+    val out = CacheScope.persist(e.join(deg, "src"))
+    val nodes = CacheScope.persist(
+      e.select(col("src").as("node")).union(e.select(col("dst"))).distinct())
+    val base = 15L * scale / 100L
+
+    var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val contrib = out.join(ranks, out("src") === ranks("node"))
+        .select(col("dst").as("node"), expr("rank div deg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    ranks
+  }
+
+  /** Exact triangle count of an UNDIRECTED simple graph given as an
+    * edge list (either or both orientations; self-loops dropped).
+    *
+    * Degree-ordered orientation (compact-forward / Schank-Wagner):
+    * orient every edge from the (degree, id)-smaller endpoint to the
+    * larger, then count paths u→v→w closed by an oriented edge u→w.
+    * Each triangle has exactly one vertex of locally-minimal
+    * (degree, id), so it is counted exactly once — and the join
+    * fan-out per vertex is bounded by its ORIENTED out-degree, which
+    * the degree ordering caps at O(sqrt(|E|)) for any graph (a
+    * hub's edges all point AT it, so the hub never fans out). That
+    * bound is what makes this survive skewed web/co-occurrence graphs
+    * where id-ordered orientation melts a single task.
+    *
+    * Two shuffles (path join + closure join), both on node keys. */
+  def triangleCount(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val raw = edges.select(col(aCol).cast("string").as("a"),
+                           col(bCol).cast("string").as("b"))
+      .where(col("a") =!= col("b"))
+    // canonicalize to a<b, dedupe, then attach degrees
+    val canon = CacheScope.persist(
+      raw.select(least(col("a"), col("b")).as("a"),
+                 greatest(col("a"), col("b")).as("b")).distinct())
+    val deg = canon.select(col("a").as("n")).union(canon.select(col("b")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = canon
+      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+    // orient from (deg, id)-smaller to larger — total order, no ties
+    val oriented = CacheScope.persist(withDeg.select(
+      when(col("da") < col("db") ||
+           (col("da") === col("db") && col("a") < col("b")), col("a"))
+        .otherwise(col("b")).as("lo"),
+      when(col("da") < col("db") ||
+           (col("da") === col("db") && col("a") < col("b")), col("b"))
+        .otherwise(col("a")).as("hi")))
+    val paths = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.hi") === col("e2.lo"))
+      .select(col("e1.lo").as("u"), col("e1.hi").as("v"), col("e2.hi").as("w"))
+    val tri = paths.join(oriented.as("e3"),
+      col("u") === col("e3.lo") && col("w") === col("e3.hi"))
+    val nNodes = deg.count()
+    val nEdges = canon.count()
+    tri.agg(count(lit(1)).as("triangles"))
+      .select(lit(nNodes).as("nodes"), lit(nEdges).as("edges"),
+        col("triangles"))
+  }
+
+  /** Minimum hop distance from a set of source nodes, breadth-first,
+    * up to `maxHops`. Returns (node, hop) for every node reachable
+    * within the bound — the building block for leakage-safe dataset
+    * splits ("hold out everything within k hops of the eval set") and
+    * link-graph quality propagation.
+    *
+    * Frontier-free formulation: labels(v) = min hop seen so far;
+    * each round relaxes labels through one join + min-agg. A round
+    * changes nothing once all shortest paths ≤ maxHops are found, so
+    * the loop exits early on a cheap changed-count. Per round: one
+    * shuffle keyed by dst + the convergence probe. Lineage truncated
+    * per round via localCheckpoint. */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              sources: DataFrame, sourceCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e = CacheScope.persist(
+      edges.select(col(srcCol).cast("string").as("src"),
+                   col(dstCol).cast("string").as("dst")).distinct())
+    var labels = sources.select(col(sourceCol).cast("string").as("node"))
+      .distinct().withColumn("hop", lit(0L)).localCheckpoint(true)
+    var i = 0
+    var converged = false
+    while (i < maxHops && !converged) {
+      val relaxed = e.join(labels, e("src") === labels("node"))
+        .select(col("dst").as("node"), (col("hop") + 1).as("hop"))
+      val next = labels.union(relaxed)
+        .groupBy("node").agg(min(col("hop")).as("hop"))
+        .localCheckpoint(true)
+      val grew = next.count() > labels.count()
+      labels = next
+      converged = !grew
+      i += 1
+    }
+    labels
+  }
+}

@@ -154,6 +154,31 @@ object Similarity {
     lshCosinePairs(df, idCol, vecCol, tau, dim, planes, tables, seed = seed)
   }
 
+  /** Approximate k-nearest-neighbor GRAPH (every node's top-k
+    * positive-cosine neighbors) from LSH-bucketed candidates — the
+    * scale path for kNN-graph construction (semantic dedup clusters,
+    * graph-based quality propagation, kNN-classification of unlabeled
+    * corpus slices). The exact formulation is an O(n²) all-pairs
+    * compare; here candidates come from lshCosinePairsAuto's banded
+    * sign-signature buckets (O(n·tables) bucket rows), are
+    * symmetrized, and each node keeps its k best by exact rescored
+    * cosine. Neighbors below `tau` are not candidates — a node's list
+    * may therefore be shorter than k (sparse neighborhoods), which is
+    * the behavior a dedup/quality pipeline wants anyway.
+    * Rows-only by design (seeded hyperplanes); VectorSpec pins recall
+    * against the exact graph. */
+  def knnGraphLsh(df: DataFrame, idCol: Column, vecCol: Column,
+                  k: Int, tau: Double, dim: Int,
+                  targetRecall: Double = 0.9, seed: Long = 42L): DataFrame = {
+    val pairs = lshCosinePairsAuto(df, idCol, vecCol, tau, dim,
+      targetRecall = targetRecall, seed = seed)
+    val sym = pairs.select(col("id_a").as("query_id"), col("id_b").as("id"), col("cosine"))
+      .union(pairs.select(col("id_b").as("query_id"), col("id_a").as("id"), col("cosine")))
+    TopKPerGroup.topK(sym, Seq(col("query_id")),
+      Seq(desc("cosine"), col("id")), k, rankCol = "rnk")
+      .select("query_id", "id", "cosine", "rnk")
+  }
+
   /** IVF with a TRAINED coarse quantizer: spherical k-means
     * (KMeansLite over the normalized vectors) replaces ivfTopK's
     * lowest-id centroids, giving balanced cells that track the data

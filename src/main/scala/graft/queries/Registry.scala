@@ -652,7 +652,8 @@ object Registry {
   val allQueries: Seq[BoundQuery] =
     coreQueries ++ TextQueries.all ++ VectorQueries.all ++
       PipelineQueries.all ++ ExtraQueries.all ++
-      ExtraQueries2.all ++ TextQueries2.all ++ EventQueries.all
+      ExtraQueries2.all ++ TextQueries2.all ++ EventQueries.all ++
+      GraphQueries.all ++ CorpusQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allQueries.map(q => q.name -> q.run).toMap

@@ -83,6 +83,45 @@ object VectorQueries {
     ORDER BY query_id, rnk
   """), headline = true)
 
+  /** Exact k-nearest-neighbor graph (k=5, positive cosine only) —
+    * the ORACLE BASELINE for kNN-graph construction: every node's
+    * 5 best neighbors by exact cosine. All-pairs by construction, so
+    * like q_embedding_neardup it exists to pin correctness and
+    * measure recall; the 100 TB path is q_knn_graph_lsh below. */
+  private val qKnnGraph = BoundQuery("q_knn_graph", (s, d) => {
+    val e = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(
+      e, col("vec_id"), col("embedding"),
+      e, col("vec_id"), col("embedding"),
+      k = 5)
+      .where(col("cosine") > 0)
+      .orderBy("query_id", "rnk")
+  }, Some(s"""
+    WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm
+               FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS id,
+             round(${duckCosine("a", "q")}, 6) AS cosine
+      FROM e a JOIN e q ON a.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT query_id, id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, id) AS BIGINT) AS rnk
+      FROM scored)
+    SELECT query_id, id, cosine, rnk FROM ranked WHERE rnk <= 5 AND cosine > 0
+    ORDER BY query_id, rnk
+  """))
+
+  /** LSH-bucketed kNN graph — the SCALE path (Similarity.knnGraphLsh):
+    * banded sign-signature candidate buckets + exact rescoring, never
+    * an all-pairs compare. Rows-only by design (seeded hyperplanes);
+    * VectorSpec pins per-edge recall vs the exact graph above. */
+  private val qKnnGraphLsh = BoundQuery("q_knn_graph_lsh", (s, d) => {
+    Similarity.knnGraphLsh(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+      k = 5, tau = 0.2, dim = 64)
+      .orderBy("query_id", "rnk")
+  }, None)
+
   /** IVF-bucketed ANN — the approximate scale path. Full oracle: the
     * coarse quantizer is deterministic (centroids = the 16 lowest-id
     * vectors, cell scores rounded to 9 decimals before the argmax /
@@ -272,6 +311,7 @@ object VectorQueries {
   """))
 
   val all: Seq[BoundQuery] = Seq(
-    qEmbeddingNeardup, qLshCosinePairs, qAnnTopk, qAnnIvf, qAnnIvfTrained,
+    qEmbeddingNeardup, qLshCosinePairs, qAnnTopk, qKnnGraph, qKnnGraphLsh,
+    qAnnIvf, qAnnIvfTrained,
     qPqTopk, qPca, qKmeans, qAssociationRules, qFrequentPairs)
 }

@@ -63,6 +63,32 @@ class BpeSpec extends AnyFunSuite {
     assert(got.size == 10)
   }
 
+  test("encodeWords segments every distinct word like the reference encoder") {
+    val texts = Seq(
+      "low low low low low", "lower lower", "newest newest newest",
+      "widest widest", "low lower newest")
+    val df = texts.toDF("text")
+    val merges = BpeTrainer.train(df, col("text"), numMerges = 8)
+    // reference: apply merges in rank order, leftmost non-overlapping
+    def refEncode(word: String): Vector[String] =
+      merges.sortBy(_.rank).foldLeft(word.map(_.toString).toVector) { (toks, m) =>
+        toks.foldLeft(Vector.empty[String]) { (acc, t) =>
+          if (acc.nonEmpty && acc.last == m.left && t == m.right) acc.init :+ (m.left + m.right)
+          else acc :+ t
+        }
+      }
+    val got = BpeTrainer.encodeWords(df, col("text"), merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    val words = texts.flatMap(_.split(" ").filter(_.nonEmpty)).distinct
+    assert(got.keySet == words.toSet)
+    words.foreach { w =>
+      assert(got(w) == refEncode(w), s"word '$w': got ${got(w)}, want ${refEncode(w)}")
+      assert(got(w).mkString == w) // segmentation is lossless
+    }
+    // the most frequent word fuses into few tokens
+    assert(got("low").size <= 2)
+  }
+
   test("merging exhausts gracefully when the corpus runs out of pairs") {
     val df = Seq("a b", "a b").toDF("text")
     // single-char words only: zero adjacent pairs, zero merges

@@ -106,6 +106,32 @@ class VectorSpec extends AnyFunSuite {
     assert(recall >= 0.55, s"auto LSH recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("LSH kNN graph: per-node k cap, exact scores, recall vs exact graph") {
+    val k = 5
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+        emb, col("vec_id"), col("embedding"), k)
+      .where(col("cosine") > 0.3)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id")) -> r.getAs[Double]("cosine"))
+      .toMap
+    val lsh = Similarity.knnGraphLsh(emb, col("vec_id"), col("embedding"),
+        k = k, tau = 0.2, dim = 64)
+      .collect()
+    // at most k neighbors per node, ranked contiguously from 1
+    lsh.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      assert(g.length <= k)
+      assert(g.map(_.getAs[Long]("rnk")).sorted.toSeq == (1L to g.length))
+    }
+    // every emitted edge carries the exact rescored cosine >= tau (rounded)
+    assert(lsh.forall(_.getAs[Double]("cosine") >= 0.2 - 1e-6))
+    // recall of the confidently-similar exact edges (cosine > 0.3,
+    // well above tau so bucket-miss is the only loss mode)
+    val lshSet = lsh.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id"))).toSet
+    val hit = exact.keys.count(lshSet)
+    assert(hit.toDouble / exact.size >= 0.7,
+      s"kNN-graph recall ${hit.toDouble / exact.size} ($hit/${exact.size})")
+  }
+
   test("PQ ADC top-k recalls most of the exact L2 top-k") {
     import graft.ml.ProductQuantizer
     val cb = ProductQuantizer.train(emb, col("vec_id"), col("embedding"),

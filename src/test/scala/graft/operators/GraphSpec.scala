@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark._
+
+/** Graph primitives pinned against plain-Scala references on seeded
+  * random graphs — same integer recurrences, independent code. */
+class GraphSpec extends AnyFunSuite {
+
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(11)
+  /** Random undirected graph: 60 nodes, ~150 edges, plus a hub
+    * (node 0 connected to 20 others) to exercise skew paths. */
+  private val undirected: Seq[(String, String)] = {
+    val random = (0 until 150).map { _ =>
+      (s"n${rnd.nextInt(60)}", s"n${rnd.nextInt(60)}")
+    }
+    val hub = (1 to 20).map(i => ("n0", s"n$i"))
+    (random ++ hub).filter(e => e._1 != e._2).distinct
+  }
+  private val symmetric: Seq[(String, String)] =
+    (undirected ++ undirected.map(_.swap)).distinct
+
+  test("pageRank equals the plain-Scala integer recurrence") {
+    val scale = Graph.DefaultScale
+    val iters = 6
+    val edges = symmetric
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    var ranks: Map[String, Long] = nodes.map(_ -> scale).toMap
+    (1 to iters).foreach { _ =>
+      val in = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      edges.foreach { case (s, t) => in(t) += ranks(s) / deg(s) }
+      ranks = nodes.map(n => n -> (15L * scale / 100L + 85L * in(n) / 100L)).toMap
+    }
+    val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == ranks)
+    // the hub outranks every leaf it feeds
+    assert((1 to 20).forall(i => got("n0") >= got(s"n$i") || deg(s"n$i") > deg("n0")))
+  }
+
+  test("triangleCount equals the naive enumeration, any input orientation") {
+    val canon = undirected.map { case (a, b) => if (a < b) (a, b) else (b, a) }.distinct
+    val es = canon.toSet
+    val ns = canon.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val naive = (for {
+      i <- ns.indices; j <- (i + 1) until ns.size; k <- (j + 1) until ns.size
+      if es(( ns(i), ns(j) )) && es(( ns(j), ns(k) )) && es(( ns(i), ns(k) ))
+    } yield 1).size.toLong
+    // feed a messy orientation: random direction per edge + some dupes
+    val messy = undirected ++ undirected.take(40).map(_.swap)
+    val row = Graph.triangleCount(messy.toDF("a", "b"), "a", "b").collect()(0)
+    assert(row.getAs[Long]("triangles") == naive)
+    assert(row.getAs[Long]("nodes") == ns.size.toLong)
+    assert(row.getAs[Long]("edges") == canon.size.toLong)
+  }
+
+  test("bfsHops equals plain BFS and omits unreachable nodes") {
+    // directed chain with a branch and an island
+    val edges = Seq(
+      "a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e",
+      "a" -> "x", "x" -> "d",          // shortcut: d at hop 2, e at 3
+      "i1" -> "i2")                    // unreachable island
+    val sources = Seq("a")
+    def bfs(maxHops: Int): Map[String, Long] = {
+      var dist = Map("a" -> 0L)
+      (1 to maxHops).foreach { h =>
+        edges.foreach { case (s, t) =>
+          if (dist.contains(s) && dist(s) == h - 1 && !dist.contains(t))
+            dist += t -> h.toLong
+        }
+      }
+      dist
+    }
+    val got = Graph.bfsHops(edges.toDF("src", "dst"), "src", "dst",
+        sources.toDF("node"), "node", maxHops = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == bfs(10))
+    assert(!got.contains("i1") && !got.contains("i2"))
+    // hop bound respected when tighter than the diameter
+    val capped = Graph.bfsHops(edges.toDF("src", "dst"), "src", "dst",
+        sources.toDF("node"), "node", maxHops = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped == Map("a" -> 0L, "b" -> 1L, "x" -> 1L))
+  }
+
+  test("bfsHops on the symmetric random graph matches reference") {
+    val edges = symmetric
+    val sources = Seq("n0", "n1")
+    def bfs(maxHops: Int): Map[String, Long] = {
+      var dist: Map[String, Long] = sources.map(_ -> 0L).toMap
+      var frontier = sources.toSet
+      var h = 1L
+      while (h <= maxHops && frontier.nonEmpty) {
+        val next = edges.filter(e => frontier(e._1) && !dist.contains(e._2))
+          .map(_._2).toSet
+        dist ++= next.map(_ -> h)
+        frontier = next
+        h += 1
+      }
+      dist
+    }
+    val got = Graph.bfsHops(edges.toDF("src", "dst"), "src", "dst",
+        sources.toDF("node"), "node", maxHops = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == bfs(4))
+  }
+}
