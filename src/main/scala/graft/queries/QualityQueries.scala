@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Num._
+
+/** SURVEY §2.6 round-3 data-reliability surface: declarative
+  * constraint validation (the Deequ/dbt-tests shape), rolling
+  * z-score anomaly detection, and sequential pattern mining — the
+  * monitoring queries that run BESIDE a production pipeline.
+  */
+object QualityQueries {
+
+  /** Declarative data-quality check suite over orders+lineitem in
+    * TWO scans total: every orders-side constraint (completeness,
+    * key uniqueness, value range, set membership, freshness) is a
+    * conditional aggregate in ONE pass, unpivoted to a (check,
+    * metric, passed) report; the referential-integrity check is one
+    * broadcast-able left-anti join. The Deequ insight, relationally:
+    * N checks don't cost N scans. */
+  private val qDqChecks = BoundQuery("q_dq_checks", (s, d) => {
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val oAgg = o.agg(
+      sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("null_orderdate"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_orderkey"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpos_price"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("bad_status"),
+      datediff(lit("1998-12-31").cast("date"), max(col("o_orderdate")).cast("date"))
+        .cast("long").as("staleness_days"))
+    val orphans = li.join(o.select("o_orderkey"),
+        li("l_orderkey") === o("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_lineitems"))
+    oAgg.crossJoin(orphans)
+      .select(expr(
+        """stack(6,
+             'completeness_orderdate', null_orderdate,
+             'uniqueness_orderkey',    dup_orderkey,
+             'range_totalprice',       nonpos_price,
+             'domain_orderstatus',     bad_status,
+             'freshness_days',         staleness_days,
+             'ref_lineitem_orders',    orphan_lineitems) AS (check, metric)"""))
+      .withColumn("passed",
+        when(col("check") === "freshness_days", col("metric") <= 365)
+          .otherwise(col("metric") === 0))
+      .orderBy("check")
+  }, Some("""
+    WITH o AS (SELECT
+        CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderdate,
+        CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_orderkey,
+        CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_price,
+        CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+        CAST(date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '1998-12-31') AS BIGINT) AS staleness_days
+      FROM orders),
+    orph AS (SELECT CAST(count(*) AS BIGINT) AS orphan_lineitems
+             FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+    rep AS (
+      SELECT 'completeness_orderdate' AS "check", null_orderdate AS metric FROM o
+      UNION ALL SELECT 'uniqueness_orderkey', dup_orderkey FROM o
+      UNION ALL SELECT 'range_totalprice', nonpos_price FROM o
+      UNION ALL SELECT 'domain_orderstatus', bad_status FROM o
+      UNION ALL SELECT 'freshness_days', staleness_days FROM o
+      UNION ALL SELECT 'ref_lineitem_orders', orphan_lineitems FROM orph)
+    SELECT "check", metric,
+           CASE WHEN "check" = 'freshness_days' THEN metric <= 365
+                ELSE metric = 0 END AS passed
+    FROM rep ORDER BY "check"
+  """))
+
+  /** Rolling z-score anomaly detection over per-user DAILY value
+    * sums: each day scored against its user's trailing 7 days
+    * (excluding itself). The window carries exact integer state —
+    * n, Σcents, Σcents² — so mean/variance derive from identical
+    * integers on both engines and the final float ops (one division
+    * chain + sqrt, IEEE-deterministic) agree bit-for-bit; z rounds
+    * to 6 decimals before the threshold so a last-ulp divergence
+    * cannot flip membership. Scale shape: the window partitions by
+    * user over the DAILY series (≤ 365 rows/user/year), never over
+    * raw events; the daily rollup is one partial-aggregated shuffle. */
+  private val qAnomaly = BoundQuery("q_anomaly", (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(sumCents(col("value")).as("vc"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(-7, -1)
+    val scored = daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sum7", sum(col("vc")).over(w))
+      .withColumn("sq7", sum(col("vc") * col("vc")).over(w))
+      .where(col("n") >= 3)
+      .withColumn("mean", col("sum7").cast("double") / col("n").cast("double"))
+      .withColumn("variance",
+        (col("sq7").cast("double") - col("sum7").cast("double") * col("sum7").cast("double")
+          / col("n").cast("double")) / (col("n") - 1).cast("double"))
+      .where(col("variance") > 0)
+      .withColumn("z", round(
+        (col("vc").cast("double") - col("mean")) / sqrt(col("variance")), 6))
+    scored.where(abs(col("z")) > 2.0)
+      .select(col("user_id"), col("day"), money(col("vc")).as("value"), col("z"))
+      .orderBy("user_id", "day")
+  }, Some("""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             sum(CAST(round(value*100, 0) AS BIGINT)) AS vc
+      FROM events GROUP BY 1, 2),
+    win AS (
+      SELECT user_id, day, vc,
+        CAST(count(*) OVER w AS BIGINT) AS n,
+        CAST(sum(vc) OVER w AS BIGINT) AS sum7,
+        CAST(sum(vc * vc) OVER w AS BIGINT) AS sq7
+      FROM daily
+      WINDOW w AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+    scored AS (
+      SELECT user_id, day, vc,
+        CAST(sum7 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        (CAST(sq7 AS DOUBLE) - CAST(sum7 AS DOUBLE) * CAST(sum7 AS DOUBLE)
+          / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS variance
+      FROM win WHERE n >= 3),
+    z AS (
+      SELECT user_id, day, vc,
+             round((CAST(vc AS DOUBLE) - mean) / sqrt(variance), 6) AS z
+      FROM scored WHERE variance > 0)
+    SELECT user_id, day, CAST(vc AS DOUBLE) / 100.0 AS value, z
+    FROM z WHERE abs(z) > 2.0 ORDER BY user_id, day
+  """))
+
+  /** Frequent event-type trigrams over per-user time-ordered event
+    * sequences (sequential pattern mining, the n-gram special case):
+    * lag windows per user (ns-exact ordering, event_id tiebreak)
+    * build the trigrams, a partial-aggregated count ranks them.
+    * Per-user windows scale with the user's own history; the count
+    * shuffle is by trigram — no global ordering anywhere except the
+    * final top-20. */
+  private val qSeqMining = BoundQuery("q_seq_mining", (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val tri = Tables.events(s, d)
+      .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .where(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("trigram"))
+    tri.groupBy("trigram").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("trigram")).limit(20)
+  }, Some("""
+    WITH seq AS (
+      SELECT user_id, event_type,
+        lead(event_type, 1) OVER w AS e2,
+        lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+    tri AS (
+      SELECT event_type || '>' || e2 || '>' || e3 AS trigram
+      FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
+    SELECT trigram, CAST(count(*) AS BIGINT) AS n
+    FROM tri GROUP BY trigram ORDER BY n DESC, trigram LIMIT 20
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qDqChecks, qAnomaly, qSeqMining)
+}

@@ -653,7 +653,7 @@ object Registry {
     coreQueries ++ TextQueries.all ++ VectorQueries.all ++
       PipelineQueries.all ++ ExtraQueries.all ++
       ExtraQueries2.all ++ TextQueries2.all ++ EventQueries.all ++
-      GraphQueries.all ++ CorpusQueries.all
+      GraphQueries.all ++ CorpusQueries.all ++ QualityQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allQueries.map(q => q.name -> q.run).toMap
