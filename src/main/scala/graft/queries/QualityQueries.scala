@@ -78,10 +78,17 @@ object QualityQueries {
     * cannot flip membership. Scale shape: the window partitions by
     * user over the DAILY series (≤ 365 rows/user/year), never over
     * raw events; the daily rollup is one partial-aggregated shuffle. */
-  private val qAnomaly = BoundQuery("q_anomaly", (s, d) => {
-    val daily = Tables.events(s, d)
-      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+  /** Per-user daily exact-cents sums — the maintained state the
+    * anomaly detector scores over. Public so the streaming twin
+    * (StreamingSpec) can maintain the same state incrementally. */
+  def dailySums(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    events.groupBy(col("user_id"), col("ts").cast("date").as("day"))
       .agg(sumCents(col("value")).as("vc"))
+
+  /** The z-scorer over a (user_id, day, vc) daily table — shared by
+    * the batch binding and the streaming replay spec so both paths
+    * flag the identical anomaly set. */
+  def anomalies(daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("day")
       .rowsBetween(-7, -1)
     val scored = daily
@@ -99,6 +106,10 @@ object QualityQueries {
     scored.where(abs(col("z")) > 2.0)
       .select(col("user_id"), col("day"), money(col("vc")).as("value"), col("z"))
       .orderBy("user_id", "day")
+  }
+
+  private val qAnomaly = BoundQuery("q_anomaly", (s, d) => {
+    anomalies(dailySums(Tables.events(s, d)))
   }, Some("""
     WITH daily AS (
       SELECT user_id, CAST(ts AS DATE) AS day,

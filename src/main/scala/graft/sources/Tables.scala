@@ -79,6 +79,19 @@ object Tables {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** ORC reader/writer — the other columnar interchange format a
+    * complete engine must speak (warehouse migrations routinely mix
+    * parquet and ORC lakes). Same predicate-pushdown/column-pruning
+    * behavior as parquet under Spark's vectorized ORC reader; schema
+    * travels in the file so no explicit schema is needed. */
+  def readOrc(s: SparkSession, path: String): DataFrame =
+    s.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   /** Partitioned parquet writer for derived tables (hive-style
     * partition pruning on the partition columns at read time).
     * `sortBy` sorts WITHIN each output file — clustered layout so a

@@ -42,6 +42,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("orc write -> read roundtrips and prunes partitions, filters push down") {
+    val docs = Tables.documents(spark, sfTiny)
+    val dir = java.nio.file.Files.createTempDirectory("orc_rt").toString
+    Tables.writeOrc(docs, s"$dir/docs", partitionBy = Seq("lang"))
+    val back = Tables.readOrc(spark, s"$dir/docs")
+    assert(back.count() == docs.count())
+    // same content (partition column moves position; compare by name)
+    val cols = docs.columns.sorted.map(col)
+    val a = docs.select(cols: _*).orderBy("doc_id").collect().map(_.toSeq)
+    val b = back.select(cols: _*).orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+    // partition pruning + predicate pushdown reach the ORC scan
+    val scan = Tables.readOrc(spark, s"$dir/docs")
+      .where(col("lang") === "en" && col("n_chars") > 100)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
+      s"no pushed filters in ORC scan:\n$plan")
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"no partition filters in ORC scan:\n$plan")
+  }
+
   test("sortBy layout clusters values so range scans skip row groups") {
     val orders = Tables.orders(spark, sfTiny)
     val dir = java.nio.file.Files.createTempDirectory("sorted_pq").toString

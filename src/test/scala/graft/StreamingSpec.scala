@@ -135,6 +135,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming anomaly detection: incrementally-maintained daily state == batch q_anomaly") {
+    // the streaming face of q_anomaly: per-batch partial daily sums
+    // merged into maintained state (exact cents-longs, so merge order
+    // is irrelevant), the shared z-scorer applied to the state; after
+    // replay the flagged set equals the batch query exactly
+    val dir = java.nio.file.Files.createTempDirectory("events_anom")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfTiny/events.parquet"),
+      dir.resolve("events.parquet"))
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = EventStreams.raw(spark, dir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = graft.queries.QualityQueries.dailySums(batch)
+        val merged = state match {
+          case Some(s0) => graft.operators.Incremental.merge(
+            s0, delta, keys = Seq("user_id", "day"), sums = Seq("vc"))
+          case None => delta
+        }
+        state = Some(merged.localCheckpoint(true))
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = graft.queries.QualityQueries.anomalies(state.get)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Date]("day").toString,
+          r.getAs[Double]("z")))
+        .toSet
+      val want = graft.queries.Registry.queries("q_anomaly")(spark, sfTiny)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Date]("day").toString,
+          r.getAs[Double]("z")))
+        .toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer emits closed sessions incl. watermark-flushed trailers") {
     val dir = java.nio.file.Files.createTempDirectory("events_fmgs")
     java.nio.file.Files.copy(
