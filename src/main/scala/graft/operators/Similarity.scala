@@ -243,4 +243,58 @@ object Similarity {
       Seq(desc("cosine"), col("id")), k, rankCol = "rnk")
       .select("query_id", "id", "cosine", "rnk")
   }
+
+  /** IVF + PQ composed ANN — the full memory-bounded scale path
+    * (FAISS IVFPQ shape): a KMeansLite-trained coarse quantizer
+    * restricts each query to its `nProbe` nearest cells, and within
+    * those cells candidates are ranked by PQ asymmetric distance over
+    * 4-byte codes — the collection's raw vectors are read ONCE (at
+    * assignment/encode time) and never again at query time. Per-query
+    * work is (n/nCells)·nProbe code lookups; per-candidate state is m
+    * bytes instead of d floats. Probe selection happens driver-side
+    * over the tiny centroid table (nCells × d doubles) — the same
+    * "serving-side handful" contract as adcTopK's query list. */
+  def ivfPqTopK(collection: DataFrame, colId: Column, colVec: Column,
+                queryIds: Seq[Long], k: Int,
+                nCells: Int = 16, nProbe: Int = 4,
+                m: Int = 8, kCodes: Int = 16, iters: Int = 3): DataFrame = {
+    import graft.ml.{KMeansLite, ProductQuantizer}
+    val c = CacheScope.persist(normed(collection, colId, colVec))
+    val model = KMeansLite.fit(c, col("id"), col("vn"), nCells, iters)
+    val cb = ProductQuantizer.train(c, col("id"), col("vn"), m, kCodes, iters)
+    val encoded = ProductQuantizer.encode(c, col("id"), col("vn"), cb)
+      .join(model.assignments.withColumnRenamed("cluster", "cell"), "id")
+    // serving-side handful: query vectors + their probe cells, all
+    // computed over collected arrays (queries × centroids, tiny)
+    val qvecs = c.where(col("id").isin(queryIds.map(java.lang.Long.valueOf): _*))
+      .select(col("id"), col("vn")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val probes: Map[Long, Seq[Int]] = qvecs.map { case (qid, qv) =>
+      val byDist = model.centroids.zipWithIndex.map { case (cent, i) =>
+        val d2 = cent.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+        (math.rint(d2 * 1e9) / 1e9, i)
+      }.sortBy(identity).take(nProbe).map(_._2).toSeq
+      qid -> byDist
+    }.toMap
+    val scored = qvecs.map { case (qid, qv) =>
+      val adist = (0 until cb.m).map { j =>
+        val table = array(cb.cents(j).map { cent =>
+          lit(cent.zip(qv.slice(j * cb.subDim, (j + 1) * cb.subDim))
+            .map { case (ci, qi) => (ci - qi) * (ci - qi) }.sum)
+        }: _*)
+        element_at(table, element_at(col("codes"), j + 1) + 1)
+      }.reduce(_ + _)
+      struct(lit(qid).as("query_id"), round(adist, 9).as("adist"),
+        array(probes(qid).map(lit): _*).as("cells"))
+    }
+    val exploded = spread(encoded)
+      .select(col("id"), col("cell"), explode(array(scored: _*)).as("q"))
+      .where(array_contains(col("q.cells"), col("cell")) &&
+        col("q.query_id") =!= col("id"))
+      .select(col("q.query_id").as("query_id"), col("id"),
+        col("q.adist").as("adist"))
+    TopKPerGroup.topK(exploded, Seq(col("query_id")),
+      Seq(asc("adist"), col("id")), k, rankCol = "rnk")
+      .select("query_id", "id", "adist", "rnk")
+  }
 }

@@ -49,6 +49,103 @@ object CorpusQueries {
     WHERE rn <= 200 AND rn <= k ORDER BY doc_id
   """))
 
+  /** Benchmark-contamination detection (the decontam step every
+    * training corpus runs before a model sees it): an md5-prefix
+    * holdout (~6% of docs, the q_train_split convention) stands in
+    * for the benchmark/eval set; every remaining corpus doc reports
+    * how many of its distinct 8-word shingles appear anywhere in the
+    * benchmark set. 8-gram overlap is the published decontamination
+    * rule (GPT-3 appendix C uses 8–13-gram collisions).
+    *
+    * Scale shape: the benchmark side of the join is the SMALL side by
+    * construction (eval sets are tiny vs a training corpus) —
+    * distinct benchmark grams broadcast; the corpus side explodes to
+    * grams and semi-joins without shuffling document text. At 100 TB
+    * the gram strings would be 64-bit hashes (ShingleHash64); the
+    * string form here keeps the oracle exact. */
+  private val qContamination = BoundQuery("q_contamination", (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), substring(md5(col("text")), 1, 2).as("h"),
+        filter(split(col("text"), " "), w => w =!= lit("")).as("w"))
+      .withColumn("g", array_distinct(
+        when(size(col("w")) >= 8,
+          transform(sequence(lit(1), size(col("w")) - lit(7)),
+            i => concat_ws(" ", slice(col("w"), i, lit(8)))))
+          .otherwise(array().cast("array<string>"))))
+    val bench = docs.where(col("h") < "10")
+      .select(explode(col("g")).as("s")).distinct()
+    val corpus = docs.where(col("h") >= "10")
+    val matched = corpus.select(col("doc_id"), explode(col("g")).as("s"))
+      .join(broadcast(bench), "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
+    corpus.select(col("doc_id"), size(col("g")).cast("long").as("n_grams"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+      .withColumn("contaminated", col("n_matched") > 0)
+      .orderBy("doc_id")
+  }, Some("""
+    WITH docs AS (
+      SELECT doc_id, substr(md5(text),1,2) AS h,
+        list_distinct(list_transform(range(1, greatest(len(w)-6, 1)),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+               w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS g
+      FROM (SELECT doc_id, text,
+                   list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents)),
+    bench AS (SELECT DISTINCT unnest(g) AS s FROM docs WHERE h < '10'),
+    corpus AS (SELECT doc_id, g FROM docs WHERE h >= '10'),
+    m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched
+          FROM (SELECT doc_id, unnest(g) AS s FROM corpus) cg
+          JOIN bench USING (s) GROUP BY 1)
+    SELECT c.doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+           coalesce(m.n_matched, 0) AS n_matched,
+           coalesce(m.n_matched, 0) > 0 AS contaminated
+    FROM corpus c LEFT JOIN m ON c.doc_id = m.doc_id
+    ORDER BY c.doc_id
+  """))
+
+  /** Temperature-rebalanced domain mixture (the LLM data-mixture
+    * op, PaLM/DoReMi shape): per-stratum target counts ∝ n^α with
+    * α = 0.5, so rare languages are upsampled relative to their raw
+    * share and the head (en) is capped — contrast q_stratified_sample,
+    * which keeps the raw proportions. All mixture math is exact
+    * integers: weight = floor(sqrt(n)) (IEEE sqrt is correctly
+    * rounded, so the floor is engine-portable), targets by integer
+    * division of a 200-doc budget, membership by the md5-hash-order
+    * convention. Same WindowGroupLimit-able rank shape as
+    * q_stratified_sample — the literal rn <= 200 pre-filter bounds
+    * each stratum's candidates before the dynamic cap applies. */
+  private val qMixtureSample = BoundQuery("q_mixture_sample", (s, d) => {
+    val docs = Tables.documents(s, d)
+    val wts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("w", floor(sqrt(col("n").cast("double"))).cast("long"))
+    val sumw = wts.agg(sum(col("w")).as("sw"))
+    val targets = wts.crossJoin(broadcast(sumw))
+      .select(col("lang"), col("n"), expr("(200 * w) div sw").as("target"))
+    val w0 = Window.partitionBy("lang").orderBy(md5(col("text")), col("doc_id"))
+    docs.withColumn("rn", row_number().over(w0).cast("long"))
+      .where(col("rn") <= 200)
+      .join(broadcast(targets), "lang")
+      .where(col("rn") <= col("target"))
+      .select(col("lang"), col("rn"), col("doc_id"), col("source"))
+      .orderBy("lang", "rn")
+  }, Some("""
+    WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+               FROM documents GROUP BY 1),
+    w AS (SELECT lang, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+          FROM n),
+    t AS (SELECT lang, (200 * w) // (SELECT CAST(sum(w) AS BIGINT) FROM w)
+                   AS target FROM w),
+    r AS (SELECT doc_id, lang, source,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY md5(text), doc_id) AS rn
+          FROM documents)
+    SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, source
+    FROM r JOIN t USING (lang)
+    WHERE rn <= 200 AND rn <= target ORDER BY lang, rn
+  """))
+
   /** Gopher-style repetition signals per document (Rae et al. 2021,
     * "Scaling Language Models", table A1 shape): most-frequent-word
     * share, duplicate-word share, most-frequent-bigram share — the
@@ -128,5 +225,7 @@ object CorpusQueries {
       .orderBy("doc_id")
   }, None)
 
-  val all: Seq[BoundQuery] = Seq(qStratifiedSample, qRepetitionFilter, qBpeEncode)
+  val all: Seq[BoundQuery] =
+    Seq(qStratifiedSample, qMixtureSample, qContamination,
+      qRepetitionFilter, qBpeEncode)
 }

@@ -168,5 +168,26 @@ object QualityQueries {
     FROM tri GROUP BY trigram ORDER BY n DESC, trigram LIMIT 20
   """))
 
-  val all: Seq[BoundQuery] = Seq(qDqChecks, qAnomaly, qSeqMining)
+  /** Mergeable distinct-user telemetry via DataSketches HLL (Spark's
+    * native hll_sketch_agg/hll_union_agg): one sketch per event_type
+    * plus the merged ALL row — the monitoring shape where per-shard /
+    * per-day sketches are persisted and UNIONED instead of recounting
+    * raw events (a union is O(sketch), a recount is O(data)). Rows-
+    * only: the estimate depends on the sketch implementation, which
+    * has no DuckDB twin; QualitySpec pins the error envelope against
+    * exact distinct counts and union consistency. */
+  private val qHllUnion = BoundQuery("q_hll_union", (s, d) => {
+    val perType = Tables.events(s, d).groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+        count(lit(1)).as("n_events"))
+    val typed = perType.select(col("event_type"), col("n_events"),
+      hll_sketch_estimate(col("sk")).as("approx_users"))
+    val merged = perType.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
+      sum(col("n_events")).as("n_events"))
+      .select(lit("ALL").as("event_type"), col("n_events"), col("approx_users"))
+    typed.unionByName(merged).orderBy("event_type")
+  }, None)
+
+  val all: Seq[BoundQuery] = Seq(qDqChecks, qAnomaly, qSeqMining, qHllUnion)
 }

@@ -653,7 +653,8 @@ object Registry {
     coreQueries ++ TextQueries.all ++ VectorQueries.all ++
       PipelineQueries.all ++ ExtraQueries.all ++
       ExtraQueries2.all ++ TextQueries2.all ++ EventQueries.all ++
-      GraphQueries.all ++ CorpusQueries.all ++ QualityQueries.all
+      GraphQueries.all ++ CorpusQueries.all ++ QualityQueries.all ++
+      TemporalQueries.all ++ IndexQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allQueries.map(q => q.name -> q.run).toMap

@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Num._
+
+/** SURVEY §2.6 round-3 temporal-modeling surface: slowly-changing-
+  * dimension history building (the warehouse CDC primitive) and
+  * day-of-week seasonal indexing (the ops-analytics primitive).
+  */
+object TemporalQueries {
+
+  /** SCD Type-2 history build from an event log: per user, collapse
+    * the time-ordered event stream into state-run intervals
+    * [valid_from, valid_to) with change detection — the classic
+    * gaps-and-islands shape (lag-inequality change flag → running sum
+    * → run grouping), which is how a warehouse derives a dimension's
+    * validity history from raw change events.
+    *
+    * Scale shape: both windows partition by user_id and scale with a
+    * single user's history, never the global log; the run-collapse is
+    * one partial-aggregated shuffle on (user_id, run_id). Interval
+    * bounds stay in exact ns longs (ts_ns) end-to-end — no timestamp
+    * formatting or timezone in the hashed output. */
+  private val qScd2 = BoundQuery("q_scd2", (s, d) => {
+    // µs-exact interval bounds: the DuckDB oracle reads the parquet
+    // ns timestamps at TIMESTAMP (µs) precision, so µs is the finest
+    // unit both engines share; event_id breaks same-µs ties.
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val runs = Tables.events(s, d)
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("event_id"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+             lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("run_id"))
+      .agg(min(col("event_type")).as("state"),
+        min(col("ts_us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    val wu = Window.partitionBy("user_id").orderBy("valid_from_us")
+    runs
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wu))
+      .select(col("user_id"), col("state"), col("valid_from_us"),
+        col("valid_to_us"), col("n_events"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from_us")
+  }, Some("""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+    m AS (
+      SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                     THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    r AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM m),
+    g AS (
+      SELECT user_id, run_id, min(event_type) AS state,
+             min(ts_us) AS valid_from_us, CAST(count(*) AS BIGINT) AS n_events
+      FROM r GROUP BY 1, 2)
+    SELECT user_id, state, valid_from_us,
+           lead(valid_from_us) OVER wu AS valid_to_us, n_events,
+           lead(valid_from_us) OVER wu IS NULL AS is_current
+    FROM g WINDOW wu AS (PARTITION BY user_id ORDER BY valid_from_us)
+    ORDER BY user_id, valid_from_us
+  """))
+
+  /** Day-of-week seasonal index per event_type: mean value for each
+    * (type, weekday) cell over the type's overall mean — the
+    * multiplicative seasonality profile an ops dashboard trends on.
+    * Weekday labels are aligned across engines (Sunday = 0).
+    *
+    * Determinism: both means derive from ONE exact cents-long sum
+    * per cell/type, so the index is a fixed chain of IEEE divisions
+    * on identical operands; round(…, 6) before output so the hash
+    * can't see a last-ulp. The two aggs are partial-combined scans;
+    * the join broadcasts |types| × 7 rows. */
+  private val qSeasonal = BoundQuery("q_seasonal", (s, d) => {
+    val ev = Tables.events(s, d)
+    val cells = ev.groupBy(col("event_type"),
+        (dayofweek(col("ts")) - lit(1)).cast("long").as("dow"))
+      .agg(sumCents(col("value")).as("sc"), count(lit(1)).as("n"))
+    val totals = ev.groupBy(col("event_type"))
+      .agg(sumCents(col("value")).as("tsc"), count(lit(1)).as("tn"))
+    cells.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("dow"), col("n"),
+        round(meanOf(col("sc"), col("n")) / lit(100.0), 6).as("avg_value"),
+        round((col("sc").cast("double") * col("tn").cast("double")) /
+              (col("n").cast("double") * col("tsc").cast("double")), 6)
+          .as("seasonal_index"))
+      .orderBy("event_type", "dow")
+  }, Some("""
+    WITH cells AS (
+      SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+             sum(CAST(round(value*100, 0) AS BIGINT)) AS sc,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    totals AS (
+      SELECT event_type,
+             sum(CAST(round(value*100, 0) AS BIGINT)) AS tsc,
+             CAST(count(*) AS BIGINT) AS tn
+      FROM events GROUP BY 1)
+    SELECT event_type, dow, n,
+           round(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS avg_value,
+           round((CAST(sc AS DOUBLE) * CAST(tn AS DOUBLE)) /
+                 (CAST(n AS DOUBLE) * CAST(tsc AS DOUBLE)), 6) AS seasonal_index
+    FROM cells JOIN totals USING (event_type)
+    ORDER BY event_type, dow
+  """))
+
+  /** Seasonal-naive forecast backtest: predict each day's per-type
+    * total as the value seven days earlier, score MAE/MAPE-ppm over
+    * the days where both sides exist — in-engine forecast evaluation
+    * (the M-competition baseline every fancier model must beat).
+    * Exact to the last digit: actuals/forecasts are cents longs, the
+    * error aggregates are integer sums, MAPE is integer ppm; the only
+    * double is the final MAE division. Lag-7 alignment by a per-type
+    * window over the DAILY series — tiny partitions, no global sort. */
+  private val qBacktest = BoundQuery("q_backtest", (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(sumCents(col("value")).as("vc"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val scored = daily
+      .withColumn("prev_day", lag(col("day"), 7).over(w))
+      .withColumn("fc", lag(col("vc"), 7).over(w))
+      // a gap in the series breaks 7-day alignment: keep only rows
+      // whose lag-7 row IS the calendar week-earlier day
+      .where(col("fc").isNotNull && col("prev_day") === date_sub(col("day"), 7))
+      .withColumn("abs_err", abs(col("vc") - col("fc")))
+    scored.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        (sum(col("abs_err")).cast("double") / count(lit(1)).cast("double") / lit(100.0))
+          .as("mae"),
+        expr("sum((abs_err * 1000000) div vc) div count(1)").as("mape_ppm"))
+      .orderBy("event_type")
+  }, Some("""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             sum(CAST(round(value*100, 0) AS BIGINT)) AS vc
+      FROM events GROUP BY 1, 2),
+    scored AS (
+      SELECT event_type, day, vc,
+             lag(day, 7) OVER w AS prev_day,
+             lag(vc, 7) OVER w AS fc
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    ok AS (
+      SELECT event_type, abs(vc - fc) AS abs_err, vc FROM scored
+      WHERE fc IS NOT NULL AND prev_day = day - 7)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(abs_err) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0 AS mae,
+           CAST(sum((abs_err * 1000000) // vc) // count(*) AS BIGINT) AS mape_ppm
+    FROM ok GROUP BY event_type ORDER BY event_type
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qScd2, qSeasonal, qBacktest)
+}

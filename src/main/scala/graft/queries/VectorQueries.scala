@@ -205,6 +205,20 @@ object VectorQueries {
       .orderBy("query_id", "rnk")
   }, None)
 
+  /** IVF+PQ composed ANN (Similarity.ivfPqTopK, the FAISS-IVFPQ
+    * shape): trained coarse cells bound the candidate set, PQ codes
+    * bound per-candidate memory — the configuration that serves ANN
+    * when neither the collection nor its raw vectors fit. Rows-only:
+    * both stages are approximate by construction; VectorSpec pins
+    * recall against the exact brute-force top-k. */
+  private val qIvfPq = BoundQuery("q_ivf_pq", (s, d) => {
+    Similarity.ivfPqTopK(Tables.embeddings(s, d),
+      col("vec_id"), col("embedding"),
+      queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10,
+      nCells = 16, nProbe = 6, m = 8, kCodes = 16, iters = 3)
+      .orderBy("query_id", "rnk")
+  }, None)
+
   /** PCA energy spectrum (ml.Pca): top-5 covariance eigenvalues +
     * variance ratios. Rows-only: float moment sums are partition-order
     * dependent by nature; VectorSpec pins spectral properties
@@ -313,5 +327,5 @@ object VectorQueries {
   val all: Seq[BoundQuery] = Seq(
     qEmbeddingNeardup, qLshCosinePairs, qAnnTopk, qKnnGraph, qKnnGraphLsh,
     qAnnIvf, qAnnIvfTrained,
-    qPqTopk, qPca, qKmeans, qAssociationRules, qFrequentPairs)
+    qPqTopk, qIvfPq, qPca, qKmeans, qAssociationRules, qFrequentPairs)
 }

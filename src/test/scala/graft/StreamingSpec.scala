@@ -378,6 +378,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getInt(2) == 2)
   }
 
+  test("stateful counts under the RocksDB state store match the batch truth") {
+    // same twin as the mapGroupsWithState test, but with the state
+    // store swapped for RocksDB — the provider production clusters run
+    // for state that outgrows the JVM heap. Results must be identical:
+    // state-store choice is an executor-memory decision, not semantics.
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val dir = java.nio.file.Files.createTempDirectory("events_rocks")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfTiny/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStreams.userRunningCounts(ns, dir.toString)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("rocks_state_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = ns.table("rocks_state_out")
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.max("n_events").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = graft.sources.Tables.events(spark, sfTiny)
+        .groupBy("user_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("multimodal feature extraction is deterministic and complete") {
     val docs = graft.sources.Tables.documents(spark, sfTiny)
     val packed = graft.multimodal.BinaryColumns.packPayload(docs, col("doc_id"), col("text"), "text")

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.Registry
+
+/** Behavior specs for the temporal surface (q_scd2, q_seasonal) and
+  * the mixture sampler (q_mixture_sample) beyond the oracle gate.
+  */
+class TemporalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("scd2 intervals tile each user's timeline exactly") {
+    val iv = Registry.queries("q_scd2")(spark, sfTiny).cache()
+    try {
+      // exactly one open (current) interval per user
+      val users = iv.select("user_id").distinct().count()
+      assert(iv.where(col("is_current")).count() == users)
+      // intervals are disjoint and contiguous: valid_to of row k equals
+      // valid_from of row k+1 (lead-derived), and from < to when closed
+      assert(iv.where(col("valid_to_us").isNotNull &&
+        col("valid_from_us") >= col("valid_to_us")).count() == 0)
+      // adjacent runs always change state (maximal runs)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("valid_from_us")
+      val adj = iv.withColumn("prev_state", lag(col("state"), 1).over(w))
+      assert(adj.where(col("prev_state") === col("state")).count() == 0)
+      // run sizes account for every event
+      val total = iv.agg(sum("n_events")).head().getLong(0)
+      assert(total == graft.sources.Tables.events(spark, sfTiny).count())
+    } finally iv.unpersist()
+  }
+
+  test("seasonal indexes are positive and n-weighted-average to ~1 per type") {
+    val df = Registry.queries("q_seasonal")(spark, sfTiny).cache()
+    try {
+      assert(df.where(col("seasonal_index") <= 0).count() == 0)
+      // sum(index * n) / tn == 1 up to rounding: the cell means are a
+      // decomposition of the type mean
+      val byType = df.groupBy("event_type")
+        .agg((sum(col("seasonal_index") * col("n")) / sum(col("n"))).as("m"))
+        .collect()
+      byType.foreach(r =>
+        assert(math.abs(r.getAs[Double]("m") - 1.0) < 1e-4, r.toString))
+      // at most 7 weekday cells per type, labels in [0, 6]
+      assert(df.where(col("dow") < 0 || col("dow") > 6).count() == 0)
+    } finally df.unpersist()
+  }
+
+  test("mixture sampling rebalances the head language toward sqrt share") {
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+    val n = docs.count().toDouble
+    val raw = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val head = raw.maxBy(_._2)._1
+    val samp = Registry.queries("q_mixture_sample")(spark, sfTiny)
+    val got = samp.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = got.values.sum.toDouble
+    // the head language's share of the sample is strictly below its raw
+    // share (α = 0.5 compresses the head)...
+    assert(got(head) / budget < raw(head) / n)
+    // ...and every stratum with docs is represented
+    assert(got.keySet == raw.keySet)
+    // deterministic: same rows on a second run
+    val again = Registry.queries("q_mixture_sample")(spark, sfTiny)
+    assert(samp.collect().toSeq == again.collect().toSeq)
+  }
+}

@@ -183,4 +183,27 @@ class VectorSpec extends AnyFunSuite {
     assert(s1.values.sum == emb.count())
     assert(m1.centroids.length == 4 && m1.centroids.forall(_.length == 64))
   }
+
+  test("IVF+PQ composed ANN recalls real signal and caps work per query") {
+    val ivfpq = Similarity.ivfPqTopK(emb, col("vec_id"), col("embedding"),
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10,
+        nCells = 16, nProbe = 6, m = 8, kCodes = 16, iters = 3)
+      .collect()
+    val byQ = ivfpq.groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("id")).toSet }
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    // every query returns at most k candidates with ascending adist
+    ivfpq.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      assert(g.length <= 10)
+      val byRank = g.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("adist"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    }
+    // composed recall: both stages are lossy, so the floor is below
+    // either alone — but must beat chance (10/500 = 0.02) decisively
+    val recalls = bruteTop.map { case (q, brute) =>
+      byQ.get(q).map(c => brute.count(c.contains).toDouble / brute.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.08, s"mean IVF+PQ recall $mean")
+  }
 }
