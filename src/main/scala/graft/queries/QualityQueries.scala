@@ -189,5 +189,24 @@ object QualityQueries {
     typed.unionByName(merged).orderBy("event_type")
   }, None)
 
-  val all: Seq[BoundQuery] = Seq(qDqChecks, qAnomaly, qSeqMining, qHllUnion)
+  /** Trailing-7-row distinct users per (event_type, day) by UNIONING
+    * the daily HLL sketches over a sliding window — each day's raw
+    * events are scanned once ever; the trailing-window "distinct over
+    * 7 days of data" that an exact recount would re-scan 7× comes
+    * from merging seven ~4 KB sketches. The at-scale shape for every
+    * "rolling unique users" dashboard tile. Rows-only; QualitySpec
+    * pins the envelope against exact trailing distincts. */
+  private val qHllSliding = BoundQuery("q_hll_sliding", (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    daily.select(col("event_type"), col("day"),
+        count(lit(1)).over(w).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk")).over(w)).as("approx_users_7d"))
+      .orderBy("event_type", "day")
+  }, None)
+
+  val all: Seq[BoundQuery] =
+    Seq(qDqChecks, qAnomaly, qSeqMining, qHllUnion, qHllSliding)
 }

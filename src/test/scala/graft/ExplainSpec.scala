@@ -43,4 +43,19 @@ class ExplainSpec extends AnyFunSuite {
     val p = plan("q_semi_prune")
     assert(p.contains("LeftSemi"), p)
   }
+
+  test("mixture sampling's rank window group-limits before the stratum shuffle") {
+    val p = plan("q_mixture_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("contamination broadcasts the benchmark gram set, never corpus text") {
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("skyline's survivor pass is a broadcast anti join") {
+    val p = plan("q_skyline")
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("LeftAnti"), p)
+  }
 }

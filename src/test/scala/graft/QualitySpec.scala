@@ -31,4 +31,27 @@ class QualitySpec extends AnyFunSuite {
     // event totals are exact and the ALL row sums them
     assert(rows("ALL")._1 == exactByType.keys.map(t => rows(t)._1).sum)
   }
+
+  test("sliding hll estimates track exact trailing distincts") {
+    val got = Registry.queries("q_hll_sliding")(spark, sfTiny).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString)
+        -> (r.getAs[Long]("n_days"), r.getAs[Long]("approx_users_7d"))).toMap
+    // exact trailing distinct over the same ROWS window, in Scala
+    val raw = graft.sources.Tables.events(spark, sfTiny)
+      .select(col("event_type"), col("ts").cast("date").cast("string").as("day"),
+        col("user_id"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val byTypeDay = raw.groupBy(t => (t._1, t._2))
+      .map { case (k, v) => k -> v.map(_._3).toSet }
+    val days = byTypeDay.keys.groupBy(_._1)
+      .map { case (t, ks) => t -> ks.map(_._2).toSeq.sorted }
+    for ((t, ds) <- days; (d, i) <- ds.zipWithIndex) {
+      val window = ds.slice(math.max(0, i - 6), i + 1)
+      val exact = window.flatMap(w => byTypeDay((t, w))).toSet.size
+      val (nDays, est) = got((t, d))
+      assert(nDays == window.size)
+      assert(math.abs(est.toDouble - exact) / math.max(exact, 1) <= 0.05,
+        s"($t,$d): est $est vs exact $exact")
+    }
+  }
 }
