@@ -207,6 +207,45 @@ object QualityQueries {
       .orderBy("event_type", "day")
   }, None)
 
+  /** Trending detection: each event_type's LAST full day of volume
+    * against its trailing-28-day daily average — the lift ratio a
+    * monitoring page sorts by. Lift is exact-integer counts with one
+    * deterministic division chain at the end (count·28 / sum28 as
+    * doubles, round 6), so the trending order is hash-stable. One
+    * daily rollup shuffle; the 28-day window runs over the tiny
+    * per-type daily series. */
+  private val qTrending = BoundQuery("q_trending", (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-28, -1)
+    val scored = daily
+      .withColumn("n_days", count(lit(1)).over(w))
+      .withColumn("sum28", sum(col("n")).over(w))
+    val wLast = Window.partitionBy("event_type").orderBy(desc("day"))
+    scored.withColumn("rn", row_number().over(wLast))
+      .where(col("rn") === 1 && col("n_days") === 28)
+      .select(col("event_type"), col("day").cast("string").as("day"), col("n"),
+        round((col("n").cast("double") * lit(28.0)) / col("sum28").cast("double"), 6)
+          .as("lift"))
+      .orderBy("event_type")
+  }, Some("""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    scored AS (
+      SELECT event_type, day, n,
+             CAST(count(*) OVER w AS BIGINT) AS n_days,
+             CAST(sum(n) OVER w AS BIGINT) AS sum28,
+             row_number() OVER (PARTITION BY event_type ORDER BY day DESC) AS rn
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, CAST(day AS VARCHAR) AS day, n,
+           round((CAST(n AS DOUBLE) * 28.0) / CAST(sum28 AS DOUBLE), 6) AS lift
+    FROM scored WHERE rn = 1 AND n_days = 28 ORDER BY event_type
+  """))
+
   val all: Seq[BoundQuery] =
-    Seq(qDqChecks, qAnomaly, qSeqMining, qHllUnion, qHllSliding)
+    Seq(qDqChecks, qAnomaly, qSeqMining, qHllUnion, qHllSliding, qTrending)
 }

@@ -159,5 +159,41 @@ object TemporalQueries {
     FROM ok GROUP BY event_type ORDER BY event_type
   """))
 
-  val all: Seq[BoundQuery] = Seq(qScd2, qSeasonal, qBacktest)
+  /** First-order Markov transition matrix over per-user event
+    * sequences: P(next = j | current = i) from exact bigram counts
+    * (the model behind next-action prediction and the q_seq_mining
+    * trigrams' 1st-order summary). Per-user lag windows (µs order,
+    * event_id tiebreak) → one (i, j) partial-agg shuffle → row-
+    * normalize against broadcast per-state totals; probabilities are
+    * one division on exact longs, round 6. */
+  private val qTransitionMatrix = BoundQuery("q_transition_matrix", (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val bigrams = Tables.events(s, d)
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("event_id"), col("event_type"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .where(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n"))
+    val outTotals = bigrams.groupBy("cur").agg(sum(col("n")).as("out_n"))
+    bigrams.join(broadcast(outTotals), "cur")
+      .select(col("cur"), col("nxt"), col("n"),
+        round(col("n").cast("double") / col("out_n").cast("double"), 6).as("p"))
+      .orderBy("cur", "nxt")
+  }, Some("""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS nxt
+      FROM events),
+    bi AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT cur, CAST(sum(n) AS BIGINT) AS out_n FROM bi GROUP BY 1)
+    SELECT cur, nxt, n,
+           round(CAST(n AS DOUBLE) / CAST(out_n AS DOUBLE), 6) AS p
+    FROM bi JOIN tot USING (cur) ORDER BY cur, nxt
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qScd2, qSeasonal, qBacktest, qTransitionMatrix)
 }

@@ -47,6 +47,28 @@ class TemporalSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("transition matrix rows are probability distributions") {
+    val df = Registry.queries("q_transition_matrix")(spark, sfTiny)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("p") > 0 && r.getAs[Double]("p") <= 1))
+    rows.groupBy(_.getAs[String]("cur")).values.foreach { g =>
+      val total = g.map(_.getAs[Double]("p")).sum
+      assert(math.abs(total - 1.0) < 1e-4, s"row sums to $total")
+    }
+  }
+
+  test("trending emits one row per type with positive lift when history is full") {
+    val df = Registry.queries("q_trending")(spark, sfTiny)
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("lift") > 0)
+      assert(r.getAs[Long]("n") > 0)
+    }
+    // at most one row per type by construction (rn = 1)
+    assert(rows.map(_.getAs[String]("event_type")).distinct.length == rows.length)
+  }
+
   test("mixture sampling rebalances the head language toward sqrt share") {
     val docs = graft.sources.Tables.documents(spark, sfTiny)
     val n = docs.count().toDouble
