@@ -246,6 +246,75 @@ object QualityQueries {
     FROM scored WHERE rn = 1 AND n_days = 28 ORDER BY event_type
   """))
 
+  /** Audience-overlap estimation via bottom-k (KMV) sketches: the
+    * pairwise Jaccard of per-type active-(user, day) sets from each
+    * set's k = 256 smallest md5 values — the set-INTERSECTION
+    * estimate HLL fundamentally cannot give (union-only), delivered
+    * by the Beyer et al. (SIGMOD'07) bottom-k estimator: rank the
+    * union's sketch, count members of both sketches among its k
+    * smallest, divide by k. Deterministic hash ⇒ the estimate is an
+    * exact integer ppm, so the whole sketch pipeline carries a full
+    * DuckDB oracle — unlike the DataSketches HLL rows (q_hll_union),
+    * nothing here depends on a library's internal representation.
+    * Scale shape: per-set work collapses to k rows via a
+    * WindowGroupLimit-able rank (literal rn <= k); the pair stage
+    * touches |pairs| × 2k sketch rows, never the raw events. */
+  private val qKmvJaccard = BoundQuery("q_kmv_jaccard", (s, d) => {
+    val k = 256
+    val elems = Tables.events(s, d)
+      .select(col("event_type"),
+        md5(concat_ws("-", col("user_id").cast("string"),
+          col("ts").cast("date").cast("string"))).as("h"))
+      .distinct()
+    val wT = Window.partitionBy("event_type").orderBy("h")
+    val sk = elems.withColumn("rn", row_number().over(wT))
+      .where(col("rn") <= k).select(col("event_type"), col("h"))
+    val types = sk.select("event_type").distinct()
+    val pairs = types.as("a").join(types.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+    val flagged = broadcast(pairs).join(sk,
+        col("event_type") === col("ta") || col("event_type") === col("tb"))
+      .groupBy(col("ta"), col("tb"), col("h"))
+      .agg(max(when(col("event_type") === col("ta"), 1L).otherwise(0L)).as("ina"),
+        max(when(col("event_type") === col("tb"), 1L).otherwise(0L)).as("inb"))
+    val wP = Window.partitionBy("ta", "tb").orderBy("h")
+    flagged.withColumn("rn", row_number().over(wP))
+      .where(col("rn") <= k)
+      .groupBy(col("ta"), col("tb"))
+      .agg(sum(col("ina") * col("inb")).as("both_in_topk"))
+      .select(col("ta"), col("tb"), col("both_in_topk"),
+        expr(s"(both_in_topk * 1000000) div $k").as("jaccard_est_ppm"))
+      .orderBy("ta", "tb")
+  }, Some("""
+    WITH elems AS (
+      SELECT DISTINCT event_type,
+             md5(CAST(user_id AS VARCHAR) || '-' ||
+                 CAST(CAST(ts AS DATE) AS VARCHAR)) AS h
+      FROM events),
+    sk AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM elems) WHERE rn <= 256),
+    types AS (SELECT DISTINCT event_type FROM sk),
+    pairs AS (SELECT a.event_type AS ta, b.event_type AS tb
+              FROM types a JOIN types b ON a.event_type < b.event_type),
+    flagged AS (
+      SELECT p.ta, p.tb, sk.h,
+             max(CASE WHEN sk.event_type = p.ta THEN 1 ELSE 0 END) AS ina,
+             max(CASE WHEN sk.event_type = p.tb THEN 1 ELSE 0 END) AS inb
+      FROM pairs p JOIN sk ON sk.event_type IN (p.ta, p.tb)
+      GROUP BY 1, 2, 3),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+      FROM flagged)
+    SELECT ta, tb, CAST(sum(ina * inb) AS BIGINT) AS both_in_topk,
+           CAST((sum(ina * inb) * 1000000) // 256 AS BIGINT) AS jaccard_est_ppm
+    FROM ranked WHERE rn <= 256 GROUP BY ta, tb ORDER BY ta, tb
+  """))
+
   val all: Seq[BoundQuery] =
-    Seq(qDqChecks, qAnomaly, qSeqMining, qHllUnion, qHllSliding, qTrending)
+    Seq(qDqChecks, qAnomaly, qSeqMining, qHllUnion, qHllSliding, qTrending,
+      qKmvJaccard)
 }

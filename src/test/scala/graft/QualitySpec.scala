@@ -32,6 +32,34 @@ class QualitySpec extends AnyFunSuite {
     assert(rows("ALL")._1 == exactByType.keys.map(t => rows(t)._1).sum)
   }
 
+  test("kmv jaccard equals exact jaccard when sets fit the sketch, tracks it otherwise") {
+    val got = Registry.queries("q_kmv_jaccard")(spark, sfTiny).collect()
+      .map(r => (r.getAs[String]("ta"), r.getAs[String]("tb"))
+        -> r.getAs[Long]("jaccard_est_ppm")).toMap
+    assert(got.nonEmpty)
+    // exact per-type (user, day) sets, computed in Scala at tiny sf
+    val raw = graft.sources.Tables.events(spark, sfTiny)
+      .select(col("event_type"),
+        concat_ws("-", col("user_id").cast("string"),
+          col("ts").cast("date").cast("string")).as("ud"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    val sets = raw.groupBy(_._1).map { case (t, v) => t -> v.map(_._2).toSet }
+    for (((ta, tb), estPpm) <- got) {
+      val (a, b) = (sets(ta), sets(tb))
+      val exact = a.intersect(b).size.toDouble / a.union(b).size
+      val k = 256
+      if (a.union(b).size <= k) {
+        // the union sketch holds the whole union, so both_in_topk is
+        // the true intersection size and the estimate is the exact
+        // formula value |A∩B|·10⁶ div k
+        assert(estPpm == (a.intersect(b).size.toLong * 1000000L) / k, s"($ta,$tb)")
+      } else {
+        assert(math.abs(estPpm / 1e6 - exact) <= 0.12,
+          s"($ta,$tb): est ${estPpm / 1e6} vs exact $exact")
+      }
+    }
+  }
+
   test("sliding hll estimates track exact trailing distincts") {
     val got = Registry.queries("q_hll_sliding")(spark, sfTiny).collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString)
