@@ -145,9 +145,15 @@ object QualityQueries {
     * shuffle is by trigram — no global ordering anywhere except the
     * final top-20. */
   private val qSeqMining = BoundQuery("q_seq_mining", (s, d) => {
-    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    // order on µs + event_id, not raw ns: the DuckDB twin sees the
+    // parquet ns timestamps µs-truncated (epoch_ns(TIMESTAMP) carries
+    // µs precision), so a same-µs pair ordered by sub-µs nanos here
+    // but by event_id there would silently disagree — align both
+    // engines on the µs grid and let event_id break every tie
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val tri = Tables.events(s, d)
-      .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("event_id"), col("event_type"))
       .withColumn("e2", lead(col("event_type"), 1).over(w))
       .withColumn("e3", lead(col("event_type"), 2).over(w))
       .where(col("e2").isNotNull && col("e3").isNotNull)
@@ -160,7 +166,7 @@ object QualityQueries {
         lead(event_type, 1) OVER w AS e2,
         lead(event_type, 2) OVER w AS e3
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
     tri AS (
       SELECT event_type || '>' || e2 || '>' || e3 AS trigram
       FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL)

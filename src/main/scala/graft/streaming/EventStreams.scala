@@ -111,6 +111,56 @@ object EventStreams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Streaming first-order transitions: per-user (current, next)
+    * event-type bigrams emitted incrementally, the streaming twin of
+    * q_transition_matrix's count stage. State per user is ONE chain
+    * link — (last ts_us, last event_id, last type) — so an arriving
+    * event emits exactly the bigram the batch lag-window would, then
+    * becomes the new link. Events are chained in (ts_us, event_id)
+    * order within each micro-batch; like the other replay twins this
+    * assumes micro-batches arrive in event-time order (a log replay),
+    * the watermark bounding how late a straggler may be. State
+    * carries an event-time TTL: a user idle past `ttl` loses only the
+    * chain link (one future bigram), never emitted history. */
+  def userTransitions(spark: SparkSession, dir: String,
+                      ttl: String = "30 days",
+                      watermarkDelay: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
+    require(ttlMs.months == 0,
+      s"ttl '$ttl' uses months/years — express the TTL in days or smaller")
+    val ttlMsLong = ttlMs.days.toLong * 86400000L + ttlMs.microseconds / 1000L
+    val events = spark.readStream.schema(eventsSchema).parquet(dir)
+      .withColumn("tsc", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("tsc", watermarkDelay)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("event_type"), col("tsc"))
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), (String, String)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, _, state) if state.hasTimedOut =>
+          state.remove(); Iterator.empty
+        case (_, rows, state) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var last = state.getOption
+          val out = Seq.newBuilder[(String, String)]
+          sorted.foreach { case (_, tsUs, eid, t, _) =>
+            last.foreach { case (_, _, lt) => out += ((lt, t)) }
+            last = Some((tsUs, eid, t))
+          }
+          last.foreach { l =>
+            state.update(l)
+            state.setTimeoutTimestamp(l._1 / 1000L + ttlMsLong)
+          }
+          out.result().iterator
+      }
+      .toDF("cur", "nxt")
+  }
+
   /** Stream-stream interval join: each view matched to the same
     * user's purchases within 30 minutes after it. Both sides carry
     * watermarks and the join condition bounds event time in BOTH

@@ -378,6 +378,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getInt(2) == 2)
   }
 
+  test("streaming transition bigrams replayed equal the batch transition counts") {
+    val dir = java.nio.file.Files.createTempDirectory("events_trans")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfTiny/events.parquet"),
+      dir.resolve("events.parquet"))
+    // sink the raw bigrams (Spark vetoes an agg downstream of
+    // flatMapGroupsWithState under the global watermark) and count in
+    // a batch query over the sink — the counts are the twin's claim
+    val q = EventStreams.userTransitions(spark, dir.toString)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trans_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("trans_out")
+        .groupBy("cur", "nxt").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = graft.queries.Registry.queries("q_transition_matrix")(spark, sfTiny)
+        .collect().map(r => (r.getAs[String]("cur"), r.getAs[String]("nxt"))
+          -> r.getAs[Long]("n")).toMap
+      assert(streamed == batch,
+        s"stream/batch bigram counts diverge: ${streamed.size} vs ${batch.size}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful counts under the RocksDB state store match the batch truth") {
     // same twin as the mapGroupsWithState test, but with the state
     // store swapped for RocksDB — the provider production clusters run
