@@ -30,4 +30,32 @@ object Incremental {
       .groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Retraction-capable state for NON-invertible aggregates (min/max):
+    * the classic plain `merge` min/max partials cannot process a
+    * DELETE — once the minimum leaves, the old partial is a lie. The
+    * standard fix (materialized-view maintenance literature, e.g.
+    * Flink's retractable aggregates) keeps a (key, value) →
+    * multiplicity histogram instead: inserts are +1 deltas, deletes
+    * −1, and the merge is still one commutative SUM — so everything
+    * `merge` guarantees (O(delta) maintenance, partial-agg shuffle on
+    * keys, bucketing-compatible) carries over. State size is bounded
+    * by DISTINCT values per key, not history length. */
+  def mergeHistogram(state: DataFrame, delta: DataFrame,
+                     keys: Seq[String], valueCol: String,
+                     cntCol: String = "cnt"): DataFrame = {
+    state.unionByName(delta)
+      .groupBy((keys :+ valueCol).map(col): _*)
+      .agg(sum(col(cntCol)).as(cntCol))
+      .where(col(cntCol) =!= 0)
+  }
+
+  /** Current min/max per key from a multiplicity histogram. Rows with
+    * non-positive multiplicity (over-deletes in flight) don't count. */
+  def extremesOf(hist: DataFrame, keys: Seq[String], valueCol: String,
+                 cntCol: String = "cnt"): DataFrame =
+    hist.where(col(cntCol) > 0)
+      .groupBy(keys.map(col): _*)
+      .agg(min(col(valueCol)).as(s"min_$valueCol"),
+        max(col(valueCol)).as(s"max_$valueCol"))
 }

@@ -236,6 +236,29 @@ class Operators2Spec extends AnyFunSuite {
       s.getAs[String]("min_val") == "a" && s.getAs[String]("max_val") == "c")
   }
 
+  test("retractable min/max: histogram state survives deletes that plain partials cannot") {
+    // three delta batches over (user, value): inserts then a delete of
+    // the current minimum — the case where a bare min() partial lies
+    val b1 = Seq((1L, 10L, 1L), (1L, 5L, 1L), (2L, 7L, 1L)).toDF("u", "v", "cnt")
+    val b2 = Seq((1L, 8L, 1L), (2L, 3L, 1L)).toDF("u", "v", "cnt")
+    val del = Seq((1L, 5L, -1L), (2L, 3L, -1L)).toDF("u", "v", "cnt") // delete both minima
+    val s1 = Incremental.mergeHistogram(b1, b2, Seq("u"), "v")
+    val s2 = Incremental.mergeHistogram(s1, del, Seq("u"), "v")
+    val ext = Incremental.extremesOf(s2, Seq("u"), "v")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // surviving rows: u1 {10, 8}, u2 {7}
+    assert(ext == Map(1L -> (8L, 10L), 2L -> (7L, 7L)))
+    // duplicate values retract one multiplicity at a time
+    val dup = Seq((3L, 4L, 1L), (3L, 4L, 1L)).toDF("u", "v", "cnt")
+    val s3 = Incremental.mergeHistogram(dup,
+      Seq((3L, 4L, -1L)).toDF("u", "v", "cnt"), Seq("u"), "v")
+    val e3 = Incremental.extremesOf(s3, Seq("u"), "v").collect()
+    assert(e3.length == 1 && e3(0).getLong(1) == 4L) // one copy still live
+    // state is value-bounded: the histogram never stores more rows than
+    // distinct surviving values
+    assert(s2.count() == 3)
+  }
+
   test("approx quantiles stay inside the error envelope of the exact answer") {
     val o = Tables.orders
     val r = o.agg(
