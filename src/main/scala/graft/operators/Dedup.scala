@@ -55,6 +55,61 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(max("jaccard_est").as("jaccard_est"))
   }
 
+  /** Affine-permutation constants (a_j, b_j) for the arithmetic
+    * minhash family h_j(x) = (a_j·x + b_j) mod P over P = 1e9+7 —
+    * a_j odd (a bijection mod the prime), b_j a golden-ratio stride.
+    * Exposed so the DuckDB oracle twin embeds the SAME constants. */
+  val MinhashPrime = 1000000007L
+  def minhashPermConsts(k: Int): Seq[(Long, Long)] = {
+    val phi = -7046029254386353131L
+    (0 until k).map(j => (2L * j + 1, math.floorMod(phi * (j + 1), MinhashPrime)))
+  }
+
+  /** MinHash+LSH candidates with a FULLY ORACLE-REPLICABLE hash
+    * family: shingle base hash = polynomial rolling hash of the
+    * shingle string (TextFunctions.rollingFingerprint — chars folded
+    * (acc·31 + code) mod 1e9+7), permutations = minhashPermConsts
+    * affine maps, band key = the same polynomial fold (base 1048573)
+    * over the band's signature slice. Every step is integer
+    * arithmetic a SQL engine can replay term-for-term, so unlike
+    * `minhashCandidates` (xxhash64-based, faster per byte, rows-only
+    * checkable) this variant's estimates hash-match a DuckDB oracle.
+    * Same LSH scale shape: O(docs × bands) blocking join, candidates
+    * distinct-ed before the signature compare, never O(docs²). */
+  def minhashCandidatesArith(df: DataFrame, idCol: Column, textCol: Column,
+                             shingleSize: Int = 3, bands: Int = 8,
+                             rowsPerBand: Int = 4): DataFrame = {
+    val k = bands * rowsPerBand
+    val P = MinhashPrime
+    val docs = df.select(idCol.as("id"),
+        array_distinct(wordShingles(textCol, shingleSize)).as("shg"))
+      .where(size(col("shg")) > 0)
+      .withColumn("hs", transform(col("shg"), s => rollingFingerprint(s)))
+    // persist: the signature table feeds the band join AND both sides
+    // of the verification join
+    val sig = graft.util.CacheScope.persist(docs.select(col("id"),
+      array(minhashPermConsts(k).map { case (a, b) =>
+        array_min(transform(col("hs"), x => pmod(lit(a) * x + lit(b), lit(P))))
+      }: _*).as("sig")))
+    val bandKeys = sig.select(col("id"),
+        explode(array((0 until bands).map { bi =>
+          struct(lit(bi).as("band"),
+            aggregate(slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand), lit(0L),
+              (acc, v) => pmod(acc * lit(1048573L) + v, lit(P))).as("bkey"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = bandKeys.as("a").join(bandKeys.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    cand
+      .join(sig.select(col("id").as("id_a"), col("sig").as("siga")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sigb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("siga"), col("sigb"), (x, y) => (x === y).cast("int")),
+          v => v === 1)).cast("double") / lit(k.toDouble)).as("jaccard_est"))
+  }
+
   /** Exact n-gram Jaccard similarity join: block by shared shingle,
     * count shared distinct shingles per pair, jaccard =
     * |A∩B| / (|A|+|B|-|A∩B|) from exact ints.
@@ -190,6 +245,24 @@ object Dedup {
     val sigs = df.select(idCol.as("id"),
         simhash64(df.sparkSession, tokens(textCol)).as("sig"))
       .withColumn("blk", shiftrightunsigned(col("sig"), 48))
+    sigs.as("a").join(sigs.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash pairs over the ORACLE-REPLICABLE 31-bit polynomial
+    * signature (graft.expressions.SimHashPoly — see there for the
+    * twin rationale): block on the top-8-bit prefix, verify with
+    * exact hamming. Same never-quadratic prefix-blocked join shape
+    * as simhashPairs; trades signature width and per-byte hash speed
+    * for a full DuckDB-replayable gate. */
+  def simhashPairsArith(df: DataFrame, idCol: Column, textCol: Column,
+                        maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(idCol.as("id"),
+        graft.expressions.SimHashPoly.simhashPoly(df.sparkSession, tokens(textCol)).as("sig"))
+      .withColumn("blk", shiftrightunsigned(col("sig"), 23))
     sigs.as("a").join(sigs.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -75,21 +75,107 @@ object TextQueries {
   """), headline = true)
 
   /** MinHash+LSH candidate pairs — the sub-quadratic scale path for
-    * the same near-dup problem (rows-only: the estimate is
-    * approximate by construction; TextSpec checks recall vs the exact
-    * jaccard pairs). */
+    * the same near-dup problem. Bound to the ARITHMETIC hash family
+    * (Dedup.minhashCandidatesArith) so the whole LSH pipeline —
+    * shingle hash, 32 affine permutations, band keys, estimates — is
+    * replayed term-for-term by the DuckDB oracle below: a FULL
+    * hash-checked gate on an approximate operator, not rows-only.
+    * TextSpec separately checks recall vs exact jaccard pairs (both
+    * this and the faster xxhash64 production variant). */
   private val qMinhashPairs = BoundQuery("q_minhash_pairs", (s, d) => {
-    Dedup.minhashCandidates(Tables.documents(s, d), col("doc_id"), col("text"))
+    Dedup.minhashCandidatesArith(Tables.documents(s, d), col("doc_id"), col("text"))
       .where(col("jaccard_est") >= 0.5)
       .orderBy("id_a", "id_b")
-  }, None)
+  }, Some(minhashOracleSql))
 
-  /** SimHash near-dup pairs via the custom Catalyst expression
-    * (graft.expressions.SimHash64), 16-bit-prefix blocked. */
+  /** The DuckDB twin of minhashCandidatesArith, constants inlined
+    * from the same Dedup.minhashPermConsts the Spark plan uses. */
+  private def minhashOracleSql: String = {
+    val P = Dedup.MinhashPrime
+    val sigExprs = Dedup.minhashPermConsts(32).map { case (a, b) =>
+      s"list_min(list_transform(hs, x -> (${a}*x + ${b}) % ${P}))"
+    }.mkString(",\n        ")
+    val bandVals = (0 until 8).map(b => s"($b)").mkString(",")
+    s"""
+    WITH sh AS (
+      SELECT doc_id,
+        list_distinct(list_transform(range(1, greatest(len(w)-1, 1)),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents)
+      WHERE len(w) >= 3),
+    xs AS (
+      SELECT doc_id,
+        list_transform(shingles, s ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, length(s)+1),
+              i -> CAST(ascii(substring(s, i, 1)) AS BIGINT))),
+            (a, b) -> (a*31 + b) % ${P})) AS hs
+      FROM sh WHERE len(shingles) > 0),
+    sigl AS (
+      SELECT doc_id, [
+        ${sigExprs}
+      ] AS sig FROM xs),
+    bands AS (
+      SELECT doc_id, b.band AS band,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_slice(sig, b.band*4+1, b.band*4+4)),
+          (acc, v) -> (acc*1048573 + v) % ${P}) AS bkey
+      FROM sigl CROSS JOIN (VALUES ${bandVals}) b(band)),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+      CAST(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+        / 32.0 AS jaccard_est
+    FROM cand JOIN sigl sa ON id_a = sa.doc_id JOIN sigl sb ON id_b = sb.doc_id
+    WHERE CAST(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+        / 32.0 >= 0.5
+    ORDER BY id_a, id_b
+  """
+  }
+
+  /** SimHash near-dup pairs. Bound to the polynomial-signature twin
+    * (Dedup.simhashPairsArith / expressions.SimHashPoly) so the whole
+    * pipeline — per-token code-point fold, 31-bit ±1 vote, prefix
+    * blocking, hamming verify — is replayed by the DuckDB oracle:
+    * a full hash-checked gate. DedupSpec pins the xxhash64 production
+    * variant (simhashPairs) separately. */
   private val qSimhashPairs = BoundQuery("q_simhash_pairs", (s, d) => {
-    Dedup.simhashPairs(Tables.documents(s, d), col("doc_id"), col("text"), maxHamming = 3)
+    Dedup.simhashPairsArith(Tables.documents(s, d), col("doc_id"), col("text"), maxHamming = 3)
       .orderBy("id_a", "id_b")
-  }, None)
+  }, Some(simhashOracleSql))
+
+  /** DuckDB twin of simhashPairsArith: 31 generated vote terms. */
+  private def simhashOracleSql: String = {
+    val sigTerms = (0 until 31).map { b =>
+      s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("\n        + ")
+    s"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents),
+    hs AS (
+      SELECT doc_id,
+        list_transform(w, t ->
+          (list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, length(t)+1),
+              i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+            (a, c) -> (a*31 + c) % 2147483648) * 2654435761) % 2147483648) AS hs
+      FROM toks),
+    sigs AS (
+      SELECT doc_id, CAST(${sigTerms} AS BIGINT) AS sig
+      FROM hs)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b
+      ON (a.sig >> 23) = (b.sig >> 23) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    ORDER BY id_a, id_b
+  """
+  }
 
   /** Token counting: whitespace + BPE-ish pre-tokenizer split. */
   private val qTokenCount = BoundQuery("q_token_count", (s, d) => {

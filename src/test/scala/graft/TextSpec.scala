@@ -70,6 +70,41 @@ class TextSpec extends AnyFunSuite {
     assert(uncapped.contains((5L, 6L)) && !capped.contains((5L, 6L)))
   }
 
+  test("arith minhash (oracle-gated family) recalls the exact near-dup pairs") {
+    val cand = Dedup.minhashCandidatesArith(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val recall = exactDupPairs.count(cand.contains).toDouble / exactDupPairs.size
+    assert(recall >= 0.8, s"arith minhash recall $recall over ${exactDupPairs.size} pairs")
+  }
+
+  test("arith minhash estimates 1.0 for identical docs and is deterministic") {
+    import spark.implicits._
+    val dup = Seq((1L, "alpha beta gamma delta epsilon"),
+                  (2L, "alpha beta gamma delta epsilon"),
+                  (3L, "totally different words here now")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidatesArith(dup, col("doc_id"), col("text"))
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("jaccard_est"))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    val again = Dedup.minhashCandidatesArith(dup, col("doc_id"), col("text"))
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("jaccard_est"))).toMap
+    assert(pairs == again)
+  }
+
+  test("arith simhash signatures spread across all 31 bits (finalizer works)") {
+    // without the multiplicative finalizer short-token folds leave the
+    // high bits identically zero and prefix blocking degenerates
+    val sigs = docs.select(
+        graft.expressions.SimHashPoly.simhashPoly(spark, tokens(col("text"))).as("sig"))
+      .collect().map(_.getLong(0))
+    val highBitsUsed = sigs.map(_ >>> 23).distinct.length
+    assert(highBitsUsed > 10, s"only $highBitsUsed distinct 8-bit prefixes — degenerate blocking")
+    // identical docs → identical sigs → hamming-0 pair
+    val sim = Dedup.simhashPairsArith(docs, col("doc_id"), col("text"), maxHamming = 6)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val recall = exactDupPairs.count(sim.contains).toDouble / exactDupPairs.size
+    assert(recall >= 0.3, s"arith simhash recall $recall")
+  }
+
   test("simhash pairs overlap the exact near-dup pairs") {
     val sim = Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxHamming = 6)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
