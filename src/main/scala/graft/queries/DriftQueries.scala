@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFunctions.tokens
+
+/** SURVEY §2.4 late-round-3 wave: distribution-drift and
+  * information-theoretic corpus telemetry — the monitoring layer a
+  * training-data pipeline runs between ingestion waves (did the new
+  * crawl shift the length distribution? did a source's language mix
+  * collapse? is the token distribution still Zipfian?).
+  *
+  * Every log-term follows the q_bigram_lm micro-nat rule: round each
+  * ln to integer micro-nats BEFORE summing, so all aggregation is
+  * exact long arithmetic in any order on any engine, and every query
+  * here carries a FULL DuckDB oracle.
+  */
+object DriftQueries {
+
+  /** Population Stability Index between the md5 train and test splits
+    * (the q_train_split rule), over fixed-width n_chars bins.
+    * Laplace-smoothed shares keep every ln finite; per-bin PSI terms
+    * are emitted as rows (their exact-long sum is the total PSI —
+    * DriftSpec pins it). One scan + a broadcast of the 2-row totals. */
+  private val qPsiDrift = BoundQuery("q_psi_drift", (s, d) => {
+    val h = substring(md5(col("text")), 1, 2)
+    val binned = Tables.documents(s, d)
+      .withColumn("split",
+        when(h < "cc", "train").when(h < "e6", "val").otherwise("test"))
+      .where(col("split") =!= "val")
+      .withColumn("bin", least(floor(col("n_chars") / lit(100)), lit(9)).cast("long"))
+      .groupBy("bin")
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+    val totals = binned.agg(sum(col("n_train")).as("tot_train"),
+      sum(col("n_test")).as("tot_test"))
+    binned.crossJoin(broadcast(totals))
+      .withColumn("p_train",
+        (col("n_train") + 1).cast("double") / (col("tot_train") + 10).cast("double"))
+      .withColumn("p_test",
+        (col("n_test") + 1).cast("double") / (col("tot_test") + 10).cast("double"))
+      .withColumn("psi_u",
+        round((col("p_test") - col("p_train")) * log(col("p_test") / col("p_train")) * 1e6, 0)
+          .cast("long"))
+      .select(col("bin"), col("n_train"), col("n_test"),
+        round(col("psi_u").cast("double") / 1e6, 6).as("psi_term"))
+      .orderBy("bin")
+  }, Some("""
+    WITH binned AS (
+      SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 9) AS bin,
+        CAST(sum(CASE WHEN substr(md5(text),1,2) < 'cc' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        CAST(sum(CASE WHEN substr(md5(text),1,2) >= 'e6' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+      FROM documents
+      WHERE substr(md5(text),1,2) < 'cc' OR substr(md5(text),1,2) >= 'e6'
+      GROUP BY 1),
+    tot AS (SELECT sum(n_train) AS tot_train, sum(n_test) AS tot_test FROM binned)
+    SELECT bin, n_train, n_test,
+      round(CAST(CAST(round(
+        (CAST(n_test+1 AS DOUBLE)/CAST(tot_test+10 AS DOUBLE)
+          - CAST(n_train+1 AS DOUBLE)/CAST(tot_train+10 AS DOUBLE))
+        * ln((CAST(n_test+1 AS DOUBLE)/CAST(tot_test+10 AS DOUBLE))
+           / (CAST(n_train+1 AS DOUBLE)/CAST(tot_train+10 AS DOUBLE))) * 1e6, 0) AS BIGINT)
+        AS DOUBLE) / 1e6, 6) AS psi_term
+    FROM binned CROSS JOIN tot ORDER BY bin
+  """))
+
+  /** Per-source language-mix diversity: Simpson index from EXACT
+    * integer arithmetic (sum c·(c−1) over N·(N−1), one final
+    * division) and Shannon entropy in micro-nats. The per-source
+    * totals come from a window partitioned by source — the same hash
+    * partitioning the final groupBy needs, so no extra shuffle. */
+  private val qDiversity = BoundQuery("q_diversity", (s, d) => {
+    val counts = Tables.documents(s, d)
+      .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source")
+    counts
+      .withColumn("n", sum(col("c")).over(w))
+      .withColumn("ent_u",
+        round((col("c").cast("double") / col("n").cast("double")) *
+          log(col("c").cast("double") / col("n").cast("double")) * -1e6, 0).cast("long"))
+      .groupBy("source")
+      .agg(max(col("n")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        sum(col("c") * (col("c") - 1)).as("simp_num"),
+        sum(col("ent_u")).as("ent_sum"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        round(col("simp_num").cast("double") /
+          (col("n_docs") * (col("n_docs") - 1)).cast("double"), 6).as("simpson"),
+        round(col("ent_sum").cast("double") / 1e6, 6).as("entropy"))
+      .orderBy("source")
+  }, Some("""
+    WITH counts AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2),
+    withn AS (
+      SELECT source, lang, c, sum(c) OVER (PARTITION BY source) AS n
+      FROM counts),
+    terms AS (
+      SELECT source, c, n,
+        CAST(round((CAST(c AS DOUBLE)/CAST(n AS DOUBLE)) *
+          ln(CAST(c AS DOUBLE)/CAST(n AS DOUBLE)) * -1e6, 0) AS BIGINT) AS ent_u
+      FROM withn)
+    SELECT source, CAST(max(n) AS BIGINT) AS n_docs, CAST(count(*) AS BIGINT) AS n_langs,
+      round(CAST(sum(c*(c-1)) AS DOUBLE) / CAST(max(n)*(max(n)-1) AS DOUBLE), 6) AS simpson,
+      round(CAST(sum(ent_u) AS DOUBLE) / 1e6, 6) AS entropy
+    FROM terms GROUP BY source ORDER BY source
+  """))
+
+  /** Per-document token-distribution entropy — the "is this document
+    * degenerate repetition?" quality signal (a 200-token doc of one
+    * word has entropy 0; Gopher-class filters cut on exactly this).
+    * The low-entropy flag compares the EXACT micro-nat long, not the
+    * rounded double, so the cut is engine-invariant. */
+  private val qEntropyFilter = BoundQuery("q_entropy_filter", (s, d) => {
+    val w = Window.partitionBy("doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(w))
+      .withColumn("ent_u",
+        round((col("c").cast("double") / col("n").cast("double")) *
+          log(col("c").cast("double") / col("n").cast("double")) * -1e6, 0).cast("long"))
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("n_tokens"),
+        sum(col("ent_u")).as("ent_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("ent_sum").cast("double") / 1e6, 6).as("entropy"),
+        (col("ent_sum") < 2500000L).as("is_low_entropy"))
+      .orderBy("doc_id")
+  }, Some("""
+    WITH counts AS (
+      SELECT doc_id, t.token AS token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id,
+              unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+            FROM documents) t
+      GROUP BY 1, 2),
+    withn AS (
+      SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n
+      FROM counts),
+    terms AS (
+      SELECT doc_id, c, n,
+        CAST(round((CAST(c AS DOUBLE)/CAST(n AS DOUBLE)) *
+          ln(CAST(c AS DOUBLE)/CAST(n AS DOUBLE)) * -1e6, 0) AS BIGINT) AS ent_u
+      FROM withn)
+    SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+      round(CAST(sum(ent_u) AS DOUBLE) / 1e6, 6) AS entropy,
+      sum(ent_u) < 2500000 AS is_low_entropy
+    FROM terms GROUP BY doc_id ORDER BY doc_id
+  """))
+
+  /** Zipf-law audit: least-squares slope of ln(freq) on ln(rank) over
+    * the top-100 corpus tokens. Natural text sits near slope −1;
+    * synthetic or templated corpora flatten. Ranks come from a
+    * TakeOrderedAndProject top-k (scale-safe); the rank window then
+    * runs over exactly 100 rows — the documented bounded-input
+    * contract. All regression moments are exact-long sums of micro-nat
+    * products (≤ 2^60), divided once at the end. */
+  private val qZipf = BoundQuery("q_zipf", (s, d) => {
+    val top = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("token")).limit(100)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(desc("freq"), asc("token"))).cast("long"))
+    val moments = ranked
+      .withColumn("x_u", round(log(col("rank").cast("double")) * 1e6, 0).cast("long"))
+      .withColumn("y_u", round(log(col("freq").cast("double")) * 1e6, 0).cast("long"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x_u")).as("sx"), sum(col("y_u")).as("sy"),
+        sum(col("x_u") * col("y_u")).as("sxy"),
+        sum(col("x_u") * col("x_u")).as("sxx"))
+    moments.select(col("n_terms"),
+      round((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double"), 6).as("slope"),
+      round(((col("sy").cast("double") -
+        ((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          * col("sx").cast("double")) / col("n_terms").cast("double")) / 1e6, 6).as("intercept"))
+  }, Some("""
+    WITH tf AS (
+      SELECT t.token AS token, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+            FROM documents) t
+      GROUP BY 1 ORDER BY freq DESC, token LIMIT 100),
+    ranked AS (
+      SELECT freq,
+        CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank
+      FROM tf),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        sum(CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6, 0) AS BIGINT)) AS sx,
+        sum(CAST(round(ln(CAST(freq AS DOUBLE)) * 1e6, 0) AS BIGINT)) AS sy,
+        sum(CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6, 0) AS BIGINT)
+          * CAST(round(ln(CAST(freq AS DOUBLE)) * 1e6, 0) AS BIGINT)) AS sxy,
+        sum(CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6, 0) AS BIGINT)
+          * CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6, 0) AS BIGINT)) AS sxx
+      FROM ranked)
+    SELECT n_terms,
+      round(CAST(n_terms*sxy - sx*sy AS DOUBLE) / CAST(n_terms*sxx - sx*sx AS DOUBLE), 6) AS slope,
+      round((CAST(sy AS DOUBLE) -
+        (CAST(n_terms*sxy - sx*sy AS DOUBLE) / CAST(n_terms*sxx - sx*sx AS DOUBLE))
+          * CAST(sx AS DOUBLE)) / CAST(n_terms AS DOUBLE) / 1e6, 6) AS intercept
+    FROM m
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qPsiDrift, qDiversity, qEntropyFilter, qZipf)
+}
