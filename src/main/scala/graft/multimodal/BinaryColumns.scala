@@ -27,6 +27,16 @@ object BinaryColumns {
         lit(kind).as("kind"),
         md5(col("payload")).as("checksum")))
 
+  /** Pack ALREADY-BINARY content (e.g. rows from Tables.readBinaryFiles)
+    * into the same (id, payload, meta) shape — the ingest join point
+    * between the binaryFile source and the feature extractors. */
+  def packBinary(df: DataFrame, idCol: Column, payloadCol: Column, kind: String): DataFrame =
+    df.select(idCol.as("id"), payloadCol.as("payload"))
+      .withColumn("meta", struct(
+        length(col("payload")).cast("long").as("n_bytes"),
+        lit(kind).as("kind"),
+        md5(col("payload")).as("checksum")))
+
   /** STUB decoder: deterministic fake dims from a payload hash. A real
     * implementation swaps `decode` for a codec call; the partition
     * lifecycle and output schema stay identical. */

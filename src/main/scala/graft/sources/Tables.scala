@@ -92,6 +92,24 @@ object Tables {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
   }
 
+  /** Raw binary-file ingest — the front door of the multimodal
+    * pipeline (multimodal.BinaryColumns). Spark's `binaryFile` source
+    * yields (path, modificationTime, length, content) rows with the
+    * payload as a single binary cell; `pathGlobFilter` prunes by
+    * extension AT LISTING TIME (files that don't match are never
+    * opened — at 100 TB of mixed media that is the difference between
+    * listing and reading), and recursive lookup walks nested
+    * date/shard layouts. Spark caps single-cell size (~2 GB array
+    * limit); production media at that size belongs in chunked
+    * payloads, which packPayload's schema already models. */
+  def readBinaryFiles(s: SparkSession, path: String,
+                      globFilter: Option[String] = None,
+                      recursive: Boolean = true): DataFrame = {
+    val r = s.read.format("binaryFile")
+      .option("recursiveFileLookup", recursive.toString)
+    globFilter.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
+  }
+
   /** Partitioned parquet writer for derived tables (hive-style
     * partition pruning on the partition columns at read time).
     * `sortBy` sorts WITHIN each output file — clustered layout so a

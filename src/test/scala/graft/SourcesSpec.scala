@@ -139,4 +139,30 @@ class SourcesSpec extends AnyFunSuite {
     val r = ev.select(col("ts_ns"), unix_micros(col("ts")).as("us")).first()
     assert(r.getLong(0) / 1000L == r.getLong(1))
   }
+
+  test("binaryFile source ingests nested media files, glob-prunes, and feeds packPayload") {
+    val dir = java.nio.file.Files.createTempDirectory("binsrc")
+    java.nio.file.Files.createDirectories(dir.resolve("2026/01"))
+    val png = Array[Byte](0x42, 0x49, 0x4e, 0x01, 0x02, 0x03)
+    val wav = Array[Byte](0x52, 0x49, 0x46, 0x46, 0x00)
+    java.nio.file.Files.write(dir.resolve("2026/01/a.png"), png)
+    java.nio.file.Files.write(dir.resolve("2026/01/b.wav"), wav)
+    java.nio.file.Files.write(dir.resolve("2026/01/skip.txt"), "nope".getBytes)
+
+    // glob pruning happens at listing: only .png rows exist
+    val pngs = Tables.readBinaryFiles(spark, dir.toString, globFilter = Some("*.png"))
+    val rows = pngs.collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Array[Byte]]("content").sameElements(png))
+    assert(rows(0).getAs[Long]("length") == png.length)
+
+    // unfiltered recursive read sees both media files; route into the
+    // multimodal payload schema (the real ingest composition)
+    val all = Tables.readBinaryFiles(spark, dir.toString, globFilter = Some("*.{png,wav}"))
+    val packed = graft.multimodal.BinaryColumns.packBinary(
+      all, xxhash64(col("path")), col("content"), "media")
+    assert(packed.count() == 2)
+    val feats = graft.multimodal.BinaryColumns.extractFeatures(packed)
+    assert(feats.count() == 2)
+  }
 }
