@@ -39,16 +39,28 @@ object BinaryColumns {
 
   /** STUB decoder: deterministic fake dims from a payload hash. A real
     * implementation swaps `decode` for a codec call; the partition
-    * lifecycle and output schema stay identical. */
+    * lifecycle and output schema stay identical. The fake is pure
+    * arithmetic — UTF-8-decode the payload, fold code points
+    * (acc·31 + cp) mod 2^31 with a Knuth multiplicative finalizer —
+    * so even the STUB is gated by a full DuckDB oracle (the oracle
+    * replays the fold over the source text): the plumbing test
+    * catches schema/partitioning/ordering regressions with hash
+    * precision, not just row counts. */
   private object FakeDecoder {
     final case class Features(width: Int, height: Int, channels: Int)
     def decode(payload: Array[Byte]): Features = {
-      var h = 1125899906842597L
-      var i = 0
-      while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+      val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+      var h = 0L
+      var idx = 0
+      while (idx < s.length) {
+        val cp = s.codePointAt(idx)
+        h = (h * 31L + cp) % 2147483648L
+        idx += Character.charCount(cp)
+      }
+      h = (h * 2654435761L) % 2147483648L
       Features(
-        width = 64 + math.floorMod(h, 1857).toInt,
-        height = 64 + math.floorMod(h >>> 17, 1017).toInt,
+        width = 64 + (h % 1857L).toInt,
+        height = 64 + ((h >> 17) % 1017L).toInt,
         channels = 3)
     }
   }

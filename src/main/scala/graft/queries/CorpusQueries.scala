@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.functions.TextFunctions.tokens
+import graft.functions.TextFunctions.{tokens, wordShingles, qualityScore}
 import graft.ml.BpeTrainer
 
 /** SURVEY §2.4 round-3 corpus-curation ops: stratified sampling,
@@ -225,7 +225,127 @@ object CorpusQueries {
       .orderBy("doc_id")
   }, None)
 
+  /** Boilerplate span detector: 8-token spans occurring in ≥ 2
+    * distinct documents, with document and occurrence counts — the
+    * telemetry that SIZES the ngram-join skew caps (Dedup
+    * maxShingleDf) and flags template contamination. One explode +
+    * one partial-agg groupBy; at web scale the span string would be
+    * its ShingleHash64 (the group key is what matters), kept as text
+    * here so the table is directly actionable. */
+  private val qBoilerplateSpans = BoundQuery("q_boilerplate_spans", (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(wordShingles(col("text"), 8)).as("span"))
+      .groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .where(col("n_docs") >= 2)
+      .orderBy(desc("n_docs"), desc("n_occ"), asc("span"))
+  }, Some("""
+    WITH spans AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+             w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] AS span
+      FROM (SELECT doc_id, w, unnest(range(1, len(w)-6)) AS i
+            FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w
+                  FROM documents)
+            WHERE len(w) >= 8))
+    SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occ
+    FROM spans GROUP BY span
+    HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occ DESC, span
+  """))
+
+  /** Cross-source content-overlap matrix: for every source pair, how
+    * many distinct 5-gram spans they share, and the overlap
+    * coefficient against the smaller side — the "which feeds are
+    * recycling each other's content" audit that decides dedup
+    * priority between ingestion streams. Span granularity (not doc
+    * digests) catches partial recycling that whole-doc hashing
+    * misses. Scale shape: the (source, span)-distinct table is the
+    * only corpus-sized relation; the pair matrix is |sources|²-
+    * bounded. At web scale the span key would be its ShingleHash64. */
+  private val qSourceOverlap = BoundQuery("q_source_overlap", (s, d) => {
+    val spans = graft.util.CacheScope.persist(
+      Tables.documents(s, d)
+        .select(col("source"), explode(wordShingles(col("text"), 5)).as("sp"))
+        .distinct())
+    val sizes = spans.groupBy("source").agg(count(lit(1)).as("n"))
+    spans.as("a").join(spans.as("b"),
+        col("a.sp") === col("b.sp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_spans"))
+      .join(sizes.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared_spans"),
+        round(col("shared_spans").cast("double") /
+          least(col("na"), col("nb")).cast("double"), 6).as("overlap"))
+      .orderBy("src_a", "src_b")
+  }, Some("""
+    WITH spans AS (
+      SELECT DISTINCT source,
+        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS sp
+      FROM (SELECT source, w, unnest(range(1, len(w)-3)) AS i
+            FROM (SELECT source, list_filter(string_split(text,' '), x -> x <> '') AS w
+                  FROM documents)
+            WHERE len(w) >= 5)),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM spans GROUP BY 1),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS shared_spans
+      FROM spans a JOIN spans b ON a.sp = b.sp AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT src_a, src_b, shared_spans,
+      round(CAST(shared_spans AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE), 6) AS overlap
+    FROM pairs JOIN sizes sa ON src_a = sa.source JOIN sizes sb ON src_b = sb.source
+    ORDER BY src_a, src_b
+  """))
+
+  /** Token-budget selection: greedily keep the highest-quality
+    * documents until a token budget is spent — the curation step that
+    * turns "scored corpus" into "training set of size N". Ordering is
+    * by micro-rounded quality (exact long compare, engine-invariant)
+    * with doc_id tiebreak; the running token total comes from
+    * operators.Ranking.globalCumSum — the two-phase range-partitioned
+    * cumsum, NOT a single-partition window, so the scan holds at
+    * corpus scale. */
+  private val qTokenBudget = BoundQuery("q_token_budget", (s, d) => {
+    val toks = tokens(col("text"))
+    val scored = Tables.documents(s, d)
+      .where(size(toks) > 0)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        round(qualityScore(col("text")) * 1e6, 0).cast("long").as("quality_u"))
+    graft.operators.Ranking.globalCumSum(scored, col("n_tokens"), "cum_tokens",
+        desc("quality_u"), col("doc_id"))
+      .where(col("cum_tokens") <= 10000L)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("quality_u").cast("double") / 1e6, 6).as("quality"),
+        col("cum_tokens"))
+      .orderBy(desc("quality_u"), asc("doc_id"))
+      .drop("quality_u")
+  }, Some("""
+    WITH t AS (
+      SELECT doc_id, text, list_filter(string_split(text,' '), x -> x <> '') AS toks
+      FROM documents),
+    scored AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(round((0.5 * least(CAST(len(toks) AS BIGINT)::DOUBLE / 100.0, 1.0)
+          + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT)::DOUBLE
+                          / CAST(length(text) AS DOUBLE))
+          + 0.2 * least(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS BIGINT)::DOUBLE
+                          / CAST(len(toks) AS DOUBLE) * 5.0, 1.0)) * 1e6, 0) AS BIGINT) AS quality_u
+      FROM t WHERE len(toks) > 0),
+    run AS (
+      SELECT doc_id, n_tokens, quality_u,
+        sum(n_tokens) OVER (ORDER BY quality_u DESC, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM scored)
+    SELECT doc_id, n_tokens, round(CAST(quality_u AS DOUBLE) / 1e6, 6) AS quality,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM run WHERE cum_tokens <= 10000
+    ORDER BY quality_u DESC, doc_id
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qStratifiedSample, qMixtureSample, qContamination,
-      qRepetitionFilter, qBpeEncode)
+      qRepetitionFilter, qBpeEncode, qBoilerplateSpans, qSourceOverlap,
+      qTokenBudget)
 }

@@ -161,14 +161,32 @@ object PipelineQueries {
     FROM documents ORDER BY doc_id
   """))
 
-  /** Partition-wise stub feature extraction over binary payloads
-    * (rows-only: the fake decoder has no SQL twin; MultimodalSpec
-    * pins its determinism). */
+  /** Partition-wise stub feature extraction over binary payloads.
+    * The decode stage runs as the real per-partition mapPartitions
+    * lifecycle, and because the stub decoder is pure arithmetic
+    * (BinaryColumns.FakeDecoder), the WHOLE pipeline — pack, decode,
+    * schema — is replayed by a full DuckDB oracle; MultimodalSpec
+    * additionally pins determinism across partitionings. */
   private val qMultimodalFeatures = BoundQuery("q_multimodal_features", (s, d) => {
     BinaryColumns.extractFeatures(
       BinaryColumns.packPayload(Tables.documents(s, d), col("doc_id"), col("text"), "text"))
       .orderBy("id")
-  }, None)
+  }, Some("""
+    WITH h AS (
+      SELECT doc_id,
+        (list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, length(text)+1),
+            i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+          (a, c) -> (a*31 + c) % 2147483648) * 2654435761) % 2147483648 AS h,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents)
+    SELECT doc_id AS id,
+      CAST(64 + h % 1857 AS INT) AS width,
+      CAST(64 + (h >> 17) % 1017 AS INT) AS height,
+      CAST(3 AS INT) AS channels,
+      n_bytes
+    FROM h ORDER BY id
+  """))
 
   /** Per-file manifest of the lineitem scan (sources.Manifest): file
     * basename, row count, key/date/price min-max — the layout-audit
