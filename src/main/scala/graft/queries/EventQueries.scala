@@ -238,7 +238,132 @@ object EventQueries {
     ORDER BY type_g, day_g
   """))
 
+  /** OHLC bars per (event_type, hour): open/close are the values at
+    * the first/last event of the bar (total-ordered by (ts_us,
+    * event_id) so ties can't flip between engines), high/low are
+    * plain min/max — no value is ever SUMMED, so doubles stay exact.
+    * Spark side picks open/close via struct-ordered min/max (one
+    * partial-aggregable pass); the oracle uses arg_min/arg_max over a
+    * zero-padded composite key (DuckDB's arg_min can't take struct
+    * ordering keys). Time lives on the µs grid via exact integral
+    * division (`div`, never `/`: ts_ns ≈ 1.8e18 exceeds double's 2^53
+    * exact range) — DuckDB reads these TIMESTAMP(NANOS) files
+    * µs-truncated, so µs is the finest grid both engines share. */
+  private val qOhlcBars = BoundQuery("q_ohlc_bars", (s, d) => {
+    Tables.events(s, d)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("hr", expr("ts_us div 3600000000"))
+      .groupBy("event_type", "hr")
+      .agg(
+        min(struct(col("ts_us"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("ts_us"), col("event_id"), col("value"))).as("c"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("hr"),
+        col("o.value").as("open"), col("high"), col("low"),
+        col("c.value").as("close"), col("n_events"))
+      .orderBy("event_type", "hr")
+  }, Some("""
+    SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+      arg_min(value, printf('%020d%020d', epoch_us(ts), event_id)) AS open,
+      max(value) AS high, min(value) AS low,
+      arg_max(value, printf('%020d%020d', epoch_us(ts), event_id)) AS close,
+      CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2 ORDER BY event_type, hr
+  """))
+
+  /** Time-weighted average value per (event_type, day): each event's
+    * value holds until the next event of that type that day (the last
+    * holds to day end) — the TWAP/metering aggregate. Weights are
+    * exact: cents(value) × duration-µs products summed as longs
+    * (max cents·day-µs ≈ 4·10¹⁵, no overflow), divided once at the
+    * end. Per-(type,day) lead window — partitioned, scale-safe. */
+  private val qTwap = BoundQuery("q_twap", (s, d) => {
+    import graft.functions.Num._
+    val w = Window.partitionBy("event_type", "day").orderBy("ts_us", "event_id")
+    Tables.events(s, d)
+      .withColumn("ts_us", expr("ts_ns div 1000")) // µs grid — see q_ohlc_bars
+      .withColumn("day", expr("ts_us div 86400000000"))
+      .withColumn("end_us",
+        coalesce(lead(col("ts_us"), 1).over(w), (col("day") + 1) * lit(86400000000L)))
+      .withColumn("dur_us", col("end_us") - col("ts_us"))
+      .groupBy("event_type", "day")
+      .agg(sum(cents(col("value")) * col("dur_us")).as("wsum"),
+        sum(col("dur_us")).as("dur"), count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("day"),
+        round(col("wsum").cast("double") / col("dur").cast("double") / 100.0, 6).as("twap"),
+        col("n_events"))
+      .orderBy("event_type", "day")
+  }, Some("""
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS ts_us, event_id, value,
+        epoch_us(ts) // 86400000000 AS day
+      FROM events),
+    spans AS (
+      SELECT event_type, day, value,
+        coalesce(lead(ts_us) OVER (PARTITION BY event_type, day ORDER BY ts_us, event_id),
+                 (day + 1) * 86400000000) - ts_us AS dur_us
+      FROM e)
+    SELECT event_type, day,
+      round(CAST(sum(CAST(round(value*100, 0) AS BIGINT) * dur_us) AS DOUBLE)
+        / CAST(sum(dur_us) AS DOUBLE) / 100.0, 6) AS twap,
+      CAST(count(*) AS BIGINT) AS n_events
+    FROM spans GROUP BY 1, 2 ORDER BY event_type, day
+  """))
+
+  /** Interval-union coverage per user: merge overlapping
+    * [ts, ts+5 min) activity intervals (gaps-and-islands via the
+    * running max-end trick) and report merged-island count and total
+    * covered time — the "how much wall-clock was this user active"
+    * aggregate, all exact µs longs (the grid both engines share — see
+    * q_ohlc_bars). Per-user windows, scale-safe. */
+  private val qIntervalCoverage = BoundQuery("q_interval_coverage", (s, d) => {
+    val span = 300000000L // 5 min in µs (the shared exact grid)
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        (col("ts_us") + lit(span)).as("end_us"))
+      .withColumn("prev_max_end", max(col("end_us")).over(wPrev))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull || col("prev_max_end") < col("ts_us"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(wRun))
+      .groupBy("user_id", "island")
+      .agg(min(col("ts_us")).as("start_us"), max(col("end_us")).as("iend_us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("iend_us") - col("start_us")).as("covered_us"))
+      .orderBy("user_id")
+  }, Some("""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        epoch_us(ts) + 300000000 AS end_us
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts_us, event_id, end_us,
+        CASE WHEN max(end_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) < ts_us
+             OR max(end_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        THEN 1 ELSE 0 END AS new_island
+      FROM iv),
+    islands AS (
+      SELECT user_id, ts_us, end_us,
+        sum(new_island) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged),
+    merged AS (
+      SELECT user_id, island, min(ts_us) AS start_us, max(end_us) AS iend_us
+      FROM islands GROUP BY 1, 2)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+      CAST(sum(iend_us - start_us) AS BIGINT) AS covered_us
+    FROM merged GROUP BY user_id ORDER BY user_id
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qFunnel, qGapFill, qRetention, qSlidingWindow, qSqlSurface, qEwma,
-      qIncremental, qGroupingSets)
+      qIncremental, qGroupingSets, qOhlcBars, qTwap, qIntervalCoverage)
 }
