@@ -234,6 +234,32 @@ object EventStreams {
       .toDF("user_id", "session_start_us", "n_events")
   }
 
+  /** Streaming OHLC bars — twin of the batch q_ohlc_bars: per
+    * (event_type, 1h window), open/close picked by struct-ordered
+    * min/max on the SAME (ts_us, event_id) total order as the batch
+    * query, high/low plain extremes, nothing summed. min/max are
+    * standard mergeable aggregates, so the windowed state is one
+    * struct per (type, hour) regardless of event volume, and the
+    * watermark bounds how long a bar stays open. */
+  def ohlcBars(spark: SparkSession, dir: String,
+               watermarkDelay: String = "2 hours"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsSchema).parquet(dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min(struct(col("ts_us"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("ts_us"), col("event_id"), col("value"))).as("c"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        count(lit(1)).as("n_events"))
+      .select(unix_micros(col("window.start")).as("bar_start_us"),
+        col("event_type"),
+        col("o.value").as("open"), col("high"), col("low"),
+        col("c.value").as("close"), col("n_events"))
+  }
+
   /** Streaming hourly counts per event type with a 2h watermark. */
   def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -28,6 +28,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming OHLC bars replayed over parquet equal the batch q_ohlc_bars") {
+    val dir = java.nio.file.Files.createTempDirectory("events_ohlc")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfTiny/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStreams.ohlcBars(spark, dir.toString)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ohlc_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ohlc_out")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)), r.getLong(6))).toSet
+      // batch hour id × 3600s = the window start epoch
+      val batch = graft.queries.Registry.queries("q_ohlc_bars")(spark, sfTiny)
+        .collect().map(r => (r.getLong(1) * 3600000000L, r.getString(0),
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)), r.getLong(6))).toSet
+      assert(streamed == batch, s"stream/batch diverge: ${streamed.size} vs ${batch.size}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful mapGroupsWithState converges to batch per-user counts on replay") {
     val dir = java.nio.file.Files.createTempDirectory("events_state")
     java.nio.file.Files.copy(
