@@ -58,4 +58,37 @@ class ExplainSpec extends AnyFunSuite {
     val p = plan("q_skyline")
     assert(p.contains("BroadcastNestedLoopJoin") && p.contains("LeftAnti"), p)
   }
+
+  test("OHLC bars are one partial-aggregable pass — no window, no join") {
+    val p = plan("q_ohlc_bars")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    assert(!p.contains("WindowExec") && !p.contains("Join"), p)
+  }
+
+  test("zipf's top-100 collapses to TakeOrdered, never a global sort") {
+    val p = plan("q_zipf")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("entropy/TWAP/coverage windows are all key-partitioned (no single-task funnel)") {
+    for (q <- Seq("q_entropy_filter", "q_twap", "q_interval_coverage")) {
+      val p = plan(q)
+      // every Window in these plans declares a partition spec; an
+      // unpartitioned window would funnel the corpus through one task
+      assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"), s"$q:\n$p")
+      val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      winLines.foreach { l =>
+        assert(!l.trim.startsWith("windowspecdefinition()"), s"$q unpartitioned window: $l")
+      }
+    }
+  }
+
+  test("token budget's cumsum avoids the single-partition WindowExec it exists to avoid") {
+    val p = plan("q_token_budget")
+    // globalCumSum = range partition + per-partition window + offset
+    // join; the only windows are __pid-partitioned
+    val bad = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && !l.contains("__pid")).toSeq
+    assert(bad.isEmpty, s"non-pid window in cumsum plan: ${bad.mkString("\n")}")
+  }
 }
