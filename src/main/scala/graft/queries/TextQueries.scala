@@ -86,11 +86,13 @@ object TextQueries {
     Dedup.minhashCandidatesArith(Tables.documents(s, d), col("doc_id"), col("text"))
       .where(col("jaccard_est") >= 0.5)
       .orderBy("id_a", "id_b")
-  }, Some(minhashOracleSql))
+  }, Some(minhashPairsSubquery))
 
-  /** The DuckDB twin of minhashCandidatesArith, constants inlined
-    * from the same Dedup.minhashPermConsts the Spark plan uses. */
-  private def minhashOracleSql: String = {
+  /** The DuckDB twin of minhashCandidatesArith as a standalone
+    * SELECT (id_a, id_b, jaccard_est), reusable as a subquery —
+    * constants inlined from the same Dedup.minhashPermConsts the
+    * Spark plan uses. */
+  private[queries] def minhashPairsSubquery: String = {
     val P = Dedup.MinhashPrime
     val sigExprs = Dedup.minhashPermConsts(32).map { case (a, b) =>
       s"list_min(list_transform(hs, x -> (${a}*x + ${b}) % ${P}))"
@@ -377,8 +379,59 @@ object TextQueries {
     GROUP BY word ORDER BY cnt DESC, word LIMIT 20
   """))
 
+  /** Dedup pipeline SELF-AUDIT: precision/recall of the LSH minhash
+    * candidate set against the exact 3-gram-jaccard ground truth at
+    * the same τ=0.5 — the evaluation a production dedup pipeline runs
+    * on a sampled slice before trusting the approximate path at full
+    * scale. Because BOTH pipelines here are oracle-replicable (the
+    * arithmetic minhash family and the exact jaccard join), the
+    * evaluation itself carries a full DuckDB oracle: the measured
+    * precision/recall numbers are engine-proven, not self-reported. */
+  private val qDedupEval = BoundQuery("q_dedup_eval", (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pred = Dedup.minhashCandidatesArith(docs, col("doc_id"), col("text"))
+      .where(col("jaccard_est") >= 0.5).select("id_a", "id_b")
+    val truth = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      shingleSize = 3, minJaccard = 0.5).select("id_a", "id_b")
+    val tp = pred.join(truth, Seq("id_a", "id_b")).agg(count(lit(1)).as("tp"))
+    pred.agg(count(lit(1)).as("n_pred"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(tp)
+      .select(col("n_pred"), col("n_truth"), col("tp"),
+        round(col("tp").cast("double") / col("n_pred").cast("double"), 6).as("precision"),
+        round(col("tp").cast("double") / col("n_truth").cast("double"), 6).as("recall"))
+  }, Some(s"""
+    WITH tdocs AS (
+      SELECT doc_id,
+        list_distinct(list_transform(range(1, greatest(len(w)-1, 1)),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh3
+      FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents)
+      WHERE len(w) >= 3),
+    tsizes AS (SELECT doc_id, len(sh3) AS n FROM tdocs),
+    tex AS (SELECT doc_id, unnest(sh3) AS s3 FROM tdocs),
+    tshared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS sh
+      FROM tex a JOIN tex b ON a.s3 = b.s3 AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT id_a, id_b FROM tshared
+      JOIN tsizes sa ON id_a = sa.doc_id JOIN tsizes sb ON id_b = sb.doc_id
+      WHERE CAST(sh AS DOUBLE)/CAST(sa.n + sb.n - sh AS DOUBLE) >= 0.5),
+    pred AS (SELECT id_a, id_b FROM (${minhashPairsSubquery}) mp),
+    counts AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM pred) AS n_pred,
+             (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM pred JOIN truth USING (id_a, id_b)) AS tp)
+    SELECT n_pred, n_truth, tp,
+      round(CAST(tp AS DOUBLE)/CAST(n_pred AS DOUBLE), 6) AS precision,
+      round(CAST(tp AS DOUBLE)/CAST(n_truth AS DOUBLE), 6) AS recall
+    FROM counts
+  """))
+
   val all: Seq[BoundQuery] = Seq(
     qDedupExact, qFingerprint, qNgramJaccard, qMinhashPairs, qSimhashPairs,
     qTokenCount, qTextStats, qLangid, qCleanPipeline, qImputeDefaults,
-    qQualityFilter, qHeavyHitters)
+    qQualityFilter, qHeavyHitters, qDedupEval)
 }
