@@ -324,8 +324,86 @@ object VectorQueries {
     ORDER BY antecedent, consequent
   """))
 
+  /** Embedding-space label quality: per-label centroid margins.
+    * Each vector's cosine to its OWN label centroid minus its best
+    * cosine to any OTHER centroid — negative margin = the vector sits
+    * closer to a foreign class (the nearest-centroid confusion
+    * signal; cheap silhouette stand-in that needs centroids, never
+    * pairs). Exactness: centroids come from per-dim micro-unit long
+    * sums (order-invariant), cosines from the sequential DotProduct
+    * fold both engines replay, margins micro-rounded before the final
+    * exact-long aggregation. Scale shape: one posexplode groupBy for
+    * centroids (rows = labels×dims), one broadcast of the tiny
+    * centroid table, max-per-vector partial agg — never pairwise. */
+  private val qLabelMargins = BoundQuery("q_label_margins", (s, d) => {
+    import graft.expressions.DotProduct.dotProduct
+    import graft.functions.VectorFunctions.toDouble
+    val e = Tables.embeddings(s, d)
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("xu", round(col("x").cast("double") * 1e6, 0).cast("long"))
+      .groupBy("label", "dim")
+      .agg(sum(col("xu")).as("su"), count(lit(1)).as("n"))
+      .select(col("label"),  col("dim"),
+        (col("su").cast("double") / col("n").cast("double") / 1e6).as("c"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
+      .select(col("label").as("clabel"),
+        transform(col("dc"), x => x("c")).as("cv"))
+    val scored = e
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("vd"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cos",
+        dotProduct(s, col("vd"), col("cv")) /
+          (sqrt(dotProduct(s, col("vd"), col("vd"))) *
+           sqrt(dotProduct(s, col("cv"), col("cv")))))
+    val own = scored.where(col("label") === col("clabel"))
+      .select(col("vec_id"), col("label"), col("cos").as("own"))
+    val oth = scored.where(col("label") =!= col("clabel"))
+      .groupBy("vec_id").agg(max(col("cos")).as("best_other"))
+    own.join(oth, "vec_id")
+      .withColumn("margin_u",
+        round((col("own") - col("best_other")) * 1e6, 0).cast("long"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("margin_u") <= 0, 1L).otherwise(0L)).as("n_confused"),
+        sum(col("margin_u")).as("mu"))
+      .select(col("label"), col("n_vecs"), col("n_confused"),
+        round(col("mu").cast("double") / col("n_vecs").cast("double") / 1e6, 6)
+          .as("avg_margin"))
+      .orderBy("label")
+  }, Some("""
+    WITH exu AS (
+      SELECT label, unnest(range(1, 65)) AS dim, embedding
+      FROM embeddings),
+    cent AS (
+      SELECT label, dim,
+        CAST(sum(CAST(round(CAST(embedding[dim] AS DOUBLE)*1e6, 0) AS BIGINT)) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE) / 1e6 AS c
+      FROM exu GROUP BY 1, 2),
+    centarr AS (SELECT label AS clabel, list(c ORDER BY dim) AS cv FROM cent GROUP BY 1),
+    v AS (SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+          FROM embeddings),
+    scored AS (
+      SELECT vec_id, label, clabel,
+        list_reduce(list_transform(range(1, 65), i -> vd[i]*cv[i]), (x, y) -> x + y)
+        / (sqrt(list_reduce(list_transform(range(1, 65), i -> vd[i]*vd[i]), (x, y) -> x + y))
+           * sqrt(list_reduce(list_transform(range(1, 65), i -> cv[i]*cv[i]), (x, y) -> x + y))) AS cos
+      FROM v CROSS JOIN centarr),
+    own AS (SELECT vec_id, label, cos AS own FROM scored WHERE label = clabel),
+    oth AS (SELECT vec_id, max(cos) AS best_other FROM scored WHERE label <> clabel GROUP BY 1),
+    m AS (SELECT label, CAST(round((own - best_other)*1e6, 0) AS BIGINT) AS margin_u
+          FROM own JOIN oth USING (vec_id))
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+      CAST(sum(CASE WHEN margin_u <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_confused,
+      round(CAST(sum(margin_u) AS DOUBLE)/CAST(count(*) AS DOUBLE)/1e6, 6) AS avg_margin
+    FROM m GROUP BY label ORDER BY label
+  """))
+
   val all: Seq[BoundQuery] = Seq(
     qEmbeddingNeardup, qLshCosinePairs, qAnnTopk, qKnnGraph, qKnnGraphLsh,
     qAnnIvf, qAnnIvfTrained,
-    qPqTopk, qIvfPq, qPca, qKmeans, qAssociationRules, qFrequentPairs)
+    qPqTopk, qIvfPq, qPca, qKmeans, qAssociationRules, qFrequentPairs,
+    qLabelMargins)
 }
