@@ -119,4 +119,25 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(GeoJoin.latBandRadiusPairs(df, col("id"), col("lat"), col("lon"),
       radiusKm = 100.0).count() == 0)
   }
+
+  test("arith dedup variants degrade to empty on empty/short corpora") {
+    assert(Dedup.minhashCandidatesArith(emptyDocs, col("doc_id"), col("text")).count() == 0)
+    assert(Dedup.simhashPairsArith(emptyDocs, col("doc_id"), col("text")).count() == 0)
+    val short = Seq((1L, "ab"), (2L, "ab")).toDF("doc_id", "text")
+    // 3-gram minhash of 1-token docs: no shingles, no signatures, no crash
+    assert(Dedup.minhashCandidatesArith(short, col("doc_id"), col("text")).count() == 0)
+    // simhash of identical 1-token docs still pairs them (hamming 0)
+    assert(Dedup.simhashPairsArith(short, col("doc_id"), col("text")).count() == 1)
+  }
+
+  test("retractable histogram state on an over-delete stays consistent") {
+    import graft.operators.Incremental
+    val ins = Seq((1L, 5L, 1L)).toDF("u", "v", "cnt")
+    val overDel = Seq((1L, 5L, -1L), (1L, 5L, -1L)).toDF("u", "v", "cnt")
+    val s = Incremental.mergeHistogram(ins, overDel, Seq("u"), "v")
+    // net multiplicity -1 is retained (an in-flight over-delete), but
+    // extremes treat non-positive rows as absent
+    assert(s.count() == 1)
+    assert(Incremental.extremesOf(s, Seq("u"), "v").count() == 0)
+  }
 }
