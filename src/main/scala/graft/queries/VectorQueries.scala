@@ -172,6 +172,87 @@ object VectorQueries {
     ORDER BY query_id, rnk
   """))
 
+  /** ANN SELF-AUDIT: per-query recall@10 of the IVF path against the
+    * brute-force truth — the acceptance gate a serving pipeline runs
+    * before switching from exact to approximate search. Both
+    * pipelines are oracle-replicable (q_ann_topk and q_ann_ivf carry
+    * full oracles), so the recall numbers themselves are
+    * engine-proven — the audit can't silently flatter the ANN path. */
+  private val qAnnEval = BoundQuery("q_ann_eval", (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val q = e.where(col("vec_id") < 5)
+    val truth = Similarity.bruteForceTopK(e, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"), k = 10)
+      .select(col("query_id"), col("id"))
+    val pred = Similarity.ivfTopK(e, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"), k = 10)
+      .select(col("query_id"), col("id"))
+    val hits = pred.join(truth, Seq("query_id", "id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    truth.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_truth").cast("double"), 6).as("recall_at_k"))
+      .orderBy("query_id")
+  }, Some(s"""
+    WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+    n AS (SELECT vec_id,
+            list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)/nrm) AS vn
+          FROM e),
+    bf_scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS id,
+             round(${duckCosine("a", "q")}, 6) AS cosine
+      FROM e a JOIN e q ON q.vec_id < 5 AND a.vec_id <> q.vec_id),
+    truth AS (
+      SELECT query_id, id FROM (
+        SELECT query_id, id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, id) AS rnk
+        FROM bf_scored) WHERE rnk <= 10),
+    cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cell,
+                     vn AS cv
+              FROM (SELECT * FROM n ORDER BY vec_id LIMIT 16)),
+    scores AS (SELECT n.vec_id, c.cell,
+                 round(list_reduce(list_transform(range(1, 65),
+                   i -> n.vn[i]*c.cv[i]), (x, y) -> x + y), 9) AS s
+               FROM n CROSS JOIN cents c),
+    assigned AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+        FROM scores) WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cell AS qcell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+        FROM scores WHERE vec_id < 5) WHERE rn <= 4),
+    ivf_scored AS (
+      SELECT p.query_id, a.vec_id AS id,
+             round(list_reduce(list_transform(range(1, 65),
+               i -> na.vn[i]*nq.vn[i]), (x, y) -> x + y), 6) AS cosine
+      FROM assigned a
+      JOIN probes p ON a.cell = p.qcell AND a.vec_id <> p.query_id
+      JOIN n na ON na.vec_id = a.vec_id
+      JOIN n nq ON nq.vec_id = p.query_id),
+    pred AS (
+      SELECT query_id, id FROM (
+        SELECT query_id, id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, id) AS rnk
+        FROM ivf_scored) WHERE rnk <= 10),
+    hits AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_hit
+      FROM pred JOIN truth USING (query_id, id) GROUP BY 1),
+    base AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+      FROM truth GROUP BY 1)
+    SELECT base.query_id, n_truth,
+      CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+      round(CAST(coalesce(n_hit, 0) AS DOUBLE)/CAST(n_truth AS DOUBLE), 6) AS recall_at_k
+    FROM base LEFT JOIN hits USING (query_id)
+    ORDER BY query_id
+  """))
+
   /** IVF with a spherical-k-means-trained coarse quantizer
     * (Similarity.ivfTopKTrained) — the production FAISS-style ANN
     * shape; rows-only (k-means means round trip through distributed
@@ -405,5 +486,5 @@ object VectorQueries {
     qEmbeddingNeardup, qLshCosinePairs, qAnnTopk, qKnnGraph, qKnnGraphLsh,
     qAnnIvf, qAnnIvfTrained,
     qPqTopk, qIvfPq, qPca, qKmeans, qAssociationRules, qFrequentPairs,
-    qLabelMargins)
+    qLabelMargins, qAnnEval)
 }
