@@ -204,5 +204,52 @@ object DriftQueries {
     FROM m
   """))
 
-  val all: Seq[BoundQuery] = Seq(qPsiDrift, qDiversity, qEntropyFilter, qZipf)
+  /** Differential-privacy-SHAPED release of per-type event counts:
+    * Laplace(1/ε) noise via the inverse CDF applied to a uniform
+    * DERIVED FROM A SEEDED HASH of the group key — deterministic by
+    * construction, so the whole mechanism (uniform, ln, noise,
+    * release) replays in the oracle and the plumbing is testable.
+    * DISCLOSED LIMITATION: real DP requires secret, fresh randomness;
+    * a keyed-hash uniform gives the release pipeline's shape (noise
+    * scale, post-processing, integer rounding) without the privacy
+    * guarantee — swap the uniform for a secure RNG in production.
+    * The hash uniform is the rollingFingerprint fold over
+    * md5(key||salt) hex — pure arithmetic on both engines. */
+  private val qDpRelease = BoundQuery("q_dp_release", (s, d) => {
+    val eps = 1.0
+    // (fold + 0.5)/2^20 ∈ (0,1) strictly — the half-step keeps the
+    // uniform off both endpoints so ln(1-2|u|) can never hit ln(0)
+    val u = (aggregate(split(substring(md5(concat(col("event_type"), lit("|dp-salt-1"))), 1, 8), ""),
+        lit(0L), (acc, ch) => pmod(acc * lit(31L) + ascii(ch), lit(1048576L)))
+        .cast("double") + lit(0.5)) / lit(1048576.0) - lit(0.5)
+    Tables.events(s, d)
+      .groupBy("event_type").agg(count(lit(1)).as("n_true"))
+      .withColumn("u", u)
+      .withColumn("noise",
+        round(lit(-1.0 / eps) * signum(col("u")) *
+          log(lit(1.0) - lit(2.0) * abs(col("u"))), 6))
+      .select(col("event_type"), col("n_true"),
+        col("noise"),
+        (col("n_true") + round(col("noise"), 0).cast("long")).as("n_released"))
+      .orderBy("event_type")
+  }, Some("""
+    WITH g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_true FROM events GROUP BY 1),
+    uu AS (
+      SELECT event_type, n_true,
+        (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, 9),
+              i -> CAST(ascii(substring(md5(event_type || '|dp-salt-1'), i, 1)) AS BIGINT))),
+            (a, c) -> (a*31 + c) % 1048576) AS DOUBLE) + 0.5) / 1048576.0 - 0.5 AS u
+      FROM g),
+    noised AS (
+      SELECT event_type, n_true,
+        round(-1.0 * sign(u) * ln(1.0 - 2.0*abs(u)), 6) AS noise
+      FROM uu)
+    SELECT event_type, n_true, noise,
+      n_true + CAST(round(noise, 0) AS BIGINT) AS n_released
+    FROM noised ORDER BY event_type
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qPsiDrift, qDiversity, qEntropyFilter, qZipf, qDpRelease)
 }
