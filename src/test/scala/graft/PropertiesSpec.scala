@@ -46,7 +46,11 @@ class PropertiesSpec extends AnyFunSuite {
     // This is the property that makes results reproducible on a
     // 1000-executor cluster, not just against the oracle.
     def snapshot(): Seq[Seq[String]] =
-      Seq("q1_pricing_summary", "q_correlation", "q_value_stats", "q_ewma")
+      Seq("q1_pricing_summary", "q_correlation", "q_value_stats", "q_ewma",
+        // round-3 waves: hash-family dedup, micro-nat entropy, µs-grid
+        // event analytics, two-phase cumsum selection, centroid margins
+        "q_minhash_pairs", "q_entropy_filter", "q_twap",
+        "q_interval_coverage", "q_token_budget", "q_label_margins")
         .map { n =>
           graft.queries.Registry.queries(n)(spark, sfTiny)
             .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
@@ -58,6 +62,47 @@ class PropertiesSpec extends AnyFunSuite {
       val b = snapshot()
       assert(a == b)
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("SimHashPoly matches the scalar vote model for any ascii token list") {
+    val lists = sample(Gen.listOf(Gen.listOf(Gen.choose(33.toChar, 126.toChar))
+      .map(_.mkString).suchThat(_.nonEmpty)), 60)
+    val got = lists.map(_.toArray).toDF("toks")
+      .select(graft.expressions.SimHashPoly.simhashPoly(spark, col("toks")))
+      .collect().map(_.getLong(0)).toSeq
+    def model(toks: List[String]): Long = {
+      val counts = new Array[Int](31)
+      toks.foreach { t =>
+        var h = t.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 2147483648L)
+        h = (h * 2654435761L) % 2147483648L
+        (0 until 31).foreach(j => if (((h >> j) & 1) == 1) counts(j) += 1 else counts(j) -= 1)
+      }
+      (0 until 31).foldLeft(0L)((s, j) => if (counts(j) > 0) s | (1L << j) else s)
+    }
+    assert(got == lists.map(model))
+  }
+
+  test("OHLC bars respect high >= max(open, close) >= min(open, close) >= low") {
+    graft.queries.Registry.queries("q_ohlc_bars")(spark, sfTiny).collect().foreach { r =>
+      val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"))
+      assert(h >= math.max(o, c) && math.min(o, c) >= l, s"bar violates OHLC order: $r")
+      assert(r.getAs[Long]("n_events") >= 1)
+    }
+  }
+
+  test("interval coverage is bounded by [span, n_events * span] per user") {
+    val span = 300000000L
+    val events = graft.sources.Tables.events(spark, sfTiny)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.queries.Registry.queries("q_interval_coverage")(spark, sfTiny)
+      .collect().foreach { r =>
+        val covered = r.getAs[Long]("covered_us")
+        val n = events(r.getAs[Long]("user_id"))
+        assert(covered >= span && covered <= n * span,
+          s"coverage $covered outside [$span, ${n * span}] for $n events")
+      }
   }
 
   test("zValue2 matches a reference bit-interleave for any 16-bit pair") {
