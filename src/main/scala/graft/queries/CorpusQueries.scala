@@ -344,8 +344,70 @@ object CorpusQueries {
     ORDER BY quality_u DESC, doc_id
   """))
 
+  /** PMI collocation mining: the strongest two-word collocations in
+    * the corpus by pointwise mutual information over adjacent token
+    * pairs — ln(c12·N / (c1·c2)) with positional unigram marginals
+    * (w1 = first slot, w2 = second slot), the classic collocation
+    * statistic (Church & Hanks 1990). Complements q_bigram_lm
+    * (transition probability) and q_repetition_filter (share-based
+    * boilerplate): PMI surfaces pairs that co-occur far above chance
+    * regardless of absolute frequency.
+    *
+    * Scale shape: one exploded bigram table feeds three partial-agg
+    * shuffles (pair, two marginals) and a broadcast-1-row total; the
+    * min-count filter prunes the candidate table BEFORE the marginal
+    * joins, and the top-50 plans as TakeOrderedAndProject, never a
+    * global sort. Determinism: each ln rounds to integer micro-nats,
+    * so ordering and output compare as exact longs on any engine;
+    * (pmi_u desc, w1, w2) is a total order, making the limit
+    * deterministic. */
+  private val qPmiCollocations = BoundQuery("q_pmi_collocations", (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 2)
+    val bigrams = graft.util.CacheScope.persist(docs
+      .select(explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1))).as("bg"))
+      .select(col("bg.0").as("w1"), col("bg.1").as("w2")))
+    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= 5)
+    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val c2 = bigrams.groupBy("w2").agg(count(lit(1)).as("c2"))
+    val n = bigrams.agg(count(lit(1)).as("n"))
+    c12.join(c1, "w1").join(c2, "w2").crossJoin(broadcast(n))
+      .withColumn("pmi_u",
+        round(log(col("c12").cast("double") * col("n").cast("double") /
+          (col("c1").cast("double") * col("c2").cast("double"))) * 1e6, 0)
+          .cast("long"))
+      .orderBy(desc("pmi_u"), asc("w1"), asc("w2"))
+      .limit(50)
+      .select(col("w1"), col("w2"), col("c12"),
+        round(col("pmi_u").cast("double") / 1e6, 6).as("pmi"))
+  }, Some("""
+    WITH docs AS (
+      SELECT list_filter(string_split(text,' '), x -> x <> '') AS toks
+      FROM documents),
+    bigrams AS (
+      SELECT toks[i] AS w1, toks[i+1] AS w2
+      FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+            FROM docs WHERE len(toks) >= 2)),
+    c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM bigrams GROUP BY 1, 2 HAVING count(*) >= 5),
+    c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bigrams GROUP BY 1),
+    c2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS c2 FROM bigrams GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bigrams),
+    scored AS (
+      SELECT w1, w2, c12,
+        CAST(round(ln(CAST(c12 AS DOUBLE) * CAST(n AS DOUBLE) /
+          (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) * 1e6, 0) AS BIGINT) AS pmi_u
+      FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n)
+    SELECT w1, w2, c12, round(CAST(pmi_u AS DOUBLE) / 1e6, 6) AS pmi
+    FROM scored ORDER BY pmi_u DESC, w1, w2 LIMIT 50
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qStratifiedSample, qMixtureSample, qContamination,
       qRepetitionFilter, qBpeEncode, qBoilerplateSpans, qSourceOverlap,
-      qTokenBudget)
+      qTokenBudget, qPmiCollocations)
 }

@@ -83,6 +83,11 @@ class ExplainSpec extends AnyFunSuite {
     }
   }
 
+  test("PMI top-50 plans as TakeOrdered, never a global sort") {
+    val p = plan("q_pmi_collocations")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("token budget's cumsum avoids the single-partition WindowExec it exists to avoid") {
     val p = plan("q_token_budget")
     // globalCumSum = range partition + per-partition window + offset

@@ -50,7 +50,8 @@ class PropertiesSpec extends AnyFunSuite {
         // round-3 waves: hash-family dedup, micro-nat entropy, µs-grid
         // event analytics, two-phase cumsum selection, centroid margins
         "q_minhash_pairs", "q_entropy_filter", "q_twap",
-        "q_interval_coverage", "q_token_budget", "q_label_margins")
+        "q_interval_coverage", "q_token_budget", "q_label_margins",
+        "q_pmi_collocations")
         .map { n =>
           graft.queries.Registry.queries(n)(spark, sfTiny)
             .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
