@@ -654,7 +654,8 @@ object Registry {
       PipelineQueries.all ++ ExtraQueries.all ++
       ExtraQueries2.all ++ TextQueries2.all ++ EventQueries.all ++
       GraphQueries.all ++ CorpusQueries.all ++ QualityQueries.all ++
-      TemporalQueries.all ++ IndexQueries.all ++ DriftQueries.all
+      TemporalQueries.all ++ IndexQueries.all ++ DriftQueries.all ++
+      RetrievalQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allQueries.map(q => q.name -> q.run).toMap

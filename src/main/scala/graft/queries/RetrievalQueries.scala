@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFunctions.tokens
+import graft.operators.Similarity
+
+/** SURVEY §2.4 round-4 retrieval-serving surface: the scoring half of
+  * a RAG stack, expressed relationally so it runs AS a query over the
+  * same corpus the curation pipeline produced — BM25 lexical ranking
+  * (the q_inverted_index build step's consumer) and hybrid
+  * lexical+semantic fusion via reciprocal-rank fusion (Cormack et al.
+  * 2009), the standard way production search blends a keyword index
+  * with an embedding index.
+  *
+  * Numeric rules are the house rules (graft.functions.Num /
+  * DriftQueries): every log/division term is rounded to integer
+  * micro-units per row BEFORE any aggregation, so the sums are exact
+  * long arithmetic — partition-invariant on Spark, bit-identical in
+  * the DuckDB oracle.
+  */
+object RetrievalQueries {
+
+  /** The fixed benchmark query — four mid-df corpus terms. A serving
+    * system would parameterize this; a bound query needs it pinned so
+    * the oracle replays it. */
+  private val qTerms = Seq("spark", "join", "window", "stream")
+  private val qTermsSqlList = qTerms.map(t => s"'$t'").mkString(", ")
+
+  /** BM25 (k1=1.2, b=0.75, Lucene idf = ln(1 + (N-df+0.5)/(df+0.5)))
+    * top-50 over the corpus for the fixed query.
+    *
+    * Shape at 100 TB: one scan builds (doc, dl) and the exploded
+    * postings; the filter to query terms happens BEFORE the tf
+    * aggregation, so the shuffle carries only matching (doc, term)
+    * rows — O(matches), not O(tokens). df and the (N, total_tokens)
+    * scalars are broadcast. Per-(doc,term) scores are rounded to
+    * micro-units and summed as longs, so the final ranking is exact
+    * and partition-invariant; top-50 goes through TakeOrdered, never
+    * a global sort. */
+  private val qBm25 = BoundQuery("q_bm25", (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tokens"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+      .where(col("token").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val dfc = tf.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tf.join(broadcast(dfc), "token").crossJoin(broadcast(stats))
+      .withColumn("s_u", round(
+        log(lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5)))
+          * (col("tf").cast("double") * lit(2.2))
+          / (col("tf").cast("double") + lit(1.2) * (lit(0.25)
+            + lit(0.75) * col("dl").cast("double")
+              / (col("tot_tokens").cast("double") / col("n_docs").cast("double"))))
+          * 1e6, 0).cast("long"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("s_u")).as("score_su"))
+      .select(col("doc_id"), col("n_terms"),
+        round(col("score_su").cast("double") / 1e6, 6).as("bm25"))
+      .orderBy(desc("bm25"), col("doc_id"))
+      .limit(50)
+  }, Some(s"""
+    WITH d2 AS (
+      SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks
+      FROM documents),
+    d3 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d2),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS tot_tokens FROM d3),
+    tf AS (
+      SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, dl, unnest(toks) AS token FROM d3)
+      WHERE token IN ($qTermsSqlList)
+      GROUP BY 1, 2, 3),
+    dfc AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM tf GROUP BY 1),
+    scored AS (
+      SELECT doc_id,
+        CAST(round(
+          ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+            / (CAST(df AS DOUBLE) + 0.5))
+          * (CAST(tf AS DOUBLE) * 2.2)
+          / (CAST(tf AS DOUBLE) + 1.2 * (0.25
+            + 0.75 * CAST(dl AS DOUBLE)
+              / (CAST(tot_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+          * 1e6, 0) AS BIGINT) AS s_u
+      FROM tf JOIN dfc USING (token) CROSS JOIN stats)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           round(CAST(sum(s_u) AS DOUBLE) / 1e6, 6) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 50
+  """))
+
+  /** Hybrid retrieval: reciprocal-rank fusion (k=60) of the lexical
+    * ranking (summed tf of the query terms, desc) and the semantic
+    * ranking (exact cosine against the doc-0 embedding — doc ids and
+    * vec ids share the 0..N-1 key space). RRF contributions are
+    * rounded to integer nano-units per list, so the fused score is an
+    * exact long sum and the final order is engine-invariant.
+    *
+    * Shape at 100 TB: each ranking is a (filtered) aggregation ending
+    * in a rank; the semantic side here is the brute-force baseline
+    * (one broadcast query vector × linear scan — the same plan as
+    * q_ann_topk); swapping in the IVF/LSH scale path changes recall,
+    * not this fusion shape. The fusion itself is a join on doc_id of
+    * two slim (id, rank) relations. */
+  private val qRrfFusion = BoundQuery("q_rrf_fusion", (s, d) => {
+    val kwScores = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .where(col("token").isin(qTerms: _*))
+      .groupBy("doc_id").agg(count(lit(1)).cast("long").as("kw_score"))
+    // global lexical rank via the two-phase operator — no
+    // single-partition WindowExec even when every doc matches
+    val kw = graft.operators.Ranking
+      .globalRowNumber(kwScores, "kw_rnk0", desc("kw_score"), col("doc_id"))
+      .withColumn("kw_rnk", col("kw_rnk0") + 1)
+      .drop("kw_rnk0", "kw_score")
+    val e = Tables.embeddings(s, d)
+    val sem = Similarity.bruteForceTopK(
+        e, col("vec_id"), col("embedding"),
+        e.where(col("vec_id") === 0), col("vec_id"), col("embedding"),
+        k = 1000000)
+      .select(col("id").as("doc_id"), col("rnk").as("sem_rnk"))
+    kw.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_u",
+        coalesce(round(lit(1e9) / (lit(60.0) + col("kw_rnk").cast("double")), 0)
+          .cast("long"), lit(0L))
+        + coalesce(round(lit(1e9) / (lit(60.0) + col("sem_rnk").cast("double")), 0)
+          .cast("long"), lit(0L)))
+      .select(col("doc_id"), col("kw_rnk"), col("sem_rnk"),
+        round(col("rrf_u").cast("double") / 1e9, 9).as("rrf"))
+      .orderBy(desc("rrf"), col("doc_id"))
+      .limit(50)
+  }, Some(s"""
+    WITH kw AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS kw_score
+      FROM (SELECT doc_id,
+              unnest(list_filter(string_split(text,' '), x -> x <> '')) AS token
+            FROM documents)
+      WHERE token IN ($qTermsSqlList)
+      GROUP BY 1),
+    kwr AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY kw_score DESC, doc_id) AS BIGINT)
+               AS kw_rnk
+      FROM kw),
+    e AS (SELECT vec_id,
+            sqrt(list_reduce(list_transform(embedding,
+              x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm,
+            embedding
+          FROM embeddings),
+    sem AS (
+      SELECT a.vec_id AS doc_id,
+             round(list_reduce(list_transform(range(1, 65),
+               i -> (CAST(a.embedding[i] AS DOUBLE)/a.nrm)
+                  * (CAST(q.embedding[i] AS DOUBLE)/q.nrm)), (x, y) -> x + y), 6)
+               AS cosine
+      FROM e a JOIN e q ON q.vec_id = 0 AND a.vec_id <> 0),
+    semr AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT)
+               AS sem_rnk
+      FROM sem),
+    fused AS (
+      SELECT COALESCE(kwr.doc_id, semr.doc_id) AS doc_id, kw_rnk, sem_rnk,
+        COALESCE(CAST(round(1e9 / (60.0 + CAST(kw_rnk AS DOUBLE)), 0) AS BIGINT), 0)
+        + COALESCE(CAST(round(1e9 / (60.0 + CAST(sem_rnk AS DOUBLE)), 0) AS BIGINT), 0)
+          AS rrf_u
+      FROM kwr FULL OUTER JOIN semr ON kwr.doc_id = semr.doc_id)
+    SELECT doc_id, kw_rnk, sem_rnk,
+           round(CAST(rrf_u AS DOUBLE) / 1e9, 9) AS rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 50
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qBm25, qRrfFusion)
+}

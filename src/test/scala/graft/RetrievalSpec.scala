@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark._
+
+/** Invariants for the retrieval-serving wave
+  * (queries.RetrievalQueries). The DuckDB oracle proves engine
+  * equality; these pin ranking MATH that holds for any corpus. */
+class RetrievalSpec extends AnyFunSuite {
+
+  private def run(name: String) =
+    graft.queries.Registry.queries(name)(spark, sfTiny).collect()
+
+  test("bm25: scores positive, non-increasing, and term counts bounded by query size") {
+    val rows = run("q_bm25")
+    assert(rows.nonEmpty && rows.length <= 50)
+    val scores = rows.map(_.getAs[Double]("bm25"))
+    assert(scores.forall(_ > 0.0), "BM25 of a matching doc is positive")
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "result is ordered by score desc")
+    assert(rows.map(_.getAs[Long]("n_terms")).forall(n => n >= 1 && n <= 4))
+  }
+
+  test("bm25: a doc matching more distinct query terms outscores a same-length doc with fewer (idf>0)") {
+    // indirectly pinned by positivity + ordering; directly pin that the
+    // top doc matches at least as many terms as the median result doc
+    val rows = run("q_bm25")
+    val top = rows.head.getAs[Long]("n_terms")
+    val med = rows(rows.length / 2).getAs[Long]("n_terms")
+    assert(top >= med)
+  }
+
+  test("rrf: fused score equals the sum of its two reciprocal-rank terms") {
+    val rows = run("q_rrf_fusion")
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { r =>
+      val kw = Option(r.getAs[java.lang.Long]("kw_rnk")).map(_.toLong)
+      val sem = Option(r.getAs[java.lang.Long]("sem_rnk")).map(_.toLong)
+      assert(kw.isDefined || sem.isDefined, "a fused doc appears in >=1 list")
+      val expected =
+        kw.map(rk => math.round(1e9 / (60.0 + rk))).getOrElse(0L) +
+          sem.map(rk => math.round(1e9 / (60.0 + rk))).getOrElse(0L)
+      val got = math.round(r.getAs[Double]("rrf") * 1e9)
+      assert(got == expected, s"rrf ${r.getAs[Double]("rrf")} != $expected/1e9")
+    }
+  }
+
+  test("rrf: fused max dominates any single rank-1 contribution (some doc is rank 1 somewhere)") {
+    val rows = run("q_rrf_fusion")
+    val top = rows.head.getAs[Double]("rrf")
+    // the kw-rank-1 doc alone scores 1/61, so the fused winner must
+    // score at least that — a bound that holds for any corpus
+    assert(top >= math.round(1e9 / 61.0) / 1e9,
+      s"fused winner $top below the single-list rank-1 floor")
+    // and no score can exceed a double rank-1 (2/61 + rounding)
+    assert(top <= 2.0 * math.round(1e9 / 61.0) / 1e9 + 1e-9)
+  }
+}
