@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.TextFunctions.{tokens, wordShingles, qualityScore}
 import graft.ml.BpeTrainer
+import graft.operators.TopKPerGroup
 
 /** SURVEY §2.4 round-3 corpus-curation ops: stratified sampling,
   * Gopher-style repetition filtering, BPE encoding — the remaining
@@ -406,8 +407,66 @@ object CorpusQueries {
     FROM scored ORDER BY pmi_u DESC, w1, w2 LIMIT 50
   """))
 
+  /** Class-based TF-IDF (the BERTopic c-TF-IDF idea, Grootendorst
+    * 2022): treat each SOURCE as one pseudo-document and surface the
+    * terms most distinctive of it — term frequency within the source
+    * weighted by a BM25-style idf over source-level document
+    * frequency. The per-source top-5 is what a corpus card shows as
+    * "what does this slice talk about".
+    *
+    * Exactness: the idf factor is rounded to integer micro-nats per
+    * (source, term) row BEFORE ranking, so ordering is exact long
+    * compare (engine- and partition-invariant); ties break on term.
+    *
+    * Shape at 100 TB: one token explode → (source, term) count (map-
+    * side partial agg), a source-level df aggregate small enough to
+    * broadcast (≤ vocab), and a per-source rank that plans as
+    * WindowGroupLimit — no global sort anywhere. */
+  private val qCtfidf = BoundQuery("q_ctfidf", (s, d) => {
+    val docs = Tables.documents(s, d)
+    val tf = docs.select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      .where(col("tf") >= 5)
+    val nSources = docs.agg(countDistinct(col("source")).as("s_tot"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfc), "term").crossJoin(broadcast(nSources))
+      .withColumn("score_u", round(
+        col("tf").cast("double")
+          * log(lit(1.0) + (col("s_tot").cast("double") - col("df").cast("double") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5)))
+          * 1e6, 0).cast("long"))
+    TopKPerGroup.topK(scored, Seq(col("source")),
+        Seq(desc("score_u"), col("term")), 5)
+      .select(col("source"), col("term"), col("tf"), col("df"),
+        round(col("score_u").cast("double") / 1e6, 6).as("ctfidf"), col("rnk"))
+      .orderBy("source", "rnk")
+  }, Some("""
+    WITH tf AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT source,
+              unnest(list_filter(string_split(text,' '), x -> x <> '')) AS term
+            FROM documents)
+      GROUP BY 1, 2 HAVING count(*) >= 5),
+    ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS s_tot FROM documents),
+    dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT source, term, tf, df,
+        CAST(round(CAST(tf AS DOUBLE)
+          * ln(1.0 + (CAST(s_tot AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+            / (CAST(df AS DOUBLE) + 0.5)) * 1e6, 0) AS BIGINT) AS score_u
+      FROM tf JOIN dfc USING (term) CROSS JOIN ns),
+    ranked AS (
+      SELECT source, term, tf, df,
+             round(CAST(score_u AS DOUBLE) / 1e6, 6) AS ctfidf,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY score_u DESC, term) AS BIGINT) AS rnk
+      FROM scored)
+    SELECT source, term, tf, df, ctfidf, rnk
+    FROM ranked WHERE rnk <= 5 ORDER BY source, rnk
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qStratifiedSample, qMixtureSample, qContamination,
       qRepetitionFilter, qBpeEncode, qBoilerplateSpans, qSourceOverlap,
-      qTokenBudget, qPmiCollocations)
+      qTokenBudget, qPmiCollocations, qCtfidf)
 }

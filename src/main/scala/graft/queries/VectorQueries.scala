@@ -2,9 +2,10 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.Similarity
+import graft.operators.{Similarity, TopKPerGroup}
 import graft.ml.{AssociationRules, KMeansLite}
 import graft.functions.TextFunctions.tokens
+import graft.functions.VectorFunctions.toDouble
 
 /** SURVEY §2.2 (reference ML) + §2.4 vector ops bindings.
   *
@@ -482,9 +483,91 @@ object VectorQueries {
     FROM m GROUP BY label ORDER BY label
   """))
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then prune
+    * near-duplicates WITHIN each cluster only — the clustering turns
+    * the O(n²) all-pairs compare into K independent in-cluster
+    * compares of size ~n/K.
+    *
+    * Deterministic variant so the DuckDB oracle can replay every
+    * step: centroids are the first K=8 vectors by id (a fixed,
+    * engine-independent choice standing in for the paper's k-means —
+    * q_kmeans covers the trained-centroid path), assignment is argmax
+    * cosine with (rounded-cosine desc, centroid id) tie-break, and a
+    * vector is pruned when SOME lower-id vector in its cluster has
+    * cosine ≥ τ with it (a one-pass EXISTS rule; the connected-
+    * component keep-best variant of the same decision is
+    * q_dedup_clusters/q_dedup_keep_best on the minhash side).
+    *
+    * Shape at 100 TB: assignment is a broadcast of K centroids
+    * against one scan (O(nK) dots, no shuffle); the prune stage
+    * shuffles once on cluster id and compares within clusters only.
+    * Cluster sizes are the knob: K grows with n (paper uses √n) so
+    * per-cluster work stays pinned; a skew guard would cap degenerate
+    * clusters the way lshCosinePairs.maxBucket does. */
+  private val qSemDedup = BoundQuery("q_semdedup", (s, d) => {
+    val K = 8
+    val tau = 0.4
+    val e = Tables.embeddings(s, d)
+    val n = graft.util.CacheScope.persist(
+      e.select(col("vec_id"), toDouble(col("embedding")).as("vd"))
+        .withColumn("nrm", sqrt(graft.expressions.DotProduct.dotProduct(s, col("vd"), col("vd"))))
+        .select(col("vec_id"), transform(col("vd"), x => x / col("nrm")).as("vn")))
+    val cents = n.where(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("vn").as("cn"))
+    val scored = n.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        round(graft.expressions.DotProduct.dotProduct(s, col("vn"), col("cn")), 6).as("cs"))
+    val asg = TopKPerGroup.topK(scored, Seq(col("vec_id")),
+        Seq(desc("cs"), col("cid")), 1)
+      .select(col("vec_id"), col("cid").as("cluster"))
+    val members = asg.join(n, "vec_id")
+    val pruned = members.as("a").join(members.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .where(round(graft.expressions.DotProduct.dotProduct(
+        s, col("a.vn"), col("b.vn")), 6) >= tau)
+      .select(col("a.cluster").as("cluster"), col("b.vec_id").as("dup"))
+      .distinct()
+    asg.groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
+      .join(pruned.groupBy("cluster").agg(count(lit(1)).as("n_pruned")),
+        Seq("cluster"), "left")
+      .select(col("cluster"), col("n_vecs"),
+        coalesce(col("n_pruned"), lit(0L)).as("n_pruned"),
+        (col("n_vecs") - coalesce(col("n_pruned"), lit(0L))).as("n_kept"))
+      .orderBy("cluster")
+  }, Some(s"""
+    WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid, embedding, nrm FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT a.vec_id, c.cid, round(${duckCosine("a", "c")}, 6) AS cs
+      FROM e a CROSS JOIN c),
+    asg AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        FROM scored) WHERE rn = 1),
+    m AS (SELECT asg.vec_id, asg.cluster, e.embedding, e.nrm
+          FROM asg JOIN e USING (vec_id)),
+    pruned AS (
+      SELECT DISTINCT a.cluster, b.vec_id AS dup
+      FROM m a JOIN m b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE round(${duckCosine("a", "b")}, 6) >= 0.4),
+    sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs
+              FROM asg GROUP BY 1),
+    prunes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_pruned
+               FROM pruned GROUP BY 1)
+    SELECT sizes.cluster, n_vecs,
+           COALESCE(n_pruned, 0) AS n_pruned,
+           n_vecs - COALESCE(n_pruned, 0) AS n_kept
+    FROM sizes LEFT JOIN prunes USING (cluster)
+    ORDER BY cluster
+  """))
+
   val all: Seq[BoundQuery] = Seq(
     qEmbeddingNeardup, qLshCosinePairs, qAnnTopk, qKnnGraph, qKnnGraphLsh,
     qAnnIvf, qAnnIvfTrained,
     qPqTopk, qIvfPq, qPca, qKmeans, qAssociationRules, qFrequentPairs,
-    qLabelMargins, qAnnEval)
+    qLabelMargins, qAnnEval, qSemDedup)
 }
