@@ -363,7 +363,76 @@ object EventQueries {
     FROM merged GROUP BY user_id ORDER BY user_id
   """))
 
+  /** Time-decay multi-touch attribution: every purchase distributes
+    * its value over the user's click/view touches in the preceding
+    * 7 days, weighted exp(-Δt/τ) with τ = 1 day — the marketing-
+    * attribution shape, which is also exactly the credit-assignment
+    * shape for "which upstream crawl touched this training doc".
+    *
+    * Exactness: Δt is the exact ns-epoch long; each decay weight is
+    * rounded to integer micro-units BEFORE any aggregation (the one
+    * per-row exp() is computed on identical operands in both
+    * engines), per-conversion normalization is INTEGER division
+    * (cents × w_u × 1e6 div Σw_u — fits long: ≤1e5·1e6·1e6 < 2^63),
+    * and all sums are exact longs. One display division at the end.
+    *
+    * Shape at 100 TB: conversions and touches co-shuffle on user_id
+    * (one exchange, AQE-coalesced), the 7-day predicate bounds the
+    * per-user pair fan-out, and the per-conversion normalizer is a
+    * groupBy on the conversion id — never a global window. */
+  private val qAttribution = BoundQuery("q_attribution", (s, d) => {
+    val tauNs = 24L * 3600 * 1000000000L        // 1-day decay constant
+    val horizonNs = 7L * 24 * 3600 * 1000000000L // 7-day lookback
+    val ev = Tables.events(s, d)
+    val conv = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("ts_ns").as("conv_ns"), graft.functions.Num.cents(col("value")).as("val_cents"))
+    val touch = ev.where(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_type").as("touch_type"),
+        col("ts_ns").as("touch_ns"))
+    val pairs = conv.join(touch, "user_id")
+      .where(col("touch_ns") < col("conv_ns") &&
+        col("conv_ns") - col("touch_ns") <= lit(horizonNs))
+      .withColumn("w_u", round(
+        exp((col("touch_ns") - col("conv_ns")).cast("double") / lit(tauNs.toDouble)) * 1e6,
+        0).cast("long"))
+    val norm = pairs.groupBy("conv_id").agg(sum("w_u").as("sumw_u"))
+    pairs.join(norm, "conv_id")
+      .withColumn("credit_u", expr("(val_cents * w_u * 1000000) div sumw_u"))
+      .groupBy("touch_type").agg(
+        count(lit(1)).as("n_touches"),
+        countDistinct(col("conv_id")).as("n_conversions"),
+        sum("credit_u").as("credit_u"))
+      .select(col("touch_type"), col("n_touches"), col("n_conversions"),
+        col("credit_u"),
+        round(col("credit_u").cast("double") / 1e8, 4).as("credit"))
+      .orderBy("touch_type")
+  }, Some("""
+    WITH conv AS (
+      SELECT user_id, event_id AS conv_id, epoch_ns(ts) AS conv_ns,
+             CAST(round(value * 100, 0) AS BIGINT) AS val_cents
+      FROM events WHERE event_type = 'purchase'),
+    touch AS (
+      SELECT user_id, event_type AS touch_type, epoch_ns(ts) AS touch_ns
+      FROM events WHERE event_type IN ('click', 'view')),
+    pairs AS (
+      SELECT conv_id, touch_type, val_cents,
+        CAST(round(exp(CAST(touch_ns - conv_ns AS DOUBLE) / 86400000000000.0) * 1e6, 0)
+          AS BIGINT) AS w_u
+      FROM conv JOIN touch USING (user_id)
+      WHERE touch_ns < conv_ns AND conv_ns - touch_ns <= 604800000000000),
+    norm AS (SELECT conv_id, sum(w_u) AS sumw_u FROM pairs GROUP BY 1)
+    SELECT touch_type,
+      CAST(count(*) AS BIGINT) AS n_touches,
+      CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+      CAST(sum((val_cents * w_u * 1000000) // sumw_u) AS BIGINT) AS credit_u,
+      round(CAST(sum((val_cents * w_u * 1000000) // sumw_u) AS DOUBLE) / 1e8, 4) AS credit
+    FROM pairs JOIN norm USING (conv_id)
+    GROUP BY touch_type ORDER BY touch_type
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qFunnel, qGapFill, qRetention, qSlidingWindow, qSqlSurface, qEwma,
-      qIncremental, qGroupingSets, qOhlcBars, qTwap, qIntervalCoverage)
+      qIncremental, qGroupingSets, qOhlcBars, qTwap, qIntervalCoverage,
+      qAttribution)
 }

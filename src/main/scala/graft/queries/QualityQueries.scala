@@ -320,7 +320,64 @@ object QualityQueries {
     FROM ranked WHERE rn <= 256 GROUP BY ta, tb ORDER BY ta, tb
   """))
 
+  /** Per-source winsorized mean of document length — the robust
+    * location estimate a corpus card reports next to the raw mean
+    * (one boilerplate 10 MB page would drag a raw mean; it can't
+    * move the winsorized one).
+    *
+    * Exactness: the p10/p90 fences are TYPE-1 quantiles — the value
+    * at rank ceil(p·n) in the (n_chars, doc_id) total order — picked
+    * values, never interpolated, so both engines select the identical
+    * integer fence. Clamping and summation are all exact longs; the
+    * only double op is one final division, rounded to 6.
+    *
+    * Shape at 100 TB: both windows partition by source (the same
+    * shuffle), rank-k selection is a conditional max over the
+    * partition — no global sort, no per-source collect; sources are
+    * the unit of parallelism. */
+  private val qWinsorize = BoundQuery("q_winsorize", (s, d) => {
+    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    val part = Window.partitionBy("source")
+    val ranked = Tables.documents(s, d).select("source", "doc_id", "n_chars")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(part))
+    val fenced = ranked
+      .withColumn("klo", expr("(n + 9) div 10"))
+      .withColumn("khi", expr("(9 * n + 9) div 10"))
+      .withColumn("plo", max(when(col("rn") === col("klo"), col("n_chars"))).over(part))
+      .withColumn("phi", max(when(col("rn") === col("khi"), col("n_chars"))).over(part))
+    fenced.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        min("plo").as("p10"),
+        min("phi").as("p90"),
+        sum(col("n_chars")).as("raw_sum"),
+        sum(greatest(least(col("n_chars"), col("phi")), col("plo"))).as("win_sum"))
+      .select(col("source"), col("n_docs"), col("p10"), col("p90"),
+        round(col("raw_sum").cast("double") / col("n_docs").cast("double"), 6).as("raw_mean"),
+        round(col("win_sum").cast("double") / col("n_docs").cast("double"), 6).as("win_mean"))
+      .orderBy("source")
+  }, Some("""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+        row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        count(*) OVER (PARTITION BY source) AS n
+      FROM documents),
+    fenced AS (
+      SELECT source, n_chars, n,
+        max(CASE WHEN rn = (n + 9) // 10 THEN n_chars END)
+          OVER (PARTITION BY source) AS plo,
+        max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END)
+          OVER (PARTITION BY source) AS phi
+      FROM ranked)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(min(plo) AS BIGINT) AS p10, CAST(min(phi) AS BIGINT) AS p90,
+      round(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS raw_mean,
+      round(CAST(sum(greatest(least(n_chars, phi), plo)) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS win_mean
+    FROM fenced GROUP BY source ORDER BY source
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qDqChecks, qAnomaly, qSeqMining, qHllUnion, qHllSliding, qTrending,
-      qKmvJaccard)
+      qKmvJaccard, qWinsorize)
 }
