@@ -132,6 +132,64 @@ object Similarity {
       .groupBy("id_a", "id_b").agg(first(col("cosine")).as("cosine"))
   }
 
+  /** lshCosinePairs twin with ARITHMETIC Rademacher (±1) hyperplanes —
+    * every step replayable by a SQL engine, so the banded-LSH
+    * candidate generation itself (not just the exact verification)
+    * can be proven against an independent oracle.
+    *
+    * Plane p's coefficient over dimension i (1-based) is
+    * `((a_p·i + b_p) mod M) mod 2 == 0 ? +1 : -1` with
+    * M = 2^31−1, a_p = (p+1)·2654435761 mod M, b_p = (p+1)·40503
+    * mod M — a published affine family in the same spirit as the
+    * arithmetic minhash permutations (Dedup.scala). Rademacher
+    * projections have the same sign-concentration guarantees as
+    * Gaussian ones (Achlioptas 2003), so recall behavior matches the
+    * seeded-Gaussian production twin.
+    *
+    * Exactness: the sign test runs on Σ c(p,i)·round(v[i]·1e6) —
+    * ALL-INTEGER arithmetic (|terms| ≤ dim·2e6, far inside long), so
+    * bucket membership is bit-identical across engines and
+    * partitionings; the final cosine filter reuses the proven
+    * round-to-6 rule. No maxBucket cap here: the production twin
+    * keeps it; this variant stays cap-free so the oracle SQL needn't
+    * replicate the window. Same O(n·tables) bucket-join shape. */
+  def arithLshCosinePairs(df: DataFrame, idCol: Column, vecCol: Column, tau: Double,
+                          dim: Int, planes: Int = 4, tables: Int = 8): DataFrame = {
+    val M = 2147483647L
+    val coef: Seq[Seq[Long]] = (0 until tables * planes).map { p =>
+      val a = ((p + 1).toLong * 2654435761L) % M
+      val b = ((p + 1).toLong * 40503L) % M
+      (1 to dim).map(i => if (((a * i + b) % M) % 2 == 0) 1L else -1L)
+    }
+    val n = CacheScope.persist(
+      df.select(idCol.as("id"), toDouble(vecCol).as("vd"))
+        .withColumn("nrm", sqrt(dotProduct(df.sparkSession, col("vd"), col("vd"))))
+        .withColumn("vn", transform(col("vd"), x => x / col("nrm")))
+        .withColumn("vu", transform(col("vd"), x => round(x * 1e6, 0).cast("long")))
+        .select(col("id"), col("vn"), col("vu")))
+    val coefLit = typedLit(coef)
+    val bits = transform(coefLit, cp =>
+      (aggregate(zip_with(col("vu"), cp, (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+        > 0).cast("int"))
+    val sigCols = (0 until tables).map { t =>
+      val sig = (0 until planes).map { p =>
+        element_at(col("__bits"), t * planes + p + 1) * lit(1 << p)
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), sig.as("sig"))
+    }
+    val buckets = CacheScope.persist(n
+      .withColumn("__bits", bits)
+      .select(col("id"), col("vn"), explode(array(sigCols: _*)).as("bk"))
+      .select(col("id"), col("vn"), col("bk.tbl").as("tbl"), col("bk.sig").as("sig")))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(dotProduct(df.sparkSession, col("a.vn"), col("b.vn")), 6).as("cosine"))
+      .where(col("cosine") >= tau)
+      .groupBy("id_a", "id_b").agg(first(col("cosine")).as("cosine"))
+  }
+
   /** lshCosinePairs with parameters derived from the collection size
     * and a recall target instead of hand tuning — the knob that keeps
     * the operator's cost LINEAR as data grows. Fixed planes make

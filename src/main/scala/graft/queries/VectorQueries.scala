@@ -60,6 +60,44 @@ object VectorQueries {
       .orderBy("id_a", "id_b")
   }, None, headline = true)
 
+  /** Arithmetic-hyperplane LSH twin of q_lsh_cosine_pairs: Rademacher
+    * ±1 planes from a published affine family over exact micro-int
+    * vectors (Similarity.arithLshCosinePairs), so DuckDB replays the
+    * ENTIRE pipeline — signatures, banding, bucket join, cosine
+    * verify — term for term. This upgrades banded cosine LSH from
+    * rows-only+spec to engine-proven; the seeded-Gaussian production
+    * variant stays the headline (its auto-sizing and maxBucket guard
+    * are the 100 TB knobs; this twin pins the algorithm). */
+  private val qLshCosineArith = BoundQuery("q_lsh_cosine_arith", (s, d) => {
+    Similarity.arithLshCosinePairs(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+      tau = 0.4, dim = 64, planes = 4, tables = 8)
+      .orderBy("id_a", "id_b")
+  }, Some(s"""
+    WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT)) AS vu
+               FROM embeddings),
+    sigs AS (
+      SELECT vec_id, p // 4 AS tbl,
+        CAST(sum(CASE WHEN bitsum > 0 THEN 1 ELSE 0 END * (1 << (p % 4))) AS BIGINT) AS sig
+      FROM (
+        SELECT e.vec_id, p.p,
+          list_sum(list_transform(range(1, 65), i ->
+            (CASE WHEN ((((p.p+1)*2654435761 % 2147483647) * i
+                         + (p.p+1)*40503 % 2147483647) % 2147483647) % 2 = 0
+                  THEN 1 ELSE -1 END) * vu[i])) AS bitsum
+        FROM e CROSS JOIN (SELECT unnest(range(0, 32)) AS p) p)
+      GROUP BY vec_id, tbl),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sigs a JOIN sigs b
+        ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, round(${duckCosine("a", "b")}, 6) AS cosine
+    FROM cand JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b
+    WHERE round(${duckCosine("a", "b")}, 6) >= 0.4
+    ORDER BY id_a, id_b
+  """))
+
   /** Brute-force cosine top-k per query vector (queries = vec_id<5). */
   private val qAnnTopk = BoundQuery("q_ann_topk", (s, d) => {
     val e = Tables.embeddings(s, d)
@@ -566,7 +604,7 @@ object VectorQueries {
   """))
 
   val all: Seq[BoundQuery] = Seq(
-    qEmbeddingNeardup, qLshCosinePairs, qAnnTopk, qKnnGraph, qKnnGraphLsh,
+    qEmbeddingNeardup, qLshCosinePairs, qLshCosineArith, qAnnTopk, qKnnGraph, qKnnGraphLsh,
     qAnnIvf, qAnnIvfTrained,
     qPqTopk, qIvfPq, qPca, qKmeans, qAssociationRules, qFrequentPairs,
     qLabelMargins, qAnnEval, qSemDedup)

@@ -94,6 +94,25 @@ class VectorSpec extends AnyFunSuite {
     assert(recall >= 0.55, s"banded LSH recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("arithmetic Rademacher LSH: subset, exact scores, recall floor") {
+    val exact = Similarity.cosinePairs(emb, col("vec_id"), col("embedding"), 0.4)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("cosine"))
+      .toMap
+    val arith = Similarity.arithLshCosinePairs(emb, col("vec_id"), col("embedding"),
+        tau = 0.4, dim = 64, planes = 4, tables = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("cosine"))
+      .toMap
+    assert(arith.keySet.subsetOf(exact.keySet))
+    arith.foreach { case (k, c) => assert(c == exact(k)) }
+    // theory at the q_lsh_cosine_arith parameters: p = 1-acos(0.4)/pi
+    // ≈ 0.631, recall ≥ 1-(1-p^4)^8 ≈ 0.76 (measured 0.81 at sf0.01);
+    // 0.5 floors it for the finite ±1-family draw.
+    val recall = arith.size.toDouble / exact.size
+    assert(recall >= 0.5, s"arith LSH recall $recall (${arith.size}/${exact.size})")
+  }
+
   test("auto-sized LSH meets its recall target with subset precision") {
     val exact = Similarity.cosinePairs(emb, col("vec_id"), col("embedding"), 0.4)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
