@@ -465,8 +465,103 @@ object CorpusQueries {
     FROM ranked WHERE rnk <= 5 ORDER BY source, rnk
   """))
 
+  /** Dataset card: the per-source + corpus-total summary table a
+    * release ships next to the data (docs, corpus share, languages,
+    * chars, whitespace tokens, mean and median length). The text is
+    * scanned ONCE (token counts per row); per-source medians are
+    * TYPE-1 order statistics over source-partitioned windows, and the
+    * TOTAL row is derived from the per-source aggregates (sums of
+    * exact longs) — deliberately NO global median, because a global
+    * rank is a single-task sort at corpus scale; the approx-quantile
+    * sketch (q_approx_quantiles) is the scale path for that.
+    *
+    * share_ppm is integer division over exact longs — no float in
+    * any comparison. */
+  private val qDatasetCard = BoundQuery("q_dataset_card", (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, d).select(col("source"), col("lang"),
+      col("doc_id"), col("n_chars"),
+      size(tokens(col("text"))).cast("long").as("tok"))
+    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    val part = Window.partitionBy("source")
+    val ranked = base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(part))
+      .withColumn("p50v",
+        max(when(col("rn") === expr("(n + 1) div 2"), col("n_chars"))).over(part))
+    val src = ranked.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("n_chars")).as("chars_sum"),
+      sum(col("tok")).as("tokens_sum"),
+      min(col("p50v")).as("p50_chars"))
+    val langs = Tables.documents(s, d).agg(countDistinct(col("lang")).as("nl"))
+    val tot = src.agg(
+        sum(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        sum(col("chars_sum")).as("chars_sum"),
+        sum(col("tokens_sum")).as("tokens_sum"))
+      .crossJoin(broadcast(langs))
+    val totDocs = tot.select(col("n_docs").as("td"))
+    val srcRows = src.crossJoin(broadcast(totDocs)).select(
+      lit("source").as("section"), col("source").as("name"),
+      col("n_docs"), expr("(n_docs * 1000000) div td").as("share_ppm"),
+      col("n_langs"), col("chars_sum"), col("tokens_sum"),
+      round(col("chars_sum").cast("double") / col("n_docs").cast("double"), 6).as("mean_chars"),
+      col("p50_chars"))
+    val totRow = tot.select(
+      lit("total").as("section"), lit("ALL").as("name"),
+      col("n_docs"), lit(1000000L).as("share_ppm"),
+      col("nl").as("n_langs"), col("chars_sum"), col("tokens_sum"),
+      round(col("chars_sum").cast("double") / col("n_docs").cast("double"), 6).as("mean_chars"),
+      lit(null).cast("long").as("p50_chars"))
+    srcRows.unionAll(totRow).orderBy("section", "name")
+  }, Some("""
+    WITH base AS (
+      SELECT source, lang, doc_id, n_chars,
+        CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS tok
+      FROM documents),
+    ranked AS (
+      SELECT source, lang, n_chars, tok,
+        row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        count(*) OVER (PARTITION BY source) AS n
+      FROM base),
+    fenced AS (
+      SELECT source, lang, n_chars, tok,
+        max(CASE WHEN rn = (n + 1) // 2 THEN n_chars END)
+          OVER (PARTITION BY source) AS p50v
+      FROM ranked),
+    src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        CAST(sum(tok) AS BIGINT) AS tokens_sum,
+        CAST(min(p50v) AS BIGINT) AS p50_chars
+      FROM fenced GROUP BY source),
+    tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        CAST(sum(chars_sum) AS BIGINT) AS chars_sum,
+        CAST(sum(tokens_sum) AS BIGINT) AS tokens_sum
+      FROM src),
+    nl AS (SELECT CAST(count(DISTINCT lang) AS BIGINT) AS nl FROM documents)
+    SELECT * FROM (
+      SELECT 'source' AS section, src.source AS name, src.n_docs,
+        CAST((src.n_docs * 1000000) // tot.n_docs AS BIGINT) AS share_ppm,
+        src.n_langs, src.chars_sum, src.tokens_sum,
+        round(CAST(src.chars_sum AS DOUBLE) / CAST(src.n_docs AS DOUBLE), 6) AS mean_chars,
+        src.p50_chars
+      FROM src CROSS JOIN tot
+      UNION ALL
+      SELECT 'total', 'ALL', tot.n_docs, CAST(1000000 AS BIGINT),
+        nl.nl, tot.chars_sum, tot.tokens_sum,
+        round(CAST(tot.chars_sum AS DOUBLE) / CAST(tot.n_docs AS DOUBLE), 6),
+        CAST(NULL AS BIGINT)
+      FROM tot CROSS JOIN nl)
+    ORDER BY section, name
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qStratifiedSample, qMixtureSample, qContamination,
       qRepetitionFilter, qBpeEncode, qBoilerplateSpans, qSourceOverlap,
-      qTokenBudget, qPmiCollocations, qCtfidf)
+      qTokenBudget, qPmiCollocations, qCtfidf, qDatasetCard)
 }
