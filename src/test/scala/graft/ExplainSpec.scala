@@ -96,4 +96,59 @@ class ExplainSpec extends AnyFunSuite {
       l.contains("windowspecdefinition") && !l.contains("__pid")).toSeq
     assert(bad.isEmpty, s"non-pid window in cumsum plan: ${bad.mkString("\n")}")
   }
+
+  test("Naive Bayes scoring: model join broadcasts, argmax is a WindowGroupLimit") {
+    val p = plan("q_naive_bayes")
+    // the per-(class, token) model is the broadcast side of the
+    // scoring join — doc-term rows never shuffle against it
+    assert(p.contains("BroadcastHashJoin"), p)
+    // per-doc argmax must group-limit (map-side partial top-1), not
+    // rank the full doc x class score table through full windows
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("c-TF-IDF per-source top-5 plans as WindowGroupLimit") {
+    val p = plan("q_ctfidf")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("SemDeDup: centroid assignment broadcasts K rows, pruning joins on cluster key") {
+    val p = plan("q_semdedup")
+    // K centroids arrive by broadcast (nested-loop over 8 rows), and
+    // the in-cluster prune is an equi join keyed on cluster — the plan
+    // must never fall back to an unkeyed cartesian over the collection
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"), p)
+    assert(p.contains("hashpartitioning(cluster"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("int8 quantization: the 64-row scale table comes back as a broadcast join") {
+    val p = plan("q_sq8")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("winsorize/dataset-card windows are all source-partitioned (no single-task funnel)") {
+    for (q <- Seq("q_winsorize", "q_dataset_card")) {
+      val p = plan(q)
+      val bad = p.linesIterator.filter(l =>
+        l.contains("windowspecdefinition") && !l.contains("source")).toSeq
+      assert(bad.isEmpty, s"$q non-source window: ${bad.mkString("\n")}")
+    }
+  }
+
+  test("attribution joins stay keyed; no window at all in the plan") {
+    val p = plan("q_attribution")
+    // conversions x touches is keyed on user_id, normalization on
+    // conv_id — per-conversion totals come from aggregation, never a
+    // global window, and nothing in the plan is a cartesian product
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("arithmetic LSH bucket join is an equi join, never a cartesian") {
+    val p = plan("q_lsh_cosine_arith")
+    assert(p.contains("[tbl") && !p.contains("CartesianProduct"), p)
+  }
 }
