@@ -269,4 +269,57 @@ object Dedup {
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Incremental dedup: grade a NEW ingest batch against an EXISTING
+    * corpus — the daily-ingest shape at 100 TB, where re-deduping the
+    * whole corpus per batch is off the table. Two layers, cheapest
+    * first: (1) exact — a digest semi-join (16-byte keys, the
+    * exactKeepFirst rule applied cross-corpus); (2) near — the
+    * shingle-blocked jaccard join of ngramJaccardPairs, but
+    * ASYMMETRIC: only new×old candidates form, so per-batch work is
+    * O(batch × collisions), independent of corpus size beyond the
+    * (pre-computable, incrementally-maintainable) corpus shingle
+    * table. Returns one row per new doc: (id, status) with status ∈
+    * exact_dup | near_dup | kept; exact wins over near.
+    *
+    * Exactness: digests are md5; jaccard is over full distinct
+    * shingle sets (blocking only decides WHICH pairs are scored) —
+    * both layers replayable by a SQL oracle. */
+  def incrementalDedup(newDf: DataFrame, oldDf: DataFrame,
+                       idCol: Column, textCol: Column,
+                       shingleSize: Int = 5, minJaccard: Double = 0.3): DataFrame = {
+    val spark = newDf.sparkSession
+    val nw = graft.util.CacheScope.persist(
+      newDf.select(idCol.as("id"), textCol.as("text"), md5(textCol).as("dg")))
+    val od = graft.util.CacheScope.persist(
+      oldDf.select(idCol.as("id"), textCol.as("text"), md5(textCol).as("dg")))
+    val exact = nw.join(od.select(col("dg")).distinct(), Seq("dg"), "leftsemi")
+      .select(col("id")).withColumn("is_exact", lit(true))
+    def shingled(df: DataFrame): DataFrame =
+      graft.util.CacheScope.persist(df.select(col("id"),
+          array_distinct(shingleHashes(spark, col("text"), shingleSize)).as("sh"))
+        .where(size(col("sh")) > 0))
+    val ns = shingled(nw)
+    val os = shingled(od)
+    val cand = ns.select(col("id").as("nid"), explode(col("sh")).as("s"))
+      .join(os.select(col("id").as("oid"), explode(col("sh")).as("s")), "s")
+      .select(col("nid"), col("oid")).distinct()
+    val near = cand
+      .join(ns.select(col("id").as("nid"), col("sh").as("sha")), "nid")
+      .join(os.select(col("id").as("oid"), col("sh").as("shb")), "oid")
+      .select(col("nid"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("shared"),
+        size(col("sha")).cast("long").as("na"), size(col("shb")).cast("long").as("nb"))
+      .where(col("shared").cast("double") /
+        (col("na") + col("nb") - col("shared")).cast("double") >= minJaccard)
+      .select(col("nid").as("id")).distinct()
+      .withColumn("is_near", lit(true))
+    nw.select(col("id"))
+      .join(exact, Seq("id"), "left")
+      .join(near, Seq("id"), "left")
+      .select(col("id"),
+        when(col("is_exact"), lit("exact_dup"))
+          .when(col("is_near"), lit("near_dup"))
+          .otherwise(lit("kept")).as("status"))
+  }
 }

@@ -430,8 +430,61 @@ object TextQueries {
     FROM counts
   """))
 
+  /** Incremental batch-vs-corpus dedup (operators.Dedup.
+    * incrementalDedup): an md5-prefix split stands in for the
+    * existing corpus (~75%) vs today's ingest (~25%); each new doc is
+    * graded exact_dup (digest match), near_dup (5-gram jaccard ≥ 0.3
+    * with ANY existing doc, shingle-blocked asymmetric join) or kept.
+    * Per-batch cost is O(batch × collisions) — re-deduping the whole
+    * corpus per ingest never happens. */
+  private val qDedupIncremental = BoundQuery("q_dedup_incremental", (s, d) => {
+    val base = Tables.documents(s, d)
+      .withColumn("h", substring(md5(col("text")), 1, 2))
+    val old = base.where(col("h") < "c0")
+    val nw = base.where(col("h") >= "c0")
+    graft.operators.Dedup.incrementalDedup(nw, old, col("doc_id"), col("text"),
+        shingleSize = 5, minJaccard = 0.3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }, Some("""
+    WITH base AS (
+      SELECT doc_id, md5(text) AS dg, substr(md5(text), 1, 2) AS h,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents),
+    old AS (SELECT * FROM base WHERE h < 'c0'),
+    nw AS (SELECT * FROM base WHERE h >= 'c0'),
+    ex AS (SELECT DISTINCT nw.doc_id FROM nw
+           JOIN (SELECT DISTINCT dg FROM old) o USING (dg)),
+    osh AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, greatest(len(w)-3, 1)),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS sh
+            FROM old WHERE len(w) >= 5),
+    nsh AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, greatest(len(w)-3, 1)),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS sh
+            FROM nw WHERE len(w) >= 5),
+    shared AS (
+      SELECT a.doc_id AS nid, b.doc_id AS oid, CAST(count(*) AS BIGINT) AS shared
+      FROM (SELECT doc_id, unnest(sh) AS s FROM nsh) a
+      JOIN (SELECT doc_id, unnest(sh) AS s FROM osh) b USING (s)
+      GROUP BY 1, 2),
+    near AS (
+      SELECT DISTINCT nid AS doc_id
+      FROM shared
+      JOIN (SELECT doc_id AS nid, len(sh) AS na FROM nsh) sa USING (nid)
+      JOIN (SELECT doc_id AS oid, len(sh) AS nb FROM osh) sb USING (oid)
+      WHERE CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) >= 0.3)
+    SELECT nw.doc_id,
+      CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+           WHEN near.doc_id IS NOT NULL THEN 'near_dup'
+           ELSE 'kept' END AS status
+    FROM nw LEFT JOIN ex ON nw.doc_id = ex.doc_id
+            LEFT JOIN near ON nw.doc_id = near.doc_id
+    ORDER BY nw.doc_id
+  """))
+
   val all: Seq[BoundQuery] = Seq(
     qDedupExact, qFingerprint, qNgramJaccard, qMinhashPairs, qSimhashPairs,
     qTokenCount, qTextStats, qLangid, qCleanPipeline, qImputeDefaults,
-    qQualityFilter, qHeavyHitters, qDedupEval)
+    qQualityFilter, qHeavyHitters, qDedupEval, qDedupIncremental)
 }
