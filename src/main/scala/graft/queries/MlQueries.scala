@@ -161,5 +161,129 @@ object MlQueries {
     FROM err GROUP BY dim ORDER BY dim
   """))
 
-  val all: Seq[BoundQuery] = Seq(qNaiveBayes, qSq8)
+  /** 4-fold cross-validated Naive Bayes accuracy — model evaluation
+    * done honestly (held-out folds) WITHOUT k re-scans: per-fold
+    * training counts are GLOBAL counts minus the fold's own counts
+    * (one global aggregate + one per-fold aggregate, then exact long
+    * subtraction), the aggregate-reuse trick that makes k-fold CV
+    * one-pass at 100 TB. Folds come from the md5-prefix convention
+    * (first hex char range → fold 0-3), so membership is engine-
+    * invariant.
+    *
+    * Smoothing floor ln(1/(tok_train+V_f)) falls out of the same
+    * formula at train_tf=0 via coalesce — unseen tokens need no
+    * separate floor table. V_f counts tokens with positive TRAINING
+    * occurrences (global minus fold, again by subtraction). All
+    * scores are micro-nat exact-long sums; argmax ties break on
+    * class; accuracy is integer ppm. */
+  private val qNbCrossval = BoundQuery("q_nb_crossval", (s, d) => {
+    val foldOf = expr("""CASE WHEN substring(md5(text),1,1) < '4' THEN 0
+                              WHEN substring(md5(text),1,1) < '8' THEN 1
+                              WHEN substring(md5(text),1,1) < 'c' THEN 2
+                              ELSE 3 END""").cast("long")
+    val docs = Tables.documents(s, d).withColumn("fold", foldOf)
+    val dt = docs.select(col("doc_id"), col("lang"), col("fold"),
+        explode(tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "lang", "fold", "t").agg(count(lit(1)).as("tf"))
+    val g = dt.groupBy(col("lang").as("c"), col("t")).agg(sum("tf").as("g_tf"))
+    val f = dt.groupBy(col("fold"), col("lang").as("c"), col("t"))
+      .agg(sum("tf").as("f_tf"))
+    val gtok = dt.groupBy(col("lang").as("c")).agg(sum("tf").as("g_tok"))
+    val ftok = dt.groupBy(col("fold"), col("lang").as("c")).agg(sum("tf").as("f_tok"))
+    val gt = dt.groupBy("t").agg(sum("tf").as("g_t"))
+    val ft = dt.groupBy("fold", "t").agg(sum("tf").as("f_t"))
+    // per-fold training vocabulary: tokens with positive global-minus-fold mass
+    val vf = gt.crossJoin(Tables.documents(s, d).select(foldOf.as("fold")).distinct())
+      .join(ft, Seq("fold", "t"), "left")
+      .where(col("g_t") - coalesce(col("f_t"), lit(0L)) > 0)
+      .groupBy("fold").agg(count(lit(1)).as("v"))
+    val gdoc = docs.groupBy(col("lang").as("c")).agg(count(lit(1)).as("g_docs"))
+    val fdoc = docs.groupBy(col("fold"), col("lang").as("c")).agg(count(lit(1)).as("f_docs"))
+    val gn = docs.agg(count(lit(1)).as("g_n"))
+    val fn = docs.groupBy("fold").agg(count(lit(1)).as("f_n"))
+    // per (fold, class) scalars: training token mass, prior, vocab
+    val fc = ftok.join(broadcast(gtok), "c").join(broadcast(vf), "fold")
+      .join(broadcast(fdoc), Seq("fold", "c")).join(broadcast(gdoc), "c")
+      .join(broadcast(fn), "fold").crossJoin(broadcast(gn))
+      .select(col("fold"), col("c"),
+        (col("g_tok") - col("f_tok")).as("tok_tr"), col("v"),
+        round(log((col("g_docs") - col("f_docs")).cast("double")
+          / (col("g_n") - col("f_n")).cast("double")) * 1e6, 0).cast("long").as("prior_u"))
+    val scored = dt
+      .join(broadcast(fc), Seq("fold"))
+      .join(g, Seq("c", "t"), "left")
+      .join(f, Seq("fold", "c", "t"), "left")
+      .withColumn("tf_tr", coalesce(col("g_tf"), lit(0L)) - coalesce(col("f_tf"), lit(0L)))
+      .withColumn("lnp_u", round(
+        log((col("tf_tr") + 1).cast("double") / (col("tok_tr") + col("v")).cast("double"))
+          * 1e6, 0).cast("long"))
+      .groupBy("doc_id", "lang", "fold", "c")
+      .agg((sum(col("tf") * col("lnp_u")) + first(col("prior_u"))).as("score_u"))
+    TopKPerGroup.topK(scored, Seq(col("doc_id")),
+        Seq(desc("score_u"), col("c")), 1)
+      .groupBy("fold").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("lang") === col("c"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("acc_ppm", expr("(n_correct * 1000000) div n_docs"))
+      .orderBy("fold")
+  }, Some("""
+    WITH docs AS (
+      SELECT doc_id, lang, text,
+        CAST(CASE WHEN substr(md5(text),1,1) < '4' THEN 0
+                  WHEN substr(md5(text),1,1) < '8' THEN 1
+                  WHEN substr(md5(text),1,1) < 'c' THEN 2
+                  ELSE 3 END AS BIGINT) AS fold
+      FROM documents),
+    dt AS (
+      SELECT doc_id, lang, fold, t, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, lang, fold,
+              unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+            FROM docs)
+      GROUP BY 1, 2, 3, 4),
+    g  AS (SELECT lang AS c, t, CAST(sum(tf) AS BIGINT) AS g_tf FROM dt GROUP BY 1, 2),
+    f  AS (SELECT fold, lang AS c, t, CAST(sum(tf) AS BIGINT) AS f_tf FROM dt GROUP BY 1, 2, 3),
+    gtok AS (SELECT lang AS c, CAST(sum(tf) AS BIGINT) AS g_tok FROM dt GROUP BY 1),
+    ftok AS (SELECT fold, lang AS c, CAST(sum(tf) AS BIGINT) AS f_tok FROM dt GROUP BY 1, 2),
+    gt AS (SELECT t, CAST(sum(tf) AS BIGINT) AS g_t FROM dt GROUP BY 1),
+    ft AS (SELECT fold, t, CAST(sum(tf) AS BIGINT) AS f_t FROM dt GROUP BY 1, 2),
+    vf AS (
+      SELECT fold, CAST(count(*) AS BIGINT) AS v
+      FROM (SELECT fo.fold, gt.t, gt.g_t - COALESCE(ft.f_t, 0) AS tr
+            FROM gt CROSS JOIN (SELECT DISTINCT fold FROM docs) fo
+            LEFT JOIN ft ON ft.fold = fo.fold AND ft.t = gt.t)
+      WHERE tr > 0 GROUP BY fold),
+    gdoc AS (SELECT lang AS c, CAST(count(*) AS BIGINT) AS g_docs FROM docs GROUP BY 1),
+    fdoc AS (SELECT fold, lang AS c, CAST(count(*) AS BIGINT) AS f_docs FROM docs GROUP BY 1, 2),
+    gn AS (SELECT CAST(count(*) AS BIGINT) AS g_n FROM docs),
+    fn AS (SELECT fold, CAST(count(*) AS BIGINT) AS f_n FROM docs GROUP BY 1),
+    fc AS (
+      SELECT ftok.fold, ftok.c, gtok.g_tok - ftok.f_tok AS tok_tr, vf.v,
+        CAST(round(ln(CAST(gdoc.g_docs - fdoc.f_docs AS DOUBLE)
+          / CAST(gn.g_n - fn.f_n AS DOUBLE)) * 1e6, 0) AS BIGINT) AS prior_u
+      FROM ftok JOIN gtok USING (c) JOIN vf USING (fold)
+      JOIN fdoc ON fdoc.fold = ftok.fold AND fdoc.c = ftok.c
+      JOIN gdoc ON gdoc.c = ftok.c
+      JOIN fn ON fn.fold = ftok.fold CROSS JOIN gn),
+    scored AS (
+      SELECT dt.doc_id, dt.lang, dt.fold, fc.c,
+        CAST(sum(dt.tf * CAST(round(ln(
+            CAST(COALESCE(g.g_tf, 0) - COALESCE(f.f_tf, 0) + 1 AS DOUBLE)
+            / CAST(fc.tok_tr + fc.v AS DOUBLE)) * 1e6, 0) AS BIGINT))
+          + min(fc.prior_u) AS BIGINT) AS score_u
+      FROM dt JOIN fc ON fc.fold = dt.fold
+      LEFT JOIN g ON g.c = fc.c AND g.t = dt.t
+      LEFT JOIN f ON f.fold = dt.fold AND f.c = fc.c AND f.t = dt.t
+      GROUP BY 1, 2, 3, 4),
+    pred AS (
+      SELECT doc_id, lang, fold, c,
+        row_number() OVER (PARTITION BY doc_id ORDER BY score_u DESC, c) AS rn
+      FROM scored)
+    SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN lang = c THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+      CAST((sum(CASE WHEN lang = c THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS acc_ppm
+    FROM pred WHERE rn = 1
+    GROUP BY fold ORDER BY fold
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qNaiveBayes, qSq8, qNbCrossval)
 }
