@@ -103,6 +103,31 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** documents.parquet physical schema for streaming document ingest. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming twin of Dedup.incrementalDedup's EXACT layer: a
+    * document ingest stream anti-joined against the STATIC existing-
+    * corpus digest table (stream-static left_anti — the static side
+    * is re-scannable per micro-batch, no state store), then kept-doc
+    * counts per source. At 100 TB the digest table is a 16-byte-key
+    * parquet the planner can broadcast or re-scan per batch; the
+    * stream never buffers document text in state. The near-dup layer
+    * stays batch (its blocked join needs the full shingle table);
+    * this is the continuous-ingest front gate in front of it. */
+  def streamCorpusDedup(spark: SparkSession, dir: String,
+                        corpusDigests: DataFrame): DataFrame = {
+    spark.readStream.schema(documentsSchema).parquet(dir)
+      .withColumn("dg", md5(col("text")))
+      .join(corpusDigests, Seq("dg"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("kept"))
+  }
+
   /** Raw event stream with the usable (us) timestamp restored —
     * the readStream entry point sinks and joins build on. */
   def raw(spark: SparkSession, dir: String): DataFrame = {

@@ -287,6 +287,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Map(1L -> 2L, 2L -> 4L), s"generous TTL must converge to batch truth: $kept")
   }
 
+  test("streaming corpus dedup: stream-static anti-join equals the batch exact layer") {
+    // the continuous-ingest front gate: arriving documents drop when
+    // their digest already exists in the static corpus table; no
+    // state store involved (contrast dropDuplicatesWithinWatermark,
+    // which dedups stream-vs-stream)
+    val dir = java.nio.file.Files.createTempDirectory("docs_dedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfTiny/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val corpus = graft.sources.Tables.documents(spark, sfTiny)
+      .where(substring(md5(col("text")), 1, 2) < "c0")
+      .select(md5(col("text")).as("dg")).distinct()
+    val q = EventStreams.streamCorpusDedup(spark, dir.toString, corpus)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("corpus_dedup_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("corpus_dedup_out")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = graft.sources.Tables.documents(spark, sfTiny)
+        .withColumn("dg", md5(col("text")))
+        .join(corpus, Seq("dg"), "left_anti")
+        .groupBy("source").agg(count(lit(1)).as("kept"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == batch && batch.nonEmpty, s"$streamed vs $batch")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join equals the batch join on replay") {
     // the dimension-enrichment shape: an unbounded stream joined to a
     // bounded static table — Spark broadcasts/rescans the static side
