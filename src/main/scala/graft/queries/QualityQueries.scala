@@ -377,7 +377,74 @@ object QualityQueries {
     FROM fenced GROUP BY source ORDER BY source
   """))
 
+  /** CUSUM changepoint detection over the daily event-count series —
+    * the upward-shift monitor (Page 1954) that complements q_anomaly's
+    * rolling z-score: S_t = max(0, S_{t-1} + x_t − μ − k) accumulates
+    * sustained drift that per-day z-scores miss; S_t > h alarms.
+    *
+    * The recursion is rewritten to its WINDOW-EXPRESSIBLE prefix
+    * identity — with y_i = x_i − μ − k and P_t = Σ_{i≤t} y_i,
+    * S_t = P_t − min(0, min_{j≤t} P_j) — so there is no sequential
+    * fold at all: two cumulative windows per event_type replace the
+    * recurrence exactly (proof: both sides satisfy the same
+    * recurrence and base case).
+    *
+    * Exactness: counts are integers, μ and slack k are integer
+    * micro-units by integer division, prefix sums and running mins
+    * are exact longs — bit-identical in any engine, invariant to
+    * partitioning. Shape at 100 TB: one partial-agg groupBy to
+    * days, type-partitioned windows over calendar-bounded series,
+    * never a global sort. */
+  private val qCusum = BoundQuery("q_cusum", (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("cnt").as("total"))
+      .withColumn("mu_u", expr("(total * 1000000) div n_days"))
+      .withColumn("k_u", expr("mu_u div 10"))
+      .withColumn("h_u", col("mu_u") * 4)
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(stats), "event_type")
+      .withColumn("p", sum(col("cnt") * lit(1000000L) - col("mu_u") - col("k_u")).over(w))
+      .withColumn("minp", min(col("p")).over(w))
+      .withColumn("s_t", col("p") - least(lit(0L), col("minp")))
+      .groupBy("event_type").agg(
+        first(col("n_days")).as("n_days"),
+        round(first(col("mu_u")).cast("double") / 1e6, 6).as("mu"),
+        sum(when(col("s_t") > col("h_u"), 1L).otherwise(0L)).as("n_alarms"),
+        round(max(col("s_t")).cast("double") / 1e6, 6).as("max_s"))
+      .orderBy("event_type")
+  }, Some("""
+    WITH daily AS (
+      SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        (CAST(sum(cnt) AS BIGINT) * 1000000) // count(*) AS mu_u
+      FROM daily GROUP BY 1),
+    cum AS (
+      SELECT daily.event_type, day, n_days, mu_u, mu_u * 4 AS h_u,
+        sum(cnt * 1000000 - mu_u - (mu_u // 10))
+          OVER (PARTITION BY daily.event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      FROM daily JOIN stats USING (event_type)),
+    st AS (
+      SELECT event_type, n_days, mu_u, h_u,
+        p - least(CAST(0 AS BIGINT),
+          min(p) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN
+            UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_t
+      FROM cum)
+    SELECT event_type, CAST(min(n_days) AS BIGINT) AS n_days,
+      round(CAST(min(mu_u) AS DOUBLE) / 1e6, 6) AS mu,
+      CAST(sum(CASE WHEN s_t > h_u THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+      round(CAST(max(s_t) AS DOUBLE) / 1e6, 6) AS max_s
+    FROM st GROUP BY event_type ORDER BY event_type
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qDqChecks, qAnomaly, qSeqMining, qHllUnion, qHllSliding, qTrending,
-      qKmvJaccard, qWinsorize)
+      qKmvJaccard, qWinsorize, qCusum)
 }
