@@ -620,10 +620,93 @@ object ExtraQueries2 {
     GROUP BY q1, med, q3
   """))
 
+  /** RFM customer segmentation (recency / frequency / monetary), the
+    * classic CRM cube: per-customer aggregates scored into quartiles
+    * by three ntile windows with total orders (metric desc, custkey),
+    * then rolled up per (r,f,m) cell. Scores are rank-based so both
+    * engines agree bit-exactly — no float fences anywhere.
+    *
+    * The ntile windows are GLOBAL but run over the per-customer
+    * AGGREGATE (|customers| ≪ |orders|, the q_decile bounded-input
+    * contract); the 100 TB path replaces them with fences from the
+    * mergeable quantile sketch (q_kll_quantiles) at the cost of
+    * approximate boundaries. */
+  private val qRfm = BoundQuery("q_rfm", (s, d) => {
+    val cust = Tables.orders(s, d).groupBy("o_custkey").agg(
+      max(col("o_orderdate")).as("last_d"),
+      count(lit(1)).as("freq"),
+      sumCents(col("o_totalprice")).as("mon"))
+    val scored = cust
+      .withColumn("r_score", (lit(5) - ntile(4).over(
+        Window.orderBy(col("last_d").desc, col("o_custkey")))).cast("long"))
+      .withColumn("f_score", (lit(5) - ntile(4).over(
+        Window.orderBy(col("freq").desc, col("o_custkey")))).cast("long"))
+      .withColumn("m_score", (lit(5) - ntile(4).over(
+        Window.orderBy(col("mon").desc, col("o_custkey")))).cast("long"))
+    scored.groupBy("r_score", "f_score", "m_score").agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("mon")).as("mon_cents"))
+      .select(col("r_score"), col("f_score"), col("m_score"),
+        col("n_customers"), money(col("mon_cents")).as("revenue"))
+      .orderBy("r_score", "f_score", "m_score")
+  }, Some("""
+    WITH cust AS (
+      SELECT o_custkey, max(o_orderdate) AS last_d,
+        CAST(count(*) AS BIGINT) AS freq,
+        CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS mon
+      FROM orders GROUP BY 1),
+    scored AS (
+      SELECT o_custkey, mon,
+        CAST(5 - ntile(4) OVER (ORDER BY last_d DESC, o_custkey) AS BIGINT) AS r_score,
+        CAST(5 - ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS BIGINT) AS f_score,
+        CAST(5 - ntile(4) OVER (ORDER BY mon DESC, o_custkey) AS BIGINT) AS m_score
+      FROM cust)
+    SELECT r_score, f_score, m_score,
+      CAST(count(*) AS BIGINT) AS n_customers,
+      CAST(sum(mon) AS DOUBLE) / 100.0 AS revenue
+    FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+  """))
+
+  /** Benford first-digit audit over order totals — the data-quality
+    * forensic: fabricated or truncated monetary data departs from
+    * log10(1 + 1/d). Observed and expected shares are integer ppm,
+    * the per-digit chi term is integer division of exact longs — a
+    * one-scan groupBy on the leading digit of the cents string. */
+  private val qBenford = BoundQuery("q_benford", (s, d) => {
+    val digits = Tables.orders(s, d)
+      .where(col("o_totalprice") > 0)
+      .select(substring(cents(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum("n").as("t"))
+    digits.crossJoin(broadcast(tot))
+      .withColumn("obs_ppm", expr("(n * 1000000) div t"))
+      .withColumn("exp_ppm",
+        round(log(10.0, lit(1.0) + lit(1.0) / col("digit").cast("double")) * 1e6, 0)
+          .cast("long"))
+      .withColumn("chi_u", expr("((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)) div exp_ppm"))
+      .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"), col("chi_u"))
+      .orderBy("digit")
+  }, Some("""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1)
+               AS BIGINT) AS digit,
+        CAST(count(*) AS BIGINT) AS n
+      FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM digits)
+    SELECT digit, n,
+      CAST((n * 1000000) // t AS BIGINT) AS obs_ppm,
+      CAST(round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1e6, 0) AS BIGINT) AS exp_ppm,
+      CAST(((n * 1000000) // t - CAST(round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1e6, 0) AS BIGINT))
+           * ((n * 1000000) // t - CAST(round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1e6, 0) AS BIGINT))
+           // CAST(round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1e6, 0) AS BIGINT) AS BIGINT) AS chi_u
+    FROM digits CROSS JOIN tot ORDER BY digit
+  """))
+
   val all: Seq[BoundQuery] = Seq(
     qPivot, qCube, qWindowSuite, qHashSample, qSemiPrune, qUpsert,
     qProfile, qRangeJoin, qApproxQuantiles, qKllQuantiles, qHistogram,
     qCorrelation, qDecile, qZorder, qPiiScrub, qBloomPrune, qEquiDepth,
     qChiSquare, qBottomkSample, qLinreg, qWeightedSample, qTableDiff,
-    qRobustStats)
+    qRobustStats, qRfm, qBenford)
 }
