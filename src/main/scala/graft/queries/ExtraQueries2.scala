@@ -703,10 +703,71 @@ object ExtraQueries2 {
     FROM digits CROSS JOIN tot ORDER BY digit
   """))
 
+  /** Welch two-sample t-test between md5-split user cohorts on
+    * purchase value — the A/B experiment readout (unequal variances,
+    * Welch–Satterthwaite df), complementing q_chi_square's
+    * independence test. Group moments come from exact cents and
+    * cents² long sums (value ≤ ~1e3 → squares ≤ 1e10·rows, far
+    * inside long); mean/variance/t/df are then single-shot double
+    * expressions on identical operands in both engines. One scan,
+    * one 2-key partial-agg groupBy, one broadcast-joined 1×1 cross —
+    * trivially 100 TB-shaped. */
+  private val qAbTest = BoundQuery("q_ab_test", (s, d) => {
+    val g = Tables.events(s, d)
+      .where(col("event_type") === "purchase")
+      .withColumn("grp",
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A").otherwise("B"))
+      .withColumn("c", cents(col("value")))
+      .groupBy("grp").agg(
+        count(lit(1)).as("n"), sum("c").as("sc"), sum(col("c") * col("c")).as("ssc"))
+      .withColumn("mean", col("sc").cast("double") / col("n").cast("double") / 100.0)
+      .withColumn("variance",
+        (col("ssc").cast("double") - col("sc").cast("double") * col("sc").cast("double")
+          / col("n").cast("double")) / (col("n") - 1).cast("double") / 10000.0)
+    val a = g.where(col("grp") === "A").select(col("n").as("n_a"),
+      col("mean").as("mean_a"), col("variance").as("var_a"))
+    val b = g.where(col("grp") === "B").select(col("n").as("n_b"),
+      col("mean").as("mean_b"), col("variance").as("var_b"))
+    a.crossJoin(broadcast(b))
+      .withColumn("se2", col("var_a") / col("n_a") + col("var_b") / col("n_b"))
+      .select(col("n_a"), col("n_b"),
+        round(col("mean_a"), 6).as("mean_a"), round(col("mean_b"), 6).as("mean_b"),
+        round((col("mean_a") - col("mean_b")) / sqrt(col("se2")), 6).as("t_stat"),
+        round(col("se2") * col("se2") /
+          ((col("var_a") / col("n_a")) * (col("var_a") / col("n_a")) / (col("n_a") - 1)
+            + (col("var_b") / col("n_b")) * (col("var_b") / col("n_b")) / (col("n_b") - 1)),
+          3).as("df"))
+  }, Some("""
+    WITH g AS (
+      SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS grp,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sc,
+        CAST(sum(CAST(round(value * 100, 0) AS BIGINT)
+               * CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS ssc
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    m AS (
+      SELECT grp, n,
+        CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean,
+        (CAST(ssc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+          / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) / 10000.0 AS variance
+      FROM g),
+    ab AS (
+      SELECT a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
+        a.variance AS var_a, b.variance AS var_b,
+        a.variance / a.n + b.variance / b.n AS se2
+      FROM m a CROSS JOIN m b WHERE a.grp = 'A' AND b.grp = 'B')
+    SELECT n_a, n_b, round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+      round((mean_a - mean_b) / sqrt(se2), 6) AS t_stat,
+      round(se2 * se2 / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+        + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 3) AS df
+    FROM ab
+  """))
+
   val all: Seq[BoundQuery] = Seq(
     qPivot, qCube, qWindowSuite, qHashSample, qSemiPrune, qUpsert,
     qProfile, qRangeJoin, qApproxQuantiles, qKllQuantiles, qHistogram,
     qCorrelation, qDecile, qZorder, qPiiScrub, qBloomPrune, qEquiDepth,
     qChiSquare, qBottomkSample, qLinreg, qWeightedSample, qTableDiff,
-    qRobustStats, qRfm, qBenford)
+    qRobustStats, qRfm, qBenford, qAbTest)
 }
