@@ -392,9 +392,62 @@ object ExtraQueries {
     WHERE rn = 1 ORDER BY o_custkey
   """))
 
+  /** Cohort lifetime-value curves: customers grouped by first-order
+    * month, revenue accumulated over months-since-first — the LTV
+    * readout that complements q_retention's activity counts and
+    * q_first_order_cohort's sizing. Cohort sizes and revenues are
+    * exact longs; the cumulative window partitions by cohort (never
+    * global); LTV-per-customer is one final division. */
+  private val qCohortLtv = BoundQuery("q_cohort_ltv", (s, d) => {
+    val o = Tables.orders(s, d)
+    val first = o.groupBy("o_custkey")
+      .agg(trunc(min(col("o_orderdate")), "month").as("cohort"))
+    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("n_customers"))
+    val aged = o.join(first, "o_custkey")
+      .withColumn("age",
+        months_between(trunc(col("o_orderdate"), "month"), col("cohort")).cast("long"))
+      .groupBy("cohort", "age")
+      .agg(count(lit(1)).as("n_orders"), sumCents(col("o_totalprice")).as("rc"))
+    val w = Window.partitionBy("cohort").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    aged.withColumn("cum_rc", sum(col("rc")).over(w))
+      .join(broadcast(sizes), "cohort")
+      .select(col("cohort"), col("age"), col("n_customers"), col("n_orders"),
+        money(col("rc")).as("revenue"),
+        money(col("cum_rc")).as("cum_revenue"),
+        round(col("cum_rc").cast("double") / col("n_customers").cast("double") / 100.0, 6)
+          .as("ltv_per_customer"))
+      .orderBy("cohort", "age")
+  }, Some("""
+    WITH first AS (
+      SELECT o_custkey, CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS cohort
+      FROM orders GROUP BY 1),
+    sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers
+              FROM first GROUP BY 1),
+    aged AS (
+      SELECT cohort,
+        CAST(datediff('month', cohort, CAST(date_trunc('month', o_orderdate) AS DATE)) AS BIGINT) AS age,
+        CAST(count(*) AS BIGINT) AS n_orders,
+        CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rc
+      FROM orders JOIN first USING (o_custkey)
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT cohort, age, n_orders, rc,
+        sum(rc) OVER (PARTITION BY cohort ORDER BY age
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rc
+      FROM aged)
+    SELECT cum.cohort, age, n_customers, n_orders,
+      CAST(rc AS DOUBLE) / 100.0 AS revenue,
+      CAST(cum_rc AS DOUBLE) / 100.0 AS cum_revenue,
+      round(CAST(cum_rc AS DOUBLE) / CAST(n_customers AS DOUBLE) / 100.0, 6)
+        AS ltv_per_customer
+    FROM cum JOIN sizes USING (cohort)
+    ORDER BY cohort, age
+  """))
+
   val all: Seq[BoundQuery] = Seq(
     qRunningRevenue, qRollupRevenue, qNoUrgentCustomers, qJsonProps,
     qJsonStruct, qAsofJoin, qApproxDistinct, qSaltedAgg, qRolling30d,
     qUnpivot, qSetOps, qAboveAvg, qCalendar, qKeysetPage, qPercentTotal,
-    qFirstTouch, qStringAgg, qMode)
+    qFirstTouch, qStringAgg, qMode, qCohortLtv)
 }
