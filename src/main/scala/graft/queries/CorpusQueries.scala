@@ -560,8 +560,93 @@ object CorpusQueries {
     ORDER BY section, name
   """))
 
+  /** Boilerplate-span SCRUB — the transform q_boilerplate_spans only
+    * measures: every 8-token span occurring in ≥2 distinct docs marks
+    * its token range for removal, overlapping ranges union per doc
+    * (the q_interval_coverage gaps-and-islands merge on token
+    * positions), and each doc reports how much of it survives. This
+    * is the span-level dedup step (Lee et al. 2022 "Deduplicating
+    * Training Data...") between doc-level dedup and quality filters.
+    *
+    * Shape at 100 TB: span blocking is the same shuffle the span
+    * mining already pays (grams → groupBy); the interval merge is a
+    * doc-partitioned window over span STARTS (≤ tokens per doc);
+    * nothing global. All arithmetic on integer token positions. */
+  private val qSpanScrub = BoundQuery("q_span_scrub", (s, d) => {
+    val docs = graft.util.CacheScope.persist(
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), w => w =!= lit("")).as("w"))
+        .withColumn("n", size(col("w")).cast("long"))
+        .where(col("n") >= 8))
+    val grams = graft.util.CacheScope.persist(
+      docs.select(col("doc_id"),
+          posexplode(transform(sequence(lit(1), (col("n") - 7).cast("int")),
+            i => concat_ws(" ", slice(col("w"), i, lit(8))))).as(Seq("p", "g")))
+        .select(col("doc_id"), (col("p") + 1).cast("long").as("i"), col("g")))
+    val shared = grams.groupBy("g").agg(countDistinct(col("doc_id")).as("dc"))
+      .where(col("dc") >= 2).select("g")
+    val wDoc = Window.partitionBy("doc_id").orderBy("s")
+    val cov = grams.join(shared, "g")
+      .select(col("doc_id"), col("i").as("s"), (col("i") + 8).as("e"))
+      .withColumn("prev_max_e", max(col("e")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_e").isNull || col("prev_max_e") < col("s"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min(col("s")).as("is_"), max(col("e")).as("ie"))
+      .groupBy("doc_id").agg(sum(col("ie") - col("is_")).as("n_removed"))
+    docs.select(col("doc_id"), col("n").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        (col("n_tokens") - coalesce(col("n_removed"), lit(0L))).as("n_kept"))
+      .orderBy("doc_id")
+  }, Some("""
+    WITH docs AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents),
+    sized AS (
+      SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM docs
+      WHERE len(w) >= 8),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i,
+        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] AS g
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM sized)),
+    shared AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    cov AS (
+      SELECT doc_id, i AS s, i + 8 AS e FROM grams JOIN shared USING (g)),
+    flagged AS (
+      SELECT doc_id, s, e,
+        CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) < s
+             OR max(e) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        THEN 1 ELSE 0 END AS new_island
+      FROM cov),
+    islands AS (
+      SELECT doc_id, s, e,
+        sum(new_island) OVER (PARTITION BY doc_id ORDER BY s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged),
+    merged AS (
+      SELECT doc_id, island, min(s) AS is_, max(e) AS ie
+      FROM islands GROUP BY 1, 2),
+    rem AS (
+      SELECT doc_id, CAST(sum(ie - is_) AS BIGINT) AS n_removed
+      FROM merged GROUP BY 1)
+    SELECT sized.doc_id, n AS n_tokens,
+      COALESCE(n_removed, 0) AS n_removed,
+      n - COALESCE(n_removed, 0) AS n_kept
+    FROM sized LEFT JOIN rem ON sized.doc_id = rem.doc_id
+    ORDER BY sized.doc_id
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qStratifiedSample, qMixtureSample, qContamination,
       qRepetitionFilter, qBpeEncode, qBoilerplateSpans, qSourceOverlap,
-      qTokenBudget, qPmiCollocations, qCtfidf, qDatasetCard)
+      qTokenBudget, qPmiCollocations, qCtfidf, qDatasetCard, qSpanScrub)
 }
