@@ -764,10 +764,68 @@ object ExtraQueries2 {
     FROM ab
   """))
 
+  /** Gini coefficient + top-decile share of customer revenue — the
+    * inequality/concentration audit (Lorenz 1905, Gini 1912) run on
+    * marketplaces and token-budget allocations alike. Uses the exact
+    * rank-sum identity G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) over
+    * revenues sorted ascending — everything stays in integer cents /
+    * decimal(38,0) until a final integral division to exact ppm, so
+    * the output is engine-invariant with no float summation anywhere.
+    *
+    * Scale shape: the global ascending rank is Ranking.globalRowNumber
+    * (two-phase range-partition decomposition — no single-partition
+    * window); the rank-weighted products sum as decimal(38,0), whose
+    * partial sums are order-invariant (exact arithmetic), so the
+    * map-side-combined shuffle stays one round. Totals broadcast. */
+  private val qGini = BoundQuery("q_gini", (s, d) => {
+    val rev = Tables.orders(s, d).groupBy(col("o_custkey").as("ck"))
+      .agg(sum(cents(col("o_totalprice"))).as("rc"))
+    val tot = rev.agg(count(lit(1)).as("n"), sum(col("rc")).as("tsum"))
+    val ranked = graft.operators.Ranking
+      .globalRowNumber(rev, "i0", col("rc"), col("ck"))
+      .crossJoin(broadcast(tot))
+      .withColumn("i", col("i0") + 1)
+      .withColumn("k", col("n") - expr("n div 10"))
+    val agg = ranked.agg(
+      max(col("n")).as("n"), max(col("tsum")).as("tsum"),
+      sum((col("i") * col("rc")).cast("decimal(38,0)")).as("t_dec"),
+      sum(when(col("i") <= col("k"), col("rc")).otherwise(0L))
+        .as("bottom_sum"))
+    agg.select(
+      col("n").as("n_customers"), col("tsum").as("total_cents"),
+      expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) *
+                (2 * t_dec - (CAST(n AS DECIMAL(38,0)) + 1) * tsum))
+              DIV (CAST(n AS DECIMAL(38,0)) * tsum) AS BIGINT)""")
+        .as("gini_ppm"),
+      expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) *
+                (CAST(tsum AS DECIMAL(38,0)) - bottom_sum))
+              DIV CAST(tsum AS DECIMAL(38,0)) AS BIGINT)""")
+        .as("top10_share_ppm"))
+  }, Some("""
+    WITH rev AS (
+      SELECT o_custkey AS ck,
+             CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+               AS rc
+      FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT rc, row_number() OVER (ORDER BY rc, ck) AS i FROM rev),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(rc) AS BIGINT) AS tsum FROM rev)
+    SELECT n AS n_customers, tsum AS total_cents,
+      CAST((1000000 * (2 * sum(CAST(i AS HUGEINT) * rc)
+                       - (CAST(n AS HUGEINT) + 1) * tsum))
+           // (CAST(n AS HUGEINT) * tsum) AS BIGINT) AS gini_ppm,
+      CAST((1000000 * (CAST(tsum AS HUGEINT)
+                       - sum(CASE WHEN i <= n - n // 10
+                                  THEN rc ELSE 0 END)))
+           // CAST(tsum AS HUGEINT) AS BIGINT) AS top10_share_ppm
+    FROM ranked, tot GROUP BY n, tsum
+  """))
+
   val all: Seq[BoundQuery] = Seq(
     qPivot, qCube, qWindowSuite, qHashSample, qSemiPrune, qUpsert,
     qProfile, qRangeJoin, qApproxQuantiles, qKllQuantiles, qHistogram,
     qCorrelation, qDecile, qZorder, qPiiScrub, qBloomPrune, qEquiDepth,
     qChiSquare, qBottomkSample, qLinreg, qWeightedSample, qTableDiff,
-    qRobustStats, qRfm, qBenford, qAbTest)
+    qRobustStats, qRfm, qBenford, qAbTest, qGini)
 }

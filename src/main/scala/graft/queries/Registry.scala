@@ -655,7 +655,7 @@ object Registry {
       ExtraQueries2.all ++ TextQueries2.all ++ EventQueries.all ++
       GraphQueries.all ++ CorpusQueries.all ++ QualityQueries.all ++
       TemporalQueries.all ++ IndexQueries.all ++ DriftQueries.all ++
-      RetrievalQueries.all ++ MlQueries.all
+      RetrievalQueries.all ++ MlQueries.all ++ PackingQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allQueries.map(q => q.name -> q.run).toMap

@@ -237,6 +237,94 @@ object TemporalQueries {
     FROM direct ORDER BY grain, event_type, bucket
   """))
 
+  /** Kaplan–Meier survival over customer repeat-purchase gaps — the
+    * product-limit estimator (Kaplan & Meier 1958) every churn/LTV
+    * stack runs: an "event" is the next order arriving after `t` days,
+    * a customer's trailing gap (last order → corpus end date) is a
+    * right-censored observation. Output per event time t: the at-risk
+    * count n(t), events d(t), and the log survival curve
+    * S(t) = Σ_{t_i ≤ t} ln(1 − d_i/n_i) in micro-nats — the per-step
+    * log is rounded ONCE to an exact long (the q_bm25 convention) and
+    * accumulated in integer arithmetic, so both engines walk the same
+    * curve bit-for-bit; the rounded-exp display column derives from
+    * that exact long identically on both sides.
+    *
+    * Scale shape: gap extraction windows partition by customer (scales
+    * with one customer's history); the risk-set cumulation runs over
+    * the DISTINCT-gap histogram, whose domain is bounded by the
+    * calendar span in days (a constant ~2.4k, not a data-scaled set) —
+    * the quarantined bounded-input window contract (q_decile note).
+    * Rows with n(t) = d(t) (a curve hitting exact zero, where ln is
+    * undefined) are excluded on both sides by the same predicate. */
+  private val qSurvival = BoundQuery("q_survival", (s, d) => {
+    val o = Tables.orders(s, d).select(col("o_custkey").as("ck"),
+      to_date(col("o_orderdate")).as("dt"), col("o_orderkey").as("ok"))
+    val mx = o.agg(max(col("dt")).as("m"))
+    val w = Window.partitionBy("ck").orderBy("dt", "ok")
+    val durs = o.withColumn("nd", lead(col("dt"), 1).over(w))
+      .crossJoin(broadcast(mx))
+      .select(
+        when(col("nd").isNull, datediff(col("m"), col("dt")))
+          .otherwise(datediff(col("nd"), col("dt"))).cast("long").as("dur"),
+        when(col("nd").isNull, 0L).otherwise(1L).as("ev"))
+    val h = durs.groupBy("dur").agg(
+      count(lit(1)).as("m2"), sum(col("ev")).as("dv"))
+    val tot = durs.agg(count(lit(1)).as("n"))
+    val wd = Window.orderBy("dur") // bounded domain: distinct day-gaps
+    h.crossJoin(broadcast(tot))
+      .withColumn("n_risk", col("n") - coalesce(
+        sum(col("m2")).over(wd.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .where(col("dv") > 0 && col("n_risk") > col("dv"))
+      .withColumn("term_mn", round(
+        log((col("n_risk") - col("dv")).cast("double")
+          / col("n_risk").cast("double")) * 1e6, 0).cast("long"))
+      .withColumn("s_mn", sum(col("term_mn"))
+        .over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("dur").as("t_days"), col("n_risk"),
+        col("dv").as("d_events"), col("s_mn"),
+        round(exp(col("s_mn").cast("double") / 1e6), 6).as("survival"))
+      .orderBy("t_days")
+  }, Some("""
+    WITH o AS (
+      SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS dt,
+             o_orderkey AS ok FROM orders),
+    mx AS (SELECT max(dt) AS m FROM o),
+    nx AS (
+      SELECT ck, dt,
+             lead(dt) OVER (PARTITION BY ck ORDER BY dt, ok) AS nd
+      FROM o),
+    durs AS (
+      SELECT CASE WHEN nd IS NULL THEN date_diff('day', dt, (SELECT m FROM mx))
+                  ELSE date_diff('day', dt, nd) END AS dur,
+             CASE WHEN nd IS NULL THEN 0 ELSE 1 END AS ev
+      FROM nx),
+    h AS (SELECT dur, CAST(count(*) AS BIGINT) AS m2,
+                 CAST(sum(ev) AS BIGINT) AS dv
+          FROM durs GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM durs),
+    r AS (
+      SELECT dur, dv,
+             n - COALESCE(CAST(sum(m2) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+               0) AS n_risk
+      FROM h, tot),
+    k AS (
+      SELECT dur, dv, n_risk,
+        CAST(round(ln(CAST(n_risk - dv AS DOUBLE) / CAST(n_risk AS DOUBLE))
+          * 1e6, 0) AS BIGINT) AS term_mn
+      FROM r WHERE dv > 0 AND n_risk > dv),
+    c AS (
+      SELECT dur, dv, n_risk,
+        CAST(sum(term_mn) OVER (ORDER BY dur
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s_mn
+      FROM k)
+    SELECT CAST(dur AS BIGINT) AS t_days, n_risk, dv AS d_events, s_mn,
+           round(exp(CAST(s_mn AS DOUBLE) / 1e6), 6) AS survival
+    FROM c ORDER BY t_days
+  """))
+
   val all: Seq[BoundQuery] =
-    Seq(qScd2, qSeasonal, qBacktest, qTransitionMatrix, qGrainRollup)
+    Seq(qScd2, qSeasonal, qBacktest, qTransitionMatrix, qGrainRollup,
+      qSurvival)
 }

@@ -151,4 +151,25 @@ class ExplainSpec extends AnyFunSuite {
     val p = plan("q_lsh_cosine_arith")
     assert(p.contains("[tbl") && !p.contains("CartesianProduct"), p)
   }
+
+  test("seq_pack's global offset sum stays two-phase (no unpartitioned window)") {
+    val p = plan("q_seq_pack")
+    val bad = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && !l.contains("__pid")).toSeq
+    assert(bad.isEmpty, s"non-pid window in seq_pack plan: ${bad.mkString("\n")}")
+  }
+
+  test("dsir's 256-bucket model joins back by broadcast, never a shuffle") {
+    val p = plan("q_dsir")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("gini's global rank is two-phase and its totals broadcast") {
+    val p = plan("q_gini")
+    val bad = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && !l.contains("__pid")).toSeq
+    assert(bad.isEmpty, s"non-pid window in gini plan: ${bad.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

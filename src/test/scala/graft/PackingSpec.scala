@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.Registry
+
+/** Behavior specs for the round-4 packing/selection/stat additions
+  * (q_seq_pack, q_dsir, q_gini, q_survival) beyond the oracle gate.
+  */
+class PackingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("seq_pack tiles the token stream exactly: contiguous offsets, consistent chunk ids") {
+    val df = Registry.queries("q_seq_pack")(spark, sfTiny).cache()
+    try {
+      val n = df.count()
+      // offsets are a gapless tiling of [0, total): distinct starts,
+      // min 0, and total tokens == the largest end offset
+      val row = df.agg(
+        min(col("tok_start")).as("mn"),
+        countDistinct(col("tok_start")).as("nd"),
+        sum(col("n_tokens")).as("tot"),
+        max(col("tok_start") + col("n_tokens")).as("mxe"),
+        max(col("seq_last")).as("mxs")).head()
+      assert(row.getAs[Long]("mn") == 0L)
+      assert(row.getAs[Long]("nd") == n)
+      assert(row.getAs[Long]("tot") == row.getAs[Long]("mxe"))
+      // the last chunk id is exactly (total-1) div 512
+      assert(row.getAs[Long]("mxs") == (row.getAs[Long]("tot") - 1) / 512)
+      // per-doc chunk ids derive from the offsets alone
+      assert(df.where(col("seq_first") =!= expr("tok_start div 512")).count() == 0)
+      assert(df.where(col("n_tokens") > 0 &&
+        col("n_seqs") =!= col("seq_last") - col("seq_first") + 1).count() == 0)
+      // a doc never spans more chunks than its length allows
+      assert(df.where(col("n_seqs") > expr("n_tokens div 512") + 2).count() == 0)
+    } finally df.unpersist()
+  }
+
+  test("dsir scores the target stratum above the rest on average") {
+    val df = Registry.queries("q_dsir")(spark, sfTiny)
+      .join(graft.sources.Tables.documents(spark, sfTiny).select("doc_id", "lang"),
+        "doc_id").cache()
+    try {
+      // the estimator exists to up-weight target-like documents: mean
+      // importance of 'en' docs must exceed the non-target mean
+      val m = df.groupBy(col("lang") === "en")
+        .agg(avg(col("dsir_weight")).as("w"))
+        .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+      assert(m(true) > m(false),
+        s"en mean ${m(true)} must exceed non-en mean ${m(false)}")
+      // per-token normalization sanity: weights are finite
+      assert(df.where(col("dsir_weight").isNull || isnan(col("dsir_weight")))
+        .count() == 0)
+    } finally df.unpersist()
+  }
+
+  test("gini matches an exact local recompute and sits in its lawful range") {
+    val row = Registry.queries("q_gini")(spark, sfTiny).head()
+    val gini = row.getAs[Long]("gini_ppm")
+    val top10 = row.getAs[Long]("top10_share_ppm")
+    assert(gini >= 0L && gini < 1000000L)
+    // the top decile can never hold less than its proportional share
+    assert(top10 >= 100000L && top10 <= 1000000L)
+    // exact replay in BigInt from the raw table
+    val revs = graft.sources.Tables.orders(spark, sfTiny)
+      .groupBy("o_custkey")
+      .agg(sum(graft.functions.Num.cents(col("o_totalprice"))).as("rc"))
+      .select("o_custkey", "rc").collect()
+      .map(r => (r.getLong(1), r.getLong(0))).sorted
+    val n = BigInt(revs.length)
+    val s = revs.map(r => BigInt(r._1)).sum
+    val t = revs.zipWithIndex.map { case ((rc, _), i0) =>
+      BigInt(i0 + 1) * rc }.sum
+    val expGini = (BigInt(1000000) * (2 * t - (n + 1) * s)) / (n * s)
+    assert(BigInt(gini) == expGini, s"gini $gini != exact $expGini")
+    val k = revs.length - revs.length / 10
+    val bottom = revs.take(k).map(r => BigInt(r._1)).sum
+    val expTop = (BigInt(1000000) * (s - bottom)) / s
+    assert(BigInt(top10) == expTop)
+  }
+
+  test("survival curve is a lawful KM estimate: monotone, risk-set consistent") {
+    val rows = Registry.queries("q_survival")(spark, sfTiny)
+      .orderBy("t_days").collect()
+    assert(rows.nonEmpty)
+    // n_risk strictly decreases in t (each step removes at least its
+    // own events); the log-survival never rises
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_risk") < a.getAs[Long]("n_risk"))
+      assert(b.getAs[Long]("s_mn") <= a.getAs[Long]("s_mn"))
+    case _ => ()
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("d_events") >= 1L)
+      assert(r.getAs[Long]("n_risk") > r.getAs[Long]("d_events"))
+      val surv = r.getAs[Double]("survival")
+      assert(surv > 0.0 && surv <= 1.0)
+    }
+    // the first risk set is every observation with duration >= t1:
+    // exactly total observations minus the shorter-gap mass
+    val o = graft.sources.Tables.orders(spark, sfTiny)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("dt"))
+    val totalObs = o.count() // one gap-or-censor row per order
+    val t1 = rows.head.getAs[Long]("t_days")
+    assert(rows.head.getAs[Long]("n_risk") <= totalObs)
+    assert(t1 >= 0L)
+  }
+}
