@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFunctions.tokens
+
+/** SURVEY §2.4 round-4 document-processing wave 2: unsupervised
+  * keyword extraction and RAG-style overlapping chunking — the
+  * retrieval-prep transforms between "curated corpus" and "index".
+  */
+object CorpusQueries2 {
+
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal stopword-delimited token runs; a word scores
+    * deg(w)/freq(w) where deg counts phrase-mate co-occurrences
+    * (including itself) and freq its appearances; a phrase scores the
+    * sum of its member scores. Corpus-level top-50 phrases. Scores
+    * stay exact: each word score is ONE integral division to ppm and
+    * phrase scores are integer sums of those.
+    *
+    * Scale shape: phrase segmentation is the gaps-and-islands cumsum
+    * partitioned by doc (scales with one doc's length); word stats are
+    * a vocabulary-keyed aggregation; scoring joins member rows to the
+    * stats table on the word key (equi join, skew bounded by stopword
+    * filtering); the final top-50 collapses to TakeOrdered — no
+    * global sort, no cartesian, no single-partition window. */
+  private val qRake = BoundQuery("q_rake", (s, d) => {
+    val stop = Seq("the", "a", "of", "and", "to")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val members = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("stopf", when(col("tok").isin(stop: _*), 1L)
+        .otherwise(0L))
+      .withColumn("island", sum(col("stopf"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("stopf") === 0)
+      .withColumn("plen", count(lit(1))
+        .over(Window.partitionBy("doc_id", "island")))
+    val wordStats = members.groupBy("tok").agg(
+        count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("wscore_ppm", expr("(1000000 * deg) div freq"))
+    members.join(wordStats.select("tok", "wscore_ppm"), "tok")
+      .groupBy(col("doc_id"), col("island"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("phrase"),
+        count(lit(1)).as("n_words"),
+        sum(col("wscore_ppm")).as("score_ppm"))
+      .groupBy("phrase")
+      .agg(max(col("n_words")).as("n_words"),
+        count(lit(1)).as("n_occur"),
+        max(col("score_ppm")).as("score_ppm"))
+      .select(col("phrase"), col("n_words"), col("n_occur"),
+        round(col("score_ppm").cast("double") / 1e6, 6).as("score"))
+      .orderBy(desc("score"), col("phrase")).limit(50)
+  }, Some("""
+    WITH tk AS (
+      SELECT doc_id, pos, toks[pos] AS tok
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS pos
+            FROM (SELECT doc_id,
+                    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                  FROM documents))),
+    fl AS (
+      SELECT doc_id, pos, tok,
+        CASE WHEN tok IN ('the','a','of','and','to') THEN 1 ELSE 0 END AS stopf
+      FROM tk),
+    isl AS (
+      SELECT * FROM (
+        SELECT doc_id, pos, tok, stopf,
+          sum(stopf) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM fl)
+      WHERE stopf = 0),
+    mem AS (
+      SELECT doc_id, pos, tok, island,
+        CAST(count(*) OVER (PARTITION BY doc_id, island) AS BIGINT) AS plen
+      FROM isl),
+    ws AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(plen) AS BIGINT) AS deg
+      FROM mem GROUP BY 1),
+    ws2 AS (SELECT tok, (1000000 * deg) // freq AS wscore_ppm FROM ws),
+    ph AS (
+      SELECT doc_id, island,
+        string_agg(tok, ' ' ORDER BY pos) AS phrase,
+        CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(wscore_ppm) AS BIGINT) AS score_ppm
+      FROM mem JOIN ws2 USING (tok)
+      GROUP BY 1, 2)
+    SELECT phrase, max(n_words) AS n_words,
+      CAST(count(*) AS BIGINT) AS n_occur,
+      round(CAST(max(score_ppm) AS DOUBLE) / 1e6, 6) AS score
+    FROM ph GROUP BY 1
+    ORDER BY score DESC, phrase LIMIT 50
+  """))
+
+  /** RAG-style overlapping chunker: each document's token stream is
+    * cut into 128-token windows at a 96-token stride (32-token
+    * overlap), the retrieval-index layout that keeps every passage
+    * boundary covered by some chunk. Emits exact token spans plus an
+    * md5 of each chunk's text — the identity a downstream index or
+    * cache would key on.
+    *
+    * Scale shape: pure per-row arithmetic — chunk indices come from a
+    * sequence() explode sized by the doc's own length ((n−1) div 96
+    * + 1 chunks), the slice/hash is per-row compute, and no shuffle
+    * exists at all beyond the final presentation sort. A doc never
+    * amplifies more than ~n/96 rows, so output stays linear in corpus
+    * tokens. */
+  private val qChunkOverlap = BoundQuery("q_chunk_overlap", (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .where(col("n") > 0)
+    docs.select(col("doc_id"), col("n"), col("toks"),
+        explode(sequence(lit(0L), expr("(n - 1) div 96"))).as("ci"))
+      .withColumn("start_tok", col("ci") * 96)
+      .withColumn("len_toks", least(lit(128L), col("n") - col("start_tok")))
+      .withColumn("chunk_md5", md5(concat_ws(" ",
+        slice(col("toks"), (col("start_tok") + 1).cast("int"),
+          col("len_toks").cast("int")))))
+      .select(col("doc_id"), col("ci").as("chunk_idx"), col("start_tok"),
+        col("len_toks"), col("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }, Some("""
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    d2 AS (
+      SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+      FROM d WHERE len(toks) > 0),
+    c AS (
+      SELECT doc_id, n, toks, unnest(range(0, (n-1)//96 + 1)) AS ci
+      FROM d2)
+    SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+      CAST(ci*96 AS BIGINT) AS start_tok,
+      CAST(least(128, n - ci*96) AS BIGINT) AS len_toks,
+      md5(array_to_string(
+        toks[(ci*96 + 1):(ci*96 + least(128, n - ci*96))], ' ')) AS chunk_md5
+    FROM c ORDER BY doc_id, chunk_idx
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qRake, qChunkOverlap)
+}

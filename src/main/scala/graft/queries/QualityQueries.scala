@@ -444,7 +444,56 @@ object QualityQueries {
     FROM st GROUP BY event_type ORDER BY event_type
   """))
 
+  /** Shuffle-skew audit — the pre-flight check for the exact failure
+    * mode this engine's salting/AQE machinery exists to absorb:
+    * simulate hash-partitioning the event log on its join key
+    * (user_id) into 32 buckets with the corpus's replayable arithmetic
+    * fingerprint, and report each bucket's predicted task load, key
+    * count, and heaviest resident key, plus its load relative to the
+    * perfectly-balanced average in exact ppm (decimal(38,0) integral
+    * division — no float, valid at any row count). A bucket showing
+    * load_x_avg_ppm ≫ 1e6 is the straggler task a 1000-executor
+    * shuffle would stall on; the heaviest-key column says whether
+    * salting the one key fixes it or the bucket is just unlucky.
+    *
+    * Scale shape: one keyed aggregation (user_id), one 32-group
+    * reaggregation, one broadcast of the 1-row total — the audit
+    * costs a single map-side-combined pass over the log. */
+  private val qSkewAudit = BoundQuery("q_skew_audit", (s, d) => {
+    val keyCnt = Tables.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket", pmod(
+        graft.functions.TextFunctions.rollingFingerprint(
+          col("user_id").cast("string")), lit(32L)))
+    val tot = keyCnt.agg(sum(col("cnt")).as("total"))
+    keyCnt.groupBy("bucket")
+      .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("load"),
+        max(col("cnt")).as("max_key_cnt"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_keys"), col("load"), col("max_key_cnt"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * load * 32)
+                DIV CAST(total AS DECIMAL(38,0)) AS BIGINT)""")
+          .as("load_x_avg_ppm"))
+      .orderBy("bucket")
+  }, Some("""
+    WITH kc AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, len(CAST(user_id AS VARCHAR)) + 1),
+            i -> CAST(ascii(substring(CAST(user_id AS VARCHAR), i, 1)) AS BIGINT))),
+          (a, c) -> (a*31 + c) % 1000000007) % 32 AS bucket
+      FROM events GROUP BY 1),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM kc)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+      CAST(count(*) AS BIGINT) AS n_keys,
+      CAST(sum(cnt) AS BIGINT) AS load,
+      CAST(max(cnt) AS BIGINT) AS max_key_cnt,
+      CAST((1000000 * CAST(sum(cnt) AS HUGEINT) * 32)
+           // CAST(total AS HUGEINT) AS BIGINT) AS load_x_avg_ppm
+    FROM kc, tot GROUP BY bucket, total ORDER BY bucket
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qDqChecks, qAnomaly, qSeqMining, qHllUnion, qHllSliding, qTrending,
-      qKmvJaccard, qWinsorize, qCusum)
+      qKmvJaccard, qWinsorize, qCusum, qSkewAudit)
 }

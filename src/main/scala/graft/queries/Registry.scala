@@ -655,7 +655,8 @@ object Registry {
       ExtraQueries2.all ++ TextQueries2.all ++ EventQueries.all ++
       GraphQueries.all ++ CorpusQueries.all ++ QualityQueries.all ++
       TemporalQueries.all ++ IndexQueries.all ++ DriftQueries.all ++
-      RetrievalQueries.all ++ MlQueries.all ++ PackingQueries.all
+      RetrievalQueries.all ++ MlQueries.all ++ PackingQueries.all ++
+      CorpusQueries2.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allQueries.map(q => q.name -> q.run).toMap

@@ -152,6 +152,24 @@ class ExplainSpec extends AnyFunSuite {
     assert(p.contains("[tbl") && !p.contains("CartesianProduct"), p)
   }
 
+  test("rake's top-50 collapses to TakeOrdered; scoring joins stay keyed") {
+    val p = plan("q_rake")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("chunker is join-free, window-free per-row compute") {
+    val p = plan("q_chunk_overlap")
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("skew audit is one keyed pass + a broadcast total") {
+    val p = plan("q_skew_audit")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
   test("seq_pack's global offset sum stays two-phase (no unpartitioned window)") {
     val p = plan("q_seq_pack")
     val bad = p.linesIterator.filter(l =>

@@ -79,6 +79,62 @@ class PackingSpec extends AnyFunSuite {
     assert(BigInt(top10) == expTop)
   }
 
+  test("rake phrases are stopword-free and emitted in score order") {
+    val rows = Registry.queries("q_rake")(spark, sfTiny).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val stop = Set("the", "a", "of", "and", "to")
+    rows.foreach { r =>
+      val words = r.getAs[String]("phrase").split(" ")
+      assert(words.nonEmpty && words.forall(w => !stop.contains(w)),
+        s"stopword inside phrase '${r.getAs[String]("phrase")}'")
+      assert(r.getAs[Long]("n_words") == words.length)
+      assert(r.getAs[Long]("n_occur") >= 1L)
+      assert(r.getAs[Double]("score") > 0.0)
+    }
+    rows.sliding(2).foreach {
+      case Array(hi, lo) =>
+        assert(hi.getAs[Double]("score") >= lo.getAs[Double]("score"))
+      case _ => ()
+    }
+  }
+
+  test("chunker tiles every doc: stride-96 starts, full coverage, 128-cap") {
+    val df = Registry.queries("q_chunk_overlap")(spark, sfTiny).cache()
+    try {
+      assert(df.where(col("start_tok") =!= col("chunk_idx") * 96).count() == 0)
+      assert(df.where(col("len_toks") < 1 || col("len_toks") > 128).count() == 0)
+      // per doc: chunk ids are 0..(n-1)/96 and the last chunk ends at n
+      val docs = graft.sources.Tables.documents(spark, sfTiny)
+        .select(col("doc_id"),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long").as("n"))
+        .where(col("n") > 0)
+      val per = df.groupBy("doc_id").agg(
+        count(lit(1)).as("chunks"), max(col("chunk_idx")).as("mx"),
+        max(col("start_tok") + col("len_toks")).as("end"))
+        .join(docs, "doc_id")
+      assert(per.where(col("chunks") =!= expr("(n - 1) div 96") + 1).count() == 0)
+      assert(per.where(col("mx") =!= col("chunks") - 1).count() == 0)
+      assert(per.where(col("end") =!= col("n")).count() == 0)
+    } finally df.unpersist()
+  }
+
+  test("skew audit conserves mass and brackets the balanced load") {
+    val rows = Registry.queries("q_skew_audit")(spark, sfTiny).collect()
+    assert(rows.forall { r =>
+      val b = r.getAs[Long]("bucket"); b >= 0 && b < 32 })
+    val events = graft.sources.Tables.events(spark, sfTiny)
+    assert(rows.map(_.getAs[Long]("load")).sum == events.count())
+    assert(rows.map(_.getAs[Long]("n_keys")).sum ==
+      events.select("user_id").distinct().count())
+    rows.foreach(r =>
+      assert(r.getAs[Long]("max_key_cnt") <= r.getAs[Long]("load")))
+    // the heaviest bucket always sits at/above the balanced 1e6 ppm
+    // (max over 32 buckets >= their mean, empty buckets included)
+    val ppm = rows.map(_.getAs[Long]("load_x_avg_ppm"))
+    assert(ppm.max >= 1000000L && ppm.min >= 0L)
+  }
+
   test("survival curve is a lawful KM estimate: monotone, risk-set consistent") {
     val rows = Registry.queries("q_survival")(spark, sfTiny)
       .orderBy("t_days").collect()
