@@ -142,5 +142,47 @@ object CorpusQueries2 {
     FROM c ORDER BY doc_id, chunk_idx
   """))
 
-  val all: Seq[BoundQuery] = Seq(qRake, qChunkOverlap)
+  /** Tokenizer-vocabulary coverage: fix the vocabulary to the corpus
+    * top-20 tokens (frequency, lexicographic tiebreak) and report each
+    * source's out-of-vocabulary token rate in exact ppm — the
+    * coverage/OOV audit run before committing to a tokenizer, telling
+    * you which source a fixed vocab underserves.
+    *
+    * Scale shape: vocab selection is a vocabulary-keyed aggregation
+    * collapsed by TakeOrdered (top-V, never a global sort); the
+    * small vocab broadcasts back over the token stream; per-source
+    * rates are one map-side-combined aggregation. At a real 100 TB
+    * corpus V grows to ~1e5 — still broadcast-sized. */
+  private val qOov = BoundQuery("q_oov", (s, d) => {
+    val tf = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+    val vocab = tf.groupBy("tok").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("tok")).limit(20)
+      .select(col("tok"), lit(1L).as("inv"))
+    tf.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        expr("(1000000 * n_oov) div n_tokens").as("oov_ppm"))
+      .orderBy("source")
+  }, Some("""
+    WITH tf AS (
+      SELECT source,
+        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM documents),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS freq FROM tf GROUP BY 1)
+      ORDER BY freq DESC, tok LIMIT 20)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+      CAST(sum(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_oov,
+      CAST((1000000 * sum(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END))
+           // count(*) AS BIGINT) AS oov_ppm
+    FROM tf LEFT JOIN vocab ON tf.tok = vocab.tok
+    GROUP BY source ORDER BY source
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qRake, qChunkOverlap, qOov)
 }

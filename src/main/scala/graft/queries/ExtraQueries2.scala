@@ -822,10 +822,71 @@ object ExtraQueries2 {
     FROM ranked, tot GROUP BY n, tsum
   """))
 
+  /** Poisson bootstrap (Chamandy et al. 2012, "Estimating uncertainty
+    * for massive data streams" — Google's one-pass bootstrap): 64
+    * resample replicas of the mean order value, where each row's
+    * multiplicity in replica r is an independent ~Poisson(1) draw
+    * derived from the corpus's replayable arithmetic fingerprint of
+    * (orderkey, r) through an exact inverse-CDF table in ppm
+    * (truncated at 4 copies — cum pmf 367879/735759/919699/981012;
+    * the ~1.9% tail maps to 4, a <0.5% mean-weight bias, disclosed).
+    * The spread of the 64 replica means IS the sampling distribution
+    * of the estimator — a CI without ever materializing a resample.
+    *
+    * Scale shape: THE reason this bootstrap exists — one pass, no
+    * per-resample shuffle of the data: rows explode ×64 map-side,
+    * combine collapses each task to 64 partial sums, and the only
+    * shuffle is 64 groups wide regardless of data size. Weighted sums
+    * stay in exact long cents; each replica mean is one final double
+    * division of two longs. */
+  private val qBootstrap = BoundQuery("q_bootstrap", (s, d) => {
+    val reps = Tables.orders(s, d)
+      .select(col("o_orderkey").as("ok"), cents(col("o_totalprice")).as("vc"))
+      .select(col("ok"), col("vc"),
+        explode(sequence(lit(0L), lit(63L))).as("r"))
+      .withColumn("u6", pmod(graft.functions.TextFunctions.rollingFingerprint(
+        concat_ws("|", col("ok"), col("r"))), lit(1000000L)))
+      .withColumn("w", when(col("u6") < 367879L, 0L)
+        .when(col("u6") < 735759L, 1L).when(col("u6") < 919699L, 2L)
+        .when(col("u6") < 981012L, 3L).otherwise(4L))
+    reps.groupBy("r")
+      .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("vc")).as("sum_c"))
+      .select(col("r").as("replica"), col("n_eff"),
+        round(col("sum_c").cast("double") / col("n_eff").cast("double")
+          / 100.0, 6).as("mean_value"))
+      .orderBy("replica")
+  }, Some("""
+    WITH reps AS (
+      SELECT o_orderkey AS ok,
+        CAST(round(o_totalprice*100,0) AS BIGINT) AS vc,
+        unnest(range(0, 64)) AS r
+      FROM orders),
+    h AS (
+      SELECT r, vc,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, len(CAST(ok AS VARCHAR) || '|'
+              || CAST(r AS VARCHAR)) + 1),
+            i -> CAST(ascii(substring(CAST(ok AS VARCHAR) || '|'
+              || CAST(r AS VARCHAR), i, 1)) AS BIGINT))),
+          (a, c) -> (a*31 + c) % 1000000007) % 1000000 AS u6
+      FROM reps),
+    w8 AS (
+      SELECT r, vc,
+        CASE WHEN u6 < 367879 THEN 0 WHEN u6 < 735759 THEN 1
+             WHEN u6 < 919699 THEN 2 WHEN u6 < 981012 THEN 3
+             ELSE 4 END AS w
+      FROM h)
+    SELECT CAST(r AS BIGINT) AS replica,
+      CAST(sum(w) AS BIGINT) AS n_eff,
+      round(CAST(sum(w * vc) AS DOUBLE) / CAST(sum(w) AS DOUBLE) / 100.0, 6)
+        AS mean_value
+    FROM w8 GROUP BY r ORDER BY replica
+  """))
+
   val all: Seq[BoundQuery] = Seq(
     qPivot, qCube, qWindowSuite, qHashSample, qSemiPrune, qUpsert,
     qProfile, qRangeJoin, qApproxQuantiles, qKllQuantiles, qHistogram,
     qCorrelation, qDecile, qZorder, qPiiScrub, qBloomPrune, qEquiDepth,
     qChiSquare, qBottomkSample, qLinreg, qWeightedSample, qTableDiff,
-    qRobustStats, qRfm, qBenford, qAbTest, qGini)
+    qRobustStats, qRfm, qBenford, qAbTest, qGini, qBootstrap)
 }

@@ -603,9 +603,76 @@ object VectorQueries {
     ORDER BY cluster
   """))
 
+  /** Matryoshka-style truncation eval (Kusupati et al. 2022): how much
+    * retrieval quality survives keeping only the first 8/16/32 of the
+    * 64 embedding dims? For each prefix width, the exact top-10 by
+    * prefix-normalized cosine is compared against the full-dim top-10
+    * truth, per query — the audit behind every "shrink the index,
+    * probe cheap, rerank exact" deployment. Both rankings and the
+    * truth are engine-replicable (same round-to-6 + id-tiebreak
+    * contract as q_ann_topk, which carries a full oracle), so the
+    * recall numbers are engine-proven, not self-graded.
+    *
+    * Scale shape: three prefix-width passes of the broadcast-queries ×
+    * collection linear scan (the q_ann_topk shape — the handful of
+    * query rows broadcast, never the collection), group-limited top-k,
+    * then a keyed join against truth. Cost is 3 linear scans of
+    * PREFIX dims (8+16+32 < 64 — cheaper than one full-dim pass). */
+  private val qMrlEval = BoundQuery("q_mrl_eval", (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val q = e.where(col("vec_id") < 5)
+    val truth = Similarity.bruteForceTopK(e, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"), k = 10)
+      .select(col("query_id"), col("id"), lit(1L).as("hit"))
+    val preds = Seq(8, 16, 32).map { m =>
+      Similarity.bruteForceTopK(
+        e.select(col("vec_id"), slice(col("embedding"), 1, m).as("emb")),
+        col("vec_id"), col("emb"),
+        q.select(col("vec_id"), slice(col("embedding"), 1, m).as("emb")),
+        col("vec_id"), col("emb"), k = 10)
+        .select(lit(m.toLong).as("m"), col("query_id"), col("id"))
+    }.reduce(_ unionByName _)
+    preds.join(truth, Seq("query_id", "id"), "left")
+      .groupBy("m", "query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .withColumn("recall_ppm", col("hits") * 100000L)
+      .orderBy("m", "query_id")
+  }, Some {
+    def top(m: Int, tag: String) = s"""
+    e$tag AS (SELECT vec_id, embedding,
+      sqrt(list_reduce(list_transform(embedding[1:$m],
+        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
+      FROM embeddings),
+    s$tag AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS id,
+        round(list_reduce(list_transform(range(1, ${m + 1}),
+          i -> CAST(a.embedding[i] AS DOUBLE)/a.nrm
+               * (CAST(q.embedding[i] AS DOUBLE)/q.nrm)), (x, y) -> x + y),
+          6) AS cosine
+      FROM e$tag a JOIN e$tag q ON q.vec_id < 5 AND a.vec_id <> q.vec_id),
+    r$tag AS (
+      SELECT query_id, id FROM (
+        SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, id) AS rnk FROM s$tag)
+      WHERE rnk <= 10)"""
+    s"""
+    WITH ${top(64, "t")}, ${top(8, "a8")}, ${top(16, "a16")}, ${top(32, "a32")},
+    pred AS (
+      SELECT 8 AS m, query_id, id FROM ra8
+      UNION ALL SELECT 16, query_id, id FROM ra16
+      UNION ALL SELECT 32, query_id, id FROM ra32)
+    SELECT CAST(m AS BIGINT) AS m, pred.query_id AS query_id,
+      CAST(sum(CASE WHEN t.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+      CAST(sum(CASE WHEN t.id IS NOT NULL THEN 1 ELSE 0 END) * 100000
+        AS BIGINT) AS recall_ppm
+    FROM pred LEFT JOIN rt t ON t.query_id = pred.query_id AND t.id = pred.id
+    GROUP BY m, pred.query_id ORDER BY m, query_id
+  """
+  })
+
   val all: Seq[BoundQuery] = Seq(
     qEmbeddingNeardup, qLshCosinePairs, qLshCosineArith, qAnnTopk, qKnnGraph, qKnnGraphLsh,
     qAnnIvf, qAnnIvfTrained,
     qPqTopk, qIvfPq, qPca, qKmeans, qAssociationRules, qFrequentPairs,
-    qLabelMargins, qAnnEval, qSemDedup)
+    qLabelMargins, qAnnEval, qSemDedup, qMrlEval)
 }

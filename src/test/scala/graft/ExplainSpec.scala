@@ -170,6 +170,26 @@ class ExplainSpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition"), p)
   }
 
+  test("oov: vocab selection collapses to TakeOrdered and broadcasts back") {
+    val p = plan("q_oov")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("poisson bootstrap is join-free, window-free, one 64-group shuffle") {
+    val p = plan("q_bootstrap")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+  }
+
+  test("mrl eval: queries broadcast against the collection, top-k group-limits") {
+    val p = plan("q_mrl_eval")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("seq_pack's global offset sum stays two-phase (no unpartitioned window)") {
     val p = plan("q_seq_pack")
     val bad = p.linesIterator.filter(l =>

@@ -135,6 +135,54 @@ class PackingSpec extends AnyFunSuite {
     assert(ppm.max >= 1000000L && ppm.min >= 0L)
   }
 
+  test("mrl eval: hits bounded by k and wider prefixes never hurt on average") {
+    val rows = Registry.queries("q_mrl_eval")(spark, sfTiny).collect()
+    assert(rows.length == 15) // 3 widths x 5 queries
+    rows.foreach { r =>
+      val h = r.getAs[Long]("hits")
+      assert(h >= 0L && h <= 10L)
+      assert(r.getAs[Long]("recall_ppm") == h * 100000L)
+    }
+    val avg = rows.groupBy(_.getAs[Long]("m"))
+      .map { case (m, rs) => m -> rs.map(_.getAs[Long]("hits")).sum }
+    // Matryoshka premise: more dims, no worse aggregate recall
+    assert(avg(32L) >= avg(8L),
+      s"32-dim total recall ${avg(32L)} below 8-dim ${avg(8L)}")
+  }
+
+  test("oov conserves token mass and the vocab actually covers the head") {
+    val df = Registry.queries("q_oov")(spark, sfTiny).cache()
+    try {
+      val total = graft.sources.Tables.documents(spark, sfTiny)
+        .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("t")).count()
+      assert(df.agg(sum(col("n_tokens"))).head().getLong(0) == total)
+      assert(df.where(col("n_oov") > col("n_tokens")).count() == 0)
+      assert(df.where(col("oov_ppm") < 0 || col("oov_ppm") > 1000000L)
+        .count() == 0)
+      // a 20-word vocab over this corpus must cover most of the stream
+      val oov = df.agg(sum(col("n_oov"))).head().getLong(0)
+      assert(oov * 2 < total, s"oov $oov should be a minority of $total")
+    } finally df.unpersist()
+  }
+
+  test("poisson bootstrap replicas bracket the true mean with lawful weights") {
+    val rows = Registry.queries("q_bootstrap")(spark, sfTiny).collect()
+    assert(rows.length == 64)
+    val orders = graft.sources.Tables.orders(spark, sfTiny)
+    val n = orders.count()
+    val trueMean = orders
+      .agg(sum(graft.functions.Num.cents(col("o_totalprice")))).head()
+      .getLong(0).toDouble / n / 100.0
+    val means = rows.map(_.getAs[Double]("mean_value"))
+    // 64 replicas straddle the point estimate
+    assert(means.min <= trueMean && trueMean <= means.max,
+      s"true mean $trueMean outside [${means.min}, ${means.max}]")
+    // Poisson(1) multiplicities: each replica's effective n near n
+    rows.map(_.getAs[Long]("n_eff")).foreach(ne =>
+      assert(ne > n / 2 && ne < n * 2, s"n_eff $ne far from $n"))
+  }
+
   test("survival curve is a lawful KM estimate: monotone, risk-set consistent") {
     val rows = Registry.queries("q_survival")(spark, sfTiny)
       .orderBy("t_days").collect()
