@@ -883,10 +883,87 @@ object ExtraQueries2 {
     FROM w8 GROUP BY r ORDER BY replica
   """))
 
+  /** Two-sample Kolmogorov–Smirnov statistic between the hash-split
+    * cohorts (q_ab_test's md5 halves) over purchase values — the
+    * distribution-level companion to the mean-level Welch test: KS
+    * sees shape drift (variance, tails, bimodality) a t-test is blind
+    * to. D = max_v |F_A(v) − F_B(v)| computed exactly: per-value
+    * cohort counts, cumulated, then the cross-multiplied integer
+    * |cumA·n_B − cumB·n_A| — no float CDFs anywhere; the statistic
+    * emerges from ONE integral division to ppm, with the (smallest)
+    * value attaining the supremum reported alongside.
+    *
+    * Scale shape: value-keyed count aggregation, then BOTH cumulative
+    * sums run through Ranking.globalCumSum's two-phase decomposition
+    * (range partitions + offset join) — no single-partition window
+    * over the distinct-value set, which IS data-scaled (unlike the
+    * bounded calendar domains quarantined elsewhere). The final
+    * argmax is one tiny all-reduce. */
+  private val qKsTest = BoundQuery("q_ks_test", (s, d) => {
+    val vals = Tables.events(s, d)
+      .where(col("event_type") === "purchase")
+      .withColumn("grp",
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+          .otherwise("B"))
+      .select(col("grp"), cents(col("value")).as("v"))
+    val perValue = vals.groupBy("v").agg(
+      sum(when(col("grp") === "A", 1L).otherwise(0L)).as("ca"),
+      sum(when(col("grp") === "B", 1L).otherwise(0L)).as("cb"))
+    val cum = graft.operators.Ranking.globalCumSum(
+      graft.operators.Ranking.globalCumSum(perValue, col("ca"), "cuma", col("v")),
+      col("cb"), "cumb", col("v"))
+    val tot = vals.groupBy().agg(
+      sum(when(col("grp") === "A", 1L).otherwise(0L)).as("na"),
+      sum(when(col("grp") === "B", 1L).otherwise(0L)).as("nb"))
+    val dd = cum.crossJoin(broadcast(tot))
+      .withColumn("dscaled", abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+    val mx = dd.agg(max(col("dscaled")).as("m"))
+    dd.crossJoin(broadcast(mx)).where(col("dscaled") === col("m"))
+      .groupBy(col("na"), col("nb"), col("m"))
+      .agg(min(col("v")).as("at_value_cents"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * m)
+                DIV (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)""")
+          .as("ks_ppm"),
+        col("at_value_cents"))
+  }, Some("""
+    WITH vals AS (
+      SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS grp,
+             CAST(round(value*100,0) AS BIGINT) AS v
+      FROM events WHERE event_type = 'purchase'),
+    pv AS (
+      SELECT v,
+        CAST(sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        CAST(sum(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM vals GROUP BY 1),
+    cum AS (
+      SELECT v,
+        CAST(sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+          AND CURRENT ROW) AS BIGINT) AS cuma,
+        CAST(sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+          AND CURRENT ROW) AS BIGINT) AS cumb
+      FROM pv),
+    tot AS (
+      SELECT CAST(sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM vals),
+    dd AS (
+      SELECT v, abs(cuma * nb - cumb * na) AS dscaled, na, nb
+      FROM cum, tot),
+    mx AS (SELECT max(dscaled) AS m FROM dd)
+    SELECT na AS n_a, nb AS n_b,
+      CAST((1000000 * CAST(m AS HUGEINT))
+           // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS ks_ppm,
+      min(v) AS at_value_cents
+    FROM dd, mx WHERE dscaled = m
+    GROUP BY na, nb, m
+  """))
+
   val all: Seq[BoundQuery] = Seq(
     qPivot, qCube, qWindowSuite, qHashSample, qSemiPrune, qUpsert,
     qProfile, qRangeJoin, qApproxQuantiles, qKllQuantiles, qHistogram,
     qCorrelation, qDecile, qZorder, qPiiScrub, qBloomPrune, qEquiDepth,
     qChiSquare, qBottomkSample, qLinreg, qWeightedSample, qTableDiff,
-    qRobustStats, qRfm, qBenford, qAbTest, qGini, qBootstrap)
+    qRobustStats, qRfm, qBenford, qAbTest, qGini, qBootstrap, qKsTest)
 }

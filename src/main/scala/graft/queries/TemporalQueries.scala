@@ -324,7 +324,75 @@ object TemporalQueries {
     FROM c ORDER BY t_days
   """))
 
+  /** Holt double-exponential smoothing (Holt 1957) of each event
+    * type's daily volume: level α=0.3, trend β=0.2, initialized at the
+    * first observation, plus the 7-day-ahead linear forecast — the
+    * trend-aware upgrade of q_ewma's simple smoothing and the other
+    * classical member of the q_seasonal/q_backtest forecasting family.
+    * The recurrence is inherently ordered: Spark runs a pinned
+    * `aggregate` fold over the sorted daily series; the oracle replays
+    * it as a recursive CTE stepping t→t+1 — NOT a list_reduce struct
+    * fold, because DuckDB evaluates struct_pack lambda fields
+    * sequentially against an in-place-updated accumulator (field b
+    * would see the already-updated l), a divergence this query's
+    * first draft measured. The CTE's per-step rows are immutable, so
+    * every float op matches the Spark fold term-for-term.
+    *
+    * Scale shape: folds partition by event type and run over DAILY
+    * aggregates, so each list is bounded by the calendar span
+    * (~2.4k entries max — a constant, not data-scaled); the heavy
+    * lifting is the map-side-combined daily count aggregation. */
+  private val qHolt = BoundQuery("q_holt", (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("seq"))
+      .select(col("event_type"), size(col("seq")).cast("long").as("n_days"),
+        aggregate(col("seq"),
+          struct(lit(0.0).as("l"), lit(0.0).as("b"), lit(0L).as("i")),
+          (acc, e) => {
+            val x = e("x")
+            val l1 = when(acc("i") === 0L, x)
+              .otherwise(lit(0.3) * x + lit(0.7) * (acc("l") + acc("b")))
+            val b1 = when(acc("i") === 0L, lit(0.0))
+              .otherwise(lit(0.2) * (l1 - acc("l")) + lit(0.8) * acc("b"))
+            struct(l1.as("l"), b1.as("b"), (acc("i") + 1L).as("i"))
+          }).as("st"))
+      .select(col("event_type"), col("n_days"),
+        round(col("st.l"), 6).as("level"),
+        round(col("st.b"), 6).as("trend"),
+        round(col("st.l") + lit(7.0) * col("st.b"), 6).as("forecast_7d"))
+      .orderBy("event_type")
+  }, Some("""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2),
+    ser AS (
+      SELECT event_type,
+        CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+          AS BIGINT) AS t, x
+      FROM daily),
+    nn AS (SELECT event_type AS et, CAST(count(*) AS BIGINT) AS n_days
+           FROM ser GROUP BY 1),
+    rec AS (
+      SELECT event_type, t, x AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM ser WHERE t = 1
+      UNION ALL
+      SELECT r.event_type, s.t,
+        0.3*s.x + 0.7*(r.l + r.b) AS l,
+        0.2*((0.3*s.x + 0.7*(r.l + r.b)) - r.l) + 0.8*r.b AS b
+      FROM rec r JOIN ser s
+        ON s.event_type = r.event_type AND s.t = r.t + 1)
+    SELECT event_type, n_days,
+      round(l, 6) AS level, round(b, 6) AS trend,
+      round(l + 7.0*b, 6) AS forecast_7d
+    FROM rec JOIN nn ON rec.event_type = nn.et AND rec.t = nn.n_days
+    ORDER BY event_type
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qScd2, qSeasonal, qBacktest, qTransitionMatrix, qGrainRollup,
-      qSurvival)
+      qSurvival, qHolt)
 }

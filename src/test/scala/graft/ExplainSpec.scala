@@ -190,6 +190,20 @@ class ExplainSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ks test's twin cumsums stay two-phase (no unpartitioned window)") {
+    val p = plan("q_ks_test")
+    val bad = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && !l.contains("__pid")).toSeq
+    assert(bad.isEmpty, s"non-pid window in ks plan: ${bad.mkString("\n")}")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("holt fold is window-free: daily agg + per-key sorted fold only") {
+    val p = plan("q_holt")
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("seq_pack's global offset sum stays two-phase (no unpartitioned window)") {
     val p = plan("q_seq_pack")
     val bad = p.linesIterator.filter(l =>

@@ -183,6 +183,60 @@ class PackingSpec extends AnyFunSuite {
       assert(ne > n / 2 && ne < n * 2, s"n_eff $ne far from $n"))
   }
 
+  test("ks statistic matches an exact local recompute over the raw split") {
+    val row = Registry.queries("q_ks_test")(spark, sfTiny).head()
+    val ks = row.getAs[Long]("ks_ppm")
+    assert(ks >= 0L && ks <= 1000000L)
+    // exact replay: same split, same cents, BigInt cross-multiplication
+    val vals = graft.sources.Tables.events(spark, sfTiny)
+      .where(col("event_type") === "purchase")
+      .select(
+        (substring(md5(col("user_id").cast("string")), 1, 1) < "8").as("isA"),
+        graft.functions.Num.cents(col("value")).as("v"))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1)))
+    val na = vals.count(_._1).toLong
+    val nb = vals.length - na
+    val byV = vals.groupBy(_._2).toSeq.sortBy(_._1)
+    var (ca, cb, best) = (0L, 0L, BigInt(0))
+    byV.foreach { case (_, vs) =>
+      ca += vs.count(_._1); cb += vs.count(!_._1)
+      val d = (BigInt(ca) * nb - BigInt(cb) * na).abs
+      if (d > best) best = d
+    }
+    val expected = (BigInt(1000000) * best) / (BigInt(na) * nb)
+    assert(BigInt(ks) == expected, s"ks $ks != exact $expected")
+    assert(row.getAs[Long]("n_a") == na && row.getAs[Long]("n_b") == nb)
+  }
+
+  test("holt smoothing matches an exact local replay of the recurrence") {
+    val rows = Registry.queries("q_holt")(spark, sfTiny)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val daily = graft.sources.Tables.events(spark, sfTiny)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Date](1), r.getDouble(2)))
+      .groupBy(_._1)
+    daily.foreach { case (et, rs) =>
+      val xs = rs.sortBy(_._2.toString).map(_._3)
+      var (l, b) = (0.0, 0.0)
+      xs.zipWithIndex.foreach { case (x, i) =>
+        if (i == 0) { l = x; b = 0.0 }
+        else {
+          val l1 = 0.3 * x + 0.7 * (l + b)
+          b = 0.2 * (l1 - l) + 0.8 * b
+          l = l1
+        }
+      }
+      val r = rows(et)
+      assert(r.getAs[Long]("n_days") == xs.length)
+      assert(r.getAs[Double]("level") == math.rint(l * 1e6) / 1e6 ||
+        math.abs(r.getAs[Double]("level") - l) < 1e-6,
+        s"$et level ${r.getAs[Double]("level")} != replay $l")
+      assert(math.abs(r.getAs[Double]("forecast_7d") - (l + 7.0 * b)) < 1e-5)
+    }
+  }
+
   test("survival curve is a lawful KM estimate: monotone, risk-set consistent") {
     val rows = Registry.queries("q_survival")(spark, sfTiny)
       .orderBy("t_days").collect()
