@@ -960,10 +960,54 @@ object ExtraQueries2 {
     GROUP BY na, nb, m
   """))
 
+  /** EXACT global order statistics (p25/median/p75 of document length)
+    * — the query q_dataset_card deliberately refuses (its per-source
+    * medians come from partitioned windows; a global median through
+    * one WindowExec task is the classic scale-killer) and
+    * q_approx_quantiles/q_kll_quantiles only bound. This closes the
+    * triangle: when the exact global quantile is genuinely required,
+    * the scale-correct shape is Ranking.globalRowNumber's two-phase
+    * rank + three picked type-1 order statistics (rank-k selects, the
+    * q_winsorize fence convention — picked values, never
+    * interpolated, so the output is engine-invariant by construction).
+    *
+    * Scale shape: one range-partitioned two-phase rank (no
+    * single-partition window), then a 3-condition conditional-max
+    * all-reduce. Cost ≈ one sort-shuffle of (value, id) pairs —
+    * what an exact global quantile costs at minimum. */
+  private val qGlobalMedian = BoundQuery("q_global_median", (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val tot = docs.agg(count(lit(1)).as("n"))
+    val ranked = graft.operators.Ranking
+      .globalRowNumber(docs, "rn0", col("n_chars"), col("doc_id"))
+      .crossJoin(broadcast(tot))
+      .withColumn("rn", col("rn0") + 1)
+    ranked.agg(
+        max(col("n")).as("n_docs"),
+        max(when(col("rn") === expr("(n + 3) div 4"), col("n_chars")))
+          .as("p25"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("n_chars")))
+          .as("median"),
+        max(when(col("rn") === expr("(3 * n + 3) div 4"), col("n_chars")))
+          .as("p75"))
+  }, Some("""
+    WITH ranked AS (
+      SELECT n_chars,
+        CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rn
+      FROM documents),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+    SELECT n AS n_docs,
+      max(CASE WHEN rn = (n + 3) // 4 THEN n_chars END) AS p25,
+      max(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS median,
+      max(CASE WHEN rn = (3 * n + 3) // 4 THEN n_chars END) AS p75
+    FROM ranked, tot GROUP BY n
+  """))
+
   val all: Seq[BoundQuery] = Seq(
     qPivot, qCube, qWindowSuite, qHashSample, qSemiPrune, qUpsert,
     qProfile, qRangeJoin, qApproxQuantiles, qKllQuantiles, qHistogram,
     qCorrelation, qDecile, qZorder, qPiiScrub, qBloomPrune, qEquiDepth,
     qChiSquare, qBottomkSample, qLinreg, qWeightedSample, qTableDiff,
-    qRobustStats, qRfm, qBenford, qAbTest, qGini, qBootstrap, qKsTest)
+    qRobustStats, qRfm, qBenford, qAbTest, qGini, qBootstrap, qKsTest,
+    qGlobalMedian)
 }

@@ -204,6 +204,19 @@ class ExplainSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("adamic-adar blocks pairs per order: keyed join, TakeOrdered top-50") {
+    val p = plan("q_adamic_adar")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("global median ranks two-phase: only __pid windows in the plan") {
+    val p = plan("q_global_median")
+    val bad = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && !l.contains("__pid")).toSeq
+    assert(bad.isEmpty, s"non-pid window in global-median plan: ${bad.mkString("\n")}")
+  }
+
   test("seq_pack's global offset sum stays two-phase (no unpartitioned window)") {
     val p = plan("q_seq_pack")
     val bad = p.linesIterator.filter(l =>

@@ -237,6 +237,38 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("adamic-adar scores are lawful: ordered pairs, inverse-log bounded") {
+    val rows = Registry.queries("q_adamic_adar")(spark, sfTiny).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("part_a") < r.getAs[Long]("part_b"))
+      val n = r.getAs[Long]("n_orders")
+      val aa = r.getAs[Double]("aa_score")
+      assert(n >= 1L && aa > 0.0)
+      // every contributing order weighs at most 1/ln(2)
+      assert(aa <= n / math.log(2.0) + 1e-6)
+    }
+    rows.sliding(2).foreach {
+      case Array(hi, lo) =>
+        assert(hi.getAs[Double]("aa_score") >= lo.getAs[Double]("aa_score"))
+      case _ => ()
+    }
+  }
+
+  test("global median matches a local exact sort at sfTiny") {
+    val row = Registry.queries("q_global_median")(spark, sfTiny).head()
+    val vals = graft.sources.Tables.documents(spark, sfTiny)
+      .select("n_chars").collect().map(_.getLong(0)).sorted
+    val n = vals.length
+    def pick(k: Long) = vals((k - 1).toInt)
+    assert(row.getAs[Long]("n_docs") == n)
+    assert(row.getAs[Long]("p25") == pick((n + 3) / 4))
+    assert(row.getAs[Long]("median") == pick((n + 1) / 2))
+    assert(row.getAs[Long]("p75") == pick((3L * n + 3) / 4))
+    assert(row.getAs[Long]("p25") <= row.getAs[Long]("median") &&
+      row.getAs[Long]("median") <= row.getAs[Long]("p75"))
+  }
+
   test("survival curve is a lawful KM estimate: monotone, risk-set consistent") {
     val rows = Registry.queries("q_survival")(spark, sfTiny)
       .orderBy("t_days").collect()
