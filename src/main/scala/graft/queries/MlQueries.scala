@@ -285,5 +285,222 @@ object MlQueries {
     GROUP BY fold ORDER BY fold
   """))
 
-  val all: Seq[BoundQuery] = Seq(qNaiveBayes, qSq8, qNbCrossval)
+  /** INTEGER k-means — the engine-proven Lloyd twin of the rows-only
+    * KMeansLite (same family move as q_lsh_cosine_arith and
+    * q_minhash_pairs' arithmetic rebind): embeddings scale to exact
+    * micro-unit longs ONCE (round(x·1e6)), then every Lloyd step —
+    * squared distances, argmin assignment (lowest-cluster tiebreak),
+    * centroid update by integral division — is integer arithmetic, so
+    * K=4 / 3 fixed iterations replay bit-exactly in the oracle as
+    * unrolled CTEs (the q_pagerank technique: one Scala loop emits the
+    * recurrence for both engines, so they cannot drift). Output:
+    * per-cluster size, exact within-cluster SSE in squared micro
+    * units, and the centroid's L1 norm — model AND fit quality, all
+    * engine-proven. Truncation-toward-zero division is identical in
+    * Java long division and DuckDB //; micro quantization (1e-6 per
+    * dim) is far below inter-centroid distances.
+    *
+    * Scale shape: per iteration one codegen'd literal-inlined argmin
+    * projection (no broadcast, no join) + one posexplode groupBy on
+    * (cluster, dim) = 256 keys with map-side partials; only k·d longs
+    * ever reach the driver per iteration (the justified KMeansLite
+    * collect). */
+  private val qKmeansArith = BoundQuery("q_kmeans_arith", (s, d) => {
+    val K = 4; val iters = 3
+    val data = graft.util.CacheScope.persist(
+      Tables.embeddings(s, d).select(col("vec_id").as("id"),
+        transform(toDouble(col("embedding")),
+          x => round(x * 1e6, 0).cast("long")).as("vu")))
+    var cents: Array[Array[Long]] = data.orderBy("id").limit(K)
+      .collect().map(_.getSeq[Long](1).toArray)
+    def assignCol: org.apache.spark.sql.Column = {
+      val dists = array(cents.zipWithIndex.map { case (c, i) =>
+        struct(
+          aggregate(zip_with(col("vu"), array(c.map(lit): _*),
+            (x, y) => (x - y) * (x - y)), lit(0L), (acc, z) => acc + z)
+            .as("d"),
+          lit(i.toLong).as("cluster"))
+      }: _*)
+      sort_array(dists)(0)
+    }
+    var it = 0
+    while (it < iters) {
+      val means = data.withColumn("cluster", assignCol("cluster"))
+        .select(col("cluster"), posexplode(col("vu")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg(expr("sum(x) div count(1)").as("m"))
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("mv"))
+        .select(col("cluster"), transform(col("mv"), s => s("m")).as("mean"))
+        .collect()
+      val next = cents.clone()
+      means.foreach(r =>
+        next(r.getLong(0).toInt) = r.getSeq[Long](1).toArray)
+      cents = next
+      it += 1
+    }
+    val l1 = cents.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.map(math.abs).sum)
+    }
+    val l1Df = s.createDataFrame(l1.toSeq).toDF("cluster", "centroid_l1")
+    data.withColumn("a", assignCol)
+      .select(col("a.cluster").as("cluster"), col("a.d").as("dist"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("sse_u"))
+      .join(broadcast(l1Df), "cluster")
+      .orderBy("cluster")
+  }, Some {
+    val step = (k: Int) => s"""
+    a$k AS (
+      SELECT vec_id, vu, cluster FROM (
+        SELECT v.vec_id, v.vu, c.cluster,
+          row_number() OVER (PARTITION BY v.vec_id ORDER BY
+            list_reduce(list_transform(range(1, 65),
+              i -> (v.vu[i] - c.c[i]) * (v.vu[i] - c.c[i])),
+              (x, y) -> x + y), c.cluster) AS rnk
+        FROM v CROSS JOIN c${k - 1} c)
+      WHERE rnk = 1),
+    c$k AS (
+      SELECT cluster, list(m ORDER BY i) AS c FROM (
+        SELECT cluster, i, sum(vu[i]) // count(*) AS m
+        FROM a$k, unnest(range(1, 65)) AS t(i)
+        GROUP BY cluster, i)
+      GROUP BY cluster)"""
+    s"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding,
+        x -> CAST(round(CAST(x AS DOUBLE)*1e6, 0) AS BIGINT)) AS vu
+      FROM embeddings),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+        AS cluster, vu AS c
+      FROM (SELECT vec_id, vu FROM v ORDER BY vec_id LIMIT 4)),
+    ${step(1)}, ${step(2)}, ${step(3)},
+    fin AS (
+      SELECT vec_id, cluster, dist FROM (
+        SELECT v.vec_id, c.cluster,
+          list_reduce(list_transform(range(1, 65),
+            i -> (v.vu[i] - c.c[i]) * (v.vu[i] - c.c[i])),
+            (x, y) -> x + y) AS dist,
+          row_number() OVER (PARTITION BY v.vec_id ORDER BY
+            list_reduce(list_transform(range(1, 65),
+              i -> (v.vu[i] - c.c[i]) * (v.vu[i] - c.c[i])),
+              (x, y) -> x + y), c.cluster) AS rnk
+        FROM v CROSS JOIN c3 c)
+      WHERE rnk = 1),
+    l1 AS (
+      SELECT cluster,
+        CAST(list_reduce(list_transform(c, x -> abs(x)), (x, y) -> x + y)
+          AS BIGINT) AS centroid_l1
+      FROM c3)
+    SELECT fin.cluster AS cluster, CAST(count(*) AS BIGINT) AS n_members,
+      CAST(sum(dist) AS BIGINT) AS sse_u, centroid_l1
+    FROM fin JOIN l1 ON fin.cluster = l1.cluster
+    GROUP BY fin.cluster, centroid_l1 ORDER BY cluster
+  """
+  })
+
+  /** INTEGER power iteration for the top principal component — the
+    * engine-proven twin of the rows-only q_pca (same family move as
+    * q_kmeans_arith): embeddings quantize to exact milli-unit longs,
+    * the scatter matrix S = n·ΣxxT − (Σx)(Σx)T is EXACT integer
+    * arithmetic (no mean-centering floats — the n²-scaled covariance
+    * identity), and 8 power-method steps v ← (S·v)·1000 div max|S·v|
+    * run entirely in integers (decimal(38,0) matvec accumulators, so
+    * summation order cannot matter — THE property that makes an
+    * iterative eigensolver hash-checkable across engines). Sign is
+    * pinned by the first nonzero component; the Rayleigh quotient
+    * vᵀSv div vᵀv reports the dominant scatter eigenvalue in exact
+    * milli²-scale units. The oracle unrolls the same 8 steps as CTEs
+    * from one Scala-generated recurrence (the q_pagerank technique).
+    *
+    * Scale shape: the scatter moments are ONE self-join on vec_id
+    * (64²-wide per vector, map-side combined into a 4096-row table);
+    * every iteration thereafter touches only 64-row/4096-row tables —
+    * constant-size work regardless of collection size. At 1e9+ rows
+    * the milli-unit products need the decimal path end-to-end (noted
+    * on the moment columns). */
+  private val qPcaPower = BoundQuery("q_pca_power", (s, d) => {
+    val iters = 8
+    val dm = graft.util.CacheScope.persist(
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(toDouble(col("embedding")))
+          .as(Seq("pos", "x")))
+        .select(col("vec_id"), (col("pos") + 1).as("i"),
+          round(col("x") * 1000, 0).cast("long").as("xm")))
+    val nRow = dm.agg(countDistinct(col("vec_id")).as("n"))
+    val m = dm.as("a").join(dm.as("b"), "vec_id")
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(col("a.xm") * col("b.xm")).as("mij"))
+    val sv = dm.groupBy(col("i")).agg(sum(col("xm")).as("si"))
+    val smat = graft.util.CacheScope.persist(
+      m.join(broadcast(sv.select(col("i"), col("si").as("sa"))), "i")
+        .join(broadcast(sv.select(col("i").as("j"), col("si").as("sb"))), "j")
+        .crossJoin(broadcast(nRow))
+        .select(col("i"), col("j"),
+          (col("n") * col("mij") - col("sa") * col("sb"))
+            .cast("decimal(38,0)").as("sval")))
+    var v = nRow.sparkSession.range(1, 65)
+      .select(col("id").as("j"), lit(1000L).as("x"))
+    for (_ <- 1 to iters) {
+      val w = smat.join(v, "j").groupBy(col("i"))
+        .agg(sum(col("sval") * col("x")).as("w"))
+      val sc = w.agg(max(abs(col("w"))).as("sc"))
+      v = w.crossJoin(broadcast(sc))
+        .select(col("i").as("j"), expr("CAST((w * 1000) DIV sc AS BIGINT)").as("x"))
+    }
+    val vp = graft.util.CacheScope.persist(v)
+    val sgn = vp.where(col("x") =!= 0).orderBy("j").limit(1)
+      .select(when(col("x") < 0, -1L).otherwise(1L).as("sgn"))
+    val vsv = smat
+      .join(vp.select(col("j").as("i"), col("x").as("xa")), "i")
+      .join(vp.select(col("j"), col("x").as("xb")), "j")
+      .agg(sum(col("sval") * col("xa") * col("xb")).as("vsv"))
+    val vv = vp.agg(sum(col("x") * col("x")).as("vv"))
+    vp.crossJoin(broadcast(sgn)).crossJoin(broadcast(vsv))
+      .crossJoin(broadcast(vv))
+      .select(col("j").cast("long").as("dim"), (col("sgn") * col("x")).as("v_milli"),
+        expr("CAST(vsv DIV CAST(vv AS DECIMAL(38,0)) AS BIGINT)").as("lambda_u"))
+      .orderBy("dim")
+  }, Some {
+    // MATERIALIZED is load-bearing: DuckDB inlines CTEs by default,
+    // and v_k references w_k twice — inlining would re-expand the
+    // whole chain (and the scatter join under it) exponentially.
+    val step = (k: Int) => s"""
+    w$k AS MATERIALIZED (
+      SELECT smat.i, sum(sval * v.x) AS w
+      FROM smat JOIN v${k - 1} v ON smat.j = v.j GROUP BY smat.i),
+    s$k AS MATERIALIZED (SELECT max(abs(w)) AS sc FROM w$k),
+    v$k AS MATERIALIZED (SELECT i AS j, (w * 1000) // sc AS x FROM w$k, s$k)"""
+    s"""
+    WITH dm AS MATERIALIZED (
+      SELECT vec_id, i,
+        CAST(round(CAST(embedding[i] AS DOUBLE)*1000, 0) AS BIGINT) AS xm
+      FROM embeddings, unnest(range(1, 65)) AS t(i)),
+    nn AS (SELECT CAST(count(DISTINCT vec_id) AS HUGEINT) AS n FROM dm),
+    m AS (
+      SELECT a.i AS i, b.i AS j, CAST(sum(a.xm * b.xm) AS HUGEINT) AS mij
+      FROM dm a JOIN dm b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+    sv AS (SELECT i, CAST(sum(xm) AS HUGEINT) AS si FROM dm GROUP BY 1),
+    smat AS MATERIALIZED (
+      SELECT m.i, m.j, n*mij - sa.si*sb.si AS sval
+      FROM m JOIN sv sa ON sa.i = m.i JOIN sv sb ON sb.i = m.j, nn),
+    v0 AS (SELECT CAST(i AS BIGINT) AS j, CAST(1000 AS HUGEINT) AS x
+           FROM unnest(range(1, 65)) AS t(i)),
+    ${(1 to 8).map(step).mkString(",")},
+    sg AS (
+      SELECT CASE WHEN (SELECT x FROM v8 WHERE x <> 0 ORDER BY j LIMIT 1) < 0
+                  THEN -1 ELSE 1 END AS sgn),
+    ray AS (
+      SELECT sum(sval * va.x * vb.x) AS vsv
+      FROM smat JOIN v8 va ON va.j = smat.i JOIN v8 vb ON vb.j = smat.j),
+    nrm AS (SELECT sum(x*x) AS vv FROM v8)
+    SELECT j AS dim, CAST(sgn * x AS BIGINT) AS v_milli,
+      CAST(vsv // vv AS BIGINT) AS lambda_u
+    FROM v8, sg, ray, nrm ORDER BY dim
+  """
+  })
+
+  val all: Seq[BoundQuery] = Seq(qNaiveBayes, qSq8, qNbCrossval, qKmeansArith,
+    qPcaPower)
 }

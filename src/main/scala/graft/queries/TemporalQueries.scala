@@ -392,7 +392,141 @@ object TemporalQueries {
     ORDER BY event_type
   """))
 
+  /** Autocorrelation function of daily revenue at lags 1..14 — the
+    * seasonality detector behind every "is there a weekly cycle"
+    * question (and the diagnostic feeding q_holt's trend/level split).
+    * Exactness by the n-scaled centering identity: with S = Σx the
+    * residual y_t = n·x_t − S equals n·(x_t − x̄) with NO division, so
+    * numerator Σ y_t·y_{t+k} and denominator Σ y_t² carry a common n²
+    * that cancels in the ratio — every term is exact integer
+    * arithmetic (decimal(38,0) products; daily cents ×n fits 19
+    * digits to ~1e6× this corpus). The single end division goes
+    * denominator-first (num div (den div 1e6)) so the scaled operand
+    * never needs more than den's own 38 digits; both engines truncate
+    * toward zero (den > 0, measured: DuckDB HUGEINT `//` truncates).
+    *
+    * Scale shape: the calendar-day aggregation reduces any order
+    * volume to ≤ days rows (one partial-agg shuffle); everything
+    * after — the 14-lag equi-join on day+lag, the two scalar sums —
+    * is work bounded by the calendar, not the data. Absent days
+    * contribute no pair (calendar-day lag, documented contract). */
+  private val qAcf = BoundQuery("q_acf", (s, d) => {
+    val ser = graft.util.CacheScope.persist(
+      Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents(col("o_totalprice"))).as("x")))
+    val st = ser.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val y = graft.util.CacheScope.persist(
+      ser.crossJoin(broadcast(st))
+        .select(col("day"),
+          (col("n").cast("decimal(19,0)") * col("x").cast("decimal(19,0)") -
+            col("sx").cast("decimal(38,0)")).as("y")))
+    val den = y.agg(
+      floor(sum(col("y") * col("y")) / lit(1000000L)).as("den_m"))
+    val lags = s.range(1, 15).select(col("id").as("lag"))
+    y.crossJoin(broadcast(lags))
+      .join(y.select(col("day").as("bday"), col("y").as("yb")),
+        col("bday") === date_add(col("day"), col("lag").cast("int")))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("y") * col("yb")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        expr("num div den_m").as("acf_ppm"))
+      .orderBy("lag")
+  }, Some("""
+    WITH ser AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS HUGEINT) AS x
+      FROM orders GROUP BY 1),
+    st AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx FROM ser),
+    y AS (SELECT day, n*x - sx AS y FROM ser, st),
+    den AS (SELECT sum(y*y) // 1000000 AS den_m FROM y)
+    SELECT CAST(l.lag AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(a.y*b.y) // den_m AS BIGINT) AS acf_ppm
+    FROM y a
+    CROSS JOIN (SELECT unnest(range(1,15)) AS lag) l
+    JOIN y b ON b.day = a.day + CAST(l.lag AS INTEGER)
+    CROSS JOIN den
+    GROUP BY l.lag, den_m ORDER BY lag
+  """))
+
+  /** Mann–Kendall trend test per event type — the non-parametric
+    * "is this metric drifting" monitor (Mann 1945, Kendall 1975): no
+    * distribution assumed, pure sign arithmetic, so the whole test is
+    * exact integers end-to-end. S = Σ_{i<j} sign(x_j − x_i) over the
+    * per-type daily series; the tie-corrected variance
+    * 18·Var(S) = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5) stays a long;
+    * the continuity-corrected z² is reported in exact ppm as
+    * ((|S|−1)⁺)²·18e6 div var18 (z itself needs a sqrt — z² carries
+    * the same decision information and stays engine-exact).
+    *
+    * Scale shape: day-level aggregation first (any event volume →
+    * ≤ days rows per type), then the i<j pair join is blocked per
+    * type and bounded by calendar² — a constant ~3M pairs per type
+    * forever, never data². */
+  private val qMannKendall = BoundQuery("q_mann_kendall", (s, d) => {
+    val ser = graft.util.CacheScope.persist(
+      Tables.events(s, d)
+        .groupBy(col("event_type"), expr("CAST(ts_ns div 86400000000000 AS LONG)").as("day"))
+        .agg(sum(cents(col("value"))).as("x")))
+    val sN = ser.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+    val ties = ser.groupBy(col("event_type"), col("x"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie18"))
+    val sStat = ser.as("a")
+      .join(ser.select(col("event_type"), col("day").as("bday"),
+        col("x").as("xb")), Seq("event_type"))
+      .where(col("bday") > col("day"))
+      .groupBy("event_type")
+      .agg(sum(when(col("xb") > col("x"), 1L)
+        .when(col("xb") < col("x"), -1L).otherwise(0L)).as("s_stat"))
+    sN.join(ties, Seq("event_type")).join(sStat, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+        (col("n_days") * (col("n_days") - 1) * (lit(2) * col("n_days") + 5) -
+          col("tie18")).as("var18"))
+      .withColumn("s_adj", greatest(abs(col("s_stat")) - 1, lit(0L)))
+      .select(col("event_type"), col("n_days"), col("s_stat"), col("var18"),
+        // var18 = 0 iff the series is a single day or every day ties
+        // (then S = 0 too) — define z² := 0 there, don't divide
+        expr("""CASE WHEN var18 > 0
+                THEN (CAST(s_adj AS DECIMAL(19,0)) * s_adj * 18000000) div var18
+                ELSE 0L END""").as("z2_ppm"),
+        when(col("s_stat") > 0, "inc").when(col("s_stat") < 0, "dec")
+          .otherwise("none").as("trend"))
+      .orderBy("event_type")
+  }, Some("""
+    WITH ser AS (
+      SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+             sum(CAST(round(value*100,0) AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2),
+    nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM ser GROUP BY 1),
+    ties AS (
+      SELECT event_type, sum(t*(t-1)*(2*t+5)) AS tie18 FROM (
+        SELECT event_type, x, CAST(count(*) AS BIGINT) AS t
+        FROM ser GROUP BY 1, 2)
+      GROUP BY 1),
+    ss AS (
+      SELECT a.event_type,
+             CAST(sum(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      FROM ser a JOIN ser b
+        ON a.event_type = b.event_type AND b.day > a.day
+      GROUP BY 1),
+    v AS (
+      SELECT nn.event_type, n_days, s_stat,
+             n_days*(n_days-1)*(2*n_days+5) - tie18 AS var18,
+             greatest(abs(s_stat) - 1, 0) AS s_adj
+      FROM nn JOIN ties USING (event_type) JOIN ss USING (event_type))
+    SELECT event_type, n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
+           CASE WHEN var18 > 0
+             THEN CAST((CAST(s_adj AS HUGEINT) * s_adj * 18000000) // var18 AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS z2_ppm,
+           CASE WHEN s_stat > 0 THEN 'inc' WHEN s_stat < 0 THEN 'dec'
+                ELSE 'none' END AS trend
+    FROM v ORDER BY event_type
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qScd2, qSeasonal, qBacktest, qTransitionMatrix, qGrainRollup,
-      qSurvival, qHolt)
+      qSurvival, qHolt, qAcf, qMannKendall)
 }

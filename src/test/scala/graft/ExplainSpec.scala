@@ -217,6 +217,28 @@ class ExplainSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"non-pid window in global-median plan: ${bad.mkString("\n")}")
   }
 
+  test("acf's lag join is a real equi join on day+lag, never cartesian") {
+    val p = plan("q_acf")
+    assert(!p.contains("CartesianProduct"), p)
+    // the day-series self-join keys on date_add(day, lag)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("mann-kendall pairs stay blocked per event type (no cartesian)") {
+    val p = plan("q_mann_kendall")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("integer kmeans inlines centroids as literals: no join in the assignment") {
+    val p = plan("q_kmeans_arith")
+    // the only join is the 4-row centroid-L1 broadcast at the end
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("seq_pack's global offset sum stays two-phase (no unpartitioned window)") {
     val p = plan("q_seq_pack")
     val bad = p.linesIterator.filter(l =>

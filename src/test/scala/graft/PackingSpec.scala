@@ -269,6 +269,22 @@ class PackingSpec extends AnyFunSuite {
       row.getAs[Long]("median") <= row.getAs[Long]("p75"))
   }
 
+  test("integer kmeans partitions the collection: mass conserved, clusters tight") {
+    val rows = Registry.queries("q_kmeans_arith")(spark, sfTiny).collect()
+    assert(rows.map(_.getAs[Long]("cluster")).toSeq.sorted == (0L until 4L))
+    val n = graft.sources.Tables.embeddings(spark, sfTiny).count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == n)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_members") > 0L)
+      assert(r.getAs[Long]("sse_u") >= 0L)
+      assert(r.getAs[Long]("centroid_l1") > 0L)
+    }
+    // determinism: a second run reproduces the exact integer state
+    val again = Registry.queries("q_kmeans_arith")(spark, sfTiny).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq)
+  }
+
   test("survival curve is a lawful KM estimate: monotone, risk-set consistent") {
     val rows = Registry.queries("q_survival")(spark, sfTiny)
       .orderBy("t_days").collect()

@@ -88,4 +88,49 @@ class TemporalSpec extends AnyFunSuite {
     val again = Registry.queries("q_mixture_sample")(spark, sfTiny)
     assert(samp.collect().toSeq == again.collect().toSeq)
   }
+
+  test("acf is a lawful correlation: |acf| <= 1, lag-0 identity holds locally") {
+    val rows = Registry.queries("q_acf")(spark, sfTiny).collect()
+    assert(rows.map(_.getAs[Long]("lag")).toSeq == (1L to 14L))
+    rows.foreach { r =>
+      // ppm ratio of Σy_t·y_{t+k} to Σy_t² — Cauchy-Schwarz bounds it
+      assert(math.abs(r.getAs[Long]("acf_ppm")) <= 1000000L)
+      assert(r.getAs[Long]("n_pairs") > 0L)
+    }
+    // local exact replay with BigInt arithmetic over the same series
+    val ser = graft.sources.Tables.orders(spark, sfTiny)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(graft.functions.Num.cents(col("o_totalprice"))).as("x"))
+      .collect().map(r => r.getDate(0).toLocalDate.toEpochDay -> BigInt(r.getLong(1)))
+      .sortBy(_._1)
+    val n = BigInt(ser.length); val s = ser.map(_._2).sum
+    val y = ser.map { case (d0, x) => d0 -> (n * x - s) }.toMap
+    val den = y.values.map(v => v * v).sum / 1000000
+    val expect = (1 to 14).map { k =>
+      val num = y.toSeq.flatMap { case (d0, v) =>
+        y.get(d0 + k).map(v * _) }.sum
+      num / den
+    }
+    assert(rows.sortBy(_.getAs[Long]("lag"))
+      .map(r => BigInt(r.getAs[Long]("acf_ppm"))).toSeq == expect)
+  }
+
+  test("mann-kendall S is bounded by the pair count and z2 is consistent") {
+    val rows = Registry.queries("q_mann_kendall")(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nd = r.getAs[Long]("n_days"); val sS = r.getAs[Long]("s_stat")
+      val pairs = nd * (nd - 1) / 2
+      assert(math.abs(sS) <= pairs)
+      assert(r.getAs[Long]("var18") >= 0L)
+      val trend = r.getAs[String]("trend")
+      assert(if (sS > 0) trend == "inc"
+             else if (sS < 0) trend == "dec" else trend == "none")
+      if (r.getAs[Long]("var18") > 0L) {
+        val sAdj = BigInt(math.max(math.abs(sS) - 1, 0L))
+        assert(BigInt(r.getAs[Long]("z2_ppm")) ==
+          sAdj * sAdj * 18000000 / BigInt(r.getAs[Long]("var18")))
+      } else assert(r.getAs[Long]("z2_ppm") == 0L)
+    }
+  }
 }
