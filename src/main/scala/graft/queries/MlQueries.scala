@@ -1,7 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
+import graft.functions.Num.cents
 import graft.functions.TextFunctions.tokens
 import graft.functions.VectorFunctions.toDouble
 import graft.operators.TopKPerGroup
@@ -501,6 +503,98 @@ object MlQueries {
   """
   })
 
+  /** Closed-form multiple OLS — order total regressed on two
+    * per-order lineitem features (total quantity, line count) with an
+    * intercept, solved by Cramer's rule on the 3×3 normal equations.
+    * The q_linreg pattern widened to true multiple regression: ALL
+    * moment sums (n, Σx₁, Σx₂, Σy, Σx₁², Σx₁x₂, Σx₂², Σx₁y, Σx₂y,
+    * Σy²) are exact long arithmetic in cents, so the shuffle is
+    * order-independent; only the final determinant ratios run in
+    * doubles, as literally identical expression trees on both engines
+    * over the same exact integers (the identical-operand rule —
+    * q_linreg/q_sq8's proven contract). R² comes from the same
+    * moments (SSE via the fitted-moments identity — no second pass).
+    *
+    * Scale shape: one lineitem groupBy(orderkey) (partial-agg
+    * shuffle), one orders equi-join, then a single all-reduce to ONE
+    * 10-number moment row — the classic distributed-OLS shape; model
+    * size is constant regardless of data size. */
+  private val qOls3 = BoundQuery("q_ols3", (s, d) => {
+    val feats = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(cents(col("l_quantity"))).as("x1"),
+        count(lit(1)).as("x2"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"),
+          cents(col("o_totalprice")).as("y")), Seq("l_orderkey"))
+    // second moments go through decimal(38,0): Σy² alone is ~4e19 at
+    // sf0.01 (y in cents) — past long range, and DuckDB's sum(BIGINT)
+    // is HUGEINT, so long wraparound here would silently diverge
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    val m = feats.agg(
+      count(lit(1)).as("n"), sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(col("y")).as("sy"), sum(d19(col("x1")) * col("x1")).as("s11"),
+      sum(d19(col("x1")) * col("x2")).as("s12"),
+      sum(d19(col("x2")) * col("x2")).as("s22"),
+      sum(d19(col("x1")) * col("y")).as("s1y"),
+      sum(d19(col("x2")) * col("y")).as("s2y"),
+      sum(d19(col("y")) * col("y")).as("syy"))
+    val n = col("n").cast("double"); val s1 = col("s1").cast("double")
+    val s2 = col("s2").cast("double"); val sy = col("sy").cast("double")
+    val s11 = col("s11").cast("double"); val s12 = col("s12").cast("double")
+    val s22 = col("s22").cast("double"); val s1y = col("s1y").cast("double")
+    val s2y = col("s2y").cast("double"); val syy = col("syy").cast("double")
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val d0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)
+    val d1 = n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)
+    val d2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    val b0 = d0 / det; val b1 = d1 / det; val b2 = d2 / det
+    val sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    val sst = syy - sy * sy / n
+    m.select(col("n"), round(b0, 6).as("b0"), round(b1, 9).as("b1"),
+      round(b2, 6).as("b2"), round(lit(1.0) - sse / sst, 9).as("r2"))
+  }, Some("""
+    WITH feats AS (
+      SELECT l_orderkey,
+        sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS x1,
+        CAST(count(*) AS BIGINT) AS x2,
+        any_value(y) AS y
+      FROM lineitem JOIN (
+        SELECT o_orderkey, CAST(round(o_totalprice*100,0) AS BIGINT) AS y
+        FROM orders) o ON o.o_orderkey = l_orderkey
+      GROUP BY l_orderkey),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, sum(x1) AS s1, sum(x2) AS s2,
+        sum(y) AS sy, sum(x1*x1) AS s11, sum(x1*x2) AS s12,
+        sum(x2*x2) AS s22, sum(x1*y) AS s1y, sum(x2*y) AS s2y,
+        sum(y*y) AS syy
+      FROM feats),
+    dbl AS (
+      SELECT CAST(n AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1,
+        CAST(s2 AS DOUBLE) AS s2, CAST(sy AS DOUBLE) AS sy,
+        CAST(s11 AS DOUBLE) AS s11, CAST(s12 AS DOUBLE) AS s12,
+        CAST(s22 AS DOUBLE) AS s22, CAST(s1y AS DOUBLE) AS s1y,
+        CAST(s2y AS DOUBLE) AS s2y, CAST(syy AS DOUBLE) AS syy,
+        n AS n_out FROM m),
+    sol AS (
+      SELECT n_out,
+        (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y)) /
+        (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)) AS b0,
+        (n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2)) /
+        (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)) AS b1,
+        (n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2)) /
+        (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)) AS b2,
+        sy, s1y, s2y, syy, n FROM dbl)
+    SELECT n_out AS n, round(b0, 6) AS b0, round(b1, 9) AS b1,
+      round(b2, 6) AS b2,
+      round(1.0 - (syy - b0*sy - b1*s1y - b2*s2y) / (syy - sy*sy/n), 9) AS r2
+    FROM sol
+  """))
+
   val all: Seq[BoundQuery] = Seq(qNaiveBayes, qSq8, qNbCrossval, qKmeansArith,
-    qPcaPower)
+    qPcaPower, qOls3)
 }

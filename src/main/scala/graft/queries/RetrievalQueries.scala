@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.TextFunctions.tokens
 import graft.operators.Similarity
+import graft.queries.VectorQueries.{duckCosine, duckNorm}
 
 /** SURVEY §2.4 round-4 retrieval-serving surface: the scoring half of
   * a RAG stack, expressed relationally so it runs AS a query over the
@@ -176,5 +177,83 @@ object RetrievalQueries {
     FROM fused ORDER BY rrf DESC, doc_id LIMIT 50
   """))
 
-  val all: Seq[BoundQuery] = Seq(qBm25, qRrfFusion)
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998) — the diversified-retrieval step between "top-k by score"
+    * and "what a RAG prompt actually wants": greedily pick 5 of the
+    * query's top-20 candidates maximizing λ·relevance −
+    * (1−λ)·max-similarity-to-already-picked (λ=0.7). The greedy
+    * recurrence is data-dependent, so it is unrolled as FIVE lazy
+    * DataFrame stages (argmax → anti-join → re-score), never a
+    * driver-side loop over collected rows — and the oracle unrolls
+    * the identical five steps as CTEs, making the whole greedy
+    * trajectory engine-proven. Scores stay exact: cosines under the
+    * q_ann_topk round-6+id-tiebreak contract, scaled once to micro
+    * longs, objective 7·rel_u − 3·sim_u compared in integers.
+    *
+    * Scale shape: candidate generation is the serving-path top-k
+    * (here the exact baseline; IVF/LSH swap in transparently); the
+    * MMR stage touches only k=20 rows and a k×k sim matrix regardless
+    * of corpus size — re-ranking cost is constant by construction. */
+  private val qMmr = BoundQuery("q_mmr", (s, d) => {
+    import graft.util.CacheScope
+    val e = Tables.embeddings(s, d)
+    val q0 = e.where(col("vec_id") === 0)
+    val cand = CacheScope.persist(
+      Similarity.bruteForceTopK(e, col("vec_id"), col("embedding"),
+        q0, col("vec_id"), col("embedding"), k = 20)
+        .select(col("id"), round(col("cosine") * 1e6, 0).cast("long").as("rel_u")))
+    val candVecs = e.join(cand.select(col("id").as("vec_id")), Seq("vec_id"))
+    val sim = CacheScope.persist(
+      Similarity.bruteForceTopK(candVecs, col("vec_id"), col("embedding"),
+        candVecs, col("vec_id"), col("embedding"), k = 19)
+        .select(col("query_id").as("id_a"), col("id").as("id_b"),
+          round(col("cosine") * 1e6, 0).cast("long").as("sim_u")))
+    var sel = cand.orderBy(desc("rel_u"), col("id")).limit(1)
+      .select(col("id"), lit(1L).as("pick"))
+    for (t <- 2 to 5) {
+      val msim = sim.join(sel.select(col("id").as("id_b")), Seq("id_b"))
+        .groupBy(col("id_a").as("id")).agg(max(col("sim_u")).as("msim"))
+      val pick = cand.join(sel.select("id"), Seq("id"), "left_anti")
+        .join(msim, Seq("id"))
+        .withColumn("mmr_u", lit(7L) * col("rel_u") - lit(3L) * col("msim"))
+        .orderBy(desc("mmr_u"), col("id")).limit(1)
+        .select(col("id"), lit(t.toLong).as("pick"))
+      sel = sel.union(pick)
+    }
+    sel.join(cand, Seq("id"))
+      .select(col("pick"), col("id"), col("rel_u"))
+      .orderBy("pick")
+  }, Some {
+    val step = (k: Int) => s"""
+    ms$k AS (
+      SELECT s.id_a AS id, max(s.sim_u) AS msim
+      FROM sim s JOIN sel${k - 1} p ON s.id_b = p.id GROUP BY 1),
+    pick$k AS (
+      SELECT c.id, CAST($k AS BIGINT) AS pick
+      FROM cand c JOIN ms$k USING (id)
+      WHERE c.id NOT IN (SELECT id FROM sel${k - 1})
+      ORDER BY 7*c.rel_u - 3*msim DESC, c.id LIMIT 1),
+    sel$k AS (SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM pick$k)"""
+    s"""
+    WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id = 0),
+    cand AS (
+      SELECT a.vec_id AS id,
+             CAST(round(round(${duckCosine("a", "q")}, 6)*1000000, 0) AS BIGINT) AS rel_u
+      FROM e a, q WHERE a.vec_id <> q.vec_id
+      ORDER BY round(${duckCosine("a", "q")}, 6) DESC, a.vec_id LIMIT 20),
+    ce AS (SELECT e.* FROM e JOIN cand ON e.vec_id = cand.id),
+    sim AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(round(round(${duckCosine("a", "b")}, 6)*1000000, 0) AS BIGINT) AS sim_u
+      FROM ce a JOIN ce b ON a.vec_id <> b.vec_id),
+    sel1 AS (
+      SELECT id, CAST(1 AS BIGINT) AS pick FROM cand
+      ORDER BY rel_u DESC, id LIMIT 1),
+    ${(2 to 5).map(step).mkString(",")}
+    SELECT pick, id, rel_u FROM sel5 JOIN cand USING (id) ORDER BY pick
+  """
+  })
+
+  val all: Seq[BoundQuery] = Seq(qBm25, qRrfFusion, qMmr)
 }

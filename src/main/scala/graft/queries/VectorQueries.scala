@@ -19,10 +19,10 @@ object VectorQueries {
 
   // list_reduce (not list_sum) mirrors Spark's sequential aggregate
   // fold bit-for-bit: ((p1+p2)+p3)... == ((0.0+p1)+p2)+p3...
-  private def duckCosine(a: String, b: String): String =
+  private[queries] def duckCosine(a: String, b: String): String =
     s"""list_reduce(list_transform(range(1, 65), i -> CAST($a.embedding[i] AS DOUBLE)/$a.nrm * (CAST($b.embedding[i] AS DOUBLE)/$b.nrm)), (x, y) -> x + y)"""
 
-  private val duckNorm =
+  private[queries] val duckNorm =
     "sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (x, y) -> x + y))"
 
   /** Embedding cosine near-dup pairs — the EXACT all-pairs baseline.

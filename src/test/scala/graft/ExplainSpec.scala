@@ -231,6 +231,20 @@ class ExplainSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("ols3 reduces to one constant-size moment row with partial aggregation") {
+    val p = plan("q_ols3")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+    // the lineitem->orders key join stays a real equi join
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("mmr's five greedy argmax stages stay TakeOrdered, never a global sort") {
+    val p = plan("q_mmr")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("integer kmeans inlines centroids as literals: no join in the assignment") {
     val p = plan("q_kmeans_arith")
     // the only join is the 4-row centroid-L1 broadcast at the end

@@ -285,6 +285,36 @@ class PackingSpec extends AnyFunSuite {
       again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq)
   }
 
+  test("ols3 solves the normal equations: local Cramer replay agrees, r2 lawful") {
+    val row = Registry.queries("q_ols3")(spark, sfTiny).head()
+    val r2 = row.getAs[Double]("r2")
+    assert(r2 > 0.0 && r2 <= 1.0, s"r2 $r2")
+    // more quantity must raise the order total (positive marginal price)
+    assert(row.getAs[Double]("b1") > 0.0)
+    // local replay: exact BigInt moments → same double Cramer solve
+    import graft.functions.Num.cents
+    val feats = graft.sources.Tables.lineitem(spark, sfTiny)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(cents(col("l_quantity"))).as("x1"), count(lit(1)).as("x2"))
+      .join(graft.sources.Tables.orders(spark, sfTiny)
+        .select(col("o_orderkey").as("l_orderkey"),
+          cents(col("o_totalprice")).as("y")), Seq("l_orderkey"))
+      .collect().map(r => (BigInt(r.getLong(1)), BigInt(r.getLong(2)), BigInt(r.getLong(3))))
+    val n = feats.length.toDouble
+    def s(f: ((BigInt, BigInt, BigInt)) => BigInt): Double =
+      feats.map(f).sum.toDouble
+    val (s1, s2, sy) = (s(_._1), s(_._2), s(_._3))
+    val (s11, s12, s22) = (s(t => t._1 * t._1), s(t => t._1 * t._2), s(t => t._2 * t._2))
+    val (s1y, s2y) = (s(t => t._1 * t._3), s(t => t._2 * t._3))
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val b1 = (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)) / det
+    assert(math.abs(row.getAs[Double]("b1") - b1) < 1e-6,
+      s"engine b1 ${row.getAs[Double]("b1")} vs local $b1")
+    assert(row.getAs[Long]("n") == feats.length.toLong)
+  }
+
   test("survival curve is a lawful KM estimate: monotone, risk-set consistent") {
     val rows = Registry.queries("q_survival")(spark, sfTiny)
       .orderBy("t_days").collect()

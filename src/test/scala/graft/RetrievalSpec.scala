@@ -55,4 +55,43 @@ class RetrievalSpec extends AnyFunSuite {
     // and no score can exceed a double rank-1 (2/61 + rounding)
     assert(top <= 2.0 * math.round(1e9 / 61.0) / 1e9 + 1e-9)
   }
+
+  test("mmr replays the exact greedy trajectory against a local reference") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.Registry.queries("q_mmr")(spark, sfTiny)
+      .orderBy("pick").collect()
+      .map(r => (r.getAs[Long]("pick"), r.getAs[Long]("id"), r.getAs[Long]("rel_u")))
+    assert(got.map(_._1).toSeq == (1L to 5L))
+    assert(got.map(_._2).distinct.length == 5)
+    // local greedy replay over the same top-20 candidate set
+    val e = graft.sources.Tables.embeddings(spark, sfTiny)
+    val q0 = e.where(col("vec_id") === 0)
+    val cand = graft.operators.Similarity.bruteForceTopK(
+        e, col("vec_id"), col("embedding"), q0, col("vec_id"), col("embedding"), 20)
+      .select(col("id"), round(col("cosine") * 1e6, 0).cast("long").as("rel_u"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = e.where(col("vec_id").isin(cand.keySet.toSeq: _*))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Long = {
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      val d = a.indices.foldLeft(0.0)((acc, i) => acc + (a(i) / na) * (b(i) / nb))
+      math.round(math.round(d * 1e6).toDouble / 1e6 * 1e6) // round-6 then micro
+    }
+    var selected = Vector(cand.toSeq.maxBy { case (id, r) => (r, -id) }._1)
+    // note maxBy tie rule: highest rel_u, then LOWEST id
+    while (selected.length < 5) {
+      val rem = cand.keySet -- selected
+      val next = rem.map { c =>
+        val ms = selected.map(s0 => cos(vecs(c), vecs(s0))).max
+        (c, 7L * cand(c) - 3L * ms)
+      }.toSeq.maxBy { case (id, m) => (m, -id) }._1
+      selected :+= next
+    }
+    assert(got.map(_._2).toSeq == selected,
+      s"engine picks ${got.map(_._2).toSeq} != local greedy $selected")
+    // relevance of pick 1 is the candidate max (pure-relevance seed)
+    assert(got.head._3 == cand.values.max)
+  }
 }
