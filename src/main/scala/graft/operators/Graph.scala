@@ -160,4 +160,50 @@ object Graph {
     }
     labels
   }
+
+  /** k-core decomposition by iterative peeling: repeatedly drop nodes
+    * with degree < k until none remain — the surviving subgraph is
+    * the (maximal) k-core, the standard density filter for
+    * co-occurrence graphs ("keep only tokens/parts embedded in a
+    * dense context") and the preprocessing step for community and
+    * nucleus decompositions.
+    *
+    * Per round: one degree aggregation (map-side partial, keyed on
+    * node) + two left-semi joins filtering the edge list — all
+    * node-key shuffles, no window, no collect. Lineage truncates per
+    * round via localCheckpoint (the ConnectedComponents discipline).
+    * Round count = peeling depth of the graph (typically small; worst
+    * case the degeneracy ordering's length). With `maxRounds` set the
+    * loop runs EXACTLY that many rounds with no convergence probes —
+    * the deterministic bounded twin an unrolled SQL oracle can replay
+    * step for step; once the peel has converged further rounds are
+    * identity, so a bounded run that happens to converge early equals
+    * the fixpoint. Returns (node, deg) of the surviving subgraph.
+    *
+    * Input contract: (`a`, `b`) UNDIRECTED canonical edges
+    * (a < b, distinct). */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            maxRounds: Int = Int.MaxValue): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val bounded = maxRounds != Int.MaxValue
+    var alive = edges.select(col(aCol).cast("string").as("a"),
+      col(bCol).cast("string").as("b")).localCheckpoint(true)
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val deg = alive.select(col("a").as("node"))
+        .union(alive.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= k).select("node")
+      val next = alive
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      if (!bounded) done = next.count() == alive.count()
+      alive = next
+      rounds += 1
+    }
+    alive.select(col("a").as("node")).union(alive.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+  }
 }

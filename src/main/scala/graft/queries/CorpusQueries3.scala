@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFunctions.tokens
+
+/** SURVEY §2.4 curation wave 3: cross-source distribution comparison
+  * (pairwise Jensen–Shannon divergence — "which sources are
+  * near-duplicates of each other at the distribution level?") and
+  * cross-source score calibration (quantile normalization — "make a
+  * quality score comparable across sources before a global cut").
+  */
+object CorpusQueries3 {
+
+  /** 10⁶·ln 2 frozen as a shared double literal: the identical decimal
+    * text parses to the identical IEEE double in both engines, so the
+    * exclusive-mass term below multiplies the same operands. */
+  private val ln2Micro = "CAST(693147.1805599453 AS DOUBLE)"
+
+  /** Pairwise Jensen–Shannon divergence between per-source unigram
+    * distributions — the source-similarity matrix a mixture designer
+    * reads before setting sampling weights (two sources with near-zero
+    * JSD are the same crawl twice; q_source_overlap's 5-gram
+    * containment is the lexical view, this is the distributional one).
+    *
+    * The outer-join-free identity: tokens exclusive to one side
+    * contribute p·ln 2 in total mass ln2·(1 − shared_i/n_i), so one
+    * INNER join on token + per-source totals covers the whole sum —
+    * no full-outer join, no per-pair vocabulary materialization.
+    * Per-shared-token KL terms follow the q_bigram_lm micro-nat rule
+    * (round each ln-term to µnats BEFORE summing → exact long sums in
+    * any order); the two exclusive-mass terms round once per pair by
+    * the frozen ln2 literal. Output is 2·JSD in µnats (integer halves
+    * avoided — the ½ factors fold into one final `div 2`).
+    *
+    * Scale shape: counts shuffle once on (source, token); the pair
+    * join is token-keyed (a token in s sources yields s(s−1)/2 pair
+    * rows — df-driven like the shingle joins, never all-pairs of
+    * rows); totals are a 20-row broadcast. */
+  private val qJsDivergence = BoundQuery("q_js_divergence", (s, d) => {
+    val counts = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("source").agg(sum(col("c")).as("n"))
+    val a = counts.as("a").join(broadcast(totals.as("ta")),
+      col("a.source") === col("ta.source"))
+    val b = counts.as("b").join(broadcast(totals.as("tb")),
+      col("b.source") === col("tb.source"))
+    val shared = a.join(b,
+        col("a.token") === col("b.token") &&
+          col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        col("a.c").as("ca"), col("ta.n").as("na"),
+        col("b.c").as("cb"), col("tb.n").as("nb"))
+      .withColumn("pa", col("ca").cast("double") / col("na").cast("double"))
+      .withColumn("pb", col("cb").cast("double") / col("nb").cast("double"))
+      .withColumn("kla_u",
+        round(col("pa") * log(lit(2.0) * col("pa") / (col("pa") + col("pb"))) * 1e6, 0)
+          .cast("long"))
+      .withColumn("klb_u",
+        round(col("pb") * log(lit(2.0) * col("pb") / (col("pa") + col("pb"))) * 1e6, 0)
+          .cast("long"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("kla_u")).as("ka"), sum(col("klb_u")).as("kb"),
+        max(col("na")).as("na"), max(col("nb")).as("nb"),
+        sum(col("ca")).as("sha"), sum(col("cb")).as("shb"))
+    shared
+      .withColumn("excl_a", round(expr(s"$ln2Micro * (na - sha) / na"), 0).cast("long"))
+      .withColumn("excl_b", round(expr(s"$ln2Micro * (nb - shb) / nb"), 0).cast("long"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        expr("ka + kb + excl_a + excl_b").as("jsd2_unats"))
+      .orderBy("source_a", "source_b")
+  }, Some(s"""
+    WITH counts AS (
+      SELECT source, unnest(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS token
+      FROM documents),
+    c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+          FROM counts GROUP BY 1, 2),
+    t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+        a.c AS ca, ta.n AS na, b.c AS cb, tb.n AS nb
+      FROM c a JOIN c b ON a.token = b.token AND a.source < b.source
+      JOIN t ta ON ta.source = a.source
+      JOIN t tb ON tb.source = b.source),
+    terms AS (
+      SELECT source_a, source_b, ca, cb, na, nb,
+        CAST(round((CAST(ca AS DOUBLE)/na)
+          * ln(2.0*(CAST(ca AS DOUBLE)/na)
+               / (CAST(ca AS DOUBLE)/na + CAST(cb AS DOUBLE)/nb)) * 1e6, 0)
+          AS BIGINT) AS kla_u,
+        CAST(round((CAST(cb AS DOUBLE)/nb)
+          * ln(2.0*(CAST(cb AS DOUBLE)/nb)
+               / (CAST(ca AS DOUBLE)/na + CAST(cb AS DOUBLE)/nb)) * 1e6, 0)
+          AS BIGINT) AS klb_u
+      FROM shared),
+    agg AS (
+      SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared,
+        sum(kla_u) AS ka, sum(klb_u) AS kb,
+        max(na) AS na, max(nb) AS nb,
+        sum(ca) AS sha, sum(cb) AS shb
+      FROM terms GROUP BY 1, 2)
+    SELECT source_a, source_b, n_shared,
+      CAST(ka + kb
+        + CAST(round($ln2Micro * (na - sha) / na, 0) AS BIGINT)
+        + CAST(round($ln2Micro * (nb - shb) / nb, 0) AS BIGINT)
+        AS BIGINT) AS jsd2_unats
+    FROM agg ORDER BY source_a, source_b
+  """))
+
+  /** Quantile normalization of document length across sources: map
+    * each source's n_chars distribution onto the GLOBAL distribution
+    * (value at the matching global quantile), so a length-based
+    * quality cut means the same thing for every source — the
+    * cross-source calibration step before q_quality_filter-style
+    * thresholds.
+    *
+    * Everything runs at the DISTINCT-VALUE grain, not the row grain:
+    * per-source and global distributions are (value, count, cumcount)
+    * tables; each (source, value) maps to target global rank
+    * k = ceil(cum_s · N / m_s) (exact integer arithmetic — ceil of a
+    * rational via (a·b + c − 1) div c), and the normalized value is
+    * the global value whose cumulative range covers k. The windows
+    * iterate distinct values only (bounded domain — n_chars has ~10³
+    * distinct values; the q_decile quarantine rule), and the mapping
+    * join broadcasts the global DISTRIBUTION, never rows. For a
+    * genuinely unbounded domain, the same mapping runs through the
+    * bucketized RangeJoin operator instead. */
+  private val qQuantileNorm = BoundQuery("q_quantile_norm", (s, d) => {
+    val docs = Tables.documents(s, d).select(col("source"), col("n_chars"))
+    val srcDist = docs.groupBy("source", "n_chars")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum_s", sum(col("c")).over(Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("m_s", sum(col("c")).over(Window.partitionBy("source")))
+    val gDist = docs.groupBy("n_chars").agg(count(lit(1)).as("cg"))
+      .withColumn("cum_g", sum(col("cg")).over(Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("lo_g", col("cum_g") - col("cg") + 1)
+    val n = docs.agg(count(lit(1)).as("n_total"))
+    srcDist.crossJoin(broadcast(n))
+      .withColumn("k", expr("(cum_s * n_total + m_s - 1) div m_s"))
+      .join(broadcast(gDist.select(col("n_chars").as("g_chars"),
+        col("lo_g"), col("cum_g"))),
+        col("k") >= col("lo_g") && col("k") <= col("cum_g"))
+      .select(col("source"), col("n_chars"), col("c").as("n_docs"),
+        col("g_chars").as("norm_chars"))
+      .orderBy("source", "n_chars")
+  }, Some("""
+    WITH sd AS (
+      SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2),
+    sc AS (
+      SELECT source, n_chars, c,
+        CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_s,
+        CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS m_s
+      FROM sd),
+    gd AS (
+      SELECT n_chars, CAST(count(*) AS BIGINT) AS cg
+      FROM documents GROUP BY 1),
+    gc AS (
+      SELECT n_chars AS g_chars, cg,
+        CAST(sum(cg) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_g
+      FROM gd),
+    g AS (SELECT g_chars, cum_g - cg + 1 AS lo_g, cum_g FROM gc),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+    SELECT sc.source, sc.n_chars, sc.c AS n_docs, g.g_chars AS norm_chars
+    FROM sc CROSS JOIN n JOIN g
+      ON (sc.cum_s * n.n_total + sc.m_s - 1) // sc.m_s >= g.lo_g
+     AND (sc.cum_s * n.n_total + sc.m_s - 1) // sc.m_s <= g.cum_g
+    ORDER BY sc.source, sc.n_chars
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qJsDivergence, qQuantileNorm)
+}

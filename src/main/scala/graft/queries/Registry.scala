@@ -656,7 +656,9 @@ object Registry {
       GraphQueries.all ++ CorpusQueries.all ++ QualityQueries.all ++
       TemporalQueries.all ++ IndexQueries.all ++ DriftQueries.all ++
       RetrievalQueries.all ++ MlQueries.all ++ PackingQueries.all ++
-      CorpusQueries2.all
+      CorpusQueries2.all ++ StatsQueries.all ++ EvalQueries.all ++
+      CorpusQueries3.all ++ VectorQueries2.all
+      // (q_kcore / q_neighbor_jaccard ride in GraphQueries.all above)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allQueries.map(q => q.name -> q.run).toMap

@@ -1,0 +1,371 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Num._
+
+/** SURVEY §2.6 classical-stats wave 3: rank correlation, analysis of
+  * variance, and robust slope estimation — the remaining canonical
+  * exploratory-statistics primitives beside the existing t-test / KS /
+  * chi-square / Mann-Kendall family.
+  *
+  * Numeric rule shared by all three: every aggregate is exact long /
+  * decimal(38,0) arithmetic; ratios appear only as final integral
+  * divisions to ppm (both engines truncate toward zero — verified for
+  * negative operands too), and square roots are avoided entirely by
+  * emitting SIGNED SQUARED statistics in ppm (the q_mann_kendall z²
+  * convention), so the DuckDB oracle replays every term bit-exact.
+  */
+object StatsQueries {
+
+  /** Spearman rank correlation per event type between the daily event
+    * count and the daily revenue — "do busier days make more money,
+    * monotonically?", the nonparametric complement to q_correlation's
+    * Pearson.
+    *
+    * Ties use the standard averaged-rank convention kept EXACT by
+    * working with 2·rank throughout: 2·avgrank = 2·minrank + (ties−1)
+    * is always an integer, and Pearson's formula on the doubled ranks
+    * equals Pearson on the averaged ranks (correlation is invariant
+    * under the affine map r → 2r). The output is the SIGNED SQUARE of
+    * rho in ppm — sign(num) · 10⁶·num² div (denx·deny) — which avoids
+    * the one non-replayable operation (sqrt of a huge integer) while
+    * determining rho to ±1e-6 exactly.
+    *
+    * Scale shape: one partial-aggregated shuffle to the (type, day)
+    * grain, then windows partitioned by event_type whose width is
+    * bounded by the CALENDAR (days observed), never by raw event rows
+    * — the same bounded-window contract as q_seasonal/q_mann_kendall.
+    */
+  private val qSpearman = BoundQuery("q_spearman", (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"), sumCents(col("value")).as("y"))
+    val wx = Window.partitionBy("event_type").orderBy("x")
+    val wy = Window.partitionBy("event_type").orderBy("y")
+    val ranked = daily
+      .withColumn("rx",
+        lit(2L) * rank().over(wx).cast("long") +
+          count(lit(1)).over(Window.partitionBy("event_type", "x")) - 1L)
+      .withColumn("ry",
+        lit(2L) * rank().over(wy).cast("long") +
+          count(lit(1)).over(Window.partitionBy("event_type", "y")) - 1L)
+    ranked.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+      .select(col("event_type"), col("n").as("n_days"),
+        expr("""CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 THEN
+                  (CASE WHEN (n*sxy - sx*sy) < 0 THEN -1 ELSE 1 END) *
+                  ((1000000 * (n*sxy - sx*sy) * (n*sxy - sx*sy))
+                     div ((n*sxx - sx*sx) * (n*syy - sy*sy)))
+                END""").as("rho2s_ppm"))
+      .orderBy("event_type")
+  }, Some("""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        CAST(count(*) AS BIGINT) AS x,
+        CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT event_type,
+        2*CAST(rank() OVER (PARTITION BY event_type ORDER BY x) AS BIGINT)
+          + CAST(count(*) OVER (PARTITION BY event_type, x) AS BIGINT) - 1 AS rx,
+        2*CAST(rank() OVER (PARTITION BY event_type ORDER BY y) AS BIGINT)
+          + CAST(count(*) OVER (PARTITION BY event_type, y) AS BIGINT) - 1 AS ry
+      FROM daily),
+    a AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        sum(rx) AS sx, sum(ry) AS sy,
+        sum(rx*rx) AS sxx, sum(ry*ry) AS syy, sum(rx*ry) AS sxy
+      FROM r GROUP BY 1)
+    SELECT event_type, n AS n_days,
+      CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 THEN
+        CAST((CASE WHEN (n*sxy - sx*sy) < 0 THEN -1 ELSE 1 END) *
+          ((1000000 * (n*sxy - sx*sy) * (n*sxy - sx*sy))
+             // ((n*sxx - sx*sx) * (n*syy - sy*sy))) AS BIGINT)
+      END AS rho2s_ppm
+    FROM a ORDER BY event_type
+  """))
+
+  /** One-way ANOVA: does order priority explain any variance in order
+    * value? F = (SSB/(k−1)) / (SSW/(n−k)) over cents-exact moments.
+    *
+    * The only non-integer steps in the textbook formula are the k+1
+    * mean-square ratios S_g²/n_g; each is replaced by ONE truncating
+    * integral division (error < 1 cent², identical in both engines),
+    * after which SSB and SSW are plain integer sums — the same
+    * engine-proven normalization q_attribution and q_ab_test use.
+    * Unit choice is WHOLE DOLLARS, not cents: the per-group quotient
+    * S_g² div n_g must fit int64 (Spark's `div` output type) at the
+    * 10× smoke too, and cents would overflow it there (≈6.7e19)
+    * while dollars stay 4 orders inside the range; the second moment
+    * still accumulates in decimal(38,0) / HUGEINT.
+    *
+    * Scale shape: one map-side-combined groupBy over k=5 priority
+    * groups, then a 5-row reduction — the cheapest possible test of a
+    * categorical factor at any data size (no window, no join, no
+    * second scan). Output variances are per-row (SS div n), so the
+    * columns stay BIGINT-ranged at any sf. */
+  private val qAnova = BoundQuery("q_anova", (s, d) => {
+    val c = round(col("o_totalprice"), 0).cast("long")
+    val g = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("ng"), sum(c).as("sg"),
+        sum(c.cast("decimal(19,0)") * c.cast("decimal(19,0)")).as("qg"))
+    g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+        sum(col("sg")).as("s"),
+        sum(col("qg")).as("q"),
+        sum(expr("(CAST(sg AS DECIMAL(38,0)) * sg) div ng")
+          .cast("decimal(38,0)")).as("bsum"))
+      .select(col("k"), col("n").as("n_orders"),
+        expr("CAST((bsum - (CAST(s AS DECIMAL(38,0)) * s) div n) div n AS BIGINT)")
+          .as("vb_usd2"),
+        expr("CAST((q - bsum) div n AS BIGINT)").as("vw_usd2"),
+        expr("""CAST((1000000 * (bsum - (CAST(s AS DECIMAL(38,0)) * s) div n)
+                        * (n - k))
+                     div (CAST((q - bsum) AS DECIMAL(38,0)) * (k - 1))
+                     AS BIGINT)""").as("f_ppm"))
+  }, Some("""
+    WITH g AS (
+      SELECT o_orderpriority,
+        CAST(count(*) AS BIGINT) AS ng,
+        CAST(sum(CAST(round(o_totalprice, 0) AS BIGINT)) AS BIGINT) AS sg,
+        sum(CAST(CAST(round(o_totalprice, 0) AS BIGINT) AS HUGEINT)
+            * CAST(round(o_totalprice, 0) AS BIGINT)) AS qg
+      FROM orders GROUP BY 1),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+        CAST(sum(sg) AS BIGINT) AS s, sum(qg) AS q,
+        sum((CAST(sg AS HUGEINT) * sg) // ng) AS bsum
+      FROM g)
+    SELECT k, n AS n_orders,
+      CAST((bsum - (CAST(s AS HUGEINT) * s) // n) // n AS BIGINT) AS vb_usd2,
+      CAST((q - bsum) // n AS BIGINT) AS vw_usd2,
+      CAST((1000000 * (bsum - (CAST(s AS HUGEINT) * s) // n) * (n - k))
+           // (CAST((q - bsum) AS HUGEINT) * (k - 1)) AS BIGINT) AS f_ppm
+    FROM t
+  """))
+
+  /** Theil–Sen robust slope of daily revenue per event type: the
+    * median of all pairwise day-to-day slopes — the estimator that
+    * shrugs off the outlier days that wreck the OLS trend (q_linreg /
+    * q_ols3 are its parametric cousins).
+    *
+    * The median is PICKED, never interpolated: pairs order by the
+    * IEEE-exact double ratio Δrev/Δday (identical operands → identical
+    * division in both engines) with the (day_i, day_j) pair as total
+    * tiebreak, and the type-1 lower-median row is selected by rank.
+    * The picked slope is then reported as its EXACT rational parts
+    * (numerator cents, denominator days) plus a truncating ppm
+    * quotient — no float survives into the hashed output.
+    *
+    * Scale shape: the pair set is CALENDAR²-bounded per type (d days →
+    * d(d−1)/2 pairs regardless of raw event volume — the q_mann_kendall
+    * bound), built by one self-join of the daily preagg; windows
+    * partition by event_type over those bounded pairs only. */
+  private val qTheilSen = BoundQuery("q_theil_sen", (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sumCents(col("value")).as("rev"))
+      .withColumn("di", unix_date(col("day")).cast("long"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.di") < col("b.di"))
+      .select(col("a.event_type").as("event_type"),
+        (col("b.rev") - col("a.rev")).as("num"),
+        (col("b.di") - col("a.di")).as("den"),
+        col("a.di").as("di"), col("b.di").as("dj"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("num").cast("double") / col("den").cast("double"),
+        col("di"), col("dj"))
+    pairs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy("event_type")))
+      .where(col("rn") === expr("(np + 1) div 2"))
+      .select(col("event_type"), col("np").as("n_pairs"),
+        col("num").as("med_num_cents"), col("den").as("med_den_days"),
+        expr("(num * 1000000) div den").as("slope_ppm"))
+      .orderBy("event_type")
+  }, Some("""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS rev,
+        CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS di
+      FROM events GROUP BY 1, 2, 4),
+    pairs AS (
+      SELECT a.event_type, b.rev - a.rev AS num, b.di - a.di AS den,
+             a.di AS di, b.di AS dj
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.di < b.di),
+    ranked AS (
+      SELECT *,
+        CAST(row_number() OVER (PARTITION BY event_type
+          ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE), di, dj)
+          AS BIGINT) AS rn,
+        CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS np
+      FROM pairs)
+    SELECT event_type, np AS n_pairs, num AS med_num_cents,
+      den AS med_den_days, (num * 1000000) // den AS slope_ppm
+    FROM ranked WHERE rn = (np + 1) // 2
+    ORDER BY event_type
+  """))
+
+  /** CUPED variance-reduced A/B readout (Deng 2013) — the industry-
+    * standard experiment-sensitivity trick: adjust each cohort's
+    * post-period metric by θ·(pre-period covariate − pooled mean),
+    * θ = Cov(X,Y)/Var(X), shrinking variance by ρ²_XY without biasing
+    * the A−B difference. Beside q_ab_test (raw Welch t) and
+    * q_bootstrap (resampled CIs).
+    *
+    * X = customer's 1995–97 order count, Y = customer's 1998+ spend
+    * in WHOLE DOLLARS (the q_anova unit rule: keeps n·Σxy and the ρ²
+    * cross-products inside decimal(38,0) at the 10× smoke), cohorts
+    * by md5(custkey). θ and ρ² come from exact pooled moments with
+    * one truncating division each (ppm); the adjusted means replay
+    * engine-identically. One groupBy to the customer grain, one 2-row
+    * reduction — no window, no join beyond the broadcast of pooled
+    * scalars. */
+  private val qCuped = BoundQuery("q_cuped", (s, d) => {
+    val per = Tables.orders(s, d)
+      .withColumn("pre", (col("o_orderdate") < "1998-01-01").cast("long"))
+      .withColumn("usd", round(col("o_totalprice"), 0).cast("long"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("pre")).as("x"),
+        sum((lit(1L) - col("pre")) * col("usd")).as("y"))
+      .withColumn("grp",
+        when(substring(md5(col("o_custkey").cast("string")), 1, 2) < "80", "A")
+          .otherwise("B"))
+    val pooled = per.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x").cast("decimal(19,0)") * col("y").cast("decimal(19,0)")).as("sxy"),
+      sum(col("y").cast("decimal(19,0)") * col("y").cast("decimal(19,0)")).as("syy"))
+      .select(col("n"), col("sx"), col("sy"),
+        expr("""CAST((1000000 * (n * sxy - CAST(sx AS DECIMAL(38,0)) * sy))
+                div (n * CAST(sxx AS DECIMAL(38,0)) - CAST(sx AS DECIMAL(38,0)) * sx)
+                AS BIGINT)""").as("theta_ppm"),
+        expr("""CAST((1000000 * (n * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
+                      * (n * sxy - CAST(sx AS DECIMAL(38,0)) * sy))
+                div ((n * CAST(sxx AS DECIMAL(38,0)) - CAST(sx AS DECIMAL(38,0)) * sx)
+                     * (n * syy - CAST(sy AS DECIMAL(38,0)) * sy))
+                AS BIGINT)""").as("rho2_ppm"),
+        expr("(1000000 * sx) div n").as("mx_pooled_u"))
+    per.groupBy("grp")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("x")).as("gx"), sum(col("y")).as("gy"))
+      .crossJoin(broadcast(pooled.select("theta_ppm", "rho2_ppm", "mx_pooled_u")))
+      .select(col("grp"), col("n_cust"), col("theta_ppm"), col("rho2_ppm"),
+        expr("(1000000 * gy) div n_cust").as("my_usd_u"),
+        expr("""(1000000 * gy) div n_cust
+                - CAST((CAST(theta_ppm AS DECIMAL(38,0))
+                        * ((1000000 * gx) div n_cust - mx_pooled_u))
+                       div 1000000 AS BIGINT)""").as("my_adj_usd_u"))
+      .orderBy("grp")
+  }, Some("""
+    WITH per AS (
+      SELECT o_custkey,
+        CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END)
+          AS BIGINT) AS x,
+        CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                 THEN CAST(round(o_totalprice, 0) AS BIGINT) ELSE 0 END)
+          AS BIGINT) AS y,
+        CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 2) < '80'
+             THEN 'A' ELSE 'B' END AS grp
+      FROM orders GROUP BY o_custkey),
+    pooled AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        CAST(sum(x*x) AS BIGINT) AS sxx,
+        sum(CAST(x AS HUGEINT) * y) AS sxy,
+        sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM per),
+    scal AS (
+      SELECT n, sx, sy,
+        CAST((1000000 * (n * sxy - CAST(sx AS HUGEINT) * sy))
+          // (n * CAST(sxx AS HUGEINT) - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+          AS theta_ppm,
+        CAST((1000000 * (n * sxy - CAST(sx AS HUGEINT) * sy)
+              * (n * sxy - CAST(sx AS HUGEINT) * sy))
+          // ((n * CAST(sxx AS HUGEINT) - CAST(sx AS HUGEINT) * sx)
+             * (n * syy - CAST(sy AS HUGEINT) * sy)) AS BIGINT) AS rho2_ppm,
+        (1000000 * sx) // n AS mx_pooled_u
+      FROM pooled)
+    SELECT grp, CAST(count(*) AS BIGINT) AS n_cust, theta_ppm, rho2_ppm,
+      (1000000 * CAST(sum(y) AS BIGINT)) // count(*) AS my_usd_u,
+      (1000000 * CAST(sum(y) AS BIGINT)) // count(*)
+        - CAST((CAST(theta_ppm AS HUGEINT)
+                * ((1000000 * CAST(sum(x) AS BIGINT)) // count(*) - mx_pooled_u))
+               // 1000000 AS BIGINT) AS my_adj_usd_u
+    FROM per CROSS JOIN scal
+    GROUP BY grp, theta_ppm, rho2_ppm, mx_pooled_u ORDER BY grp
+  """))
+
+  /** Ratio-to-moving-average seasonal decomposition of daily event
+    * volume per type — the classical (pre-STL) decomposition: trend =
+    * centered 7-day window sum, detrended ratio in ppm, day-of-week
+    * seasonal index = mean ratio per dow, residual = ratio − index.
+    * Completes the temporal-modeling family: q_seasonal reads the dow
+    * index alone, q_holt smooths level+trend; this separates all
+    * three components. Full 7-day windows only, with the q_backtest
+    * calendar-gap guard (last−first = 6 days) so a missing day
+    * invalidates the window instead of silently shrinking it.
+    *
+    * All ratios are single truncating integral divisions on exact
+    * counts; windows partition by event_type over the CALENDAR-
+    * bounded daily grain. */
+  private val qDecompose = BoundQuery("q_decompose", (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("di", unix_date(col("day")).cast("long"))
+    val w7 = Window.partitionBy("event_type").orderBy("di").rowsBetween(-3, 3)
+    val ratios = daily
+      .withColumn("sum7", sum(col("x")).over(w7))
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("span", max(col("di")).over(w7) - min(col("di")).over(w7))
+      .where(col("n7") === 7 && col("span") === 6)
+      .withColumn("ratio_ppm", expr("(7000000 * x) div sum7"))
+      .withColumn("dow", dayofweek(col("day")).cast("long"))
+    val seas = ratios.groupBy("event_type", "dow")
+      .agg(expr("sum(ratio_ppm) div count(1)").as("seas_ppm"))
+    ratios.join(seas, Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("x").as("n_events"),
+        col("sum7"), col("ratio_ppm"), col("seas_ppm"),
+        (col("ratio_ppm") - col("seas_ppm")).as("resid_ppm"))
+      .orderBy("event_type", "day")
+  }, Some("""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        CAST(count(*) AS BIGINT) AS x,
+        CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS di
+      FROM events GROUP BY 1, 2, 4),
+    win AS (
+      SELECT event_type, day, x, di,
+        CAST(sum(x) OVER w AS BIGINT) AS sum7,
+        CAST(count(*) OVER w AS BIGINT) AS n7,
+        CAST(max(di) OVER w - min(di) OVER w AS BIGINT) AS span
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY di
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    ratios AS (
+      SELECT event_type, day, x, sum7,
+        (7000000 * x) // sum7 AS ratio_ppm,
+        CAST(dayofweek(day) + 1 AS BIGINT) AS dow
+      FROM win WHERE n7 = 7 AND span = 6),
+    seas AS (
+      SELECT event_type, dow,
+        CAST(sum(ratio_ppm) AS BIGINT) // count(*) AS seas_ppm
+      FROM ratios GROUP BY 1, 2)
+    SELECT r.event_type, r.day, r.x AS n_events, r.sum7, r.ratio_ppm,
+      s.seas_ppm, r.ratio_ppm - s.seas_ppm AS resid_ppm
+    FROM ratios r JOIN seas s ON r.event_type = s.event_type AND r.dow = s.dow
+    ORDER BY r.event_type, r.day
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qSpearman, qAnova, qTheilSen, qCuped,
+    qDecompose)
+}

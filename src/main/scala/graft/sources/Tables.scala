@@ -31,10 +31,26 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     registry.computeIfAbsent((System.identityHashCode(spark).toString, dir, name), _ =>
       if (name == "events") {
+        // The driver's events.ts has shipped as BOTH parquet
+        // TIMESTAMP(NANOS) (read as a ns-epoch long under
+        // nanosAsLong) and TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ)
+        // across rounds. Normalize either encoding to the same pair
+        // the whole query surface consumes: ts_ns (exact ns-epoch
+        // long, trailing zeros when the source is µs) + ts (µs
+        // TimestampType). Session timezone is pinned UTC by every
+        // entrypoint, so the NTZ cast is the identity on the naive
+        // clock reading — same instant DuckDB's epoch_us(ts) sees.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$dir/events.parquet")
-          .withColumnRenamed("ts", "ts_ns")
-          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+        val raw = spark.read.parquet(s"$dir/events.parquet")
+        val normalized = raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumnRenamed("ts", "ts_ns")
+          case _ =>
+            raw.select(col("event_id"),
+              expr("unix_micros(cast(ts as timestamp)) * 1000").as("ts_ns"),
+              col("user_id"), col("event_type"), col("value"), col("props"))
+        }
+        normalized.withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       } else {
         spark.read.parquet(s"$dir/$name.parquet")
       })

@@ -16,8 +16,10 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events.parquet physical schema (ts read as ns-long, same trick as
-    * graft.sources.Tables — streaming sources need an explicit schema). */
+  /** events.parquet physical schema (ts read as a raw epoch long —
+    * same trick as graft.sources.Tables; streaming sources need an
+    * explicit schema, and declaring LongType surfaces the INT64
+    * payload under either timestamp encoding). */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -25,6 +27,27 @@ object EventStreams {
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** The driver's events.ts has shipped as BOTH parquet
+    * TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across rounds (see
+    * sources.Tables.load). Under the LongType schema both arrive as
+    * the raw INT64 epoch value — only the µs divisor differs. Probe
+    * ONE batch footer per directory (memoized) to pick it: a NANOS
+    * column reads as LongType under nanosAsLong, a MICROS one as a
+    * timestamp type. */
+  private val divisorCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def tsDivisor(spark: SparkSession, dir: String): Long =
+    divisorCache.computeIfAbsent(dir, _ => {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val isNs = spark.read.parquet(dir).schema
+        .find(_.name == "ts").exists(_.dataType == LongType)
+      java.lang.Long.valueOf(if (isNs) 1000L else 1L)
+    })
+
+  /** `ts` (raw epoch long) → µs-epoch long, encoding-aware. */
+  private def tsUsExpr(spark: SparkSession, dir: String) =
+    expr(s"ts div ${tsDivisor(spark, dir)}")
 
   /** Stateful per-user running aggregates via mapGroupsWithState —
     * the custom-state shape (KeyValueGroupedDataset) for metrics a
@@ -62,9 +85,9 @@ object EventStreams {
     // along in the tuple
     val events = spark.readStream.options(readerOptions)
       .schema(eventsSchema).parquet(dir)
-      .withColumn("tsc", timestamp_micros(expr("ts div 1000")))
+      .withColumn("tsc", timestamp_micros(tsUsExpr(spark, dir)))
       .withWatermark("tsc", watermarkDelay)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("tsc"))
+      .select(col("user_id"), tsUsExpr(spark, dir).as("ts_us"), col("tsc"))
       .as[(Long, Long, java.sql.Timestamp)]
     events.groupByKey(_._1)
       .mapGroupsWithState[(Long, Long), (Long, Long, Long)](
@@ -96,7 +119,7 @@ object EventStreams {
     spark.readStream
       .schema(eventsSchema)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(tsUsExpr(spark, dir)))
       .withWatermark("ts", "24 hours")
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
@@ -133,7 +156,7 @@ object EventStreams {
   def raw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(eventsSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(tsUsExpr(spark, dir)))
   }
 
   /** Streaming first-order transitions: per-user (current, next)
@@ -159,9 +182,9 @@ object EventStreams {
       s"ttl '$ttl' uses months/years — express the TTL in days or smaller")
     val ttlMsLong = ttlMs.days.toLong * 86400000L + ttlMs.microseconds / 1000L
     val events = spark.readStream.schema(eventsSchema).parquet(dir)
-      .withColumn("tsc", timestamp_micros(expr("ts div 1000")))
+      .withColumn("tsc", timestamp_micros(tsUsExpr(spark, dir)))
       .withWatermark("tsc", watermarkDelay)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+      .select(col("user_id"), tsUsExpr(spark, dir).as("ts_us"),
         col("event_id"), col("event_type"), col("tsc"))
       .as[(Long, Long, Long, String, java.sql.Timestamp)]
     events.groupByKey(_._1)
@@ -197,7 +220,7 @@ object EventStreams {
       spark.readStream.schema(eventsSchema).parquet(dir)
         .where(col("event_type") === t)
         .select(col("user_id").as(idAs), col("event_id").as(s"${idAs}_event"),
-          timestamp_micros(expr("ts div 1000")).as(tsAs))
+          timestamp_micros(tsUsExpr(spark, dir)).as(tsAs))
         .withWatermark(tsAs, "1 hour")
     val views = side("view", "v_user", "vts")
     val purchases = side("purchase", "p_user", "pts")
@@ -229,9 +252,9 @@ object EventStreams {
     // watermark metadata must ride into the stateful operator's input
     // on the tsc column (see userRunningCounts)
     val events = spark.readStream.schema(eventsSchema).parquet(dir)
-      .withColumn("tsc", timestamp_micros(expr("ts div 1000")))
+      .withColumn("tsc", timestamp_micros(tsUsExpr(spark, dir)))
       .withWatermark("tsc", watermarkDelay)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("tsc"))
+      .select(col("user_id"), tsUsExpr(spark, dir).as("ts_us"), col("tsc"))
       .as[(Long, Long, java.sql.Timestamp)]
     events.groupByKey(_._1)
       .flatMapGroupsWithState[List[Long], (Long, Long, Long)](
@@ -270,7 +293,7 @@ object EventStreams {
                watermarkDelay: String = "2 hours"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(eventsSchema).parquet(dir)
-      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_us", tsUsExpr(spark, dir))
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -291,7 +314,7 @@ object EventStreams {
     spark.readStream
       .schema(eventsSchema)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(tsUsExpr(spark, dir)))
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))

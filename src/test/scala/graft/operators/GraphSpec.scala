@@ -108,4 +108,33 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == bfs(4))
   }
+
+  test("kCore fixpoint equals plain-Scala peeling and satisfies the core property") {
+    // canonical a<b distinct edges
+    val canon = undirected.map(e => if (e._1 < e._2) e else e.swap).distinct
+    def peel(k: Int): Map[String, Int] = {
+      var alive = canon
+      var changed = true
+      while (changed) {
+        val deg = alive.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (n, xs) => n -> xs.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = alive.filter(e => keep(e._1) && keep(e._2))
+        changed = next.size != alive.size
+        alive = next
+      }
+      alive.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+    }
+    val k = 3
+    val got = Graph.kCore(canon.toDF("a", "b"), "a", "b", k)
+      .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    assert(got == peel(k), "engine k-core differs from plain-Scala peeling")
+    // the defining property: every surviving node keeps >= k surviving edges
+    assert(got.values.forall(_ >= k))
+    // bounded twin converges to the same fixpoint once rounds suffice
+    val bounded = Graph.kCore(canon.toDF("a", "b"), "a", "b", k, maxRounds = 50)
+      .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    assert(bounded == got)
+  }
 }
