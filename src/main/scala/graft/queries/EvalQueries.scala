@@ -288,5 +288,175 @@ object EvalQueries {
     FROM e ORDER BY least(err_le, err_gt), qty LIMIT 1
   """))
 
-  val all: Seq[BoundQuery] = Seq(qNdcg, qCalibration, qAuc, qDecisionStump)
+  /** Mean Reciprocal Rank companion to q_ndcg: the rank of the FIRST
+    * label-matching neighbor in the exact-cosine ranking, per query,
+    * with rr = 10⁶ div rank. NDCG grades the whole top-10; MRR asks
+    * the navigational question — how deep until the first hit?
+    *
+    * First-relevant rank without ranking everything: count the
+    * non-relevant items that sort strictly before the BEST relevant
+    * item under the (cosine DESC, id) total order — a max + a
+    * conditional count, no global window. Scoring reuses the
+    * q_ann_topk broadcast shape (5 query vectors × linear scan). */
+  private val qMrr = BoundQuery("q_mrr", (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val full = Similarity.bruteForceTopK(
+      e, col("vec_id"), col("embedding"),
+      e.where(col("vec_id") < 5), col("vec_id"), col("embedding"),
+      k = Int.MaxValue)
+    val labels = e.select(col("vec_id").as("id"), col("label"))
+    val qlab = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+    full.join(labels, "id").join(broadcast(qlab), "query_id")
+      .groupBy("query_id")
+      .agg(min(when(col("label") === col("qlabel"), col("rnk").cast("long")))
+        .as("first_rel_rank"))
+      .select(col("query_id"), col("first_rel_rank"),
+        expr("1000000 div first_rel_rank").as("rr_u"))
+      .orderBy("query_id")
+  }, Some(s"""
+    WITH e AS (SELECT vec_id, label, embedding, ${VectorQueries.duckNorm} AS nrm
+               FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS qlabel,
+             a.vec_id AS id, a.label,
+             round(${VectorQueries.duckCosine("a", "q")}, 6) AS cosine
+      FROM e a JOIN e q ON q.vec_id < 5 AND a.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT query_id, qlabel, label,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, id) AS BIGINT) AS rnk
+      FROM scored)
+    SELECT query_id,
+      CAST(min(CASE WHEN label = qlabel THEN rnk END) AS BIGINT)
+        AS first_rel_rank,
+      1000000 // CAST(min(CASE WHEN label = qlabel THEN rnk END) AS BIGINT)
+        AS rr_u
+    FROM ranked GROUP BY query_id ORDER BY query_id
+  """))
+
+  /** kNN classifier evaluation: hold out the first 50 vectors,
+    * predict each one's label by the majority among its 10 nearest
+    * (exact cosine) neighbors in the remaining collection, and emit
+    * the confusion matrix — the non-parametric baseline beside
+    * q_naive_bayes' parametric one, sharing its confusion-matrix
+    * output contract.
+    *
+    * Majority vote resolves ties deterministically by (count DESC,
+    * label ASC) via one struct-max per query — no window over the
+    * vote table. Ranking is the q_ann_topk broadcast + top-k plan
+    * (50 query rows broadcast, one linear scan). */
+  private val qKnnClassify = BoundQuery("q_knn_classify", (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val top = Similarity.bruteForceTopK(
+      e.where(col("vec_id") >= 50), col("vec_id"), col("embedding"),
+      e.where(col("vec_id") < 50), col("vec_id"), col("embedding"), k = 10)
+    val labels = e.select(col("vec_id").as("id"), col("label"))
+    val votes = top.join(labels, "id")
+      .groupBy(col("query_id"), col("label")).agg(count(lit(1)).as("v"))
+    val pred = votes.groupBy("query_id")
+      .agg(max(struct(col("v"), (-col("label")).cast("long").as("nl"))).as("b"))
+      .select(col("query_id"), (-col("b.nl")).cast("long").as("pred"))
+    val truth = e.where(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("label").cast("long").as("truth"))
+    pred.join(truth, "query_id")
+      .groupBy("truth", "pred").agg(count(lit(1)).as("n"))
+      .orderBy("truth", "pred")
+  }, Some(s"""
+    WITH e AS (SELECT vec_id, label, embedding, ${VectorQueries.duckNorm} AS nrm
+               FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS id, a.label,
+             round(${VectorQueries.duckCosine("a", "q")}, 6) AS cosine
+      FROM e a JOIN e q ON q.vec_id < 50 AND a.vec_id >= 50),
+    ranked AS (
+      SELECT query_id, id, label,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, id) AS rnk
+      FROM scored),
+    votes AS (
+      SELECT query_id, label, CAST(count(*) AS BIGINT) AS v
+      FROM ranked WHERE rnk <= 10 GROUP BY 1, 2),
+    pred AS (
+      SELECT query_id,
+        -CAST((max(struct_pack(v := v, nl := -CAST(label AS BIGINT)))).nl
+              AS BIGINT) AS pred
+      FROM votes GROUP BY 1)
+    SELECT CAST(q.label AS BIGINT) AS truth, p.pred,
+      CAST(count(*) AS BIGINT) AS n
+    FROM pred p JOIN e q ON q.vec_id = p.query_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+  """))
+
+  /** Split-conformal prediction interval (Vovk/Papadopoulos; the
+    * distribution-free uncertainty wrapper production ML actually
+    * ships): three md5 thirds — train fits a per-priority mean,
+    * calibration takes the ceil(0.9·(n+1))-th smallest absolute
+    * residual as the interval half-width q̂ (the finite-sample-valid
+    * conformal rank, NOT the plain 90% quantile), test measures
+    * empirical coverage of pred ± q̂.
+    *
+    * The conformal order statistic is PICKED by the two-phase
+    * globalRowNumber rank (the q_global_median discipline — no
+    * single-partition window over residuals); residuals and the
+    * coverage compare stay in exact micro-USD longs; coverage is one
+    * integral division to ppm and should sit at ≈ 900000. */
+  private val qConformal = BoundQuery("q_conformal", (s, d) => {
+    val h = substring(md5(col("o_orderkey").cast("string")), 1, 2)
+    val base = Tables.orders(s, d)
+      .withColumn("fold",
+        when(h < "55", "train").when(h < "aa", "cal").otherwise("test"))
+      .withColumn("usd_u", round(col("o_totalprice"), 0).cast("long") * 1000000L)
+    val model = base.where(col("fold") === "train")
+      .groupBy("o_orderpriority")
+      .agg(expr("sum(usd_u div 1000000)").as("su"), count(lit(1)).as("nt"))
+      .select(col("o_orderpriority"), expr("(su * 1000000) div nt").as("pred_u"))
+    val scored = base.join(broadcast(model), "o_orderpriority")
+      .withColumn("r", abs(col("usd_u") - col("pred_u")))
+    val cal = scored.where(col("fold") === "cal").select(col("r"), col("o_orderkey"))
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    val qhat = graft.operators.Ranking
+      .globalRowNumber(cal, "rn0", col("r"), col("o_orderkey"))
+      .crossJoin(broadcast(nCal))
+      .where(col("rn0") + 1 === expr("(9 * (n_cal + 1) + 9) div 10"))
+      .select(col("r").as("qhat_u"), col("n_cal"))
+    scored.where(col("fold") === "test")
+      .crossJoin(broadcast(qhat))
+      .agg(max(col("n_cal")).as("n_cal"), max(col("qhat_u")).as("qhat_u"),
+        count(lit(1)).as("n_test"),
+        sum((col("r") <= col("qhat_u")).cast("long")).as("covered"))
+      .select(col("n_cal"), col("n_test"), col("qhat_u"),
+        expr("(1000000 * covered) div n_test").as("cov_ppm"))
+  }, Some("""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+        CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '55' THEN 'train'
+             WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < 'aa' THEN 'cal'
+             ELSE 'test' END AS fold,
+        CAST(round(o_totalprice, 0) AS BIGINT) * 1000000 AS usd_u
+      FROM orders),
+    model AS (
+      SELECT o_orderpriority,
+        (CAST(sum(usd_u // 1000000) AS BIGINT) * 1000000)
+          // CAST(count(*) AS BIGINT) AS pred_u
+      FROM base WHERE fold = 'train' GROUP BY 1),
+    scored AS (
+      SELECT b.o_orderkey, b.fold, abs(b.usd_u - m.pred_u) AS r
+      FROM base b JOIN model m USING (o_orderpriority)),
+    cal AS (
+      SELECT r, CAST(row_number() OVER (ORDER BY r, o_orderkey) AS BIGINT) AS rn
+      FROM scored WHERE fold = 'cal'),
+    nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+    qhat AS (
+      SELECT r AS qhat_u, n_cal FROM cal, nc
+      WHERE rn = (9 * (n_cal + 1) + 9) // 10)
+    SELECT max(q.n_cal) AS n_cal, CAST(count(*) AS BIGINT) AS n_test,
+      max(q.qhat_u) AS qhat_u,
+      (1000000 * CAST(sum(CASE WHEN s.r <= q.qhat_u THEN 1 ELSE 0 END) AS BIGINT))
+        // CAST(count(*) AS BIGINT) AS cov_ppm
+    FROM scored s CROSS JOIN qhat q WHERE s.fold = 'test'
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qNdcg, qCalibration, qAuc, qDecisionStump,
+    qMrr, qKnnClassify, qConformal)
 }

@@ -595,6 +595,116 @@ object MlQueries {
     FROM sol
   """))
 
+  /** Logistic regression (returnflag ~ intercept + quantity) by TWO
+    * unrolled Newton–Raphson steps — the GLM companion to q_ols3's
+    * closed-form least squares, engine-proven like q_kmeans_arith:
+    * every iteration state is integer.
+    *
+    * Step 1 from θ=0 is CLOSED FORM (p≡½ ⇒ W≡¼I): θ¹ comes from the
+    * same exact count moments as OLS, scaled to micro-units by one
+    * truncating division. Step 2 computes per-row p = σ(η) as ONE
+    * double expression on identical operands rounded once to ppm
+    * (the micro-nat discipline — libm exp parity holds empirically
+    * across both engines at sf1 scale for the ln-based families), so
+    * the weighted moments S_w, S_wx, S_wxx and the gradient are exact
+    * longs/decimals, and the 2×2 Newton solve is integer Cramer with
+    * the q_acf denominator-first division (det div 10¹² before the
+    * ratio — the direct 10¹²-scaled numerator would pass decimal(38)).
+    *
+    * Scale shape: two scans (one per step), each a map-side-combined
+    * reduction to a 1-row moment table; the θ¹ broadcast is 1 row.
+    * No window, no join beyond that broadcast. */
+  private val qLogregNewton = BoundQuery("q_logreg_newton", (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_quantity").cast("long").as("x"),
+        (col("l_returnflag") === "R").cast("long").as("y"))
+    val m1 = li.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y")).as("sy"), sum(col("y") * col("x")).as("syx"))
+    val step1 = m1.select(col("n"),
+      expr("""CAST((2000000 * (CAST(sxx AS DECIMAL(38,0)) * (2*sy - n)
+                               - CAST(sx AS DECIMAL(38,0)) * (2*syx - sx)))
+              div (CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+              AS BIGINT)""").as("t0_s1_u"),
+      expr("""CAST((2000000 * (CAST(n AS DECIMAL(38,0)) * (2*syx - sx)
+                               - CAST(sx AS DECIMAL(38,0)) * (2*sy - n)))
+              div (CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+              AS BIGINT)""").as("t1_s1_u"))
+    val scored = li.crossJoin(broadcast(step1))
+      .withColumn("p", expr(
+        "CAST(round(1e6 / (1.0 + exp(-(CAST(t0_s1_u + t1_s1_u * x AS DOUBLE) / 1e6))), 0) AS BIGINT)"))
+      .withColumn("w", expr("p * (1000000 - p)"))
+    val m2 = scored.agg(
+      max(col("t0_s1_u")).as("t0_s1_u"), max(col("t1_s1_u")).as("t1_s1_u"),
+      max(col("n")).as("n"),
+      sum(col("w").cast("decimal(20,0)")).as("sw"),
+      sum((col("w") * col("x")).cast("decimal(26,0)")).as("swx"),
+      sum((col("w") * col("x") * col("x")).cast("decimal(30,0)")).as("swxx"),
+      sum(col("y") * 1000000L - col("p")).as("g0"),
+      sum((col("y") * 1000000L - col("p")) * col("x")).as("g1"))
+    // Spark's `div` always returns BIGINT, and det2 div 10^12 (~10^20)
+    // silently WRAPS past int64 (measured: 3.76e32 div 1e12 came back
+    // 7.1e18 = the true quotient mod 2^64). The truncated quotient is
+    // instead computed exactly in decimal: (det2 - det2 % 10^12)/10^12
+    // has no fractional part, so the decimal division is exact and the
+    // result stays DECIMAL(38,0) — identical to DuckDB's HUGEINT `//`.
+    val denm = """((CAST(sw AS DECIMAL(38,0)) * swxx
+                    - CAST(swx AS DECIMAL(38,0)) * swx)
+                   - (CAST(sw AS DECIMAL(38,0)) * swxx
+                      - CAST(swx AS DECIMAL(38,0)) * swx) % 1000000000000)
+                  / 1000000000000"""
+    m2.select(col("n"), col("t0_s1_u"), col("t1_s1_u"),
+      expr(s"""t0_s1_u + CAST((CAST(swxx AS DECIMAL(38,0)) * g0
+                              - CAST(swx AS DECIMAL(38,0)) * g1)
+              div CAST($denm AS DECIMAL(38,0))
+              AS BIGINT)""").as("t0_u"),
+      expr(s"""t1_s1_u + CAST((CAST(sw AS DECIMAL(38,0)) * g1
+                              - CAST(swx AS DECIMAL(38,0)) * g0)
+              div CAST($denm AS DECIMAL(38,0))
+              AS BIGINT)""").as("t1_u"))
+  }, Some("""
+    WITH li AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+        CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem),
+    m1 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x*x) AS BIGINT) AS sxx,
+        CAST(sum(y) AS BIGINT) AS sy, CAST(sum(y*x) AS BIGINT) AS syx
+      FROM li),
+    s1 AS (
+      SELECT n,
+        CAST((2000000 * (CAST(sxx AS HUGEINT) * (2*sy - n)
+                         - CAST(sx AS HUGEINT) * (2*syx - sx)))
+          // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+          AS BIGINT) AS t0_s1_u,
+        CAST((2000000 * (CAST(n AS HUGEINT) * (2*syx - sx)
+                         - CAST(sx AS HUGEINT) * (2*sy - n)))
+          // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+          AS BIGINT) AS t1_s1_u
+      FROM m1),
+    scored AS (
+      SELECT li.x, li.y, s1.n, s1.t0_s1_u, s1.t1_s1_u,
+        CAST(round(1e6 / (1.0 + exp(-(CAST(s1.t0_s1_u + s1.t1_s1_u * li.x AS DOUBLE) / 1e6))), 0) AS BIGINT) AS p
+      FROM li CROSS JOIN s1),
+    m2 AS (
+      SELECT max(n) AS n, max(t0_s1_u) AS t0_s1_u, max(t1_s1_u) AS t1_s1_u,
+        sum(CAST(p * (1000000 - p) AS HUGEINT)) AS sw,
+        sum(CAST(p * (1000000 - p) AS HUGEINT) * x) AS swx,
+        sum(CAST(p * (1000000 - p) AS HUGEINT) * x * x) AS swxx,
+        CAST(sum(y * 1000000 - p) AS BIGINT) AS g0,
+        CAST(sum((y * 1000000 - p) * x) AS BIGINT) AS g1
+      FROM scored)
+    SELECT n, t0_s1_u, t1_s1_u,
+      t0_s1_u + CAST((CAST(swxx AS HUGEINT) * g0 - CAST(swx AS HUGEINT) * g1)
+        // ((CAST(sw AS HUGEINT) * swxx - CAST(swx AS HUGEINT) * swx)
+           // 1000000000000) AS BIGINT) AS t0_u,
+      t1_s1_u + CAST((CAST(sw AS HUGEINT) * g1 - CAST(swx AS HUGEINT) * g0)
+        // ((CAST(sw AS HUGEINT) * swxx - CAST(swx AS HUGEINT) * swx)
+           // 1000000000000) AS BIGINT) AS t1_u
+    FROM m2
+  """))
+
   val all: Seq[BoundQuery] = Seq(qNaiveBayes, qSq8, qNbCrossval, qKmeansArith,
-    qPcaPower, qOls3)
+    qPcaPower, qOls3, qLogregNewton)
 }

@@ -366,6 +366,205 @@ object StatsQueries {
     ORDER BY r.event_type, r.day
   """))
 
+  /** Inverse-propensity-weighted (stratified Horvitz–Thompson)
+    * estimate of the effect of order urgency on completion,
+    * controlling for order size — the observational-causal primitive
+    * beside the randomized-split readouts (q_ab_test, q_cuped):
+    * treatment = urgent/high priority, outcome = status F, strata =
+    * fixed $100k size buckets, propensity = within-stratum treatment
+    * rate.
+    *
+    * With a DISCRETE propensity the HT estimator is exact integer
+    * work: per-stratum rates and the two weighted outcome means are
+    * each one truncating division; no per-row weight ever
+    * materializes (the stratum aggregate carries it). One scan, one
+    * 5-stratum groupBy, one reduction. */
+  private val qIpw = BoundQuery("q_ipw", (s, d) => {
+    val strata = Tables.orders(s, d)
+      .withColumn("st", least(floor(col("o_totalprice") / 100000).cast("long"), lit(4L)))
+      .withColumn("t", col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long"))
+      .withColumn("y", (col("o_orderstatus") === "F").cast("long"))
+      .groupBy("st")
+      .agg(count(lit(1)).as("n_s"), sum(col("t")).as("nt"),
+        sum(col("t") * col("y")).as("yt"),
+        sum((lit(1L) - col("t")) * col("y")).as("yc"))
+      // positivity: strata with no treated or no control rows have an
+      // undefined propensity weight — drop them (standard practice;
+      // none occur on this data, the guard is for the 100 TB corpus)
+      .where(col("nt") > 0 && col("nt") < col("n_s"))
+      .withColumn("e_ppm", expr("(1000000 * nt) div n_s"))
+      // HT contributions: Σ y_i/e_s over treated = (yt·1e12) div e_ppm
+      .withColumn("c1", expr("(yt * 1000000000000) div e_ppm"))
+      .withColumn("c0", expr("(yc * 1000000000000) div (1000000 - e_ppm)"))
+    strata.agg(sum(col("n_s")).as("n"), count(lit(1)).as("n_strata"),
+        sum(col("c1")).as("s1"), sum(col("c0")).as("s0"))
+      .select(col("n").as("n_orders"), col("n_strata"),
+        expr("s1 div n").as("y1_ppm"), expr("s0 div n").as("y0_ppm"),
+        expr("s1 div n - s0 div n").as("ate_ppm"))
+  }, Some("""
+    WITH strata AS (
+      SELECT least(CAST(floor(o_totalprice / 100000) AS BIGINT), 4) AS st,
+        CAST(count(*) AS BIGINT) AS n_s,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS yt,
+        CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS yc
+      FROM orders GROUP BY 1),
+    w AS (
+      SELECT n_s,
+        (yt * 1000000000000) // ((1000000 * nt) // n_s) AS c1,
+        (yc * 1000000000000) // (1000000 - (1000000 * nt) // n_s) AS c0
+      FROM strata WHERE nt > 0 AND nt < n_s)
+    SELECT CAST(sum(n_s) AS BIGINT) AS n_orders,
+      CAST(count(*) AS BIGINT) AS n_strata,
+      CAST(sum(c1) AS BIGINT) // CAST(sum(n_s) AS BIGINT) AS y1_ppm,
+      CAST(sum(c0) AS BIGINT) // CAST(sum(n_s) AS BIGINT) AS y0_ppm,
+      CAST(sum(c1) AS BIGINT) // CAST(sum(n_s) AS BIGINT)
+        - CAST(sum(c0) AS BIGINT) // CAST(sum(n_s) AS BIGINT) AS ate_ppm
+    FROM w
+  """))
+
+  /** Difference-in-differences: the 2×2 (cohort × pre/post) panel
+    * estimator — (A_post − A_pre) − (B_post − B_pre) on mean order
+    * value, cohorts by md5(custkey), periods split at 1998-01-01.
+    * On a hash split the true DID is ~0, which is exactly what the
+    * placebo audit of an experiment pipeline should report. All four
+    * cell means are single truncating divisions on exact whole-dollar
+    * sums; one scan, one 4-cell groupBy, one reduction. */
+  private val qDid = BoundQuery("q_did", (s, d) => {
+    val cells = Tables.orders(s, d)
+      .withColumn("grp",
+        when(substring(md5(col("o_custkey").cast("string")), 1, 2) < "80", "A")
+          .otherwise("B"))
+      .withColumn("post", (col("o_orderdate") >= "1998-01-01").cast("long"))
+      .withColumn("usd", round(col("o_totalprice"), 0).cast("long"))
+      .groupBy("grp", "post")
+      .agg(count(lit(1)).as("n"), sum(col("usd")).as("s"))
+      .withColumn("mean_u", expr("(1000000 * s) div n"))
+    cells.groupBy()
+      .pivot(concat(col("grp"), col("post")), Seq("A0", "A1", "B0", "B1"))
+      .agg(first(col("mean_u")))
+      .select(col("A0").as("a_pre_u"), col("A1").as("a_post_u"),
+        col("B0").as("b_pre_u"), col("B1").as("b_post_u"),
+        expr("(A1 - A0) - (B1 - B0)").as("did_u"))
+  }, Some("""
+    WITH cells AS (
+      SELECT
+        CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 2) < '80'
+             THEN 'A' ELSE 'B' END AS grp,
+        CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS post,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(round(o_totalprice, 0) AS BIGINT)) AS BIGINT) AS s
+      FROM orders GROUP BY 1, 2),
+    m AS (SELECT grp, post, (1000000 * s) // n AS mean_u FROM cells)
+    SELECT
+      max(CASE WHEN grp = 'A' AND post = 0 THEN mean_u END) AS a_pre_u,
+      max(CASE WHEN grp = 'A' AND post = 1 THEN mean_u END) AS a_post_u,
+      max(CASE WHEN grp = 'B' AND post = 0 THEN mean_u END) AS b_pre_u,
+      max(CASE WHEN grp = 'B' AND post = 1 THEN mean_u END) AS b_post_u,
+      (max(CASE WHEN grp = 'A' AND post = 1 THEN mean_u END)
+       - max(CASE WHEN grp = 'A' AND post = 0 THEN mean_u END))
+      - (max(CASE WHEN grp = 'B' AND post = 1 THEN mean_u END)
+         - max(CASE WHEN grp = 'B' AND post = 0 THEN mean_u END)) AS did_u
+    FROM m
+  """))
+
+  /** ABC (Pareto) classification of parts by revenue: class A carries
+    * the first 80% of cumulative revenue, B to 95%, C the tail — the
+    * inventory-analytics classic, and the canonical consumer of the
+    * two-phase globalCumSum (revenue-descending rank over ALL parts —
+    * the exact shape a naive `sum over (order by rev desc)` window
+    * would funnel through one task).
+    *
+    * Class fences compare exact cents: cum·100 ≤ total·80 — integer
+    * cross-multiplication, no percentage float. Output is the 3-row
+    * class summary. */
+  private val qAbcClass = BoundQuery("q_abc_class", (s, d) => {
+    val rev = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("part"))
+      .agg(sumCents(col("l_extendedprice")).as("rev_c"))
+    val tot = rev.agg(sum(col("rev_c")).as("t"))
+    val cum = graft.operators.Ranking.globalCumSum(
+      rev, col("rev_c"), "cum_c", col("rev_c").desc, col("part"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("cls",
+        when(col("cum_c") * 100 <= col("t") * 80, "A")
+          .when(col("cum_c") * 100 <= col("t") * 95, "B")
+          .otherwise("C"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev_c")).as("rev_cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("cls"), col("n_parts"), col("rev_cents"),
+        expr("(1000000 * rev_cents) div t").as("share_ppm"))
+      .orderBy("cls")
+  }, Some("""
+    WITH rev AS (
+      SELECT l_partkey AS part,
+        CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS t FROM rev),
+    cum AS (
+      SELECT part, rev_c,
+        CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, part
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c
+      FROM rev),
+    cls AS (
+      SELECT CASE WHEN cum_c * 100 <= t * 80 THEN 'A'
+                  WHEN cum_c * 100 <= t * 95 THEN 'B'
+                  ELSE 'C' END AS cls, rev_c
+      FROM cum, tot)
+    SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+      CAST(sum(rev_c) AS BIGINT) AS rev_cents,
+      (1000000 * CAST(sum(rev_c) AS BIGINT)) // (SELECT t FROM tot) AS share_ppm
+    FROM cls GROUP BY 1 ORDER BY 1
+  """))
+
+  /** Hill tail-index estimator over the top-200 order values — "how
+    * heavy is the revenue tail?", the telemetry that decides whether
+    * mean-based planning (thin tail, α > 2) or quantile-based
+    * planning (heavy tail) is sound, and the classical complement to
+    * q_zipf's rank-frequency slope. 1/α̂ = mean of ln(x_i/x_k) over
+    * the k−1 largest values above the k-th.
+    *
+    * Per-term lns round to µnats before the exact-long sum (the
+    * q_bigram_lm rule); α̂ itself is one integral division. The top-k
+    * collapses to a TakeOrdered(200) — no global sort — and the
+    * threshold x_k arrives by a 1-row broadcast min. */
+  private val qHill = BoundQuery("q_hill", (s, d) => {
+    val top = Tables.orders(s, d)
+      .select(cents(col("o_totalprice")).as("c"), col("o_orderkey"))
+      .orderBy(desc("c"), col("o_orderkey")).limit(200)
+    val xk = top.agg(min(col("c")).as("ck"))
+    top.crossJoin(broadcast(xk))
+      .where(col("c") > col("ck"))
+      .withColumn("t_u",
+        round(log(col("c").cast("double") / col("ck").cast("double")) * 1e6, 0)
+          .cast("long"))
+      .agg(count(lit(1)).as("k_used"), max(col("ck")).as("xk_cents"),
+        sum(col("t_u")).as("tsum"))
+      .select(col("k_used"), col("xk_cents"),
+        expr("tsum div k_used").as("inv_alpha_u"),
+        expr("1000000000000 div (tsum div k_used)").as("alpha_ppm"))
+  }, Some("""
+    WITH top AS (
+      SELECT CAST(round(o_totalprice*100, 0) AS BIGINT) AS c, o_orderkey
+      FROM orders ORDER BY c DESC, o_orderkey LIMIT 200),
+    xk AS (SELECT CAST(min(c) AS BIGINT) AS ck FROM top),
+    terms AS (
+      SELECT c, ck,
+        CAST(round(ln(CAST(c AS DOUBLE) / CAST(ck AS DOUBLE)) * 1e6, 0) AS BIGINT)
+          AS t_u
+      FROM top, xk WHERE c > ck)
+    SELECT CAST(count(*) AS BIGINT) AS k_used,
+      CAST(max(ck) AS BIGINT) AS xk_cents,
+      CAST(sum(t_u) AS BIGINT) // CAST(count(*) AS BIGINT) AS inv_alpha_u,
+      1000000000000 // (CAST(sum(t_u) AS BIGINT) // CAST(count(*) AS BIGINT))
+        AS alpha_ppm
+    FROM terms
+  """))
+
   val all: Seq[BoundQuery] = Seq(qSpearman, qAnova, qTheilSen, qCuped,
-    qDecompose)
+    qDecompose, qIpw, qDid, qAbcClass, qHill)
 }

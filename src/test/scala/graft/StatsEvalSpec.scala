@@ -196,6 +196,101 @@ class StatsEvalSpec extends AnyFunSuite {
     }
   }
 
+  test("ipw: stratified HT means bracket raw means and strata all satisfy positivity") {
+    val r = run("q_ipw")
+    assert(r.length == 1)
+    val row = r.head
+    val y1 = row.getAs[Long]("y1_ppm")
+    val y0 = row.getAs[Long]("y0_ppm")
+    assert(y1 >= 0L && y1 <= 1000000L && y0 >= 0L && y0 <= 1000000L)
+    assert(row.getAs[Long]("ate_ppm") == y1 - y0)
+    assert(row.getAs[Long]("n_strata") >= 1L)
+  }
+
+  test("did: estimator equals the explicit 2x2 cell combination") {
+    val r = run("q_did")
+    assert(r.length == 1)
+    val row = r.head
+    val did = (row.getAs[Long]("a_post_u") - row.getAs[Long]("a_pre_u")) -
+      (row.getAs[Long]("b_post_u") - row.getAs[Long]("b_pre_u"))
+    assert(row.getAs[Long]("did_u") == did)
+    // placebo on a hash split: |DID| should be small relative to the
+    // mean order value (~150k USD => 1.5e11 micro)
+    assert(math.abs(did) < 2e10, s"placebo DID $did suspiciously large")
+  }
+
+  test("abc: classes partition all parts, shares sum to ~1e6, A-share >= 80% fence behavior") {
+    val rows = run("q_abc_class")
+    assert(rows.map(_.getAs[String]("cls")).sorted.sameElements(Array("A", "B", "C")))
+    val shares = rows.map(_.getAs[Long]("share_ppm"))
+    assert(math.abs(shares.sum - 1000000L) <= 3, s"shares ${shares.toSeq} don't sum to 1e6")
+    val a = rows.find(_.getAs[String]("cls") == "A").get.getAs[Long]("share_ppm")
+    assert(a <= 800000L + 100000L, "A share wildly past its fence")
+  }
+
+  test("mrr: reciprocal ranks consistent, rank 1 iff nearest neighbor shares label") {
+    val rows = run("q_mrr")
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val rank = r.getAs[Long]("first_rel_rank")
+      assert(rank >= 1L)
+      assert(r.getAs[Long]("rr_u") == 1000000L / rank)
+    }
+  }
+
+  test("logreg: step-2 theta moves toward the MLE (log-loss does not increase)") {
+    val r = run("q_logreg_newton")
+    assert(r.length == 1)
+    val row = r.head
+    // recompute log-loss at both thetas over the raw data
+    import org.apache.spark.sql.functions._
+    val pts = graft.sources.Tables.lineitem(spark, sfTiny)
+      .select(col("l_quantity").cast("long").as("x"),
+        (col("l_returnflag") === "R").cast("long").as("y"))
+      .collect().map(p => (p.getLong(0), p.getLong(1)))
+    def loss(t0: Double, t1: Double): Double = pts.map { case (x, y) =>
+      val eta = t0 + t1 * x
+      math.log1p(math.exp(-eta)) + (1 - y) * eta
+    }.sum / pts.length
+    val l1 = loss(row.getAs[Long]("t0_s1_u") / 1e6, row.getAs[Long]("t1_s1_u") / 1e6)
+    val l2 = loss(row.getAs[Long]("t0_u") / 1e6, row.getAs[Long]("t1_u") / 1e6)
+    assert(l2 <= l1 + 1e-6, s"Newton step increased log-loss: $l1 -> $l2")
+    // and both beat theta = 0 (loss = ln 2)
+    assert(l2 < math.log(2.0))
+  }
+
+  test("knn classify: confusion matrix covers all 50 held-out vectors") {
+    val rows = run("q_knn_classify")
+    assert(rows.map(_.getAs[Long]("n")).sum == 50L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("truth") >= 0L && r.getAs[Long]("pred") >= 0L)
+    }
+  }
+
+  test("conformal: empirical coverage within the finite-sample band around 90%") {
+    val r = run("q_conformal")
+    assert(r.length == 1)
+    val row = r.head
+    val cov = row.getAs[Long]("cov_ppm")
+    // split-conformal guarantees P(cover) >= 0.9 in expectation over
+    // splits; one split fluctuates ~ ±3 sd of Bin(n_test, .9)
+    val n = row.getAs[Long]("n_test").toDouble
+    val slack = (3 * math.sqrt(0.9 * 0.1 / n) * 1e6).toLong + 20000L
+    assert(cov > 900000L - slack && cov < 1000000L,
+      s"coverage $cov ppm outside [${900000L - slack}, 1e6)")
+    assert(row.getAs[Long]("qhat_u") > 0L)
+  }
+
+  test("hill: inverse tail index positive, terms consistent with the threshold") {
+    val r = run("q_hill")
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("k_used") > 0L && row.getAs[Long]("k_used") < 200L + 1L)
+    assert(row.getAs[Long]("inv_alpha_u") > 0L)
+    assert(row.getAs[Long]("alpha_ppm") ==
+      1000000000000L / row.getAs[Long]("inv_alpha_u"))
+  }
+
   test("cuped: variance reduction is a valid correlation squared; adjustment preserves pooled mean direction") {
     val rows = run("q_cuped")
     assert(rows.length == 2)
