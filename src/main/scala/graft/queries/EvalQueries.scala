@@ -457,6 +457,69 @@ object EvalQueries {
     FROM scored s CROSS JOIN qhat q WHERE s.fold = 'test'
   """))
 
+  /** Per-class precision/recall/F1 + macro-F1 over the Naive Bayes
+    * confusion matrix — the metrics readout that closes the
+    * classifier-evaluation loop (q_naive_bayes and q_knn_classify
+    * emit confusions; this turns one into decision numbers).
+    *
+    * All three ratios are single truncating divisions on exact
+    * counts; F1's harmonic mean uses the integer identity
+    * 2pr/(p+r) = (2·tp·10⁶) div (2·tp + fp + fn) — computed straight
+    * from counts, so no compounding of two already-rounded ppm
+    * values. The macro row averages per-class F1 by one more integral
+    * division. Input is the confusion matrix (≤ k² rows), so every
+    * step after the NB scoring is constant-size. */
+  private val qPrf1 = BoundQuery("q_prf1", (s, d) => {
+    val conf = MlQueries.naiveBayesConfusion(s, d)
+    val perClass = conf.groupBy(col("actual").as("label"))
+      .agg(sum(when(col("predicted") === col("actual"), col("n_docs"))
+        .otherwise(0L)).as("tp"),
+        sum(col("n_docs")).as("support"))
+    val predTot = conf.groupBy(col("predicted").as("label"))
+      .agg(sum(col("n_docs")).as("pred_n"))
+    val rows = perClass.join(predTot, Seq("label"), "left")
+      .na.fill(0L, Seq("pred_n"))
+      .select(col("label"), col("support"), col("tp"),
+        expr("(1000000 * tp) div greatest(pred_n, 1)").as("precision_ppm"),
+        expr("(1000000 * tp) div support").as("recall_ppm"),
+        // F1 = 2tp/(2tp+fp+fn) = 2tp/(pred_n + support): straight from
+        // counts, no compounding of two already-rounded ppm ratios
+        expr("(2000000 * tp) div greatest(pred_n + support, 1)").as("f1_ppm"))
+    val macroRow = rows.agg(
+      sum(col("support")).as("support"), sum(col("tp")).as("tp"),
+      expr("sum(precision_ppm) div count(1)").as("precision_ppm"),
+      expr("sum(recall_ppm) div count(1)").as("recall_ppm"),
+      expr("sum(f1_ppm) div count(1)").as("f1_ppm"))
+      .withColumn("label", lit("MACRO"))
+      .select("label", "support", "tp", "precision_ppm", "recall_ppm", "f1_ppm")
+    rows.unionByName(macroRow).orderBy("label")
+  }, Some(s"""
+    WITH conf AS (${MlQueries.naiveBayesConfusionSql}),
+    per AS (
+      SELECT actual AS label,
+        CAST(sum(CASE WHEN predicted = actual THEN n_docs ELSE 0 END)
+          AS BIGINT) AS tp,
+        CAST(sum(n_docs) AS BIGINT) AS support
+      FROM conf GROUP BY 1),
+    pt AS (SELECT predicted AS label, CAST(sum(n_docs) AS BIGINT) AS pred_n
+           FROM conf GROUP BY 1),
+    rows_ AS (
+      SELECT per.label, per.support, per.tp,
+        (1000000 * per.tp) // greatest(coalesce(pt.pred_n, 0), 1) AS precision_ppm,
+        (1000000 * per.tp) // per.support AS recall_ppm,
+        (2000000 * per.tp)
+          // greatest(coalesce(pt.pred_n, 0) + per.support, 1) AS f1_ppm
+      FROM per LEFT JOIN pt ON per.label = pt.label)
+    SELECT label, support, tp, precision_ppm, recall_ppm, f1_ppm FROM rows_
+    UNION ALL
+    SELECT 'MACRO', CAST(sum(support) AS BIGINT), CAST(sum(tp) AS BIGINT),
+      CAST(sum(precision_ppm) AS BIGINT) // count(*),
+      CAST(sum(recall_ppm) AS BIGINT) // count(*),
+      CAST(sum(f1_ppm) AS BIGINT) // count(*)
+    FROM rows_
+    ORDER BY label
+  """))
+
   val all: Seq[BoundQuery] = Seq(qNdcg, qCalibration, qAuc, qDecisionStump,
-    qMrr, qKnnClassify, qConformal)
+    qMrr, qKnnClassify, qConformal, qPrf1)
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.Num.cents
@@ -107,6 +107,12 @@ object MlQueries {
     FROM pred WHERE rn = 1
     GROUP BY 1, 2 ORDER BY actual, predicted
   """))
+
+  /** The q_naive_bayes confusion matrix as a reusable building block
+    * (q_prf1 derives precision/recall/F1 from it) — DataFrame and
+    * oracle-SQL faces exposed together so consumers cannot drift. */
+  def naiveBayesConfusion(s: SparkSession, d: String) = qNaiveBayes.run(s, d)
+  def naiveBayesConfusionSql: String = qNaiveBayes.oracle.get
 
   /** Int8 scalar quantization of the embedding collection with its
     * reconstruction-error report — the cheapest ANN compression step

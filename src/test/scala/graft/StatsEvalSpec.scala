@@ -291,6 +291,54 @@ class StatsEvalSpec extends AnyFunSuite {
       1000000000000L / row.getAs[Long]("inv_alpha_u"))
   }
 
+  test("prf1: metrics bounded, macro row averages the per-class rows") {
+    val rows = run("q_prf1")
+    val (macroRows, per) = rows.partition(_.getAs[String]("label") == "MACRO")
+    assert(macroRows.length == 1 && per.nonEmpty)
+    per.foreach { r =>
+      Seq("precision_ppm", "recall_ppm", "f1_ppm").foreach { c =>
+        val v = r.getAs[Long](c)
+        assert(v >= 0L && v <= 1000000L, s"$c=$v out of range")
+      }
+      // F1 lies between min and max of P and R (harmonic mean property)
+      val p = r.getAs[Long]("precision_ppm"); val rc = r.getAs[Long]("recall_ppm")
+      assert(r.getAs[Long]("f1_ppm") <= math.max(p, rc) + 1)
+    }
+    val m = macroRows.head
+    assert(m.getAs[Long]("f1_ppm") ==
+      per.map(_.getAs[Long]("f1_ppm")).sum / per.length)
+    assert(m.getAs[Long]("support") == per.map(_.getAs[Long]("support")).sum)
+  }
+
+  test("modularity: Q within [-1e6, 1e6], intra-edge count consistent") {
+    val r = run("q_modularity")
+    assert(r.length == 1)
+    val row = r.head
+    val q = row.getAs[Long]("q_ppm")
+    assert(q >= -1000000L && q <= 1000000L)
+    assert(row.getAs[Long]("intra_edges") <= row.getAs[Long]("n_edges"))
+    assert(row.getAs[Long]("n_communities") >= 1L)
+  }
+
+  test("plan shapes: the new waves keep their scale contracts") {
+    def plan(name: String): String =
+      graft.queries.Registry.queries(name)(spark, sfTiny)
+        .queryExecution.executedPlan.toString
+    // abc classification rides the two-phase cumsum: no unpartitioned
+    // sort-based WindowExec over the full part set
+    assert(!plan("q_abc_class").contains("Window [") ||
+      plan("q_abc_class").contains("__pid"),
+      "abc_class lost its two-phase cumsum shape")
+    // hill's top-k collapses to TakeOrdered, never a global sort
+    assert(plan("q_hill").contains("TakeOrderedAndProject"))
+    // hits keeps its 1-row max broadcasts
+    assert(plan("q_hits").contains("BroadcastExchange") ||
+      plan("q_hits").contains("BroadcastNestedLoopJoin"))
+    // logreg is window- and join-free beyond the 1-row broadcast
+    val lr = plan("q_logreg_newton")
+    assert(!lr.contains("SortMergeJoin"), "logreg grew a shuffle join")
+  }
+
   test("cuped: variance reduction is a valid correlation squared; adjustment preserves pooled mean direction") {
     val rows = run("q_cuped")
     assert(rows.length == 2)
