@@ -520,6 +520,92 @@ object EvalQueries {
     ORDER BY label
   """))
 
+  /** Rank-biased overlap (Webber et al. 2010) between two customer
+    * rankings — top-20 by order COUNT vs top-20 by total SPEND. The
+    * top-weighted list-similarity metric beside q_ndcg (graded gains)
+    * and q_mrr (single relevant item): RBO compares two rankings with
+    * no relevance labels at all, discounting agreement geometrically
+    * by depth, so it answers "do the two rankings front-load the same
+    * items?" — the exact question when validating a cheap ranking
+    * proxy against an expensive one at 100 TB.
+    *
+    * Truncated RBO@k with p = 9/10, EXACT in integer arithmetic: the
+    * term (1−p)·p^(d−1)·ov_d/d equals 9^(d−1)·ov_d/(d·10^d), so each
+    * depth's contribution is ONE truncating integral division to ppm
+    * with numerator 10⁶·9^(d−1)·ov_d ≤ 2.7e25 in decimal(38,0) /
+    * HUGEINT (k = 20 keeps 9^(d−1) inside int64; the weights are
+    * inlined as exact literals on the Spark side and rebuilt by an
+    * exact HUGEINT recursive CTE in the oracle). No float, no pow() —
+    * both engines replay every term bit-exact.
+    *
+    * Scale shape: one partial-agg shuffle to the customer grain, two
+    * TakeOrdered top-20s (never a global sort), and everything after
+    * is ≤ 20-row bounded work (the quarantined bounded-window
+    * contract). ov_d = |{items in both lists: max(ra,rb) ≤ d}| makes
+    * the prefix-overlap a single ≤ 20×20 theta join. */
+  private val qRbo = BoundQuery("q_rbo", (s, d) => {
+    val k = 20
+    val byCust = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("spend_c"))
+    val topA = byCust.orderBy(col("n_orders").desc, col("o_custkey")).limit(k)
+      .withColumn("ra", row_number().over(
+        Window.orderBy(col("n_orders").desc, col("o_custkey"))))
+    val topB = byCust.orderBy(col("spend_c").desc, col("o_custkey")).limit(k)
+      .withColumn("rb", row_number().over(
+        Window.orderBy(col("spend_c").desc, col("o_custkey"))))
+    val m = topA.select(col("o_custkey"), col("ra"))
+      .join(topB.select(col("o_custkey"), col("rb")), "o_custkey")
+      .select(greatest(col("ra"), col("rb")).cast("long").as("m"))
+    val depths = (1 to k).map { dd =>
+      (dd.toLong, BigInt(9).pow(dd - 1).toString,
+        (BigInt(dd) * BigInt(10).pow(dd)).toString)
+    }.toSeq
+    val depthDf = s.createDataFrame(depths).toDF("d", "n9s", "dens")
+      .select(col("d"), col("n9s").cast("decimal(38,0)").as("n9"),
+        col("dens").cast("decimal(38,0)").as("den"))
+    depthDf.join(broadcast(m), col("m") <= col("d"), "left")
+      .groupBy("d", "n9", "den")
+      .agg(sum(when(col("m").isNotNull, 1L).otherwise(0L)).as("ov"))
+      .select(col("d"), col("ov"),
+        expr("(1000000 * n9 * ov) div den").as("term_u"))
+      .withColumn("rbo_u", sum(col("term_u")).over(
+        Window.orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("d")
+  }, Some("""
+    WITH RECURSIVE wts AS (
+      SELECT 1 AS d, CAST(1 AS HUGEINT) AS n9, CAST(10 AS HUGEINT) AS p10
+      UNION ALL SELECT d + 1, n9 * 9, p10 * 10 FROM wts WHERE d < 20),
+    bycust AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT)
+          AS spend_c
+      FROM orders GROUP BY 1),
+    ta AS (
+      SELECT o_custkey,
+        CAST(row_number() OVER (ORDER BY n_orders DESC, o_custkey) AS BIGINT)
+          AS ra
+      FROM bycust ORDER BY n_orders DESC, o_custkey LIMIT 20),
+    tb AS (
+      SELECT o_custkey,
+        CAST(row_number() OVER (ORDER BY spend_c DESC, o_custkey) AS BIGINT)
+          AS rb
+      FROM bycust ORDER BY spend_c DESC, o_custkey LIMIT 20),
+    mm AS (SELECT greatest(ra, rb) AS m FROM ta JOIN tb USING (o_custkey)),
+    ov AS (
+      SELECT wts.d, wts.n9, wts.p10,
+        CAST(count(mm.m) AS BIGINT) AS ov
+      FROM wts LEFT JOIN mm ON mm.m <= wts.d
+      GROUP BY 1, 2, 3)
+    SELECT CAST(d AS BIGINT) AS d, ov,
+      CAST((1000000 * n9 * ov) // (d * p10) AS BIGINT) AS term_u,
+      CAST(sum(CAST((1000000 * n9 * ov) // (d * p10) AS BIGINT))
+             OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS rbo_u
+    FROM ov ORDER BY d
+  """))
+
   val all: Seq[BoundQuery] = Seq(qNdcg, qCalibration, qAuc, qDecisionStump,
-    qMrr, qKnnClassify, qConformal, qPrf1)
+    qMrr, qKnnClassify, qConformal, qPrf1, qRbo)
 }

@@ -565,6 +565,138 @@ object StatsQueries {
     FROM terms
   """))
 
+  /** Kendall tau-b per event type between the daily event count and
+    * the daily revenue (q_spearman's exact grain) — the
+    * pair-concordance rank correlation beside q_spearman's
+    * rank-Pearson (tau is the one with the direct probabilistic
+    * reading: P(concordant) − P(discordant)).
+    *
+    * Everything is exact integer work: concordant / discordant / tied
+    * pair counts come from sign comparisons (never dx·dy products, so
+    * no overflow at any sf), and tau-b's ratio
+    * (C−D)/√((n0−n1)(n0−n2)) is emitted as the SIGNED SQUARE in ppm —
+    * sign(C−D)·10⁶·(C−D)² div ((n0−n1)(n0−n2)) — the q_spearman /
+    * q_mann_kendall convention that avoids the one non-replayable op
+    * (sqrt) while pinning tau to ±1e-6.
+    *
+    * Scale shape: the O(m²) pair join is bounded by the CALENDAR, not
+    * the data — m = days observed per type (≤ ~1000 over any test
+    * horizon), so the self-join emits ≤ |types|·m²/2 rows total from a
+    * first-stage aggregate that is itself one partial-agg shuffle over
+    * raw events. */
+  private val qKendall = BoundQuery("q_kendall_tau", (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"), sumCents(col("value")).as("y"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        signum(col("a.x") - col("b.x")).cast("long").as("sx"),
+        signum(col("a.y") - col("b.y")).cast("long").as("sy"))
+    pairs.groupBy("event_type")
+      .agg(count(lit(1)).as("n0"),
+        sum(when(col("sx") * col("sy") === 1L, 1L).otherwise(0L)).as("conc"),
+        sum(when(col("sx") * col("sy") === -1L, 1L).otherwise(0L)).as("disc"),
+        sum(when(col("sx") === 0L, 1L).otherwise(0L)).as("tie_x"),
+        sum(when(col("sy") === 0L, 1L).otherwise(0L)).as("tie_y"))
+      .select(col("event_type"), col("n0").as("n_pairs"),
+        col("conc"), col("disc"),
+        expr("""CASE WHEN (n0 - tie_x) > 0 AND (n0 - tie_y) > 0 THEN
+                  (CASE WHEN (conc - disc) < 0 THEN -1 ELSE 1 END) *
+                  ((1000000 * (conc - disc) * (conc - disc))
+                     div ((n0 - tie_x) * (n0 - tie_y)))
+                END""").as("taub2s_ppm"))
+      .orderBy("event_type")
+  }, Some("""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        CAST(count(*) AS BIGINT) AS x,
+        CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    p AS (
+      SELECT a.event_type,
+        CAST(sign(a.x - b.x) AS BIGINT) AS sx,
+        CAST(sign(a.y - b.y) AS BIGINT) AS sy
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day),
+    agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n0,
+        CAST(sum(CASE WHEN sx*sy = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+        CAST(sum(CASE WHEN sx*sy = -1 THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+        CAST(sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tie_x,
+        CAST(sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tie_y
+      FROM p GROUP BY 1)
+    SELECT event_type, n0 AS n_pairs, conc, disc,
+      CASE WHEN (n0 - tie_x) > 0 AND (n0 - tie_y) > 0 THEN
+        CAST((CASE WHEN (conc - disc) < 0 THEN -1 ELSE 1 END) *
+          ((1000000 * (conc - disc) * (conc - disc))
+             // ((n0 - tie_x) * (n0 - tie_y))) AS BIGINT)
+      END AS taub2s_ppm
+    FROM agg ORDER BY event_type
+  """))
+
+  /** Cramér's V effect size for the event_type × weekday contingency
+    * table — "HOW strongly are type and weekday associated?", the
+    * [0,1]-normalized companion to q_chi_square's unbounded statistic.
+    *
+    * Unlike q_chi_square (textbook float terms, pinned fold), the
+    * statistic here is the DISCRETIZED chi²: each cell's term
+    * (o·t − rt·ct)²/(t·rt·ct) is ONE truncating integral division to
+    * ppm — numerator ≤ n⁴·10⁶ lives in decimal(38,0)/HUGEINT, error
+    * < 1e-6 per cell, identical in both engines — so chi2_ppm is an
+    * exact long SUM and V² = chi2/(n·min(r−1,c−1)) is one more
+    * integral division. No float ever materializes; both readouts are
+    * bit-replayable at any sf.
+    *
+    * Scale shape: one partial-agg shuffle to ≤ 20×7 cells; margins and
+    * the final reduction are constant-size broadcasts. */
+  private val qCramersV = BoundQuery("q_cramers_v", (s, d) => {
+    val cells = Tables.events(s, d)
+      .groupBy(col("event_type").as("r"),
+        dayofweek(col("ts")).cast("long").as("c"))
+      .agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy("r").agg(sum("o").as("rt"))
+    val ct = cells.groupBy("c").agg(sum("o").as("ct"))
+    val tot = cells.agg(sum(col("o")).as("t"),
+      count_distinct(col("r")).as("rlev"), count_distinct(col("c")).as("clev"))
+    cells.join(broadcast(rt), "r").join(broadcast(ct), "c")
+      .crossJoin(broadcast(tot))
+      .select(col("rlev"), col("clev"), col("t"),
+        expr("""(1000000 * (CAST(o AS DECIMAL(38,0)) * t - CAST(rt AS DECIMAL(38,0)) * ct)
+                         * (CAST(o AS DECIMAL(38,0)) * t - CAST(rt AS DECIMAL(38,0)) * ct))
+                div (CAST(t AS DECIMAL(38,0)) * rt * ct)""").as("term_u"))
+      .groupBy("rlev", "clev", "t")
+      .agg(sum(col("term_u")).as("chi2_ppm"), count(lit(1)).as("n_cells"))
+      .select(col("t").as("n"), col("rlev").as("r_levels"),
+        col("clev").as("c_levels"), col("n_cells"), col("chi2_ppm"),
+        expr("chi2_ppm div (t * least(rlev - 1, clev - 1))").as("v2_ppm"))
+  }, Some("""
+    WITH cells AS (
+      SELECT event_type AS r, CAST(dayofweek(ts) AS BIGINT) AS c,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2),
+    rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY r),
+    ct AS (SELECT c, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY c),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS t,
+                   CAST(count(DISTINCT r) AS BIGINT) AS rlev,
+                   CAST(count(DISTINCT c) AS BIGINT) AS clev
+            FROM cells),
+    terms AS (
+      SELECT rlev, clev, t,
+        (1000000 * (CAST(o AS HUGEINT)*t - CAST(rt AS HUGEINT)*ct)
+                 * (CAST(o AS HUGEINT)*t - CAST(rt AS HUGEINT)*ct))
+          // (CAST(t AS HUGEINT) * rt * ct) AS term_u
+      FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tot)
+    SELECT max(t) AS n, max(rlev) AS r_levels, max(clev) AS c_levels,
+      CAST(count(*) AS BIGINT) AS n_cells,
+      CAST(sum(term_u) AS BIGINT) AS chi2_ppm,
+      CAST(CAST(sum(term_u) AS HUGEINT)
+           // (max(t) * least(max(rlev) - 1, max(clev) - 1)) AS BIGINT)
+        AS v2_ppm
+    FROM terms GROUP BY rlev, clev, t
+  """))
+
   val all: Seq[BoundQuery] = Seq(qSpearman, qAnova, qTheilSen, qCuped,
-    qDecompose, qIpw, qDid, qAbcClass, qHill)
+    qDecompose, qIpw, qDid, qAbcClass, qHill, qKendall, qCramersV)
 }

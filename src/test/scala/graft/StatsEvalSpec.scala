@@ -310,6 +310,62 @@ class StatsEvalSpec extends AnyFunSuite {
     assert(m.getAs[Long]("support") == per.map(_.getAs[Long]("support")).sum)
   }
 
+  test("kendall: tau-b signed square bounded, pair counts consistent") {
+    val rows = run("q_kendall_tau")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getAs[Long]("taub2s_ppm")
+      assert(t >= -1000000L && t <= 1000000L, s"tau² ppm $t out of range")
+      assert(r.getAs[Long]("conc") + r.getAs[Long]("disc") <=
+        r.getAs[Long]("n_pairs"))
+    }
+    // same data, same grain: tau-b and spearman must agree in SIGN for
+    // each event type (both are monotone-association measures; exact
+    // zero on one side is the only allowed disagreement)
+    val rho = run("q_spearman")
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("rho2s_ppm"))
+      .toMap
+    rows.foreach { r =>
+      val t = r.getAs[Long]("taub2s_ppm")
+      val s = rho(r.getAs[String]("event_type"))
+      assert(t == 0L || s == 0L || (t > 0) == (s > 0),
+        s"tau $t and rho $s disagree in sign")
+    }
+  }
+
+  test("cramers_v: effect size in [0, 1e6], discretized chi2 nonnegative") {
+    val rows = run("q_cramers_v")
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("chi2_ppm") >= 0L)
+    val v2 = r.getAs[Long]("v2_ppm")
+    assert(v2 >= 0L && v2 <= 1000000L, s"v² ppm $v2 out of range")
+    assert(r.getAs[Long]("n_cells") <=
+      r.getAs[Long]("r_levels") * r.getAs[Long]("c_levels"))
+  }
+
+  test("rbo: overlap staircase valid, cumulative score monotone and <= 1") {
+    val rows = run("q_rbo").sortBy(_.getAs[Long]("d"))
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ov") <= r.getAs[Long]("d"), "overlap exceeds depth")
+      assert(r.getAs[Long]("term_u") >= 0L)
+    }
+    val ovs = rows.map(_.getAs[Long]("ov"))
+    assert(ovs.zip(ovs.tail).forall { case (a, b) => a <= b },
+      "prefix overlap must be nondecreasing in depth")
+    val cum = rows.map(_.getAs[Long]("rbo_u"))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b })
+    assert(cum.last <= 1000000L, s"RBO ppm ${cum.last} exceeds 1")
+    // identical-ranking sanity: RBO of a list with itself at these
+    // weights is Σ 9^(d-1)·d/(d·10^d) — replay the exact truncated sum
+    val perfect = (1 to 20).map { d =>
+      (BigInt(1000000) * BigInt(9).pow(d - 1) * d /
+        (BigInt(d) * BigInt(10).pow(d))).toLong
+    }.sum
+    assert(cum.last <= perfect, "measured RBO exceeds the self-RBO ceiling")
+  }
+
   test("modularity: Q within [-1e6, 1e6], intra-edge count consistent") {
     val r = run("q_modularity")
     assert(r.length == 1)
