@@ -177,5 +177,66 @@ object CorpusQueries3 {
     ORDER BY sc.source, sc.n_chars
   """))
 
-  val all: Seq[BoundQuery] = Seq(qJsDivergence, qQuantileNorm)
+  /** Per-source Flesch reading ease — the classical readability score
+    * beside the Gopher-style quality signals (q_quality_filter,
+    * q_repetition_filter): flesch = 206.835 − 1.015·(words/sentence)
+    * − 84.6·(syllables/word), emitted in EXACT milli-units.
+    *
+    * All three counts are codegen'd regexp_count scans both engines
+    * replay identically: words = runs of ASCII letters, sentences =
+    * runs of [.!?] (floored at 1 per doc so a fragment still counts
+    * as one sentence), syllables = the standard vowel-run
+    * approximation (runs of [aeiouy] in the lowercased text — exact
+    * syllabification needs a dictionary; vowel runs are the
+    * deterministic, engine-replayable proxy every readability tool
+    * ships). The two rate terms are single truncating integral
+    * divisions of per-SOURCE totals (ratio-of-sums, not
+    * mean-of-ratios — document-length-weighted, the robust choice for
+    * a corpus), so flesch_milli is bit-exact across engines.
+    *
+    * Scale shape: one documents scan with per-row regexp counts (no
+    * tokenize-explode — counting needs no shuffle of token rows),
+    * partial-aggregated into ~|sources| groups. */
+  private val qReadability = BoundQuery("q_readability", (s, d) => {
+    Tables.documents(s, d)
+      .select(col("source"),
+        expr("regexp_count(text, '[A-Za-z]+')").as("w"),
+        greatest(expr("regexp_count(text, '[.!?]+')"), lit(1)).as("sn"),
+        expr("regexp_count(lower(text), '[aeiouy]+')").as("sy"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w").cast("long")).as("words"),
+        sum(col("sn").cast("long")).as("sentences"),
+        sum(col("sy").cast("long")).as("syllables"))
+      .select(col("source"), col("n_docs"), col("words"), col("sentences"),
+        col("syllables"),
+        expr("(1000000 * words) div sentences").as("wps_ppm"),
+        expr("(1000000 * syllables) div words").as("spw_ppm"),
+        expr("""206835 - (1015 * ((1000000 * words) div sentences)) div 1000000
+                       - (84600 * ((1000000 * syllables) div words)) div 1000000""")
+          .as("flesch_milli"))
+      .orderBy("source")
+  }, Some("""
+    WITH perdoc AS (
+      SELECT source,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS w,
+        greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS sn,
+        CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS sy
+      FROM documents),
+    g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(w) AS BIGINT) AS words,
+        CAST(sum(sn) AS BIGINT) AS sentences,
+        CAST(sum(sy) AS BIGINT) AS syllables
+      FROM perdoc GROUP BY 1)
+    SELECT source, n_docs, words, sentences, syllables,
+      CAST((1000000 * words) // sentences AS BIGINT) AS wps_ppm,
+      CAST((1000000 * syllables) // words AS BIGINT) AS spw_ppm,
+      CAST(206835 - (1015 * ((1000000 * words) // sentences)) // 1000000
+                  - (84600 * ((1000000 * syllables) // words)) // 1000000 AS BIGINT)
+        AS flesch_milli
+    FROM g ORDER BY source
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qJsDivergence, qQuantileNorm, qReadability)
 }

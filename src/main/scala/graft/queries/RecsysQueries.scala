@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** SURVEY §2.6 recommender-analytics wave: the two classical
+  * neighborhood-model readouts a catalog team runs over co-purchase
+  * data — item-item cosine similarity (the "people who bought X also
+  * bought Y" score) and exact association rules with
+  * support/confidence/lift (the engine-proven twin that closes
+  * q_association_rules' rows-only gap the way q_kmeans_arith closed
+  * q_kmeans's).
+  *
+  * Reference scope: mlqueries.py's FPGrowth pipeline (rules with
+  * min-confidence over order baskets); re-derived here Spark-first on
+  * the same basket model with exact integer statistics so the DuckDB
+  * oracle replays every term.
+  *
+  * Shared scale shape (the q_adamic_adar contract): candidate pairs
+  * are generated per ORDER — the blocking key — and a TPC-H-shaped
+  * order holds ≤7 items, so fan-out is ≤ C(7,2) per order and
+  * candidates grow linearly with orders, never parts². Degrees join
+  * back via a parts-grain table (broadcast-eligible: |parts| ≪
+  * |lineitem|). For unbounded basket sizes the ngram joins'
+  * maxShingleDf cap applies unchanged.
+  */
+object RecsysQueries {
+
+  /** Item-item collaborative filtering: cosine similarity between
+    * parts over the orders-that-contain-them incidence vectors,
+    * cos(a,b) = cooc / sqrt(deg_a·deg_b). Emitted as the SIGNED
+    * SQUARE in ppm — 10⁶·cooc² div (deg_a·deg_b) — the
+    * q_spearman sqrt-avoidance convention (cooc ≥ 0 so the sign is
+    * always +; squaring preserves the ranking because cos ≥ 0),
+    * making every step an exact integer both engines agree on.
+    *
+    * Top-50 by (cos²ppm, part_a, part_b) via TakeOrdered — no global
+    * sort materializes. */
+  private val qItemCf = BoundQuery("q_item_cf", (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val deg = items.groupBy("pk").agg(count(lit(1)).as("deg"))
+    val pairs = items.as("a").join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("cooc"))
+      .where(col("cooc") >= 2)
+    pairs
+      .join(broadcast(deg.withColumnRenamed("pk", "part_a")
+        .withColumnRenamed("deg", "deg_a")), "part_a")
+      .join(broadcast(deg.withColumnRenamed("pk", "part_b")
+        .withColumnRenamed("deg", "deg_b")), "part_b")
+      .select(col("part_a"), col("part_b"), col("cooc"),
+        col("deg_a"), col("deg_b"),
+        expr("(1000000 * cooc * cooc) div (deg_a * deg_b)").as("cos2_ppm"))
+      .orderBy(desc("cos2_ppm"), col("part_a"), col("part_b")).limit(50)
+  }, Some("""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    deg AS (SELECT pk, CAST(count(*) AS BIGINT) AS deg FROM items GROUP BY pk),
+    pairs AS (
+      SELECT a.pk AS part_a, b.pk AS part_b, CAST(count(*) AS BIGINT) AS cooc
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT part_a, part_b, cooc, da.deg AS deg_a, db.deg AS deg_b,
+      CAST((1000000 * cooc * cooc) // (da.deg * db.deg) AS BIGINT) AS cos2_ppm
+    FROM pairs
+    JOIN deg da ON da.pk = part_a
+    JOIN deg db ON db.pk = part_b
+    ORDER BY cos2_ppm DESC, part_a, part_b LIMIT 50
+  """))
+
+  /** Exact association rules over order baskets: for every directed
+    * pair a→b with pair support ≥ 3,
+    * confidence = sup(ab)/sup(a) and lift = N·sup(ab)/(sup(a)·sup(b)),
+    * both as exact integral divisions to ppm. This is the
+    * engine-proven deterministic twin of q_association_rules
+    * (MLlib FPGrowth): on baskets of ≤7 items, 1-item antecedents
+    * with 1-item consequents ARE the rule set FPGrowth emits at this
+    * support floor — but every number here is replayed bit-exact by
+    * the oracle, whereas FPGrowth's itemset enumeration order is not
+    * SQL-expressible.
+    *
+    * Products stay inside int64 with headroom at the sf1 smoke:
+    * lift's numerator 10⁶·sup_ab·N ≤ 10⁶·7·|orders| (a pair appears
+    * at most once per order) and conf's 10⁶·sup_ab ≤ 10⁶·|orders| —
+    * both ≪ 9.2e18 even at 100× sf1. Top-50 by confidence with full
+    * tie-breaks. */
+  private val qAssocRulesExact = BoundQuery("q_assoc_rules_exact", (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val nOrders = items.select(countDistinct(col("ok")).as("n"))
+    val sup = items.groupBy("pk").agg(count(lit(1)).as("sup"))
+    val co = items.as("a").join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("sup_ab"))
+      .where(col("sup_ab") >= 3)
+    val directed = co.select(col("pa").as("ante"), col("pb").as("cons"), col("sup_ab"))
+      .unionAll(co.select(col("pb").as("ante"), col("pa").as("cons"), col("sup_ab")))
+    directed
+      .join(broadcast(sup.withColumnRenamed("pk", "ante")
+        .withColumnRenamed("sup", "sup_a")), "ante")
+      .join(broadcast(sup.withColumnRenamed("pk", "cons")
+        .withColumnRenamed("sup", "sup_c")), "cons")
+      .crossJoin(broadcast(nOrders))
+      .select(col("ante"), col("cons"), col("sup_ab"), col("sup_a"), col("sup_c"),
+        expr("(1000000 * sup_ab) div sup_a").as("conf_ppm"),
+        expr("(1000000 * sup_ab * n) div (sup_a * sup_c)").as("lift_ppm"))
+      .orderBy(desc("conf_ppm"), desc("lift_ppm"), col("ante"), col("cons"))
+      .limit(50)
+  }, Some("""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM items),
+    sup AS (SELECT pk, CAST(count(*) AS BIGINT) AS sup FROM items GROUP BY pk),
+    co AS (
+      SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS sup_ab
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING count(*) >= 3),
+    directed AS (
+      SELECT pa AS ante, pb AS cons, sup_ab FROM co
+      UNION ALL
+      SELECT pb AS ante, pa AS cons, sup_ab FROM co)
+    SELECT ante, cons, sup_ab, sa.sup AS sup_a, sc.sup AS sup_c,
+      CAST((1000000 * sup_ab) // sa.sup AS BIGINT) AS conf_ppm,
+      CAST((1000000 * sup_ab * n.n) // (sa.sup * sc.sup) AS BIGINT) AS lift_ppm
+    FROM directed
+    JOIN sup sa ON sa.pk = ante
+    JOIN sup sc ON sc.pk = cons
+    CROSS JOIN n
+    ORDER BY conf_ppm DESC, lift_ppm DESC, ante, cons LIMIT 50
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qItemCf, qAssocRulesExact)
+}

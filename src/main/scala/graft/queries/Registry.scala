@@ -657,7 +657,8 @@ object Registry {
       TemporalQueries.all ++ IndexQueries.all ++ DriftQueries.all ++
       RetrievalQueries.all ++ MlQueries.all ++ PackingQueries.all ++
       CorpusQueries2.all ++ StatsQueries.all ++ EvalQueries.all ++
-      CorpusQueries3.all ++ VectorQueries2.all
+      CorpusQueries3.all ++ VectorQueries2.all ++ RecsysQueries.all ++
+      StatsQueries2.all
       // (q_kcore / q_neighbor_jaccard ride in GraphQueries.all above)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Num._
+
+/** SURVEY §2.6 classical-stats wave 4: autoregressive fit, the paired
+  * nonparametric test, and self-auditing approximate query
+  * processing — rounding out the forecasting (q_holt/q_acf), testing
+  * (q_ks_test/q_mann_kendall/q_anova) and sampling (q_hash_sample/
+  * q_bootstrap) families.
+  *
+  * Numeric rule (the StatsQueries contract): exact long /
+  * decimal(38,0) aggregates, integral divisions last to ppm, signed
+  * squared statistics instead of square roots, every ORDER BY with a
+  * unique tie-break.
+  */
+object StatsQueries2 {
+
+  /** AR(1) autoregression of daily revenue per event type: OLS of
+    * y_d on y_{d-1} over CONSECUTIVE-day pairs (lag via a
+    * calendar-bounded window; a gap in the calendar drops the pair
+    * rather than regressing across it). slope in ppm and intercept in
+    * cents, both exact: second moments accumulate in decimal(38,0)
+    * (n·sxy reaches ~4e18 at the sf1 smoke — past int64 if cents were
+    * multiplied as longs), and the two outputs are single truncating
+    * integral divisions whose quotients are small (slope_ppm ≲ 10⁶,
+    * intercept ≤ max daily cents), so Spark's BIGINT `div` cannot wrap
+    * (the q_logreg_newton hazard).
+    *
+    * Scale shape: one partial-aggregated shuffle to the (type, day)
+    * grain, then a lag window partitioned per type whose width is the
+    * CALENDAR, then a 5-group reduction — the q_spearman bounded-window
+    * contract. */
+  private val qAr1 = BoundQuery("q_ar1", (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sumCents(col("value")).as("y"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val pairs = daily
+      .withColumn("py", lag(col("y"), 1).over(w))
+      .withColumn("pday", lag(col("day"), 1).over(w))
+      .where(col("py").isNotNull && datediff(col("day"), col("pday")) === 1)
+    val dec = "decimal(38,0)"
+    pairs.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("py").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum(col("py").cast(dec) * col("py").cast(dec)).as("sxx"),
+        sum(col("py").cast(dec) * col("y").cast(dec)).as("sxy"))
+      .select(col("event_type"), col("n").as("n_pairs"),
+        expr("""CASE WHEN n*sxx - sx*sx <> 0 THEN
+                  CAST((1000000 * (n*sxy - sx*sy)) div (n*sxx - sx*sx) AS BIGINT)
+                END""").as("slope_ppm"),
+        expr("""CASE WHEN n*sxx - sx*sx <> 0 THEN
+                  CAST((1000000*sy - ((1000000 * (n*sxy - sx*sy)) div (n*sxx - sx*sx)) * sx)
+                       div (n * 1000000) AS BIGINT)
+                END""").as("intercept_cents"))
+      .orderBy("event_type")
+  }, Some("""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    pairs AS (
+      SELECT event_type,
+        CAST(lag(y) OVER (PARTITION BY event_type ORDER BY day) AS HUGEINT) AS px,
+        CAST(y AS HUGEINT) AS py_,
+        lag(day) OVER (PARTITION BY event_type ORDER BY day) AS pday, day
+      FROM daily),
+    m AS (
+      SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        sum(px) AS sx, sum(py_) AS sy,
+        sum(px*px) AS sxx, sum(px*py_) AS sxy
+      FROM pairs
+      WHERE px IS NOT NULL AND date_diff('day', pday, day) = 1
+      GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+      CASE WHEN n*sxx - sx*sx <> 0 THEN
+        CAST((1000000 * (n*sxy - sx*sy)) // (n*sxx - sx*sx) AS BIGINT)
+      END AS slope_ppm,
+      CASE WHEN n*sxx - sx*sx <> 0 THEN
+        CAST((1000000*sy - ((1000000 * (n*sxy - sx*sy)) // (n*sxx - sx*sx)) * sx)
+             // (n * 1000000) AS BIGINT)
+      END AS intercept_cents
+    FROM m ORDER BY event_type
+  """))
+
+  /** Wilcoxon signed-rank test between the daily revenues of the two
+    * highest-volume event types (click vs view), paired BY DAY: does
+    * one reliably out-earn the other on the same day? Zero
+    * differences are dropped (standard practice); |d| ties use the
+    * averaged-rank convention kept exact by DOUBLED ranks
+    * (2·avgrank = 2·minrank + ties − 1, the q_spearman identity).
+    *
+    * With W⁺ the sum of (undoubled) positive-d ranks,
+    * E[W⁺] = n(n+1)/4 and 48·Var = 2n(n+1)(2n+1) − Σ(t³−t)
+    * (tie-corrected). Writing A = 2·w2_plus − n(n+1) = 4(W⁺−E), the
+    * squared z-statistic is z² = 3A²/(48·Var), emitted as
+    * z2_ppm = (3·10⁶·A²) div var48 with the sign of A — the signed
+    * squared form every test in this family uses (|z|≥1.96 ⇔
+    * |z2_ppm| ≥ 3.84e6).
+    *
+    * Scale shape: (type, day) partial agg, a day-keyed self-pairing
+    * of exactly two types (broadcast-sized after the calendar agg),
+    * one rank window over the calendar-bounded diff set, one global
+    * reduction. */
+  private val qWilcoxon = BoundQuery("q_wilcoxon", (s, d) => {
+    val daily = Tables.events(s, d)
+      .where(col("event_type").isin("click", "view"))
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(sumCents(col("value")).as("y"))
+    val diffs = daily.groupBy("day")
+      .agg(sum(when(col("event_type") === "click", col("y"))).as("yc"),
+        sum(when(col("event_type") === "view", col("y"))).as("yv"),
+        count(lit(1)).as("k"))
+      .where(col("k") === 2 && col("yc") =!= col("yv"))
+      .select(col("day"), (col("yc") - col("yv")).as("diff"),
+        abs(col("yc") - col("yv")).as("ad"))
+    val ranked = diffs.withColumn("r2",
+      lit(2L) * rank().over(Window.orderBy("ad")).cast("long") +
+        count(lit(1)).over(Window.partitionBy("ad")) - 1L)
+    ranked
+      .groupBy(lit(1).as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("diff") > 0, col("r2")).otherwise(0L)).as("w2_plus"),
+        sum(when(col("diff") < 0, col("r2")).otherwise(0L)).as("w2_minus"))
+      .join(
+        // tie term Σ(t³−t) over |d| multiplicities
+        diffs.groupBy("ad").agg(count(lit(1)).as("t"))
+          .agg(coalesce(sum(col("t") * col("t") * col("t") - col("t")), lit(0L))
+            .as("tie3")).withColumn("g", lit(1)),
+        Seq("g"))
+      .select(col("n").as("n_pairs"), col("w2_plus"), col("w2_minus"),
+        expr("""CASE WHEN 2*n*(n+1)*(2*n+1) - tie3 > 0 THEN
+                  (CASE WHEN 2*w2_plus - n*(n+1) < 0 THEN -1 ELSE 1 END) *
+                  CAST((CAST(3000000 AS DECIMAL(38,0))
+                          * (2*w2_plus - n*(n+1)) * (2*w2_plus - n*(n+1)))
+                       div (2*n*(n+1)*(2*n+1) - tie3) AS BIGINT)
+                END""").as("z2s_ppm"))
+  }, Some("""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+        CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS y
+      FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+    diffs AS (
+      SELECT day,
+        sum(CASE WHEN event_type = 'click' THEN y END)
+          - sum(CASE WHEN event_type = 'view' THEN y END) AS diff,
+        abs(sum(CASE WHEN event_type = 'click' THEN y END)
+          - sum(CASE WHEN event_type = 'view' THEN y END)) AS ad
+      FROM daily GROUP BY day
+      HAVING count(*) = 2
+         AND sum(CASE WHEN event_type = 'click' THEN y END)
+          <> sum(CASE WHEN event_type = 'view' THEN y END)),
+    ranked AS (
+      SELECT diff,
+        2*CAST(rank() OVER (ORDER BY ad) AS BIGINT)
+          + CAST(count(*) OVER (PARTITION BY ad) AS BIGINT) - 1 AS r2
+      FROM diffs),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN diff > 0 THEN r2 ELSE 0 END) AS BIGINT) AS w2_plus,
+        CAST(sum(CASE WHEN diff < 0 THEN r2 ELSE 0 END) AS BIGINT) AS w2_minus
+      FROM ranked),
+    ties AS (
+      SELECT CAST(coalesce(sum(t*t*t - t), 0) AS BIGINT) AS tie3 FROM (
+        SELECT CAST(count(*) AS BIGINT) AS t FROM diffs GROUP BY ad) x)
+    SELECT n AS n_pairs, w2_plus, w2_minus,
+      CASE WHEN 2*n*(n+1)*(2*n+1) - tie3 > 0 THEN
+        CAST((CASE WHEN 2*w2_plus - n*(n+1) < 0 THEN -1 ELSE 1 END) *
+          ((3000000 * CAST(2*w2_plus - n*(n+1) AS HUGEINT)
+                    * CAST(2*w2_plus - n*(n+1) AS HUGEINT))
+             // (2*n*(n+1)*(2*n+1) - tie3)) AS BIGINT)
+      END AS z2s_ppm
+    FROM agg CROSS JOIN ties
+  """))
+
+  /** Self-auditing AQP: estimate per-status order revenue from the
+    * deterministic ~10.2% md5-prefix hash sample (the q_hash_sample
+    * gate, 0x1a/0x100), inverse-probability-scale it by the EXACT
+    * rational 256/26, and grade the estimate against the true total
+    * computed in the same single scan — est, truth and error are all
+    * integers both engines agree on. The audit twin of
+    * q_hash_sample: it answers "how wrong would the 10% sample have
+    * been?", which is the question AQP must answer before anyone
+    * trusts the sample at 100 TB (where the full-scan truth column is
+    * dropped and only the estimate survives).
+    *
+    * Scale shape: ONE map-side-combined scan over orders — the sample
+    * membership test is a per-row hash, both aggregates are
+    * conditional sums in the same groupBy, no join, no window. */
+  private val qAqpEstimate = BoundQuery("q_aqp_estimate", (s, d) => {
+    val sampled = substring(md5(col("o_orderkey").cast("string").cast("binary")), 1, 2) < "1a"
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(sampled, lit(1L)).otherwise(0L)).as("n_sampled"),
+        sumCents(col("o_totalprice")).as("true_cents"),
+        sum(when(sampled, cents(col("o_totalprice"))).otherwise(0L)).as("samp_cents"))
+      .select(col("o_orderstatus"), col("n_rows"), col("n_sampled"),
+        col("true_cents"),
+        expr("(samp_cents * 256) div 26").as("est_cents"),
+        expr("(1000000 * abs((samp_cents * 256) div 26 - true_cents)) div true_cents")
+          .as("err_ppm"))
+      .orderBy("o_orderstatus")
+  }, Some("""
+    WITH g AS (
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(*) FILTER (substr(md5(CAST(o_orderkey AS VARCHAR)),1,2) < '1a') AS BIGINT) AS n_sampled,
+        CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS true_cents,
+        CAST(coalesce(sum(CAST(round(o_totalprice*100,0) AS BIGINT))
+               FILTER (substr(md5(CAST(o_orderkey AS VARCHAR)),1,2) < '1a'), 0) AS BIGINT) AS samp_cents
+      FROM orders GROUP BY 1)
+    SELECT o_orderstatus, n_rows, n_sampled, true_cents,
+      CAST((samp_cents * 256) // 26 AS BIGINT) AS est_cents,
+      CAST((1000000 * abs((samp_cents * 256) // 26 - true_cents)) // true_cents AS BIGINT) AS err_ppm
+    FROM g ORDER BY o_orderstatus
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qAr1, qWilcoxon, qAqpEstimate)
+}

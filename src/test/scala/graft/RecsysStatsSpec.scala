@@ -1,0 +1,120 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark._
+
+/** Invariants for the recommender wave (queries.RecsysQueries) and
+  * classical-stats wave 4 (queries.StatsQueries2). The DuckDB oracle
+  * proves engine equality; these pin the MATH with exact local
+  * identities that hold for any data, so a formula regression fails
+  * even if both engines regress together. */
+class RecsysStatsSpec extends AnyFunSuite {
+
+  private def run(name: String) =
+    graft.queries.Registry.queries(name)(spark, sfTiny).collect()
+
+  test("item_cf: cos² in [0, 1e6] and cooc bounded by both degrees") {
+    val rows = run("q_item_cf")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cooc, da, db, c2) = (r.getAs[Long]("cooc"), r.getAs[Long]("deg_a"),
+        r.getAs[Long]("deg_b"), r.getAs[Long]("cos2_ppm"))
+      assert(c2 >= 0 && c2 <= 1000000L, s"cos² ppm $c2 out of range")
+      assert(cooc <= math.min(da, db),
+        s"cooc $cooc exceeds a degree ($da, $db) — incidence math broken")
+      assert(c2 == 1000000L * cooc * cooc / (da * db))
+    }
+  }
+
+  test("assoc rules: confidence ≤ 1e6, support laws, lift identity") {
+    val rows = run("q_assoc_rules_exact")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sab, sa, sc) = (r.getAs[Long]("sup_ab"), r.getAs[Long]("sup_a"),
+        r.getAs[Long]("sup_c"))
+      val (conf, lift) = (r.getAs[Long]("conf_ppm"), r.getAs[Long]("lift_ppm"))
+      assert(sab <= math.min(sa, sc), "pair support exceeds item support")
+      assert(conf == 1000000L * sab / sa && conf <= 1000000L)
+      assert(lift >= 0)
+    }
+    // both directions of every undirected pair are present
+    val dirs = rows.map(r => (r.getAs[Long]("ante"), r.getAs[Long]("cons"))).toSet
+    assert(rows.length == 50)
+    assert(dirs.size == 50)
+  }
+
+  test("ar1: slope/intercept replay locally in BigInt for every type") {
+    val rows = run("q_ar1")
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions._
+    val daily = graft.sources.Tables.events(spark, sfTiny)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Date]("day").toLocalDate, r.getAs[Long]("y")))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val series = daily(t).sortBy(_._2.toEpochDay).map(x => (x._2.toEpochDay, BigInt(x._3)))
+      val pairs = series.zip(series.tail)
+        .filter { case ((d0, _), (d1, _)) => d1 - d0 == 1 }
+        .map { case ((_, x), (_, y)) => (x, y) }
+      val n = BigInt(pairs.length)
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val den = n * sxx - sx * sx
+      assert(r.getAs[Long]("n_pairs") == pairs.length)
+      if (den != 0) {
+        val slope = (BigInt(1000000) * (n * sxy - sx * sy)) / den
+        val icept = (BigInt(1000000) * sy - slope * sx) / (n * BigInt(1000000))
+        assert(BigInt(r.getAs[Long]("slope_ppm")) == slope, s"slope mismatch for $t")
+        assert(BigInt(r.getAs[Long]("intercept_cents")) == icept, s"intercept mismatch for $t")
+      }
+    }
+  }
+
+  test("wilcoxon: doubled rank sums partition n(n+1) exactly") {
+    val rows = run("q_wilcoxon")
+    assert(rows.length == 1)
+    val r = rows.head
+    val n = r.getAs[Long]("n_pairs")
+    val (wp, wm) = (r.getAs[Long]("w2_plus"), r.getAs[Long]("w2_minus"))
+    assert(n > 0)
+    // Σ over all nonzero diffs of the doubled averaged rank is exactly
+    // 2·(1+2+…+n) = n(n+1); any tie-handling bug breaks this identity.
+    assert(wp + wm == n * (n + 1),
+      s"doubled-rank mass $wp+$wm != n(n+1)=${n * (n + 1)}")
+    val z2 = r.getAs[Long]("z2s_ppm")
+    assert(math.abs(z2) < 100L * 1000000L, "z² implausibly large on null-ish data")
+  }
+
+  test("aqp: estimate identity, sample containment, sane error") {
+    val rows = run("q_aqp_estimate")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nr, ns) = (r.getAs[Long]("n_rows"), r.getAs[Long]("n_sampled"))
+      val (tc, ec, err) = (r.getAs[Long]("true_cents"), r.getAs[Long]("est_cents"),
+        r.getAs[Long]("err_ppm"))
+      assert(ns <= nr && ns > 0, "hash sample empty or oversized")
+      assert(err == 1000000L * math.abs(ec - tc) / tc)
+      // 10% uniform sample of thousands of orders: estimate within 30%
+      assert(err < 300000L, s"AQP error $err ppm — sampling gate broken?")
+    }
+  }
+
+  test("readability: flesch recomposes from its published terms") {
+    val rows = run("q_readability")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, sn, sy) = (r.getAs[Long]("words"), r.getAs[Long]("sentences"),
+        r.getAs[Long]("syllables"))
+      assert(w > 0 && sn > 0 && sy > 0)
+      val wps = 1000000L * w / sn; val spw = 1000000L * sy / w
+      assert(r.getAs[Long]("wps_ppm") == wps)
+      assert(r.getAs[Long]("spw_ppm") == spw)
+      assert(r.getAs[Long]("flesch_milli") ==
+        206835L - (1015L * wps) / 1000000L - (84600L * spw) / 1000000L)
+    }
+  }
+}
