@@ -103,6 +103,19 @@ class RecsysStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("perplexity: held-out NLL is strictly positive and finite-ish") {
+    val rows = run("q_perplexity")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bigrams") > 0)
+      val nll = r.getAs[Long]("avg_nll_micro")
+      // every smoothed probability is < 1, so each -ln term is > 0;
+      // and with add-one smoothing p ≥ 1/(c1+V) bounds NLL above by
+      // ln of the train mass — micro-nats in (0, 30e6) is the sane band
+      assert(nll > 0 && nll < 30000000L, s"avg NLL $nll out of band")
+    }
+  }
+
   test("readability: flesch recomposes from its published terms") {
     val rows = run("q_readability")
     assert(rows.nonEmpty)
