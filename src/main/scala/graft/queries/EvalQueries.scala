@@ -606,6 +606,82 @@ object EvalQueries {
     FROM ov ORDER BY d
   """))
 
+  /** Precision/recall operating curve for q_auc's train-split scorer:
+    * one row per distinct score threshold (descending — "predict F
+    * when score ≥ t"), with cumulative TP/FP on the TEST split and
+    * exact precision/recall/F1 in ppm. The curve q_auc summarizes
+    * into one number, exposed point-by-point — the readout a
+    * threshold-picking pipeline actually consumes.
+    *
+    * Same exact-integer shape as q_auc: the per-priority score is one
+    * integral division of train counts, the cumulative counts come
+    * from ONE descending window over the ≤5 distinct scores, and each
+    * output rate is a final ppm division. F1's single rounding:
+    * f1 = 2·prec·rec/(prec+rec) computed from the already-truncated
+    * ppm precision/recall (both engines see identical operands). */
+  private val qPrCurve = BoundQuery("q_pr_curve", (s, d) => {
+    val h = substring(md5(col("o_orderkey").cast("string")), 1, 2)
+    val g = Tables.orders(s, d)
+      .withColumn("is_train", (h < "80").cast("long"))
+      .withColumn("is_f", (col("o_orderstatus") === "F").cast("long"))
+      .groupBy("o_orderpriority")
+      .agg(sum(col("is_train")).as("n_train"),
+        sum(col("is_train") * col("is_f")).as("f_train"),
+        sum(lit(1L) - col("is_train")).as("n_test"),
+        sum((lit(1L) - col("is_train")) * col("is_f")).as("f_test"))
+      .withColumn("score", expr("(1000000 * f_train) div n_train"))
+    val byScore = g.groupBy("score")
+      .agg(sum(col("n_test")).as("m"), sum(col("f_test")).as("f"))
+    val w = Window.orderBy(desc("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byScore
+      .withColumn("tp", sum(col("f")).over(w))
+      .withColumn("pred_pos", sum(col("m")).over(w))
+      .crossJoin(broadcast(byScore.agg(sum(col("f")).as("n_pos"))))
+      .select(col("score"), col("tp"), (col("pred_pos") - col("tp")).as("fp"),
+        col("n_pos"),
+        expr("(1000000 * tp) div pred_pos").as("prec_ppm"),
+        expr("(1000000 * tp) div n_pos").as("rec_ppm"))
+      .withColumn("f1_ppm",
+        expr("""CASE WHEN prec_ppm + rec_ppm > 0 THEN
+                  (2 * prec_ppm * rec_ppm) div (prec_ppm + rec_ppm)
+                ELSE 0 END"""))
+      .orderBy(desc("score"))
+  }, Some("""
+    WITH g AS (
+      SELECT o_orderpriority,
+        CAST(sum(CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '80'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        CAST(sum(CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '80'
+                  AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_train,
+        CAST(sum(CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) >= '80'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+        CAST(sum(CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) >= '80'
+                  AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_test
+      FROM orders GROUP BY 1),
+    sc AS (
+      SELECT (1000000 * f_train) // n_train AS score,
+        CAST(sum(n_test) AS BIGINT) AS m, CAST(sum(f_test) AS BIGINT) AS f
+      FROM g GROUP BY 1),
+    r AS (
+      SELECT score, m, f,
+        CAST(sum(f) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING
+          AND CURRENT ROW) AS BIGINT) AS tp,
+        CAST(sum(m) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING
+          AND CURRENT ROW) AS BIGINT) AS pred_pos
+      FROM sc),
+    np AS (SELECT CAST(sum(f) AS BIGINT) AS n_pos FROM sc)
+    SELECT score, tp, pred_pos - tp AS fp, n_pos,
+      CAST((1000000 * tp) // pred_pos AS BIGINT) AS prec_ppm,
+      CAST((1000000 * tp) // n_pos AS BIGINT) AS rec_ppm,
+      CASE WHEN (1000000 * tp) // pred_pos + (1000000 * tp) // n_pos > 0 THEN
+        CAST((2 * ((1000000 * tp) // pred_pos) * ((1000000 * tp) // n_pos))
+             // ((1000000 * tp) // pred_pos + (1000000 * tp) // n_pos) AS BIGINT)
+      ELSE 0 END AS f1_ppm
+    FROM r CROSS JOIN np
+    ORDER BY score DESC
+  """))
+
   val all: Seq[BoundQuery] = Seq(qNdcg, qCalibration, qAuc, qDecisionStump,
-    qMrr, qKnnClassify, qConformal, qPrf1, qRbo)
+    qMrr, qKnnClassify, qConformal, qPrf1, qRbo, qPrCurve)
 }

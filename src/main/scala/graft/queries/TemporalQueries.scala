@@ -526,7 +526,135 @@ object TemporalQueries {
     FROM v ORDER BY event_type
   """))
 
+  /** Log-rank test between two customer cohorts' repurchase-time
+    * curves — the hypothesis-test companion of q_survival's
+    * Kaplan-Meier estimate: do BUILDING and AUTOMOBILE customers
+    * return at the same rate? Same duration model as q_survival
+    * (inter-order gap = time-to-repurchase, last gap censored at the
+    * horizon), cohort = the customer's market segment.
+    *
+    * At each event time t: observed d1t vs expected dt·n1t/nt under
+    * the null, variance dt·n1t·n2t·(nt−dt)/(nt²·(nt−1))
+    * (hypergeometric). Each time point's expectation and variance is
+    * ONE ppm-rounding integral division (decimal(38,0) products — the
+    * risk-set cross terms pass int64 at 10× sf1); the z² statistic is
+    * then a single division of exact sums, signed by the direction
+    * (positive = cohort 1 saw MORE events than expected). |z|≥1.96 ⇔
+    * |z2s_ppm| ≥ 3.84e6.
+    *
+    * Scale shape: customer-keyed join for the segment label, per-key
+    * lead window for durations, then ALL remaining work on the
+    * duration histogram — two conditional aggs and windows whose
+    * width is the distinct day-gap domain (calendar-bounded, the
+    * q_survival contract). */
+  private val qLogrank = BoundQuery("q_logrank", (s, d) => {
+    val seg = Tables.customer(s, d)
+      .where(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      .select(col("c_custkey").as("ck"),
+        when(col("c_mktsegment") === "BUILDING", 1L).otherwise(2L).as("g"))
+    val o = Tables.orders(s, d).select(col("o_custkey").as("ck"),
+        to_date(col("o_orderdate")).as("dt"), col("o_orderkey").as("ok"))
+      .join(seg, "ck")
+    val mx = o.agg(max(col("dt")).as("m"))
+    val w = Window.partitionBy("ck").orderBy("dt", "ok")
+    val durs = o.withColumn("nd", lead(col("dt"), 1).over(w))
+      .crossJoin(broadcast(mx))
+      .select(col("g"),
+        when(col("nd").isNull, datediff(col("m"), col("dt")))
+          .otherwise(datediff(col("nd"), col("dt"))).cast("long").as("dur"),
+        when(col("nd").isNull, 0L).otherwise(1L).as("ev"))
+    val h = durs.groupBy("dur").agg(
+      sum(when(col("g") === 1, 1L).otherwise(0L)).as("m1"),
+      sum(when(col("g") === 1, col("ev")).otherwise(0L)).as("d1"),
+      sum(when(col("g") === 2, 1L).otherwise(0L)).as("m2"),
+      sum(when(col("g") === 2, col("ev")).otherwise(0L)).as("d2"))
+    val tot = durs.agg(
+      sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("g") === 2, 1L).otherwise(0L)).as("n2"))
+    val wd = Window.orderBy("dur") // bounded domain: distinct day-gaps
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dec = "decimal(38,0)"
+    h.crossJoin(broadcast(tot))
+      .withColumn("n1t", (col("n1") - coalesce(sum(col("m1")).over(wd), lit(0L))).cast(dec))
+      .withColumn("n2t", (col("n2") - coalesce(sum(col("m2")).over(wd), lit(0L))).cast(dec))
+      .where(col("d1") + col("d2") > 0 && col("n1t") + col("n2t") > 1)
+      .withColumn("nt", col("n1t") + col("n2t"))
+      .withColumn("dt", (col("d1") + col("d2")).cast(dec))
+      .withColumn("e1_ppm", expr("(1000000 * dt * n1t) div nt"))
+      .withColumn("v_ppm",
+        expr("(1000000 * dt * n1t * n2t * (nt - dt)) div (nt * nt * (nt - 1))"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(col("d1")).as("events1"), sum(col("d2")).as("events2"),
+        sum(lit(1000000L) * col("d1") - col("e1_ppm")).as("num_ppm"),
+        sum(col("v_ppm")).as("var_ppm"))
+      .select(col("n1"), col("n2"), col("events1"), col("events2"),
+        col("num_ppm").cast("long").as("omine_ppm"),
+        col("var_ppm").cast("long").as("var_ppm"),
+        expr("""CASE WHEN var_ppm > 0 THEN
+                  (CASE WHEN num_ppm < 0 THEN -1 ELSE 1 END) *
+                  CAST((num_ppm * num_ppm) div var_ppm AS BIGINT)
+                END""").as("z2s_ppm"))
+  }, Some("""
+    WITH seg AS (
+      SELECT c_custkey AS ck,
+        CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 2 END AS g
+      FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+    o AS (
+      SELECT seg.g, o_custkey AS ck, CAST(o_orderdate AS DATE) AS dt,
+             o_orderkey AS ok
+      FROM orders JOIN seg ON o_custkey = seg.ck),
+    mx AS (SELECT max(dt) AS m FROM o),
+    nx AS (SELECT g, ck, dt,
+             lead(dt) OVER (PARTITION BY ck ORDER BY dt, ok) AS nd
+           FROM o),
+    durs AS (
+      SELECT g,
+        CASE WHEN nd IS NULL THEN date_diff('day', dt, (SELECT m FROM mx))
+             ELSE date_diff('day', dt, nd) END AS dur,
+        CASE WHEN nd IS NULL THEN 0 ELSE 1 END AS ev
+      FROM nx),
+    h AS (
+      SELECT dur,
+        CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+        CAST(sum(CASE WHEN g = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+        CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+        CAST(sum(CASE WHEN g = 2 THEN ev ELSE 0 END) AS BIGINT) AS d2
+      FROM durs GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM durs),
+    r AS (
+      SELECT m1, d1, m2, d2, n1, n2,
+        CAST(n1 - coalesce(sum(m1) OVER (ORDER BY dur
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS HUGEINT) AS n1t,
+        CAST(n2 - coalesce(sum(m2) OVER (ORDER BY dur
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS HUGEINT) AS n2t
+      FROM h CROSS JOIN tot),
+    terms AS (
+      SELECT n1, n2, d1, d2,
+        (1000000 * CAST(d1 + d2 AS HUGEINT) * n1t) // (n1t + n2t) AS e1_ppm,
+        (1000000 * CAST(d1 + d2 AS HUGEINT) * n1t * n2t * (n1t + n2t - d1 - d2))
+          // ((n1t + n2t) * (n1t + n2t) * (n1t + n2t - 1)) AS v_ppm
+      FROM r
+      WHERE d1 + d2 > 0 AND n1t + n2t > 1),
+    a AS (
+      SELECT max(n1) AS n1, max(n2) AS n2,
+        CAST(sum(d1) AS BIGINT) AS events1, CAST(sum(d2) AS BIGINT) AS events2,
+        sum(1000000 * CAST(d1 AS HUGEINT) - e1_ppm) AS num_ppm,
+        sum(v_ppm) AS var_ppm
+      FROM terms)
+    SELECT n1, n2, events1, events2,
+      CAST(num_ppm AS BIGINT) AS omine_ppm,
+      CAST(var_ppm AS BIGINT) AS var_ppm,
+      CASE WHEN var_ppm > 0 THEN
+        CAST((CASE WHEN num_ppm < 0 THEN -1 ELSE 1 END)
+             * ((num_ppm * num_ppm) // var_ppm) AS BIGINT)
+      END AS z2s_ppm
+    FROM a
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qScd2, qSeasonal, qBacktest, qTransitionMatrix, qGrainRollup,
-      qSurvival, qHolt, qAcf, qMannKendall)
+      qSurvival, qHolt, qAcf, qMannKendall, qLogrank)
 }

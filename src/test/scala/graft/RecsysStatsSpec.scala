@@ -103,6 +103,36 @@ class RecsysStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("logrank: counts positive, variance positive, z² sane") {
+    val rows = run("q_logrank")
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n1") > 0 && r.getAs[Long]("n2") > 0)
+    assert(r.getAs[Long]("events1") > 0 && r.getAs[Long]("events2") > 0)
+    assert(r.getAs[Long]("var_ppm") > 0)
+    // the two cohorts are a random hash of customers — the null holds,
+    // so z² should be far from astronomically significant
+    assert(math.abs(r.getAs[Long]("z2s_ppm")) < 1000L * 1000000L)
+  }
+
+  test("pr_curve: recall monotone, containment laws, F1 recomposes") {
+    val rows = run("q_pr_curve")
+    assert(rows.nonEmpty)
+    var lastRec = -1L
+    rows.foreach { r => // rows arrive score-descending
+      val (tp, fp, np) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+        r.getAs[Long]("n_pos"))
+      val (p, rec, f1) = (r.getAs[Long]("prec_ppm"), r.getAs[Long]("rec_ppm"),
+        r.getAs[Long]("f1_ppm"))
+      assert(tp <= np && p <= 1000000L && rec <= 1000000L)
+      assert(p == 1000000L * tp / (tp + fp) && rec == 1000000L * tp / np)
+      assert(rec >= lastRec, "recall must grow as the threshold loosens")
+      lastRec = rec
+      if (p + rec > 0) assert(f1 == 2L * p * rec / (p + rec))
+    }
+    assert(lastRec == 1000000L, "loosest threshold must reach full recall")
+  }
+
   test("perplexity: held-out NLL is strictly positive and finite-ish") {
     val rows = run("q_perplexity")
     assert(rows.nonEmpty)
