@@ -431,8 +431,116 @@ object EventQueries {
     GROUP BY touch_type ORDER BY touch_type
   """))
 
+  /** First-passage-to-purchase probabilities from every event state —
+    * the absorbing-Markov-chain readout built on q_transition_matrix's
+    * bigram model: H_k(s) = P(a user in state s reaches 'purchase'
+    * within k steps), for k = 1..6, answering "how many interactions
+    * away is conversion?".
+    *
+    * Transitions FROM purchase are excluded (absorbing); each
+    * transition probability is ONE ppm rounding (1e6·n div out_n,
+    * both engines truncate alike), and the recurrence
+    * H_{k+1}(s) = p(s→P) + (Σ_t p(s→t)·H_k(t)) div 1e6
+    * does ONE truncating division per state per round after an exact
+    * long sum (terms ≤ 5·10¹² — int64-safe at any data size since
+    * probabilities, not counts, recurse). The 6 rounds are unrolled
+    * DataFrame joins over the ≤|states|² probability table; the
+    * DuckDB oracle replays them as 6 CTE steps term-for-term (the
+    * q_kmeans_arith convention for bounded iteration).
+    *
+    * Scale shape: ONE user-keyed lead window + type-pair aggregation
+    * builds the ≤25-row chain (the only data-sized work); every round
+    * after that is a broadcast join of constant-size tables — cost
+    * independent of |events|. */
+  private val qAbsorption = BoundQuery("q_absorption", (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val bigrams = Tables.events(s, d)
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("event_id"), col("event_type"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .where(col("nxt").isNotNull && col("event_type") =!= "purchase")
+      .groupBy(col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n"))
+    val outTotals = bigrams.groupBy("cur").agg(sum(col("n")).as("out_n"))
+    val p = graft.util.CacheScope.persist(
+      bigrams.join(broadcast(outTotals), "cur")
+        .select(col("cur"), col("nxt"),
+          expr("(1000000 * n) div out_n").as("p_ppm")))
+    val pAbs = p.where(col("nxt") === "purchase")
+      .select(col("cur").as("state"), col("p_ppm").as("p_hit"))
+    val pTrans = p.where(col("nxt") =!= "purchase")
+    val states = p.select(col("cur").as("state")).distinct()
+    var h = states.join(pAbs, Seq("state"), "left")
+      .select(col("state"), coalesce(col("p_hit"), lit(0L)).as("h"))
+    var out = h.select(col("state"), lit(1L).as("k"), col("h").as("hit_ppm"))
+    for (k <- 2 to 6) {
+      val sums = pTrans
+        .join(h.select(col("state").as("nxt"), col("h")), Seq("nxt"))
+        .groupBy(col("cur").as("state"))
+        .agg(sum(col("p_ppm") * col("h")).as("sprod"))
+      h = states.join(pAbs, Seq("state"), "left")
+        .join(sums, Seq("state"), "left")
+        .select(col("state"),
+          (coalesce(col("p_hit"), lit(0L)) +
+            expr("coalesce(sprod, 0L) div 1000000L")).as("h"))
+      out = out.unionAll(
+        h.select(col("state"), lit(k.toLong).as("k"), col("h").as("hit_ppm")))
+    }
+    out.orderBy("k", "state")
+  }, Some("""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS nxt
+      FROM events),
+    bi AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE nxt IS NOT NULL AND cur <> 'purchase' GROUP BY 1, 2),
+    tot AS (SELECT cur, CAST(sum(n) AS BIGINT) AS out_n FROM bi GROUP BY 1),
+    p AS (SELECT cur, nxt, (1000000 * n) // out_n AS p_ppm
+          FROM bi JOIN tot USING (cur)),
+    pabs AS (SELECT cur AS state, p_ppm AS p_hit FROM p WHERE nxt = 'purchase'),
+    ptr AS (SELECT cur, nxt, p_ppm FROM p WHERE nxt <> 'purchase'),
+    states AS (SELECT DISTINCT cur AS state FROM p),
+    h1 AS (SELECT s.state, coalesce(p_hit, 0) AS h
+           FROM states s LEFT JOIN pabs USING (state)),
+    h2 AS (SELECT s.state, coalesce(p_hit, 0) + coalesce(sp.sprod, 0) // 1000000 AS h
+           FROM states s LEFT JOIN pabs USING (state)
+           LEFT JOIN (SELECT cur AS state, sum(p_ppm * h1.h) AS sprod
+                      FROM ptr JOIN h1 ON ptr.nxt = h1.state GROUP BY 1) sp
+             USING (state)),
+    h3 AS (SELECT s.state, coalesce(p_hit, 0) + coalesce(sp.sprod, 0) // 1000000 AS h
+           FROM states s LEFT JOIN pabs USING (state)
+           LEFT JOIN (SELECT cur AS state, sum(p_ppm * h2.h) AS sprod
+                      FROM ptr JOIN h2 ON ptr.nxt = h2.state GROUP BY 1) sp
+             USING (state)),
+    h4 AS (SELECT s.state, coalesce(p_hit, 0) + coalesce(sp.sprod, 0) // 1000000 AS h
+           FROM states s LEFT JOIN pabs USING (state)
+           LEFT JOIN (SELECT cur AS state, sum(p_ppm * h3.h) AS sprod
+                      FROM ptr JOIN h3 ON ptr.nxt = h3.state GROUP BY 1) sp
+             USING (state)),
+    h5 AS (SELECT s.state, coalesce(p_hit, 0) + coalesce(sp.sprod, 0) // 1000000 AS h
+           FROM states s LEFT JOIN pabs USING (state)
+           LEFT JOIN (SELECT cur AS state, sum(p_ppm * h4.h) AS sprod
+                      FROM ptr JOIN h4 ON ptr.nxt = h4.state GROUP BY 1) sp
+             USING (state)),
+    h6 AS (SELECT s.state, coalesce(p_hit, 0) + coalesce(sp.sprod, 0) // 1000000 AS h
+           FROM states s LEFT JOIN pabs USING (state)
+           LEFT JOIN (SELECT cur AS state, sum(p_ppm * h5.h) AS sprod
+                      FROM ptr JOIN h5 ON ptr.nxt = h5.state GROUP BY 1) sp
+             USING (state))
+    SELECT state, k, h AS hit_ppm FROM (
+      SELECT state, CAST(1 AS BIGINT) AS k, CAST(h AS BIGINT) AS h FROM h1
+      UNION ALL SELECT state, 2, CAST(h AS BIGINT) FROM h2
+      UNION ALL SELECT state, 3, CAST(h AS BIGINT) FROM h3
+      UNION ALL SELECT state, 4, CAST(h AS BIGINT) FROM h4
+      UNION ALL SELECT state, 5, CAST(h AS BIGINT) FROM h5
+      UNION ALL SELECT state, 6, CAST(h AS BIGINT) FROM h6) u
+    ORDER BY k, state
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qFunnel, qGapFill, qRetention, qSlidingWindow, qSqlSurface, qEwma,
       qIncremental, qGroupingSets, qOhlcBars, qTwap, qIntervalCoverage,
-      qAttribution)
+      qAttribution, qAbsorption)
 }

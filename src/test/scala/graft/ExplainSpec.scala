@@ -273,4 +273,45 @@ class ExplainSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"non-pid window in gini plan: ${bad.mkString("\n")}")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("item-cf blocks pairs per order and broadcasts the degree table") {
+    val p = plan("q_item_cf")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("assoc rules: per-order pair join, broadcast supports, TakeOrdered") {
+    val p = plan("q_assoc_rules_exact")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("dbscan's neighbor search is a cell-keyed equi join, never cartesian") {
+    val p = plan("q_dbscan")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ar1's lag window partitions by event type (calendar-bounded)") {
+    val p = plan("q_ar1")
+    val bad = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && !l.contains("event_type")).toSeq
+    assert(bad.isEmpty, s"unpartitioned window in ar1: ${bad.mkString("\n")}")
+  }
+
+  test("aqp estimate is one scan: no join, no window, no second exchange") {
+    val p = plan("q_aqp_estimate")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("perplexity's scoring join is bigram-type keyed with a broadcast vocab") {
+    val p = plan("q_perplexity")
+    assert(!p.contains("CartesianProduct"), p)
+    // the V scalar joins by broadcast, never a shuffled cross
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
 }

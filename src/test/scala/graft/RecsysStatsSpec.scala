@@ -133,6 +133,22 @@ class RecsysStatsSpec extends AnyFunSuite {
     assert(lastRec == 1000000L, "loosest threshold must reach full recall")
   }
 
+  test("absorption: hit probability is monotone in k and stays in [0,1e6]") {
+    val rows = run("q_absorption")
+    assert(rows.nonEmpty)
+    val byState = rows.groupBy(_.getAs[String]("state"))
+    byState.foreach { case (st, rs) =>
+      val hs = rs.sortBy(_.getAs[Long]("k")).map(_.getAs[Long]("hit_ppm"))
+      assert(hs.length == 6, s"$st must have k=1..6")
+      hs.foreach(h => assert(h >= 0 && h <= 1000000L, s"$st hit $h out of range"))
+      // first-passage probabilities CUMULATE: more steps, more chances
+      // (truncating divisions can only lose <1 ppm per round, and the
+      // added round's mass dominates on this chain)
+      hs.toSeq.sliding(2).foreach { w =>
+        assert(w(1) >= w(0) - 1, s"$st: H_k not monotone (${w(0)} -> ${w(1)})") }
+    }
+  }
+
   test("perplexity: held-out NLL is strictly positive and finite-ish") {
     val rows = run("q_perplexity")
     assert(rows.nonEmpty)
