@@ -219,5 +219,45 @@ object StatsQueries2 {
     FROM g ORDER BY o_orderstatus
   """))
 
-  val all: Seq[BoundQuery] = Seq(qAr1, qWilcoxon, qAqpEstimate)
+  /** Burstiness of each event type: the index of dispersion
+    * D = Var/Mean of DAILY event counts — D ≈ 1 is Poisson-like
+    * arrivals, D ≫ 1 means bursts (the overdispersion signal that
+    * decides whether rate alerts need burst-robust thresholds).
+    *
+    * Exact: with S = Σc, Q = Σc² over n days, population variance
+    * obeys n²·Var = n·Q − S², so D_ppm = 10⁶·(nQ − S²) div (n·S) —
+    * one truncating division over decimal(38,0) moment products
+    * (n·Q·10⁶ passes int64 at 100× sf1). Calendar-bounded second
+    * phase after one (type, day) partial agg. */
+  private val qBurstiness = BoundQuery("q_burstiness", (s, d) => {
+    val dec = "decimal(38,0)"
+    Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("c").cast(dec)).as("sc"),
+        sum(col("c").cast(dec) * col("c").cast(dec)).as("qc"))
+      .select(col("event_type"), col("n_days"),
+        col("sc").cast("long").as("total"),
+        expr("CAST((1000000 * (n_days*qc - sc*sc)) div (n_days * sc) AS BIGINT)")
+          .as("dispersion_ppm"))
+      .orderBy("event_type")
+  }, Some("""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS HUGEINT) AS c
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT event_type, CAST(count(*) AS HUGEINT) AS n_days,
+             sum(c) AS sc, sum(c*c) AS qc
+      FROM daily GROUP BY 1)
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+      CAST(sc AS BIGINT) AS total,
+      CAST((1000000 * (n_days*qc - sc*sc)) // (n_days * sc) AS BIGINT)
+        AS dispersion_ppm
+    FROM m ORDER BY event_type
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qAr1, qWilcoxon, qAqpEstimate, qBurstiness)
 }

@@ -483,8 +483,53 @@ object TextQueries {
     ORDER BY nw.doc_id
   """))
 
+  /** Confusion matrix of q_langid's stopword heuristic against the
+    * STORED language label — the self-audit every classifier in the
+    * curation path gets (the q_dedup_eval/q_ann_eval convention:
+    * grade the heuristic with engine-proven numbers). One row per
+    * (truth, prediction) cell with the cell count and the
+    * recall share of its truth row in exact ppm. 'zh' has no stopword
+    * profile, so its row IS the heuristic's blind spot, measured.
+    *
+    * Scale shape: the per-doc predictor is codegen'd array math (no
+    * explode), then one (truth,pred)-grain partial agg + a broadcast
+    * join against the ≤|langs| truth totals. */
+  private val qLangidEval = BoundQuery("q_langid_eval", (s, d) => {
+    val preds = Tables.documents(s, d)
+      .select(col("lang"), langId(tokens(col("text"))).as("pred"))
+    val cells = preds.groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("lang").agg(sum(col("n")).as("n_truth"))
+    cells.join(broadcast(totals), "lang")
+      .select(col("lang"), col("pred"), col("n"), col("n_truth"),
+        expr("(1000000 * n) div n_truth").as("share_ppm"))
+      .orderBy("lang", "pred")
+  }, Some("""
+    WITH t AS (
+      SELECT lang,
+        CAST(len(list_filter(list_filter(string_split(text,' '), x -> x <> ''), w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS c_en,
+        CAST(len(list_filter(list_filter(string_split(text,' '), x -> x <> ''), w -> w IN ('el','la','de','los','y'))) AS BIGINT) AS c_es,
+        CAST(len(list_filter(list_filter(string_split(text,' '), x -> x <> ''), w -> w IN ('der','die','das','und','ist'))) AS BIGINT) AS c_de,
+        CAST(len(list_filter(list_filter(string_split(text,' '), x -> x <> ''), w -> w IN ('le','les','des','et','une'))) AS BIGINT) AS c_fr
+      FROM documents),
+    p AS (
+      SELECT lang,
+        CASE WHEN c_en > 0 AND c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+             WHEN c_es > 0 AND c_es >= c_de AND c_es >= c_fr THEN 'es'
+             WHEN c_de > 0 AND c_de >= c_fr THEN 'de'
+             WHEN c_fr > 0 THEN 'fr'
+             ELSE 'und' END AS pred
+      FROM t),
+    cells AS (SELECT lang, pred, CAST(count(*) AS BIGINT) AS n
+              FROM p GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_truth FROM cells GROUP BY 1)
+    SELECT lang, pred, n, n_truth,
+      CAST((1000000 * n) // n_truth AS BIGINT) AS share_ppm
+    FROM cells JOIN tot USING (lang)
+    ORDER BY lang, pred
+  """))
+
   val all: Seq[BoundQuery] = Seq(
     qDedupExact, qFingerprint, qNgramJaccard, qMinhashPairs, qSimhashPairs,
     qTokenCount, qTextStats, qLangid, qCleanPipeline, qImputeDefaults,
-    qQualityFilter, qHeavyHitters, qDedupEval, qDedupIncremental)
+    qQualityFilter, qHeavyHitters, qDedupEval, qDedupIncremental, qLangidEval)
 }

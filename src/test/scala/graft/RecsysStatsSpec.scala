@@ -162,6 +162,29 @@ class RecsysStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("langid_eval: rows partition each truth class (shares ≈ 1e6)") {
+    val rows = run("q_langid_eval")
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val nTruth = rs.head.getAs[Long]("n_truth")
+      assert(rs.map(_.getAs[Long]("n")).sum == nTruth,
+        s"$lang cells don't partition the truth row")
+      val shares = rs.map(_.getAs[Long]("share_ppm")).sum
+      // truncation loses < 1 ppm per cell
+      assert(shares > 1000000L - rs.length && shares <= 1000000L,
+        s"$lang shares sum $shares")
+    }
+  }
+
+  test("burstiness: dispersion nonnegative, zero iff constant dailies") {
+    val rows = run("q_burstiness")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dispersion_ppm") >= 0)
+      assert(r.getAs[Long]("total") > 0 && r.getAs[Long]("n_days") > 0)
+    }
+  }
+
   test("readability: flesch recomposes from its published terms") {
     val rows = run("q_readability")
     assert(rows.nonEmpty)
