@@ -259,5 +259,128 @@ object StatsQueries2 {
     FROM m ORDER BY event_type
   """))
 
-  val all: Seq[BoundQuery] = Seq(qAr1, qWilcoxon, qAqpEstimate, qBurstiness)
+  /** Cohen's kappa between the stopword language heuristic and the
+    * stored label — chance-corrected agreement, the one number
+    * q_langid_eval's confusion matrix is usually reduced to.
+    * κ = (p_o − p_e)/(1 − p_e); multiplying through by N² keeps it a
+    * ratio of exact integers: κ_ppm = 10⁶·(N·agree − Σ_c row_c·col_c)
+    * div (N² − Σ_c row_c·col_c), one truncating division over
+    * decimal(38,0) products (N²·10⁶ passes int64 at 100× sf1).
+    * Categories missing on either side (zh is never predicted)
+    * contribute zero to the chance term via the inner marginal join —
+    * the asymmetric-marginal case handled exactly.
+    *
+    * Scale shape: one documents scan → (truth, pred) cells, then all
+    * remaining work on the ≤|langs|² table. */
+  private val qCohenKappa = BoundQuery("q_cohen_kappa", (s, d) => {
+    import graft.functions.TextFunctions.{langId, tokens}
+    val dec = "decimal(38,0)"
+    val cells = Tables.documents(s, d)
+      .select(col("lang"), langId(tokens(col("text"))).as("pred"))
+      .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+    val rows = cells.groupBy("lang").agg(sum(col("n")).as("r"))
+    val cols = cells.groupBy("pred").agg(sum(col("n")).as("c"))
+    val pe = rows.join(cols, col("lang") === col("pred"))
+      .agg(coalesce(sum(col("r").cast(dec) * col("c").cast(dec)),
+        lit(0).cast(dec)).as("pe2"))
+    cells.agg(sum(col("n")).cast(dec).as("n"),
+        sum(when(col("lang") === col("pred"), col("n")).otherwise(0L))
+          .cast(dec).as("agree"))
+      .crossJoin(broadcast(pe))
+      .select(col("n").cast("long").as("n_docs"),
+        col("agree").cast("long").as("n_agree"),
+        expr("CAST((1000000 * (n * agree - pe2)) div (n * n - pe2) AS BIGINT)")
+          .as("kappa_ppm"))
+  }, Some("""
+    WITH p AS (
+      SELECT lang,
+        CASE WHEN c_en > 0 AND c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+             WHEN c_es > 0 AND c_es >= c_de AND c_es >= c_fr THEN 'es'
+             WHEN c_de > 0 AND c_de >= c_fr THEN 'de'
+             WHEN c_fr > 0 THEN 'fr'
+             ELSE 'und' END AS pred
+      FROM (
+        SELECT lang,
+          CAST(len(list_filter(list_filter(string_split(text,' '), x -> x <> ''), w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS c_en,
+          CAST(len(list_filter(list_filter(string_split(text,' '), x -> x <> ''), w -> w IN ('el','la','de','los','y'))) AS BIGINT) AS c_es,
+          CAST(len(list_filter(list_filter(string_split(text,' '), x -> x <> ''), w -> w IN ('der','die','das','und','ist'))) AS BIGINT) AS c_de,
+          CAST(len(list_filter(list_filter(string_split(text,' '), x -> x <> ''), w -> w IN ('le','les','des','et','une'))) AS BIGINT) AS c_fr
+        FROM documents) t),
+    cells AS (SELECT lang, pred, CAST(count(*) AS HUGEINT) AS n FROM p GROUP BY 1, 2),
+    r AS (SELECT lang, sum(n) AS r FROM cells GROUP BY 1),
+    c AS (SELECT pred, sum(n) AS c FROM cells GROUP BY 1),
+    pe AS (SELECT coalesce(sum(r.r * c.c), 0) AS pe2
+           FROM r JOIN c ON r.lang = c.pred),
+    a AS (SELECT sum(n) AS n,
+                 sum(CASE WHEN lang = pred THEN n ELSE 0 END) AS agree
+          FROM cells)
+    SELECT CAST(n AS BIGINT) AS n_docs, CAST(agree AS BIGINT) AS n_agree,
+      CAST((1000000 * (n * agree - pe2)) // (n * n - pe2) AS BIGINT) AS kappa_ppm
+    FROM a CROSS JOIN pe
+  """))
+
+  /** Derandomized paired permutation test on the same daily
+    * click−view revenue differences as q_wilcoxon: 64 sign-flip
+    * replicas whose signs come from the replayable rolling
+    * fingerprint (the q_bootstrap convention — reproducible across
+    * engines, runs and partitionings, disclosed non-secret
+    * randomness), T_r = Σ_d s(d,r)·diff_d against the observed
+    * T₀ = Σ_d diff_d. Every statistic is an exact cents sum; the
+    * p-value is a count of replicas with |T_r| ≥ |T₀| over 64,
+    * also emitted as ppm by one integral division.
+    *
+    * Scale shape: (day)-grain diffs (calendar-bounded) × 64 explode →
+    * one 64-group partial-aggregated shuffle — constant output, linear
+    * scan, no window (the q_bootstrap shape exactly). */
+  private val qPermutationTest = BoundQuery("q_permutation_test", (s, d) => {
+    import graft.functions.TextFunctions.rollingFingerprint
+    val daily = Tables.events(s, d)
+      .where(col("event_type").isin("click", "view"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg((sum(when(col("event_type") === "click", cents(col("value"))).otherwise(0L))
+        - sum(when(col("event_type") === "view", cents(col("value"))).otherwise(0L)))
+        .as("diff"))
+    val t0 = daily.agg(sum(col("diff")).as("t0"), count(lit(1)).as("n_days"))
+    val reps = daily
+      .select(col("day"), col("diff"), explode(sequence(lit(0L), lit(63L))).as("r"))
+      .withColumn("sgn",
+        when(pmod(rollingFingerprint(concat_ws("|", col("day"), col("r"))),
+          lit(2L)) === 0L, 1L).otherwise(-1L))
+      .groupBy("r").agg(sum(col("sgn") * col("diff")).as("tr"))
+    reps.crossJoin(broadcast(t0))
+      .agg(max(col("n_days")).as("n_days"), max(col("t0")).as("t0_cents"),
+        sum(when(abs(col("tr")) >= abs(col("t0")), 1L).otherwise(0L)).as("n_extreme"))
+      .select(col("n_days"), col("t0_cents"), col("n_extreme"),
+        expr("(1000000 * n_extreme) div 64").as("p_ppm"))
+  }, Some("""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+        sum(CASE WHEN event_type = 'click'
+                 THEN CAST(round(value*100, 0) AS BIGINT) ELSE 0 END)
+        - sum(CASE WHEN event_type = 'view'
+                   THEN CAST(round(value*100, 0) AS BIGINT) ELSE 0 END) AS diff
+      FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+    t0 AS (SELECT CAST(sum(diff) AS BIGINT) AS t0,
+                  CAST(count(*) AS BIGINT) AS n_days FROM daily),
+    reps AS (
+      SELECT day, diff, unnest(range(0, 64)) AS r FROM daily),
+    sg AS (
+      SELECT r, diff,
+        CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, len(CAST(day AS VARCHAR) || '|'
+                || CAST(r AS VARCHAR)) + 1),
+              i -> CAST(ascii(substring(CAST(day AS VARCHAR) || '|'
+                || CAST(r AS VARCHAR), i, 1)) AS BIGINT))),
+            (a, c) -> (a*31 + c) % 1000000007) % 2 = 0
+          THEN 1 ELSE -1 END AS sgn
+      FROM reps),
+    tr AS (SELECT r, CAST(sum(sgn * diff) AS BIGINT) AS tr FROM sg GROUP BY r)
+    SELECT max(n_days) AS n_days, max(t0) AS t0_cents,
+      CAST(sum(CASE WHEN abs(tr) >= abs(t0) THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+      CAST((1000000 * sum(CASE WHEN abs(tr) >= abs(t0) THEN 1 ELSE 0 END)) // 64 AS BIGINT) AS p_ppm
+    FROM tr CROSS JOIN t0
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qAr1, qWilcoxon, qAqpEstimate, qBurstiness,
+    qCohenKappa, qPermutationTest)
 }

@@ -176,6 +176,30 @@ class RecsysStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("cohen kappa recomposes from q_langid_eval's confusion cells") {
+    val kappa = run("q_cohen_kappa").head
+    val cells = run("q_langid_eval")
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("pred"), r.getAs[Long]("n")))
+    val n = BigInt(cells.map(_._3).sum)
+    val agree = BigInt(cells.filter(c => c._1 == c._2).map(_._3).sum)
+    val rows = cells.groupBy(_._1).view.mapValues(x => BigInt(x.map(_._3).sum))
+    val cols = cells.groupBy(_._2).view.mapValues(x => BigInt(x.map(_._3).sum))
+    val pe2 = rows.toSeq.map { case (c, r) => r * cols.getOrElse(c, BigInt(0)) }.sum
+    assert(BigInt(kappa.getAs[Long]("n_docs")) == n)
+    assert(BigInt(kappa.getAs[Long]("n_agree")) == agree)
+    val expected = (BigInt(1000000) * (n * agree - pe2)) / (n * n - pe2)
+    assert(BigInt(kappa.getAs[Long]("kappa_ppm")) == expected,
+      "kappa must recompose from the published confusion matrix")
+  }
+
+  test("permutation test: p-value laws and identity with its counts") {
+    val r = run("q_permutation_test").head
+    val (ne, p) = (r.getAs[Long]("n_extreme"), r.getAs[Long]("p_ppm"))
+    assert(ne >= 0 && ne <= 64)
+    assert(p == 1000000L * ne / 64)
+    assert(r.getAs[Long]("n_days") > 0)
+  }
+
   test("burstiness: dispersion nonnegative, zero iff constant dailies") {
     val rows = run("q_burstiness")
     assert(rows.nonEmpty)
