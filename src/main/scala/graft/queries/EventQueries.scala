@@ -539,8 +539,54 @@ object EventQueries {
     ORDER BY k, state
   """))
 
+  /** DAU/MAU stickiness per (event type, month): mean daily active
+    * users over the month's active days divided by monthly actives —
+    * the engagement ratio product analytics tracks beside q_retention
+    * (1e6 = every monthly user active every day). Exact as
+    * 10⁶·Σ_day DAU div (n_days·MAU): distinct counts are exact longs,
+    * one truncating division.
+    *
+    * Scale shape: two distinct aggregations — (type,month,day,user)
+    * and (type,month,user) grain — each a partial-agg shuffle (the
+    * distinct rewrites to a two-stage agg, map-side combined), then a
+    * broadcast-able join of two month-grain tables. No window. */
+  private val qStickiness = BoundQuery("q_stickiness", (s, d) => {
+    val ev = Tables.events(s, d).select(col("event_type"),
+      to_date(col("ts")).as("day"),
+      date_trunc("month", col("ts")).cast("date").as("month"),
+      col("user_id"))
+    val daily = ev.groupBy("event_type", "month", "day")
+      .agg(countDistinct(col("user_id")).as("dau"))
+      .groupBy("event_type", "month")
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+    val monthly = ev.groupBy("event_type", "month")
+      .agg(countDistinct(col("user_id")).as("mau"))
+    daily.join(monthly, Seq("event_type", "month"))
+      .select(col("event_type"), col("month"), col("n_days"), col("mau"),
+        expr("CAST((1000000 * sum_dau) div (n_days * mau) AS BIGINT)")
+          .as("stickiness_ppm"))
+      .orderBy("event_type", "month")
+  }, Some("""
+    WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(date_trunc('month', ts) AS DATE) AS month, user_id
+                FROM events),
+    daily AS (SELECT event_type, month, CAST(count(*) AS BIGINT) AS n_days,
+                CAST(sum(dau) AS BIGINT) AS sum_dau
+              FROM (SELECT event_type, month, day,
+                      CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+                    FROM ev GROUP BY 1, 2, 3)
+              GROUP BY 1, 2),
+    monthly AS (SELECT event_type, month,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+                FROM ev GROUP BY 1, 2)
+    SELECT event_type, month, n_days, mau,
+      CAST((1000000 * sum_dau) // (n_days * mau) AS BIGINT) AS stickiness_ppm
+    FROM daily JOIN monthly USING (event_type, month)
+    ORDER BY event_type, month
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qFunnel, qGapFill, qRetention, qSlidingWindow, qSqlSurface, qEwma,
       qIncremental, qGroupingSets, qOhlcBars, qTwap, qIntervalCoverage,
-      qAttribution, qAbsorption)
+      qAttribution, qAbsorption, qStickiness)
 }

@@ -160,5 +160,189 @@ object MlQueries2 {
     FROM terms GROUP BY source ORDER BY source
   """))
 
-  val all: Seq[BoundQuery] = Seq(qDbscan, qPerplexity)
+  /** Micro-unit quantized embeddings + per-label centroids (mean by
+    * integral division — exact, partition-invariant). Shared by the
+    * two clustering-quality audits below; the collect is k·d longs
+    * (10×64 — the q_kmeans_arith justified-driver-handful contract). */
+  private def labelCentroids(s: org.apache.spark.sql.SparkSession, d: String)
+    : (org.apache.spark.sql.DataFrame, Array[(Long, Array[Long])]) = {
+    val data = graft.util.CacheScope.persist(
+      Tables.embeddings(s, d).select(col("vec_id"),
+        col("label").cast("long").as("label"),
+        transform(graft.functions.VectorFunctions.toDouble(col("embedding")),
+          x => round(x * 1e6, 0).cast("long")).as("vu")))
+    val cents = data
+      .select(col("label"), posexplode(col("vu")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(expr("sum(x) div count(1)").as("m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("mv"))
+      .select(col("label"), transform(col("mv"), st => st("m")).as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    (data, cents)
+  }
+
+  /** Squared micro-distance from a point's vu array to each centroid,
+    * as an array of (d2, label) structs — codegen'd array math, no
+    * explode, no shuffle (the q_kmeans_arith assignment shape). */
+  private def distArray(cents: Array[(Long, Array[Long])]) =
+    array(cents.map { case (l, c) =>
+      struct(
+        aggregate(zip_with(col("vu"), array(c.map(lit): _*),
+          (x, y) => (x - y) * (x - y)), lit(0L), (acc, z) => acc + z).as("d2"),
+        lit(l).as("cl"))
+    }: _*)
+
+  /** Shared DuckDB prelude: quantized vectors + per-label centroids
+    * (the exact mirrors of labelCentroids). */
+  private val duckCentroids = """
+    v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+            list_transform(embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS vu
+          FROM embeddings),
+    c AS (SELECT label, list(m ORDER BY i) AS cv FROM (
+            SELECT label, i, sum(vu[i]) // count(*) AS m
+            FROM v, unnest(range(1, 65)) AS t(i)
+            GROUP BY label, i)
+          GROUP BY label),
+    dd AS (SELECT v.vec_id, v.label AS plabel, c.label AS clabel,
+             list_reduce(list_transform(range(1, 65),
+               i -> (v.vu[i] - c.cv[i]) * (v.vu[i] - c.cv[i])),
+               (x, y) -> x + y) AS d2
+           FROM v CROSS JOIN c)"""
+
+  /** Simplified (centroid-based) silhouette of the STORED label
+    * clustering in embedding space — "how separable are the classes
+    * the curation pipeline trusts": per point a = squared micro-dist
+    * to its own label centroid, b = min over other centroids,
+    * s = (b−a)/max(a,b) in ppm (the squared-distance variant keeps
+    * the whole statistic sqrt-free — the q_wilcoxon convention — at
+    * the cost of stretching s toward ±1; ranking between clusterings
+    * is preserved since the map x→x² is monotone on distances).
+    * Negative per-cluster mean ⇒ that label's points sit closer to a
+    * foreign centroid than their own — a mislabeled or entangled
+    * class.
+    *
+    * Exactness: d2 ≤ 64·(2e6)² ≈ 2.6e14 per point (long-safe); the
+    * per-label s_ppm mean and d2 means divide decimal(38,0) sums —
+    * at 1e9 points per label the d2 sum reaches 2.6e23, past int64.
+    *
+    * Scale shape: centroids = one posexplode partial agg (64k rows
+    * per label before combine); the per-point pass is ONE linear scan
+    * of codegen'd array math with a k·d literal — no join, no
+    * shuffle; final agg is label-keyed. */
+  private val qSilhouette = BoundQuery("q_silhouette", (s, d) => {
+    val (data, cents) = labelCentroids(s, d)
+    val dec = "decimal(38,0)"
+    data.withColumn("ds", distArray(cents))
+      .select(col("label"),
+        element_at(filter(col("ds"), st => st("cl") === col("label")), 1)("d2")
+          .as("a"),
+        sort_array(filter(col("ds"), st => st("cl") =!= col("label")))(0)("d2")
+          .as("b"))
+      .select(col("label"),
+        // 10⁶·(b−a) reaches ~2.6e20 at the d2 ceiling — through decimal
+        expr("CASE WHEN greatest(a, b) > 0 THEN (CAST(1000000 AS DECIMAL(38,0)) * (b - a)) div greatest(a, b) ELSE CAST(0 AS BIGINT) END")
+          .as("sp"),
+        col("a"), col("b"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(col("sp").cast(dec)).as("ssp"),
+        sum(col("a").cast(dec)).as("sa"),
+        sum(col("b").cast(dec)).as("sb"))
+      .select(col("label"), col("n"),
+        expr("CAST(ssp div n AS BIGINT)").as("silhouette_ppm"),
+        expr("CAST(sa div n AS BIGINT)").as("mean_own_d2"),
+        expr("CAST(sb div n AS BIGINT)").as("mean_next_d2"))
+      .orderBy("label")
+  }, Some(s"""
+    WITH $duckCentroids,
+    ab AS (SELECT vec_id, plabel,
+             max(CASE WHEN clabel = plabel THEN d2 END) AS a,
+             min(CASE WHEN clabel <> plabel THEN d2 END) AS b
+           FROM dd GROUP BY vec_id, plabel),
+    sp AS (SELECT plabel AS label,
+             CASE WHEN greatest(a, b) > 0
+               THEN CAST((CAST(1000000 AS HUGEINT) * (b - a)) // greatest(a, b) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS sp,
+             a, b
+           FROM ab)
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(sp AS HUGEINT)) // count(*) AS BIGINT) AS silhouette_ppm,
+      CAST(sum(CAST(a AS HUGEINT)) // count(*) AS BIGINT) AS mean_own_d2,
+      CAST(sum(CAST(b AS HUGEINT)) // count(*) AS BIGINT) AS mean_next_d2
+    FROM sp GROUP BY label ORDER BY label
+  """))
+
+  /** Davies–Bouldin audit of the stored labels (squared-distance
+    * variant, sqrt-free like q_silhouette): per label i the scatter
+    * S_i = mean squared micro-dist to its centroid, and
+    * R_i = max_{j≠i} 10⁶·(S_i + S_j) / M_ij with M_ij the squared
+    * centroid separation — higher = worse-separated cluster, and the
+    * arg-max partner names WHICH class it collides with. The partner
+    * with the smallest label wins ties (unique ORDER BY contract).
+    *
+    * Exactness: S divides a decimal(38,0) sum by the member count;
+    * M_ij is computed driver-side from the k·d collected centroids in
+    * exact Long arithmetic (k² = 100 values); R is one truncating
+    * division per (i,j) over longs (numerator ≤ 10⁶·2·2.6e14 ≈ 5e20 —
+    * decimal, then the quotient ≤ ~1e9 back to long).
+    *
+    * Scale shape: the only data-sized work is the same one-scan
+    * assignment pass as q_silhouette reduced per label; everything
+    * after runs on k-row tables. */
+  private val qDaviesBouldin = BoundQuery("q_davies_bouldin", (s, d) => {
+    val (data, cents) = labelCentroids(s, d)
+    val dec = "decimal(38,0)"
+    val scatter = data.withColumn("ds", distArray(cents))
+      .select(col("label"),
+        element_at(filter(col("ds"), st => st("cl") === col("label")), 1)("d2")
+          .as("a"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum(col("a").cast(dec)).as("sa"))
+      .select(col("label"), col("n"),
+        expr("CAST(sa div n AS BIGINT)").as("s_d2"))
+    val mRows = for {
+      (li, ci) <- cents; (lj, cj) <- cents if li != lj
+    } yield (li, lj,
+      ci.zip(cj).map { case (x, y) => val t = x - y; t * t }.sum)
+    val m = s.createDataFrame(mRows.toSeq).toDF("i", "j", "m_d2")
+    val r = scatter.as("si")
+      .join(broadcast(m), col("si.label") === col("i"))
+      .join(scatter.select(col("label").as("j"), col("s_d2").as("sj_d2")), "j")
+      .select(col("i").as("label"), col("n"), col("s_d2"), col("j"),
+        expr("CASE WHEN m_d2 > 0 THEN CAST((CAST(1000000 AS DECIMAL(38,0)) * (s_d2 + sj_d2)) div m_d2 AS BIGINT) END")
+          .as("r_ppm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(col("r_ppm").desc, col("j").asc)
+    r.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("label"), col("n"), col("s_d2"),
+        col("r_ppm").as("db_ppm"), col("j").as("partner"))
+      .orderBy("label")
+  }, Some(s"""
+    WITH $duckCentroids,
+    sc AS (SELECT plabel AS label, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(d2 AS HUGEINT)) // count(*) AS BIGINT) AS s_d2
+           FROM dd WHERE clabel = plabel GROUP BY plabel),
+    mm AS (SELECT ci.label AS i, cj.label AS j,
+             list_reduce(list_transform(range(1, 65),
+               k -> (ci.cv[k] - cj.cv[k]) * (ci.cv[k] - cj.cv[k])),
+               (x, y) -> x + y) AS m_d2
+           FROM c ci JOIN c cj ON ci.label <> cj.label),
+    r0 AS (SELECT si.label, si.n, si.s_d2, mm.j,
+             CASE WHEN mm.m_d2 > 0
+               THEN CAST((CAST(1000000 AS HUGEINT) * (si.s_d2 + sj.s_d2))
+                         // mm.m_d2 AS BIGINT) END AS r_ppm
+           FROM sc si JOIN mm ON si.label = mm.i JOIN sc sj ON mm.j = sj.label),
+    r AS (SELECT label, n, s_d2, j, r_ppm,
+            row_number() OVER (PARTITION BY label
+                               ORDER BY r_ppm DESC, j ASC) AS rn
+          FROM r0)
+    SELECT label, n, s_d2, r_ppm AS db_ppm, j AS partner
+    FROM r WHERE rn = 1 ORDER BY label
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qDbscan, qPerplexity, qSilhouette,
+    qDaviesBouldin)
 }

@@ -493,7 +493,55 @@ object QualityQueries {
     FROM kc, tot GROUP BY bucket, total ORDER BY bucket
   """))
 
+  /** k-anonymity audit of the customer table under the
+    * quasi-identifier (nation, market segment, $1000 balance band) —
+    * the re-identification risk readout a privacy review needs BEFORE
+    * a release (q_dp_release's prerequisite): for each k threshold,
+    * how many QI equivalence classes have fewer than k members and
+    * what share of ROWS sits in them. A row in a size-1 class is
+    * uniquely re-identifiable by its quasi-identifiers alone.
+    *
+    * Exactness: the balance band is floor(bal/1000.0) — one identical
+    * IEEE division+floor on both engines; class sizes and the ppm
+    * risk share are exact integer counts and one truncating division.
+    *
+    * Scale shape: one QI-keyed partial agg (the class-size table,
+    * ≤ |QI-space| rows), then a 4-row explode over thresholds and a
+    * k-keyed reduction — no window, no join. */
+  private val qKAnonymity = BoundQuery("q_k_anonymity", (s, d) => {
+    val sizes = Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("n"))
+    sizes
+      .select(col("n"), explode(array(lit(2L), lit(5L), lit(10L), lit(25L))).as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("n") < col("k"), 1L).otherwise(0L)).as("classes_below"),
+        sum(when(col("n") < col("k"), col("n")).otherwise(0L)).as("rows_at_risk"),
+        sum(col("n")).as("total_rows"))
+      .select(col("k"), col("n_classes"), col("classes_below"),
+        col("rows_at_risk"),
+        expr("CAST((1000000 * rows_at_risk) div total_rows AS BIGINT)")
+          .as("risk_ppm"))
+      .orderBy("k")
+  }, Some("""
+    WITH sizes AS (
+      SELECT c_nationkey, c_mktsegment,
+        CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2, 3),
+    ks AS (SELECT CAST(k AS BIGINT) AS k FROM unnest([2, 5, 10, 25]) AS t(k))
+    SELECT k, CAST(count(*) AS BIGINT) AS n_classes,
+      CAST(sum(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT) AS classes_below,
+      CAST(sum(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+      CAST((1000000 * sum(CASE WHEN n < k THEN n ELSE 0 END)) // sum(n) AS BIGINT)
+        AS risk_ppm
+    FROM sizes CROSS JOIN ks
+    GROUP BY k ORDER BY k
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qDqChecks, qAnomaly, qSeqMining, qHllUnion, qHllSliding, qTrending,
-      qKmvJaccard, qWinsorize, qCusum, qSkewAudit)
+      qKmvJaccard, qWinsorize, qCusum, qSkewAudit, qKAnonymity)
 }
