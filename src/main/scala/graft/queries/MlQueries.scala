@@ -313,27 +313,25 @@ object MlQueries {
     * (cluster, dim) = 256 keys with map-side partials; only k·d longs
     * ever reach the driver per iteration (the justified KMeansLite
     * collect). */
-  private val qKmeansArith = BoundQuery("q_kmeans_arith", (s, d) => {
-    val K = 4; val iters = 3
+  /** The integer k-means loop shared by q_kmeans_arith and the
+    * external-eval pair (q_rand_index / q_purity): micro-quantized
+    * vectors, centroid update by exact integral-division means, fixed
+    * K / iteration count, lowest-id seeding. Returns the persisted
+    * (id, label, vu) data and the final centroids (K·64 longs — the
+    * justified driver handful). */
+  private[queries] def kmeansFit(s: SparkSession, d: String,
+      K: Int = 4, iters: Int = 3)
+    : (org.apache.spark.sql.DataFrame, Array[Array[Long]]) = {
     val data = graft.util.CacheScope.persist(
       Tables.embeddings(s, d).select(col("vec_id").as("id"),
+        col("label").cast("long").as("label"),
         transform(toDouble(col("embedding")),
           x => round(x * 1e6, 0).cast("long")).as("vu")))
     var cents: Array[Array[Long]] = data.orderBy("id").limit(K)
-      .collect().map(_.getSeq[Long](1).toArray)
-    def assignCol: org.apache.spark.sql.Column = {
-      val dists = array(cents.zipWithIndex.map { case (c, i) =>
-        struct(
-          aggregate(zip_with(col("vu"), array(c.map(lit): _*),
-            (x, y) => (x - y) * (x - y)), lit(0L), (acc, z) => acc + z)
-            .as("d"),
-          lit(i.toLong).as("cluster"))
-      }: _*)
-      sort_array(dists)(0)
-    }
+      .collect().map(_.getSeq[Long](2).toArray)
     var it = 0
     while (it < iters) {
-      val means = data.withColumn("cluster", assignCol("cluster"))
+      val means = data.withColumn("cluster", kmeansAssign(cents)("cluster"))
         .select(col("cluster"), posexplode(col("vu")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos")
         .agg(expr("sum(x) div count(1)").as("m"))
@@ -347,17 +345,28 @@ object MlQueries {
       cents = next
       it += 1
     }
-    val l1 = cents.zipWithIndex.map { case (c, i) =>
-      (i.toLong, c.map(math.abs).sum)
-    }
-    val l1Df = s.createDataFrame(l1.toSeq).toDF("cluster", "centroid_l1")
-    data.withColumn("a", assignCol)
-      .select(col("a.cluster").as("cluster"), col("a.d").as("dist"))
-      .groupBy("cluster")
-      .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("sse_u"))
-      .join(broadcast(l1Df), "cluster")
-      .orderBy("cluster")
-  }, Some {
+    (data, cents)
+  }
+
+  /** Nearest-centroid struct (d, cluster) — codegen'd array math with
+    * a centroid literal; sort_array's (d, cluster) ascending order IS
+    * the deterministic tie-break the oracle replays. */
+  private[queries] def kmeansAssign(cents: Array[Array[Long]]): Column = {
+    val dists = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        aggregate(zip_with(col("vu"), array(c.map(lit): _*),
+          (x, y) => (x - y) * (x - y)), lit(0L), (acc, z) => acc + z)
+          .as("d"),
+        lit(i.toLong).as("cluster"))
+    }: _*)
+    sort_array(dists)(0)
+  }
+
+  /** Shared DuckDB mirror of kmeansFit: v (quantized vectors with the
+    * stored label), c0 (lowest-id seeds), then `iters` chained
+    * assign/update CTE rounds — ends at c3 for the default 3 rounds.
+    * Final assignment against c3 is each consumer's own CTE. */
+  private[queries] val kmeansDuckPrelude: String = {
     val step = (k: Int) => s"""
     a$k AS (
       SELECT vec_id, vu, cluster FROM (
@@ -375,8 +384,8 @@ object MlQueries {
         GROUP BY cluster, i)
       GROUP BY cluster)"""
     s"""
-    WITH v AS (
-      SELECT vec_id, list_transform(embedding,
+    v AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label, list_transform(embedding,
         x -> CAST(round(CAST(x AS DOUBLE)*1e6, 0) AS BIGINT)) AS vu
       FROM embeddings),
     c0 AS (
@@ -385,8 +394,8 @@ object MlQueries {
       FROM (SELECT vec_id, vu FROM v ORDER BY vec_id LIMIT 4)),
     ${step(1)}, ${step(2)}, ${step(3)},
     fin AS (
-      SELECT vec_id, cluster, dist FROM (
-        SELECT v.vec_id, c.cluster,
+      SELECT vec_id, label, cluster, dist FROM (
+        SELECT v.vec_id, v.label, c.cluster,
           list_reduce(list_transform(range(1, 65),
             i -> (v.vu[i] - c.c[i]) * (v.vu[i] - c.c[i])),
             (x, y) -> x + y) AS dist,
@@ -395,7 +404,24 @@ object MlQueries {
               i -> (v.vu[i] - c.c[i]) * (v.vu[i] - c.c[i])),
               (x, y) -> x + y), c.cluster) AS rnk
         FROM v CROSS JOIN c3 c)
-      WHERE rnk = 1),
+      WHERE rnk = 1)"""
+  }
+
+  private val qKmeansArith = BoundQuery("q_kmeans_arith", (s, d) => {
+    val (data, cents) = kmeansFit(s, d)
+    def assignCol: org.apache.spark.sql.Column = kmeansAssign(cents)
+    val l1 = cents.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.map(math.abs).sum)
+    }
+    val l1Df = s.createDataFrame(l1.toSeq).toDF("cluster", "centroid_l1")
+    data.withColumn("a", assignCol)
+      .select(col("a.cluster").as("cluster"), col("a.d").as("dist"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("sse_u"))
+      .join(broadcast(l1Df), "cluster")
+      .orderBy("cluster")
+  }, Some(s"""
+    WITH $kmeansDuckPrelude,
     l1 AS (
       SELECT cluster,
         CAST(list_reduce(list_transform(c, x -> abs(x)), (x, y) -> x + y)
@@ -405,8 +431,7 @@ object MlQueries {
       CAST(sum(dist) AS BIGINT) AS sse_u, centroid_l1
     FROM fin JOIN l1 ON fin.cluster = l1.cluster
     GROUP BY fin.cluster, centroid_l1 ORDER BY cluster
-  """
-  })
+  """))
 
   /** INTEGER power iteration for the top principal component — the
     * engine-proven twin of the rows-only q_pca (same family move as
@@ -711,6 +736,106 @@ object MlQueries {
     FROM m2
   """))
 
+  /** Adjusted Rand Index between the integer k-means clustering and
+    * the STORED labels — the external clustering eval that closes the
+    * loop with the internal pair (q_silhouette / q_davies_bouldin):
+    * chance-corrected pair-counting agreement between the unsupervised
+    * partition and ground truth.
+    *
+    * Exact rational form (no floats): with contingency n_ij, row sums
+    * a_i, col sums b_j, P(x) = x(x−1)/2, S = ΣP(n_ij), R = ΣP(a_i),
+    * C = ΣP(b_j), T = P(n):
+    *   ARI = (S − RC/T) / ((R+C)/2 − RC/T)
+    *       = (2·T·S − 2·R·C) / (T·(R+C) − 2·R·C)
+    * — every term an integer; ari_ppm by one truncating division.
+    * T·(R+C) reaches ~7.5e25 at 100× sf1, so the three products run
+    * in decimal(38,0) (HUGEINT on the oracle side).
+    *
+    * Scale shape: after kmeansFit's rounds (each one posexplode
+    * partial agg), ONE codegen'd assignment scan reduced to the
+    * K×|labels| contingency table; everything after is constant-size
+    * crossJoins of 1-row aggregates. */
+  private val qRandIndex = BoundQuery("q_rand_index", (s, d) => {
+    val (data, cents) = kmeansFit(s, d)
+    val dec = "decimal(38,0)"
+    val cells = data.withColumn("cluster", kmeansAssign(cents)("cluster"))
+      .groupBy("cluster", "label").agg(count(lit(1)).as("nij"))
+    val sAgg = cells.agg(
+      sum(col("nij")).as("n"),
+      sum(expr("(nij * (nij - 1)) div 2").cast(dec)).as("spairs"),
+      count(lit(1)).as("n_cells"))
+    val rAgg = cells.groupBy("cluster").agg(sum(col("nij")).as("ai"))
+      .agg(sum(expr("(ai * (ai - 1)) div 2").cast(dec)).as("rr"),
+        count(lit(1)).as("n_clusters"))
+    val cAgg = cells.groupBy("label").agg(sum(col("nij")).as("bj"))
+      .agg(sum(expr("(bj * (bj - 1)) div 2").cast(dec)).as("cc"),
+        count(lit(1)).as("n_labels"))
+    sAgg.crossJoin(broadcast(rAgg)).crossJoin(broadcast(cAgg))
+      .select(col("n"), col("n_clusters"), col("n_labels"),
+        col("spairs").cast("long").as("sum_pairs"),
+        expr("""CAST((2 * ((n * (n - 1)) div 2) * spairs - 2 * rr * cc) * 1000000
+                div (((n * (n - 1)) div 2) * (rr + cc) - 2 * rr * cc)
+                AS BIGINT)""").as("ari_ppm"))
+  }, Some(s"""
+    WITH $kmeansDuckPrelude,
+    cells AS (SELECT cluster, label, CAST(count(*) AS BIGINT) AS nij
+              FROM fin GROUP BY cluster, label),
+    sa AS (SELECT CAST(sum(nij) AS BIGINT) AS n,
+             sum(CAST((nij * (nij - 1)) // 2 AS HUGEINT)) AS spairs,
+             CAST(count(*) AS BIGINT) AS n_cells
+           FROM cells),
+    ra AS (SELECT sum(CAST((ai * (ai - 1)) // 2 AS HUGEINT)) AS rr,
+             CAST(count(*) AS BIGINT) AS n_clusters
+           FROM (SELECT cluster, CAST(sum(nij) AS BIGINT) AS ai
+                 FROM cells GROUP BY cluster)),
+    ca AS (SELECT sum(CAST((bj * (bj - 1)) // 2 AS HUGEINT)) AS cc,
+             CAST(count(*) AS BIGINT) AS n_labels
+           FROM (SELECT label, CAST(sum(nij) AS BIGINT) AS bj
+                 FROM cells GROUP BY label))
+    SELECT n, n_clusters, n_labels, CAST(spairs AS BIGINT) AS sum_pairs,
+      CAST((2 * CAST((n * (n - 1)) // 2 AS HUGEINT) * spairs - 2 * rr * cc) * 1000000
+           // (CAST((n * (n - 1)) // 2 AS HUGEINT) * (rr + cc) - 2 * rr * cc)
+           AS BIGINT) AS ari_ppm
+    FROM sa CROSS JOIN ra CROSS JOIN ca
+  """))
+
+  /** Per-cluster purity of the same k-means partition: the majority
+    * stored label (smallest label on ties — unique ORDER BY contract),
+    * its share in ppm, and the cluster-mass-weighted overall purity
+    * readable as Σ majority_n over Σ n. The asymmetric companion of
+    * q_rand_index (purity ignores label fragmentation; ARI doesn't).
+    *
+    * Scale shape: the K×|labels| contingency from one assignment
+    * scan, then a window over ≤ K·|labels| rows. */
+  private val qPurity = BoundQuery("q_purity", (s, d) => {
+    val (data, cents) = kmeansFit(s, d)
+    val cells = data.withColumn("cluster", kmeansAssign(cents)("cluster"))
+      .groupBy("cluster", "label").agg(count(lit(1)).as("nij"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("nij").desc, col("label").asc)
+    val tot = cells.groupBy("cluster").agg(sum(col("nij")).as("n_members"))
+    cells.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .join(broadcast(tot), "cluster")
+      .select(col("cluster"), col("n_members"),
+        col("label").as("majority_label"), col("nij").as("majority_n"),
+        expr("CAST((1000000 * nij) div n_members AS BIGINT)").as("purity_ppm"))
+      .orderBy("cluster")
+  }, Some(s"""
+    WITH $kmeansDuckPrelude,
+    cells AS (SELECT cluster, label, CAST(count(*) AS BIGINT) AS nij
+              FROM fin GROUP BY cluster, label),
+    ranked AS (SELECT cluster, label, nij,
+                 row_number() OVER (PARTITION BY cluster
+                                    ORDER BY nij DESC, label ASC) AS rn
+               FROM cells),
+    tot AS (SELECT cluster, CAST(sum(nij) AS BIGINT) AS n_members
+            FROM cells GROUP BY cluster)
+    SELECT cluster, n_members, label AS majority_label, nij AS majority_n,
+      CAST((1000000 * nij) // n_members AS BIGINT) AS purity_ppm
+    FROM ranked JOIN tot USING (cluster)
+    WHERE rn = 1 ORDER BY cluster
+  """))
+
   val all: Seq[BoundQuery] = Seq(qNaiveBayes, qSq8, qNbCrossval, qKmeansArith,
-    qPcaPower, qOls3, qLogregNewton)
+    qPcaPower, qOls3, qLogregNewton, qRandIndex, qPurity)
 }

@@ -381,6 +381,77 @@ object StatsQueries2 {
     FROM tr CROSS JOIN t0
   """))
 
+  /** McNemar paired test: does TRUNCATING documents to their first
+    * 120 characters change the langid heuristic's accuracy against
+    * the stored label? The b/c discordant cells (full-right &
+    * trunc-wrong vs full-wrong & trunc-right) carry ALL the signal —
+    * concordant cells cancel out of the paired test, which is why
+    * McNemar beats two independent accuracy readouts on the SAME
+    * documents. χ² = (b−c)²/(b+c) in exact milli-units (integer
+    * numerator, one truncating division; sqrt-free like q_wilcoxon);
+    * χ²_milli ≥ 3841 rejects at α=0.05.
+    *
+    * The ablation is the capacity question every truncation-based
+    * curation shortcut asks: can the expensive full-document pass be
+    * replaced by a prefix pass?
+    *
+    * Scale shape: both predictors are codegen'd array math in ONE
+    * documents scan reduced to 4 counters — no join, no window, no
+    * shuffle beyond the final 1-row agg. */
+  private val qMcNemar = BoundQuery("q_mcnemar", (s, d) => {
+    import graft.functions.TextFunctions.{langId, tokens}
+    val full = langId(tokens(col("text"))) === col("lang")
+    val trunc = langId(tokens(substring(col("text"), 1, 120))) === col("lang")
+    Tables.documents(s, d)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(full && !trunc, 1L).otherwise(0L)).as("b"),
+        sum(when(!full && trunc, 1L).otherwise(0L)).as("c"),
+        sum(when(full, 1L).otherwise(0L)).as("full_correct"),
+        sum(when(trunc, 1L).otherwise(0L)).as("trunc_correct"))
+      .select(col("n_docs"), col("full_correct"), col("trunc_correct"),
+        col("b"), col("c"),
+        expr("""CASE WHEN b + c > 0
+                THEN CAST((1000 * (b - c) * (b - c)) div (b + c) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END""").as("chi2_milli"))
+  }, Some("""
+    WITH p AS (
+      SELECT lang,
+        CASE WHEN c_en > 0 AND c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+             WHEN c_es > 0 AND c_es >= c_de AND c_es >= c_fr THEN 'es'
+             WHEN c_de > 0 AND c_de >= c_fr THEN 'de'
+             WHEN c_fr > 0 THEN 'fr' ELSE 'und' END = lang AS full_ok,
+        CASE WHEN t_en > 0 AND t_en >= t_es AND t_en >= t_de AND t_en >= t_fr THEN 'en'
+             WHEN t_es > 0 AND t_es >= t_de AND t_es >= t_fr THEN 'es'
+             WHEN t_de > 0 AND t_de >= t_fr THEN 'de'
+             WHEN t_fr > 0 THEN 'fr' ELSE 'und' END = lang AS trunc_ok
+      FROM (
+        SELECT lang,
+          len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''), w -> w IN ('the','a','of','and','to'))) AS c_en,
+          len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''), w -> w IN ('el','la','de','los','y'))) AS c_es,
+          len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''), w -> w IN ('der','die','das','und','ist'))) AS c_de,
+          len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''), w -> w IN ('le','les','des','et','une'))) AS c_fr,
+          len(list_filter(list_filter(string_split(substring(text, 1, 120), ' '), x -> x <> ''), w -> w IN ('the','a','of','and','to'))) AS t_en,
+          len(list_filter(list_filter(string_split(substring(text, 1, 120), ' '), x -> x <> ''), w -> w IN ('el','la','de','los','y'))) AS t_es,
+          len(list_filter(list_filter(string_split(substring(text, 1, 120), ' '), x -> x <> ''), w -> w IN ('der','die','das','und','ist'))) AS t_de,
+          len(list_filter(list_filter(string_split(substring(text, 1, 120), ' '), x -> x <> ''), w -> w IN ('le','les','des','et','une'))) AS t_fr
+        FROM documents))
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN full_ok THEN 1 ELSE 0 END) AS BIGINT) AS full_correct,
+      CAST(sum(CASE WHEN trunc_ok THEN 1 ELSE 0 END) AS BIGINT) AS trunc_correct,
+      CAST(sum(CASE WHEN full_ok AND NOT trunc_ok THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      CAST(sum(CASE WHEN NOT full_ok AND trunc_ok THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      CASE WHEN sum(CASE WHEN full_ok AND NOT trunc_ok THEN 1 ELSE 0 END)
+              + sum(CASE WHEN NOT full_ok AND trunc_ok THEN 1 ELSE 0 END) > 0
+        THEN CAST((1000 * (sum(CASE WHEN full_ok AND NOT trunc_ok THEN 1 ELSE 0 END)
+                           - sum(CASE WHEN NOT full_ok AND trunc_ok THEN 1 ELSE 0 END))
+                        * (sum(CASE WHEN full_ok AND NOT trunc_ok THEN 1 ELSE 0 END)
+                           - sum(CASE WHEN NOT full_ok AND trunc_ok THEN 1 ELSE 0 END)))
+                  // (sum(CASE WHEN full_ok AND NOT trunc_ok THEN 1 ELSE 0 END)
+                      + sum(CASE WHEN NOT full_ok AND trunc_ok THEN 1 ELSE 0 END)) AS BIGINT)
+        ELSE CAST(0 AS BIGINT) END AS chi2_milli
+    FROM p
+  """))
+
   val all: Seq[BoundQuery] = Seq(qAr1, qWilcoxon, qAqpEstimate, qBurstiness,
-    qCohenKappa, qPermutationTest)
+    qCohenKappa, qPermutationTest, qMcNemar)
 }

@@ -670,9 +670,62 @@ object VectorQueries {
   """
   })
 
+  /** Hubness of the exact k=5 cosine kNN graph (q_knn_graph's edges):
+    * the in-degree histogram — how many vectors are pointed AT by n
+    * others. In high dimensions in-degree skews: a few "hub" vectors
+    * appear in everyone's top-k while antihubs appear in nobody's
+    * (Radovanović et al. '10), which silently biases kNN classifiers,
+    * dedup verdicts and retrieval — this query is the audit that says
+    * whether that failure mode is present BEFORE an index ships.
+    * Zero-in-degree antihubs are included via a left anti count, not
+    * dropped.
+    *
+    * Scale shape: in-degree = one partial-agg shuffle over the kNN
+    * edge list (n·k rows); the histogram is a second ≤max-degree-row
+    * agg. The edge list itself comes from the brute-force builder at
+    * oracle scale and from knnGraphLsh at 100 TB (same schema — the
+    * audit is index-agnostic). */
+  private val qHubness = BoundQuery("q_hubness", (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val edges = Similarity.bruteForceTopK(
+      e, col("vec_id"), col("embedding"),
+      e, col("vec_id"), col("embedding"), k = 5)
+      .where(col("cosine") > 0)
+    val indeg = edges.groupBy(col("id")).agg(count(lit(1)).as("in_deg"))
+    val zero = e.join(indeg, e("vec_id") === indeg("id"), "left_anti")
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(lit(0L).as("in_deg"), col("n_nodes"))
+    indeg.groupBy("in_deg").agg(count(lit(1)).as("n_nodes"))
+      .unionByName(zero)
+      .where(col("n_nodes") > 0)
+      .orderBy("in_deg")
+  }, Some(s"""
+    WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm
+               FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS id,
+             round(${duckCosine("a", "q")}, 6) AS cosine
+      FROM e a JOIN e q ON a.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT query_id, id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, id) AS rnk
+      FROM scored),
+    edges AS (SELECT query_id, id FROM ranked WHERE rnk <= 5 AND cosine > 0),
+    indeg AS (SELECT id, CAST(count(*) AS BIGINT) AS in_deg
+              FROM edges GROUP BY id),
+    hist AS (
+      SELECT in_deg, CAST(count(*) AS BIGINT) AS n_nodes
+      FROM indeg GROUP BY in_deg
+      UNION ALL
+      SELECT CAST(0 AS BIGINT) AS in_deg, CAST(count(*) AS BIGINT) AS n_nodes
+      FROM e WHERE vec_id NOT IN (SELECT id FROM indeg))
+    SELECT in_deg, n_nodes FROM hist WHERE n_nodes > 0 ORDER BY in_deg
+  """))
+
   val all: Seq[BoundQuery] = Seq(
     qEmbeddingNeardup, qLshCosinePairs, qLshCosineArith, qAnnTopk, qKnnGraph, qKnnGraphLsh,
     qAnnIvf, qAnnIvfTrained,
     qPqTopk, qIvfPq, qPca, qKmeans, qAssociationRules, qFrequentPairs,
-    qLabelMargins, qAnnEval, qSemDedup, qMrlEval)
+    qLabelMargins, qAnnEval, qSemDedup, qMrlEval, qHubness)
 }

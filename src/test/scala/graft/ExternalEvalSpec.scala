@@ -1,0 +1,130 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark._
+
+/** Exact local replays for the external-evaluation wave: ARI/purity
+  * of the integer k-means against stored labels, the McNemar
+  * truncation ablation, and kNN-graph hubness. Each test recomputes
+  * the full statistic from the raw parquet rows in plain Scala BigInt
+  * arithmetic — an engine-independent third opinion beside the DuckDB
+  * oracle. */
+class ExternalEvalSpec extends AnyFunSuite {
+
+  private def run(name: String) =
+    graft.queries.Registry.queries(name)(spark, sfTiny).collect()
+
+  /** Local integer k-means, mirroring MlQueries.kmeansFit: micro
+    * quantization, lowest-id seeds, truncating-division centroid
+    * means, (dist, cluster) tie-break, 3 rounds. */
+  private lazy val localAssignment: Seq[(Long, Long, Long)] = { // (id, label, cluster)
+    val pts = spark.read.parquet(s"$sfTiny/embeddings.parquet").collect()
+      .map { r =>
+        (r.getLong(r.fieldIndex("vec_id")),
+          r.getInt(r.fieldIndex("label")).toLong,
+          r.getSeq[Float](r.fieldIndex("embedding"))
+            .map(x => math.round(x.toDouble * 1e6)).toArray)
+      }.sortBy(_._1).toSeq
+    var cents: Array[Array[Long]] = pts.take(4).map(_._3).toArray
+    def assign(vu: Array[Long]): (Long, Long) = // (cluster, dist)
+      cents.zipWithIndex.map { case (c, i) =>
+        (vu.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, i.toLong)
+      }.min match { case (d, cl) => (cl, d) }
+    for (_ <- 1 to 3) {
+      val byCluster = pts.groupBy(p => assign(p._3)._1)
+      val next = cents.clone()
+      byCluster.foreach { case (cl, members) =>
+        next(cl.toInt) = Array.tabulate(64) { i =>
+          (members.map(m => BigInt(m._3(i))).sum / members.size).toLong
+        }
+      }
+      cents = next
+    }
+    pts.map(p => (p._1, p._2, assign(p._3)._1))
+  }
+
+  test("rand_index: ARI matches the exact pair-counting local replay") {
+    val cells = localAssignment.groupBy(p => (p._3, p._2))
+      .map { case (k, v) => (k, BigInt(v.size)) }
+    def pairs(x: BigInt) = x * (x - 1) / 2
+    val n = cells.values.sum
+    val s = cells.values.map(pairs).sum
+    val rr = cells.groupBy(_._1._1).values.map(g => pairs(g.map(_._2).sum)).sum
+    val cc = cells.groupBy(_._1._2).values.map(g => pairs(g.map(_._2).sum)).sum
+    val t = pairs(n)
+    val ariPpm = (2 * t * s - 2 * rr * cc) * 1000000 / (t * (rr + cc) - 2 * rr * cc)
+    val r = run("q_rand_index").head
+    assert(r.getAs[Long]("n") == n.toLong)
+    assert(r.getAs[Long]("sum_pairs") == s.toLong)
+    assert(r.getAs[Long]("ari_ppm") == ariPpm.toLong,
+      s"ARI ${r.getAs[Long]("ari_ppm")} vs local $ariPpm")
+    assert(math.abs(r.getAs[Long]("ari_ppm")) <= 1000000L)
+  }
+
+  test("purity: per-cluster majority shares match the local replay") {
+    val rows = run("q_purity")
+    val byCluster = localAssignment.groupBy(_._3)
+    assert(rows.length == byCluster.size)
+    rows.foreach { r =>
+      val cl = r.getAs[Long]("cluster")
+      val members = byCluster(cl)
+      val (majLabel, majN) = members.groupBy(_._2)
+        .map { case (l, v) => (l, v.size) }
+        .toSeq.sortBy { case (l, c) => (-c, l) }.head
+      assert(r.getAs[Long]("n_members") == members.size)
+      assert(r.getAs[Long]("majority_label") == majLabel)
+      assert(r.getAs[Long]("majority_n") == majN)
+      assert(r.getAs[Long]("purity_ppm") == 1000000L * majN / members.size)
+    }
+  }
+
+  test("mcnemar: b/c cells and chi2 match a local langid replay") {
+    val profiles = Seq(
+      "en" -> Set("the", "a", "of", "and", "to"),
+      "es" -> Set("el", "la", "de", "los", "y"),
+      "de" -> Set("der", "die", "das", "und", "ist"),
+      "fr" -> Set("le", "les", "des", "et", "une"))
+    def predict(text: String): String = {
+      val toks = text.split(" ", -1).filter(_.nonEmpty)
+      val c = profiles.map { case (l, ws) => l -> toks.count(ws) }.toMap
+      if (c("en") > 0 && c("en") >= c("es") && c("en") >= c("de") && c("en") >= c("fr")) "en"
+      else if (c("es") > 0 && c("es") >= c("de") && c("es") >= c("fr")) "es"
+      else if (c("de") > 0 && c("de") >= c("fr")) "de"
+      else if (c("fr") > 0) "fr"
+      else "und"
+    }
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .select("text", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    var (b, c0, nFull, nTrunc) = (0L, 0L, 0L, 0L)
+    docs.foreach { case (text, lang) =>
+      val full = predict(text) == lang
+      val trunc = predict(text.take(120)) == lang
+      if (full) nFull += 1
+      if (trunc) nTrunc += 1
+      if (full && !trunc) b += 1
+      if (!full && trunc) c0 += 1
+    }
+    val r = run("q_mcnemar").head
+    assert(r.getAs[Long]("n_docs") == docs.length)
+    assert(r.getAs[Long]("full_correct") == nFull)
+    assert(r.getAs[Long]("trunc_correct") == nTrunc)
+    assert(r.getAs[Long]("b") == b && r.getAs[Long]("c") == c0)
+    val expChi = if (b + c0 > 0) 1000L * (b - c0) * (b - c0) / (b + c0) else 0L
+    assert(r.getAs[Long]("chi2_milli") == expChi)
+  }
+
+  test("hubness: histogram equals the in-degree fold of q_knn_graph") {
+    val edges = run("q_knn_graph")
+    val indeg = edges.groupBy(_.getAs[Long]("id"))
+      .map { case (_, es) => es.size.toLong }
+    val nVectors = spark.read.parquet(s"$sfTiny/embeddings.parquet").count()
+    val hist = (indeg.groupBy(identity).map { case (d, v) => (d, v.size.toLong) } +
+      (0L -> (nVectors - indeg.size))).filter(_._2 > 0)
+    val rows = run("q_hubness")
+    assert(rows.map(r => (r.getAs[Long]("in_deg"), r.getAs[Long]("n_nodes")))
+      .toMap == hist)
+    // mass conservation: every vector appears in exactly one bucket
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum == nVectors)
+  }
+}
