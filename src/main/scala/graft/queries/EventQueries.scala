@@ -585,8 +585,59 @@ object EventQueries {
     ORDER BY event_type, month
   """))
 
+  /** Exact time-to-convert distribution: per user, seconds from the
+    * FIRST view to the first purchase at-or-after it; p25/p50/p90 as
+    * EXACT order statistics (no interpolation, no approx sketch) via
+    * operators.Ranking.globalRowNumber — range-partitioned two-phase
+    * rank, so the selection runs with NO single-partition window (the
+    * q_global_median shape over a derived metric). Durations divide
+    * exact ns-epoch longs to whole seconds; ties in the rank order
+    * break by user_id.
+    *
+    * Scale shape: two user-keyed partial aggs (first view, first
+    * qualifying purchase), one user-keyed join, then the two-phase
+    * rank; final reduction is one row. */
+  private val qTimeToConvert = BoundQuery("q_time_to_convert", (s, d) => {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts_ns")
+    val firstView = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_ns").as("v_ns"))
+    val firstBuy = ev.where(col("event_type") === "purchase")
+      .join(firstView, "user_id")
+      .where(col("ts_ns") >= col("v_ns"))
+      .groupBy("user_id", "v_ns").agg(min("ts_ns").as("p_ns"))
+    val durs = firstBuy.select(col("user_id"),
+      expr("(p_ns - v_ns) div 1000000000").as("dur_s"))
+    val tot = durs.agg(count(lit(1)).as("n"))
+    val ranked = graft.operators.Ranking
+      .globalRowNumber(durs, "rn0", col("dur_s"), col("user_id"))
+      .crossJoin(broadcast(tot))
+      .withColumn("rn", col("rn0") + 1)
+    ranked.agg(
+      max(col("n")).as("n_users"),
+      max(when(col("rn") === expr("(n + 3) div 4"), col("dur_s"))).as("p25_s"),
+      max(when(col("rn") === expr("(n + 1) div 2"), col("dur_s"))).as("median_s"),
+      max(when(col("rn") === expr("(9 * n + 9) div 10"), col("dur_s"))).as("p90_s"))
+  }, Some("""
+    WITH fv AS (SELECT user_id, min(epoch_ns(ts)) AS v_ns
+                FROM events WHERE event_type = 'view' GROUP BY user_id),
+    fb AS (SELECT e.user_id, fv.v_ns, min(epoch_ns(e.ts)) AS p_ns
+           FROM events e JOIN fv ON e.user_id = fv.user_id
+           WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= fv.v_ns
+           GROUP BY e.user_id, fv.v_ns),
+    durs AS (SELECT user_id, (p_ns - v_ns) // 1000000000 AS dur_s FROM fb),
+    ranked AS (SELECT dur_s,
+                 CAST(row_number() OVER (ORDER BY dur_s, user_id) AS BIGINT) AS rn
+               FROM durs),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM durs)
+    SELECT n AS n_users,
+      max(CASE WHEN rn = (n + 3) // 4 THEN dur_s END) AS p25_s,
+      max(CASE WHEN rn = (n + 1) // 2 THEN dur_s END) AS median_s,
+      max(CASE WHEN rn = (9 * n + 9) // 10 THEN dur_s END) AS p90_s
+    FROM ranked, tot GROUP BY n
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qFunnel, qGapFill, qRetention, qSlidingWindow, qSqlSurface, qEwma,
       qIncremental, qGroupingSets, qOhlcBars, qTwap, qIntervalCoverage,
-      qAttribution, qAbsorption, qStickiness)
+      qAttribution, qAbsorption, qStickiness, qTimeToConvert)
 }

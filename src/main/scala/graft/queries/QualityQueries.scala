@@ -541,7 +541,53 @@ object QualityQueries {
     GROUP BY k ORDER BY k
   """))
 
+  /** l-diversity audit — q_k_anonymity's sensitive-attribute
+    * companion: a QI class can be large (k-anonymous) yet still leak
+    * if every member shares the SAME sensitive value. Under QI =
+    * (nation, $1000 balance band) with market segment as the
+    * sensitive attribute, count classes whose distinct-sensitive
+    * count falls below l ∈ {2, 3, 5} and the row share trapped in
+    * them (l=1 classes are full attribute-disclosure).
+    *
+    * Scale shape: one QI-keyed agg carrying count + count-distinct
+    * (two-stage expand, map-side combined), then a 3-row threshold
+    * explode over the class table. */
+  private val qLDiversity = BoundQuery("q_l_diversity", (s, d) => {
+    val classes = Tables.customer(s, d)
+      .groupBy(col("c_nationkey"),
+        floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("c_mktsegment")).as("ldiv"))
+    classes
+      .select(col("n"), col("ldiv"),
+        explode(array(lit(2L), lit(3L), lit(5L))).as("l"))
+      .groupBy("l")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("ldiv") < col("l"), 1L).otherwise(0L)).as("classes_below"),
+        sum(when(col("ldiv") < col("l"), col("n")).otherwise(0L)).as("rows_at_risk"),
+        sum(col("n")).as("total_rows"))
+      .select(col("l"), col("n_classes"), col("classes_below"),
+        col("rows_at_risk"),
+        expr("CAST((1000000 * rows_at_risk) div total_rows AS BIGINT)")
+          .as("risk_ppm"))
+      .orderBy("l")
+  }, Some("""
+    WITH classes AS (
+      SELECT c_nationkey, CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS ldiv
+      FROM customer GROUP BY 1, 2),
+    ls AS (SELECT CAST(l AS BIGINT) AS l FROM unnest([2, 3, 5]) AS t(l))
+    SELECT l, CAST(count(*) AS BIGINT) AS n_classes,
+      CAST(sum(CASE WHEN ldiv < l THEN 1 ELSE 0 END) AS BIGINT) AS classes_below,
+      CAST(sum(CASE WHEN ldiv < l THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+      CAST((1000000 * sum(CASE WHEN ldiv < l THEN n ELSE 0 END)) // sum(n) AS BIGINT)
+        AS risk_ppm
+    FROM classes CROSS JOIN ls
+    GROUP BY l ORDER BY l
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qDqChecks, qAnomaly, qSeqMining, qHllUnion, qHllSliding, qTrending,
-      qKmvJaccard, qWinsorize, qCusum, qSkewAudit, qKAnonymity)
+      qKmvJaccard, qWinsorize, qCusum, qSkewAudit, qKAnonymity, qLDiversity)
 }

@@ -452,6 +452,67 @@ object StatsQueries2 {
     FROM p
   """))
 
+  /** Sample-ratio-mismatch (SRM) audit of q_train_split's md5
+    * assignment: the first gate every experimentation/split pipeline
+    * runs — do the observed train/val/test counts match the designed
+    * 204:26:26 /256 weights? Per split the χ² term in exact
+    * milli-units via the cleared-denominator identity
+    * (O − wn/256)²/ (wn/256) = (256·O − w·n)² / (256·w·n); the total
+    * χ²_milli (df = 2, reject at α=0.05 above 5991) repeats on each
+    * row from a 1-row crossJoin. (256·O)² reaches ~1.7e20 at 100×
+    * sf1, so the square runs in decimal(38,0) / HUGEINT.
+    *
+    * Scale shape: ONE md5-bucket scan partial-aggregated to 3 rows;
+    * everything after is constant-size. */
+  private val qAbSrm = BoundQuery("q_ab_srm", (s, d) => {
+    val h = substring(md5(col("text")), 1, 2)
+    val dec = "decimal(38,0)"
+    val obs = Tables.documents(s, d)
+      .select(when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+        .as("split"))
+      .groupBy("split").agg(count(lit(1)).as("n_obs"))
+      .withColumn("w",
+        when(col("split") === "train", 204L)
+          .when(col("split") === "val", 26L).otherwise(26L))
+    val tot = obs.agg(sum(col("n_obs")).as("n"))
+    val terms = obs.crossJoin(broadcast(tot))
+      .select(col("split"), col("n_obs"), col("w"), col("n"),
+        expr(s"""CAST((1000 * CAST(256 * n_obs - w * n AS $dec)
+                           * CAST(256 * n_obs - w * n AS $dec))
+                 div (256 * CAST(w AS $dec) * n) AS BIGINT)""").as("term_milli"))
+    val chi2 = terms.agg(sum(col("term_milli")).as("chi2_milli"))
+    terms.crossJoin(broadcast(chi2))
+      .select(col("split"), col("n_obs"),
+        expr("CAST((1000000 * w) div 256 AS BIGINT)").as("expected_ppm"),
+        expr("CAST((1000000 * n_obs) div n AS BIGINT)").as("observed_ppm"),
+        col("term_milli"), col("chi2_milli"))
+      .orderBy("split")
+  }, Some("""
+    WITH obs AS (
+      SELECT CASE WHEN substr(md5(text),1,2) < 'cc' THEN 'train'
+                  WHEN substr(md5(text),1,2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split,
+        CAST(count(*) AS BIGINT) AS n_obs
+      FROM documents GROUP BY 1),
+    w AS (SELECT split, n_obs,
+            CAST(CASE WHEN split = 'train' THEN 204 ELSE 26 END AS BIGINT) AS w
+          FROM obs),
+    tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs),
+    terms AS (
+      SELECT split, n_obs, w, n,
+        CAST((1000 * CAST(256 * n_obs - w * n AS HUGEINT)
+                   * CAST(256 * n_obs - w * n AS HUGEINT))
+             // (256 * CAST(w AS HUGEINT) * n) AS BIGINT) AS term_milli
+      FROM w CROSS JOIN tot),
+    chi2 AS (SELECT CAST(sum(term_milli) AS BIGINT) AS chi2_milli FROM terms)
+    SELECT split, n_obs,
+      CAST((1000000 * w) // 256 AS BIGINT) AS expected_ppm,
+      CAST((1000000 * n_obs) // n AS BIGINT) AS observed_ppm,
+      term_milli, chi2_milli
+    FROM terms CROSS JOIN chi2
+    ORDER BY split
+  """))
+
   val all: Seq[BoundQuery] = Seq(qAr1, qWilcoxon, qAqpEstimate, qBurstiness,
-    qCohenKappa, qPermutationTest, qMcNemar)
+    qCohenKappa, qPermutationTest, qMcNemar, qAbSrm)
 }

@@ -133,6 +133,86 @@ class ClusterGraphAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("l-diversity: monotone in l, sensitive domain bounds ldiv") {
+    val rows = run("q_l_diversity").sortBy(_.getAs[Long]("l"))
+    assert(rows.map(_.getAs[Long]("l")).toSeq == Seq(2L, 3L, 5L))
+    val below = rows.map(_.getAs[Long]("classes_below"))
+    assert(below.zip(below.tail).forall { case (a, b) => a <= b })
+    assert(rows.map(_.getAs[Long]("n_classes")).distinct.length == 1)
+    rows.foreach(r => assert(r.getAs[Long]("risk_ppm") <= 1000000L))
+  }
+
+  test("time_to_convert: ordered percentiles match a local replay") {
+    val ev = spark.read.parquet(s"$sfTiny/events.parquet")
+    // normalize either ts encoding like Tables.events does
+    val tsNs = if (ev.schema("ts").dataType.typeName == "long")
+      ev.selectExpr("user_id", "event_type", "ts AS ts_ns")
+    else ev.selectExpr("user_id", "event_type",
+      "unix_micros(cast(ts as timestamp)) * 1000 AS ts_ns")
+    val evs = tsNs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val firstView = evs.filter(_._2 == "view").groupBy(_._1)
+      .map { case (u, es) => (u, es.map(_._3).min) }
+    val durs = evs.filter(_._2 == "purchase")
+      .flatMap { case (u, _, t) =>
+        firstView.get(u).filter(t >= _).map(v => (u, (t - v) / 1000000000L))
+      }
+      .groupBy(_._1).map { case (u, ds) => (ds.map(_._2).min, u) }
+      .toSeq.sorted
+    val n = durs.size
+    val r = run("q_time_to_convert").head
+    assert(r.getAs[Long]("n_users") == n)
+    assert(r.getAs[Long]("p25_s") == durs((n + 3) / 4 - 1)._1)
+    assert(r.getAs[Long]("median_s") == durs((n + 1) / 2 - 1)._1)
+    assert(r.getAs[Long]("p90_s") == durs((9 * n + 9) / 10 - 1)._1)
+    assert(r.getAs[Long]("p25_s") <= r.getAs[Long]("median_s") &&
+      r.getAs[Long]("median_s") <= r.getAs[Long]("p90_s"))
+  }
+
+  test("robustness: survival decreases with k, edge total constant") {
+    val rows = run("q_robustness").sortBy(_.getAs[Long]("k"))
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(1L, 5L, 25L))
+    assert(rows.map(_.getAs[Long]("edges_total")).distinct.length == 1)
+    val surv = rows.map(_.getAs[Long]("edges_surviving"))
+    assert(surv.zip(surv.tail).forall { case (a, b) => a >= b },
+      "removing more hubs cannot ADD surviving edges")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("edges_surviving") <= r.getAs[Long]("edges_total"))
+      assert(r.getAs[Long]("survival_ppm") ==
+        1000000L * r.getAs[Long]("edges_surviving") / r.getAs[Long]("edges_total"))
+    }
+  }
+
+  test("degree_dist: node and degree mass conservation, bucket law") {
+    val rows = run("q_degree_dist")
+    val cc = run("q_clustering_coeff").head
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum == cc.getAs[Long]("nodes"))
+    // each undirected edge contributes 2 to total degree
+    assert(rows.map(_.getAs[Long]("degree_mass")).sum ==
+      2 * cc.getAs[Long]("edges"))
+    rows.foreach { r =>
+      val b = r.getAs[Long]("log2_bucket")
+      val (lo, hi) = (1L << b, (1L << (b + 1)) - 1)
+      // bucket mass must be achievable by n_nodes degrees inside [2^b, 2^(b+1))
+      assert(r.getAs[Long]("degree_mass") >= lo * r.getAs[Long]("n_nodes"))
+      assert(r.getAs[Long]("degree_mass") <= hi * r.getAs[Long]("n_nodes"))
+    }
+  }
+
+  test("ab_srm: weights sum to 256, chi2 is the term sum") {
+    val rows = run("q_ab_srm")
+    assert(rows.map(_.getAs[String]("split")).sorted.toSeq ==
+      Seq("test", "train", "val"))
+    val expected = rows.map(r =>
+      r.getAs[String]("split") -> r.getAs[Long]("expected_ppm")).toMap
+    assert(expected("train") == 1000000L * 204 / 256)
+    assert(expected("val") == 1000000L * 26 / 256)
+    assert(expected("test") == 1000000L * 26 / 256)
+    val chi2 = rows.map(_.getAs[Long]("chi2_milli")).distinct
+    assert(chi2.length == 1, "total chi2 must repeat identically per row")
+    assert(chi2.head == rows.map(_.getAs[Long]("term_milli")).sum)
+  }
+
   test("stickiness: bounded by 1e6 and exact against per-day replay") {
     val rows = run("q_stickiness")
     assert(rows.nonEmpty)
