@@ -314,4 +314,42 @@ class ExplainSpec extends AnyFunSuite {
     // the V scalar joins by broadcast, never a shuffled cross
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("silhouette's assignment pass is one scan: no join, no explode") {
+    val p = plan("q_silhouette")
+    // centroids are a collected literal; the per-point pass must not
+    // join or re-explode the vectors
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.linesIterator.exists(l => l.contains("Generate explode") &&
+      l.contains("vu")), p)
+  }
+
+  test("mcnemar reduces in one scan with no exchange beyond the final agg") {
+    val p = plan("q_mcnemar")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("k-anonymity and l-diversity never plan a window or sort-heavy shape") {
+    Seq("q_k_anonymity", "q_l_diversity").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("windowspecdefinition"), s"$q: $p")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+  }
+
+  test("time_to_convert ranks without a single-partition window") {
+    val p = plan("q_time_to_convert")
+    val bad = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && !l.contains("__pid")).toSeq
+    assert(bad.isEmpty, s"unpartitioned window: ${bad.mkString("\n")}")
+  }
+
+  test("robustness rank joins are equi joins over the degree table") {
+    val p = plan("q_robustness")
+    assert(!p.contains("CartesianProduct"), p)
+    val bad = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && !l.contains("__pid")).toSeq
+    assert(bad.isEmpty, s"unpartitioned window: ${bad.mkString("\n")}")
+  }
 }
