@@ -238,5 +238,116 @@ object CorpusQueries3 {
     FROM g ORDER BY source
   """))
 
-  val all: Seq[BoundQuery] = Seq(qJsDivergence, qQuantileNorm, qReadability)
+  /** Per-source trigram novelty: a doc's 3-gram TYPE is "novel" when
+    * no lower-id document contains it (owner = corpus-wide min
+    * doc_id) — the memorization/boilerplate profile a pretraining mix
+    * needs per source: low novelty means the source re-states what the
+    * corpus already contains and its marginal token is worth less
+    * (the per-source lens on the q_contamination machinery).
+    *
+    * Exactness: set semantics per (doc, gram) via distinct, exact
+    * counts, one ppm division.
+    *
+    * Scale shape: one explode → distinct (doc, gram) partial agg, a
+    * gram-keyed min-owner agg, one gram-keyed shuffle join, then the
+    * per-source reduction. Never a cross join; the owner table is
+    * gram-vocab-sized and co-partitions with the probe side on g. */
+  private val qNgramNovelty = BoundQuery("q_ngram_novelty", (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 3)
+    val grams = docs.select(col("doc_id"), col("source"),
+        explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 2),
+          slice(col("toks"), lit(2), size(col("toks")) - 2),
+          slice(col("toks"), lit(3), size(col("toks")) - 2))).as("t"))
+      .select(col("doc_id"), col("source"),
+        concat_ws(" ", col("t.0"), col("t.1"), col("t.2")).as("g"))
+      .distinct()
+    val owner = grams.groupBy("g").agg(min(col("doc_id")).as("own"))
+    grams.join(owner, "g")
+      .groupBy("source")
+      .agg(count(lit(1)).as("gram_types"),
+        sum(when(col("own") === col("doc_id"), 1L).otherwise(0L))
+          .as("novel_types"))
+      .select(col("source"), col("gram_types"), col("novel_types"),
+        expr("CAST((1000000 * novel_types) div gram_types AS BIGINT)")
+          .as("novelty_ppm"))
+      .orderBy("source")
+  }, Some("""
+    WITH docs AS (
+      SELECT doc_id, source,
+        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, source,
+        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+      FROM (SELECT doc_id, source, toks, unnest(range(1, len(toks) - 1)) AS i
+            FROM docs WHERE len(toks) >= 3)),
+    own AS (SELECT g, min(doc_id) AS own FROM grams GROUP BY g)
+    SELECT source, CAST(count(*) AS BIGINT) AS gram_types,
+      CAST(sum(CASE WHEN own = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        AS novel_types,
+      CAST((1000000 * sum(CASE WHEN own = doc_id THEN 1 ELSE 0 END))
+           // count(*) AS BIGINT) AS novelty_ppm
+    FROM grams JOIN own USING (g)
+    GROUP BY source ORDER BY source
+  """))
+
+  /** Heaps-law vocabulary-growth curve: cumulative token instances vs
+    * cumulative distinct token types at ten doc_id cutoffs — the
+    * "does vocabulary keep growing or has the corpus saturated?"
+    * readout that sizes tokenizer vocab and predicts OOV decay as the
+    * corpus scales. Computed WITHOUT any sequential pass: a type
+    * enters the vocabulary at its min-owner doc, so the cumulative
+    * count at a cutoff is a simple filter on the min-owner table —
+    * the same trick that parallelizes q_ngram_novelty.
+    *
+    * Scale shape: one explode → (doc, token-count) and (type,
+    * min-owner) partial aggs; each fans out ×10 against the literal
+    * cutoff table and reduces to ten rows. */
+  private val qHeapsLaw = BoundQuery("q_heaps_law", (s, d) => {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val perDoc = words.groupBy("doc_id").agg(count(lit(1)).as("nw"))
+    val firstSeen = words.groupBy("w").agg(min(col("doc_id")).as("own"))
+    val maxId = perDoc.agg(max(col("doc_id")).as("mx"))
+    val cuts = maxId.select(explode(sequence(lit(1L), lit(10L))).as("decile"),
+      col("mx"))
+      .select(col("decile"), expr("(decile * mx) div 10").as("cutoff"))
+    val toks = perDoc.crossJoin(broadcast(cuts))
+      .groupBy("decile", "cutoff")
+      .agg(sum(when(col("doc_id") <= col("cutoff"), col("nw")).otherwise(0L))
+        .as("cum_tokens"))
+    val vocab = firstSeen.crossJoin(broadcast(cuts))
+      .groupBy("decile", "cutoff")
+      .agg(sum(when(col("own") <= col("cutoff"), 1L).otherwise(0L))
+        .as("cum_vocab"))
+    toks.join(vocab, Seq("decile", "cutoff"))
+      .orderBy("decile")
+  }, Some("""
+    WITH words AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents),
+    per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw
+                FROM words GROUP BY doc_id),
+    first_seen AS (SELECT w, min(doc_id) AS own FROM words GROUP BY w),
+    cuts AS (SELECT CAST(decile AS BIGINT) AS decile,
+               (decile * (SELECT max(doc_id) FROM per_doc)) // 10 AS cutoff
+             FROM unnest(range(1, 11)) AS t(decile)),
+    toks AS (SELECT decile, cutoff,
+               CAST(sum(CASE WHEN doc_id <= cutoff THEN nw ELSE 0 END) AS BIGINT)
+                 AS cum_tokens
+             FROM per_doc CROSS JOIN cuts GROUP BY decile, cutoff),
+    vocab AS (SELECT decile, cutoff,
+                CAST(sum(CASE WHEN own <= cutoff THEN 1 ELSE 0 END) AS BIGINT)
+                  AS cum_vocab
+              FROM first_seen CROSS JOIN cuts GROUP BY decile, cutoff)
+    SELECT decile, cutoff, cum_tokens, cum_vocab
+    FROM toks JOIN vocab USING (decile, cutoff)
+    ORDER BY decile
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qJsDivergence, qQuantileNorm, qReadability,
+    qNgramNovelty, qHeapsLaw)
 }

@@ -682,6 +682,68 @@ object EvalQueries {
     ORDER BY score DESC
   """))
 
+  /** Label-noise audit (Confident-Learning-style, reduced to the kNN
+    * vote): for EVERY vector, does the majority label of its 5
+    * nearest neighbors (cosine, self excluded) disagree with its own
+    * label? Per-label disagreement rates localize WHICH classes are
+    * mislabeled or entangled — q_knn_classify grades a held-out
+    * slice; this grades the labels themselves. Majority ties break
+    * to the smaller label (the q_knn_classify max-struct convention).
+    *
+    * Scale shape: the exact graph is the oracle baseline; at scale
+    * the same votes run over knnGraphLsh's edges (schema-compatible).
+    * Votes = one edge-keyed join + (query, label) partial agg; the
+    * verdict join is query-keyed. */
+  private val qLabelNoise = BoundQuery("q_label_noise", (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val top = Similarity.bruteForceTopK(
+      e, col("vec_id"), col("embedding"),
+      e, col("vec_id"), col("embedding"), k = 5)
+    val labels = e.select(col("vec_id").as("id"),
+      col("label").cast("long").as("label"))
+    val votes = top.join(labels, "id")
+      .groupBy(col("query_id"), col("label")).agg(count(lit(1)).as("v"))
+    val pred = votes.groupBy("query_id")
+      .agg(max(struct(col("v"), (-col("label")).cast("long").as("nl"))).as("b"))
+      .select(col("query_id"), (-col("b.nl")).cast("long").as("pred"))
+    val own = e.select(col("vec_id").as("query_id"),
+      col("label").cast("long").as("truth"))
+    pred.join(own, "query_id")
+      .groupBy(col("truth").as("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") =!= col("truth"), 1L).otherwise(0L)).as("noisy"))
+      .select(col("label"), col("n"), col("noisy"),
+        expr("CAST((1000000 * noisy) div n AS BIGINT)").as("noise_ppm"))
+      .orderBy("label")
+  }, Some(s"""
+    WITH e AS (SELECT vec_id, label, embedding, ${VectorQueries.duckNorm} AS nrm
+               FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS id, a.label AS nl,
+             round(${VectorQueries.duckCosine("a", "q")}, 6) AS cosine
+      FROM e a JOIN e q ON a.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT query_id, nl,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, id) AS rnk
+      FROM scored),
+    votes AS (SELECT query_id, CAST(nl AS BIGINT) AS label,
+                CAST(count(*) AS BIGINT) AS v
+              FROM ranked WHERE rnk <= 5 GROUP BY query_id, nl),
+    pred AS (SELECT query_id, label AS pred FROM (
+               SELECT query_id, label,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY v DESC, label ASC) AS rn
+               FROM votes) WHERE rn = 1)
+    SELECT CAST(e.label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CASE WHEN p.pred <> e.label THEN 1 ELSE 0 END) AS BIGINT)
+        AS noisy,
+      CAST((1000000 * sum(CASE WHEN p.pred <> e.label THEN 1 ELSE 0 END))
+           // count(*) AS BIGINT) AS noise_ppm
+    FROM e JOIN pred p ON e.vec_id = p.query_id
+    GROUP BY e.label ORDER BY label
+  """))
+
   val all: Seq[BoundQuery] = Seq(qNdcg, qCalibration, qAuc, qDecisionStump,
-    qMrr, qKnnClassify, qConformal, qPrf1, qRbo, qPrCurve)
+    qMrr, qKnnClassify, qConformal, qPrf1, qRbo, qPrCurve, qLabelNoise)
 }

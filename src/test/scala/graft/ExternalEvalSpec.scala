@@ -114,6 +114,78 @@ class ExternalEvalSpec extends AnyFunSuite {
     assert(r.getAs[Long]("chi2_milli") == expChi)
   }
 
+  test("label_noise: verdicts equal a local vote replay over the same edges") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+    val edges = graft.operators.Similarity.bruteForceTopK(
+      e, col("vec_id"), col("embedding"),
+      e, col("vec_id"), col("embedding"), k = 5)
+      .select("query_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = e.select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong)).toMap
+    val pred = edges.groupBy(_._1).map { case (q, es) =>
+      val votes = es.map(x => labels(x._2)).groupBy(identity)
+        .map { case (l, v) => (l, v.size) }
+      (q, votes.toSeq.sortBy { case (l, v) => (-v, l) }.head._1)
+    }
+    val expected = pred.toSeq.groupBy(p => labels(p._1)).map { case (l, ps) =>
+      (l, (ps.size.toLong, ps.count(p => p._2 != l).toLong))
+    }
+    val rows = run("q_label_noise")
+    assert(rows.map(_.getAs[Long]("n")).sum == labels.size)
+    rows.foreach { r =>
+      val l = r.getAs[Long]("label")
+      val (n, noisy) = expected(l)
+      assert(r.getAs[Long]("n") == n && r.getAs[Long]("noisy") == noisy,
+        s"label $l verdicts diverge from the local vote replay")
+      assert(r.getAs[Long]("noise_ppm") == 1000000L * noisy / n)
+    }
+  }
+
+  test("ngram_novelty: per-source shares match a local set replay") {
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val grams = docs.flatMap { case (id, src, text) =>
+      val t = text.split(" ", -1).filter(_.nonEmpty)
+      t.sliding(3).filter(_.size == 3).map(g => (id, src, g.mkString(" "))).toSet
+    }
+    val owner = grams.groupBy(_._3).map { case (g, v) => (g, v.map(_._1).min) }
+    val expected = grams.groupBy(_._2).map { case (src, gs) =>
+      (src, (gs.size.toLong, gs.count(x => owner(x._3) == x._1).toLong))
+    }
+    val rows = run("q_ngram_novelty")
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (types, novel) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("gram_types") == types)
+      assert(r.getAs[Long]("novel_types") == novel)
+      assert(r.getAs[Long]("novelty_ppm") == 1000000L * novel / types)
+    }
+    // every gram type has exactly one owner doc, so novelty sums to
+    // the global distinct-gram count across sources
+    assert(rows.map(_.getAs[Long]("novel_types")).sum == owner.size)
+  }
+
+  test("heaps_law: growth curve is monotone and ends at the full corpus") {
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).filter(_.nonEmpty)))
+    val rows = run("q_heaps_law").sortBy(_.getAs[Long]("decile"))
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    val toks = rows.map(_.getAs[Long]("cum_tokens"))
+    val vocab = rows.map(_.getAs[Long]("cum_vocab"))
+    assert(toks.zip(toks.tail).forall { case (a, b) => a <= b })
+    assert(vocab.zip(vocab.tail).forall { case (a, b) => a <= b })
+    // decile 10 covers every doc
+    assert(toks.last == docs.map(_._2.length.toLong).sum)
+    assert(vocab.last == docs.flatMap(_._2).distinct.length.toLong)
+    // vocabulary can never outgrow the token count
+    rows.foreach(r =>
+      assert(r.getAs[Long]("cum_vocab") <= r.getAs[Long]("cum_tokens")))
+  }
+
   test("hubness: histogram equals the in-degree fold of q_knn_graph") {
     val edges = run("q_knn_graph")
     val indeg = edges.groupBy(_.getAs[Long]("id"))
