@@ -348,6 +348,85 @@ object CorpusQueries3 {
     ORDER BY decile
   """))
 
+  /** Tokenizer fertility per language: BPE-ish subword tokens per
+    * whitespace word (ppm) and characters per subword token (milli) —
+    * the per-language compute-cost profile tokenizer choices are made
+    * on (a language with fertility 2× pays 2× attention FLOPs per
+    * word). Ratio-of-sums over exact per-doc counts, divisions last.
+    *
+    * Scale shape: one scan with two codegen'd size() counts per row
+    * (no explode), partial-aggregated to |langs| rows. */
+  private val qFertility = BoundQuery("q_fertility", (s, d) => {
+    import graft.functions.TextFunctions.bpeTokens
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_words"),
+        sum(size(bpeTokens(col("text"))).cast("long")).as("n_subwords"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+        expr("CAST((1000000 * n_subwords) div n_words AS BIGINT)")
+          .as("fertility_ppm"),
+        expr("CAST((1000 * n_chars) div n_subwords AS BIGINT)")
+          .as("chars_per_subword_milli"))
+      .orderBy("lang")
+  }, Some("""
+    WITH t AS (
+      SELECT lang,
+        CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS w,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS sw,
+        CAST(length(text) AS BIGINT) AS ch
+      FROM documents)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(w) AS BIGINT) AS n_words,
+      CAST(sum(sw) AS BIGINT) AS n_subwords,
+      CAST((1000000 * sum(sw)) // sum(w) AS BIGINT) AS fertility_ppm,
+      CAST((1000 * sum(ch)) // sum(sw) AS BIGINT) AS chars_per_subword_milli
+    FROM t GROUP BY lang ORDER BY lang
+  """))
+
+  /** Shingle document-frequency profile: how many 3-gram shingle
+    * TYPES fall in each log₂(df) bucket and how much join fan-out
+    * they carry (Σ df per bucket; Σ df² would be the pair count).
+    * This is the capacity-planning readout behind the
+    * `maxShingleDf` cap on the n-gram dedup joins: the top buckets
+    * ARE the boilerplate shingles whose df² pair explosion the cap
+    * removes, and this query prices that decision before a run.
+    *
+    * Scale shape: distinct (doc, shingle) partial agg → gram-keyed df
+    * agg → ≤64-row bucket agg; integer log₂ via len(bin(df))−1, the
+    * q_degree_dist convention. */
+  private val qShingleDfProfile = BoundQuery("q_shingle_df_profile", (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 3)
+    val grams = docs.select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 2),
+          slice(col("toks"), lit(2), size(col("toks")) - 2),
+          slice(col("toks"), lit(3), size(col("toks")) - 2))).as("t"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("t.0"), col("t.1"), col("t.2")).as("g"))
+      .distinct()
+    grams.groupBy("g").agg(count(lit(1)).as("df"))
+      .groupBy((length(bin(col("df"))) - 1).cast("long").as("log2_df"))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("doc_mass"))
+      .orderBy("log2_df")
+  }, Some("""
+    WITH docs AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+            FROM docs WHERE len(toks) >= 3)),
+    df AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM grams GROUP BY g)
+    SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS log2_df,
+      CAST(count(*) AS BIGINT) AS n_shingles,
+      CAST(sum(df) AS BIGINT) AS doc_mass
+    FROM df GROUP BY 1 ORDER BY log2_df
+  """))
+
   val all: Seq[BoundQuery] = Seq(qJsDivergence, qQuantileNorm, qReadability,
-    qNgramNovelty, qHeapsLaw)
+    qNgramNovelty, qHeapsLaw, qFertility, qShingleDfProfile)
 }

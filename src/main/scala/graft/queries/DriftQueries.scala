@@ -251,5 +251,75 @@ object DriftQueries {
     FROM noised ORDER BY event_type
   """))
 
-  val all: Seq[BoundQuery] = Seq(qPsiDrift, qDiversity, qEntropyFilter, qZipf, qDpRelease)
+  /** Mutual information between source and language in micro-nats —
+    * the single number that says whether the corpus mix confounds the
+    * two (MI = 0 ⇒ balanced-by-design; high MI ⇒ per-source langid
+    * priors leak into any source-conditioned model). Per-cell terms
+    * p_ij·ln(p_ij·N / (r_i·c_j)) round to integer micro-nats BEFORE
+    * the sum (the q_pmi_collocations convention), so the total is an
+    * exact long sum — partition- and engine-invariant. MI of the
+    * margins' entropies also emitted for the normalized readout
+    * downstream (NMI = mi / min(H_src, H_lang), computed by the
+    * consumer to keep every column exact).
+    *
+    * Scale shape: one (source, lang) contingency partial agg; margins
+    * broadcast back; all post-scan work on ≤ |src|·|langs| rows. */
+  private val qMutualInfo = BoundQuery("q_mutual_info", (s, d) => {
+    val cells = Tables.documents(s, d)
+      .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+    val rm = cells.groupBy("source").agg(sum(col("c")).as("r"))
+    val cm = cells.groupBy("lang").agg(sum(col("c")).as("m"))
+    val n = cells.agg(sum(col("c")).as("n"))
+    val terms = cells.join(broadcast(rm), "source").join(broadcast(cm), "lang")
+      .crossJoin(broadcast(n))
+      .select(
+        round((col("c").cast("double") / col("n").cast("double")) *
+          log(col("c").cast("double") * col("n").cast("double") /
+            (col("r").cast("double") * col("m").cast("double"))) * 1e6, 0)
+          .cast("long").as("term_u"),
+        col("c"))
+    val hs = rm.crossJoin(broadcast(n))
+      .select(round((col("r").cast("double") / col("n").cast("double")) *
+        log(col("r").cast("double") / col("n").cast("double")) * -1e6, 0)
+        .cast("long").as("h_u"))
+      .agg(sum(col("h_u")).as("h_source_u"))
+    val hl = cm.crossJoin(broadcast(n))
+      .select(round((col("m").cast("double") / col("n").cast("double")) *
+        log(col("m").cast("double") / col("n").cast("double")) * -1e6, 0)
+        .cast("long").as("h_u"))
+      .agg(sum(col("h_u")).as("h_lang_u"))
+    terms.agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_cells"),
+        sum(col("term_u")).as("mi_micro_nats"))
+      .crossJoin(broadcast(hs)).crossJoin(broadcast(hl))
+  }, Some("""
+    WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+                   FROM documents GROUP BY source, lang),
+    rm AS (SELECT source, CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY source),
+    cm AS (SELECT lang, CAST(sum(c) AS BIGINT) AS m FROM cells GROUP BY lang),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+    terms AS (
+      SELECT CAST(round((CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+               ln(CAST(c AS DOUBLE) * CAST(n.n AS DOUBLE) /
+                  (CAST(r AS DOUBLE) * CAST(m AS DOUBLE))) * 1e6, 0) AS BIGINT)
+          AS term_u,
+        c
+      FROM cells JOIN rm USING (source) JOIN cm USING (lang) CROSS JOIN n),
+    hs AS (SELECT CAST(sum(CAST(round((CAST(r AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+                 ln(CAST(r AS DOUBLE) / CAST(n.n AS DOUBLE)) * -1e6, 0) AS BIGINT))
+               AS BIGINT) AS h_source_u
+           FROM rm CROSS JOIN n),
+    hl AS (SELECT CAST(sum(CAST(round((CAST(m AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+                 ln(CAST(m AS DOUBLE) / CAST(n.n AS DOUBLE)) * -1e6, 0) AS BIGINT))
+               AS BIGINT) AS h_lang_u
+           FROM cm CROSS JOIN n)
+    SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+      CAST(count(*) AS BIGINT) AS n_cells,
+      CAST(sum(term_u) AS BIGINT) AS mi_micro_nats,
+      h_source_u, h_lang_u
+    FROM terms CROSS JOIN hs CROSS JOIN hl
+    GROUP BY h_source_u, h_lang_u
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qPsiDrift, qDiversity, qEntropyFilter, qZipf,
+    qDpRelease, qMutualInfo)
 }

@@ -636,8 +636,55 @@ object EventQueries {
     FROM ranked, tot GROUP BY n
   """))
 
+  /** Inter-arrival gap distribution: exact p50/p90/p99 of the
+    * seconds between a user's consecutive events (all types) — the
+    * session-timeout calibrator: q_window_sessions' 30-minute gap
+    * threshold should sit in this distribution's tail, and this query
+    * is how that choice gets audited rather than guessed.
+    *
+    * Scale shape: one user-partitioned lag window (keyed, never
+    * global), then the two-phase global rank (Ranking.globalRowNumber)
+    * for the order statistics — the q_time_to_convert selection shape
+    * over a much bigger derived set (≈ |events| − |users| gaps). */
+  private val qInterarrival = BoundQuery("q_interarrival", (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val gaps = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_ns"))
+      .withColumn("prev", lag(col("ts_ns"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        expr("(ts_ns - prev) div 1000000000").as("gap_s"))
+    val tot = gaps.agg(count(lit(1)).as("n"))
+    val ranked = graft.operators.Ranking
+      .globalRowNumber(gaps, "rn0", col("gap_s"), col("user_id"), col("event_id"))
+      .crossJoin(broadcast(tot))
+      .withColumn("rn", col("rn0") + 1)
+    ranked.agg(
+      max(col("n")).as("n_gaps"),
+      max(when(col("rn") === expr("(n + 1) div 2"), col("gap_s"))).as("p50_s"),
+      max(when(col("rn") === expr("(9 * n + 9) div 10"), col("gap_s"))).as("p90_s"),
+      max(when(col("rn") === expr("(99 * n + 99) div 100"), col("gap_s"))).as("p99_s"))
+  }, Some("""
+    WITH gaps AS (
+      SELECT user_id, event_id,
+        (epoch_ns(ts) - lag(epoch_ns(ts), 1) OVER
+           (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id))
+          // 1000000000 AS gap_s
+      FROM events),
+    g AS (SELECT user_id, event_id, gap_s FROM gaps WHERE gap_s IS NOT NULL),
+    ranked AS (SELECT gap_s,
+                 CAST(row_number() OVER (ORDER BY gap_s, user_id, event_id) AS BIGINT) AS rn
+               FROM g),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g)
+    SELECT n AS n_gaps,
+      max(CASE WHEN rn = (n + 1) // 2 THEN gap_s END) AS p50_s,
+      max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_s END) AS p90_s,
+      max(CASE WHEN rn = (99 * n + 99) // 100 THEN gap_s END) AS p99_s
+    FROM ranked, tot GROUP BY n
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qFunnel, qGapFill, qRetention, qSlidingWindow, qSqlSurface, qEwma,
       qIncremental, qGroupingSets, qOhlcBars, qTwap, qIntervalCoverage,
-      qAttribution, qAbsorption, qStickiness, qTimeToConvert)
+      qAttribution, qAbsorption, qStickiness, qTimeToConvert, qInterarrival)
 }

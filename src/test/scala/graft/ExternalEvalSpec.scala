@@ -186,6 +186,90 @@ class ExternalEvalSpec extends AnyFunSuite {
       assert(r.getAs[Long]("cum_vocab") <= r.getAs[Long]("cum_tokens")))
   }
 
+  test("fertility: per-lang ratios match a local regex replay") {
+    val bpe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]".r
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).map { case (lang, ds) =>
+      val words = ds.map(_._2.split(" ", -1).count(_.nonEmpty).toLong).sum
+      val sub = ds.map(d => bpe.findAllIn(d._2).size.toLong).sum
+      val chars = ds.map(_._2.length.toLong).sum
+      (lang, (ds.size.toLong, words, sub, chars))
+    }
+    val rows = run("q_fertility")
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (nd, w, sw, ch) = expected(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_docs") == nd && r.getAs[Long]("n_words") == w)
+      assert(r.getAs[Long]("n_subwords") == sw && r.getAs[Long]("fertility_ppm") == 1000000L * sw / w)
+      assert(r.getAs[Long]("chars_per_subword_milli") == 1000L * ch / sw)
+    }
+  }
+
+  test("shingle_df_profile: doc-mass conserves against ngram_novelty") {
+    val prof = run("q_shingle_df_profile")
+    val nov = run("q_ngram_novelty")
+    // Σ df over shingle types == Σ per-doc distinct gram types
+    assert(prof.map(_.getAs[Long]("doc_mass")).sum ==
+      nov.map(_.getAs[Long]("gram_types")).sum)
+    // Σ types across buckets == global distinct grams == Σ novel types
+    assert(prof.map(_.getAs[Long]("n_shingles")).sum ==
+      nov.map(_.getAs[Long]("novel_types")).sum)
+    prof.foreach { r =>
+      val b = r.getAs[Long]("log2_df")
+      val (lo, hi) = (1L << b, (1L << (b + 1)) - 1)
+      assert(r.getAs[Long]("doc_mass") >= lo * r.getAs[Long]("n_shingles"))
+      assert(r.getAs[Long]("doc_mass") <= hi * r.getAs[Long]("n_shingles"))
+    }
+  }
+
+  test("interarrival: percentiles match a local gap replay") {
+    val ev = spark.read.parquet(s"$sfTiny/events.parquet")
+    val tsNs = if (ev.schema("ts").dataType.typeName == "long")
+      ev.selectExpr("user_id", "event_id", "ts AS ts_ns")
+    else ev.selectExpr("user_id", "event_id",
+      "unix_micros(cast(ts as timestamp)) * 1000 AS ts_ns")
+    val gaps = tsNs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).values.flatMap { es =>
+        val sorted = es.sortBy(e => (e._3, e._2))
+        sorted.zip(sorted.tail).map { case (a, b) =>
+          ((b._3 - a._3) / 1000000000L, a._1, b._2)
+        }
+      }.map(g => (g._1, g._2, g._3)).toSeq.sortBy(g => (g._1, g._2, g._3))
+    val n = gaps.size
+    val r = run("q_interarrival").head
+    assert(r.getAs[Long]("n_gaps") == n)
+    assert(r.getAs[Long]("p50_s") == gaps((n + 1) / 2 - 1)._1)
+    assert(r.getAs[Long]("p90_s") == gaps((9 * n + 9) / 10 - 1)._1)
+    assert(r.getAs[Long]("p99_s") == gaps((99 * n + 99) / 100 - 1)._1)
+  }
+
+  test("mutual_info: matches local replay and is bounded by margins") {
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = docs.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val rm = cells.groupBy(_._1._1).map { case (k, v) => (k, v.values.sum) }
+    val cm = cells.groupBy(_._1._2).map { case (k, v) => (k, v.values.sum) }
+    val n = docs.length.toDouble
+    val mi = cells.map { case ((s0, l0), c) =>
+      math.round(c / n * math.log(c * n / (rm(s0) * cm(l0)).toDouble) * 1e6)
+    }.sum
+    val h = (m: Map[String, Long]) =>
+      m.values.map(v => math.round(v / n * math.log(v / n) * -1e6)).sum
+    val r = run("q_mutual_info").head
+    assert(r.getAs[Long]("n_docs") == docs.length)
+    assert(r.getAs[Long]("mi_micro_nats") == mi, "MI diverges from local replay")
+    assert(r.getAs[Long]("h_source_u") == h(rm) && r.getAs[Long]("h_lang_u") == h(cm))
+    // information inequality, with per-cell rounding slack
+    val slack = r.getAs[Long]("n_cells")
+    assert(r.getAs[Long]("mi_micro_nats") >= -slack)
+    assert(r.getAs[Long]("mi_micro_nats") <=
+      math.min(r.getAs[Long]("h_source_u"), r.getAs[Long]("h_lang_u")) + slack)
+  }
+
   test("hubness: histogram equals the in-degree fold of q_knn_graph") {
     val edges = run("q_knn_graph")
     val indeg = edges.groupBy(_.getAs[Long]("id"))
