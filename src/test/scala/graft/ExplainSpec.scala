@@ -352,4 +352,31 @@ class ExplainSpec extends AnyFunSuite {
       l.contains("windowspecdefinition") && !l.contains("__pid")).toSeq
     assert(bad.isEmpty, s"unpartitioned window: ${bad.mkString("\n")}")
   }
+
+  test("friedman's rank window partitions by day — never a global sort") {
+    val p = plan("q_friedman")
+    val bad = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && !l.contains("day")).toSeq
+    assert(bad.isEmpty, s"window not day-partitioned: ${bad.mkString("\n")}")
+  }
+
+  test("t_closeness joins stay broadcast over the sparse class-segment grid") {
+    val p = plan("q_t_closeness")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("hhi is two partial-aggregated shuffles and an equi join — no window") {
+    val p = plan("q_hhi")
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("fairness scores via broadcast model join, never a shuffle of the model") {
+    val p = plan("q_fairness")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
