@@ -379,4 +379,21 @@ class ExplainSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("sax windows all partition by event type (calendar-bounded)") {
+    val p = plan("q_sax")
+    val bad = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && !l.contains("event_type")).toSeq
+    assert(bad.isEmpty, s"window not type-partitioned: ${bad.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("markov attribution: chain solves are broadcast-size, one data window") {
+    val p = plan("q_markov_attribution")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only data-sized window is the user-keyed journey lead
+    val bad = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && !l.contains("user_id")).toSeq
+    assert(bad.isEmpty, s"non-user window: ${bad.mkString("\n")}")
+  }
 }
