@@ -396,4 +396,69 @@ class ExplainSpec extends AnyFunSuite {
       l.contains("windowspecdefinition") && !l.contains("user_id")).toSeq
     assert(bad.isEmpty, s"non-user window: ${bad.mkString("\n")}")
   }
+
+  // -------------------------------------------------------------
+  // TPC-H completion wave (TpchQueries)
+  // -------------------------------------------------------------
+
+  test("q6 is one scan with pushed date filters and no join or window") {
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(!p.contains("Join") && !p.contains("windowspecdefinition"), p)
+  }
+
+  test("q8 snowflake broadcasts every dim side; facts join hash-keyed") {
+    val p = plan("q8_market_share")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // the conditional share computes in ONE aggregate — a second
+    // lineitem scan would mean the share was computed by self-join
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) == 1, p)
+  }
+
+  test("q10 aggregates before the customer join and takes top-k sorted") {
+    val p = plan("q10_returned_items")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag)") ||
+      p.contains("EqualTo(l_returnflag,R)"), p)
+  }
+
+  test("q13 keeps the outer join (zero-order customers survive)") {
+    val p = plan("q13_order_distribution")
+    assert(p.contains("LeftOuter") || p.contains("RightOuter"), p)
+  }
+
+  test("q15 argmax never plans an unpartitioned window") {
+    val p = plan("q15_top_supplier")
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q17 decorrelates to equi joins — no per-row subquery shape") {
+    val p = plan("q17_small_qty_revenue")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q18 HAVING filter runs on the aggregated orderkey side") {
+    val p = plan("q18_large_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("q19 disjunction still pushes the shared scan bounds") {
+    val p = plan("q19_discounted_revenue")
+    // the union bounds (qty<=30, size<=25) reach the scans even though
+    // the triplet disjunction itself is post-join
+    assert(p.contains("LessThanOrEqual(l_quantity,30.0)"), p)
+    assert(p.contains("LessThanOrEqual(p_size,25)"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q22 plans a LeftAnti join with the date filter pushed below it") {
+    val p = plan("q22_dormant_customers")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
 }
