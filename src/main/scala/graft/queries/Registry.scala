@@ -659,7 +659,8 @@ object Registry {
       CorpusQueries2.all ++ StatsQueries.all ++ EvalQueries.all ++
       CorpusQueries3.all ++ VectorQueries2.all ++ RecsysQueries.all ++
       StatsQueries2.all ++ MlQueries2.all ++ StatsQueries3.all ++
-      GovernanceQueries.all ++ SeriesQueries.all ++ TpchQueries.all
+      GovernanceQueries.all ++ SeriesQueries.all ++ TpchQueries.all ++
+      StatsQueries4.all
       // (q_kcore / q_neighbor_jaccard ride in GraphQueries.all above)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,423 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Num._
+
+/** SURVEY §2.6 classical-stats wave 5: the regression-diagnostics and
+  * distribution-shape tests that round out the q_anova / q_wilcoxon /
+  * q_kruskal_wallis family — normality (Jarque–Bera), randomness
+  * (Wald–Wolfowitz runs), residual autocorrelation (Durbin–Watson),
+  * effect size (Cohen's d), single mean-shift segmentation
+  * (changepoint), and the chance-robust classifier score (Matthews
+  * correlation) beside q_prf1's precision/recall readout.
+  *
+  * Numeric rule (the StatsQueries contract): exact long /
+  * decimal(38,0) moment sums; statistics emitted either as one
+  * truncating integral division (milli/ppm) or — where clearing the
+  * denominators would overflow decimal(38,0) at sf1 (Jarque–Bera's
+  * m₃²/m₂³ needs ~x⁶) — as doubles derived by an IDENTICALLY
+  * PARENTHESIZED sequence of IEEE ops on exact-integer-cast operands,
+  * the q_chi_square pinned-float convention. Every window partitions
+  * by event type over the calendar-bounded (≤366-row) day domain —
+  * the documented bounded-window quarantine; nothing here scales with
+  * event volume past the first map-side-combined (type, day) preagg.
+  */
+object StatsQueries4 {
+
+  /** Shared input: per-(type, day) revenue in exact cents. */
+  private def daily(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sumCents(col("value")).as("y"))
+
+  private val dailySql = """
+    SELECT event_type, CAST(ts AS DATE) AS day,
+      CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2"""
+
+  /** Jarque–Bera normality test of each type's daily revenue: JB =
+    * n·(skew²/6 + (kurt−3)²/24). Raw power sums S,Q,C,F (x..x⁴ over
+    * WHOLE-DOLLAR daily totals) are exact decimal(38,0); the central
+    * moments come from the cleared-denominator identities
+    *   A = n²C − 3nQS + 2S³   (= n³·m₃),
+    *   B = nQ − S²            (= n²·m₂),
+    *   D = n³F − 4n²CS + 6nQS² − 3S⁴  (= n⁴·m₄),
+    * so skew² = A²/B³ and kurt = D/B² with every n-power cancelling.
+    * A² would need ~76 integer digits at sf1, past decimal(38) — so
+    * the three FINAL ratios are pinned-structure double ops over the
+    * exactly-cast A, B, D (both engines round the same decimal to the
+    * same double, then run the identical IEEE ×/÷ tree). */
+  private val qJarqueBera = BoundQuery("q_jarque_bera", (s, d) => {
+    val m = daily(s, d).select(col("event_type"), expr("y div 100").as("x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("q"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x * x")).as("c"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x * x * x")).as("f"))
+    val t = m.select(col("event_type"), col("n"),
+      expr("""CAST(n AS DECIMAL(38,0))*n*c - 3*CAST(n AS DECIMAL(38,0))*q*s
+              + 2*CAST(s AS DECIMAL(38,0))*s*s""").as("a"),
+      expr("CAST(n AS DECIMAL(38,0))*q - CAST(s AS DECIMAL(38,0))*s")
+        .as("b"),
+      expr("""CAST(n AS DECIMAL(38,0))*n*n*f
+              - 4*CAST(n AS DECIMAL(38,0))*n*c*s
+              + 6*CAST(n AS DECIMAL(38,0))*q*s*s
+              - 3*CAST(s AS DECIMAL(38,0))*s*s*s""").as("dd"))
+    val ad = col("a").cast("double"); val bd = col("b").cast("double")
+    val ddd = col("dd").cast("double")
+    t.select(col("event_type"), col("n").as("n_days"),
+        (ad * ad / (bd * bd * bd)).as("skew2"),
+        (ddd / (bd * bd)).as("kurt"))
+      .withColumn("jb", col("n_days").cast("double") *
+        (col("skew2") / lit(6.0) +
+          (col("kurt") - lit(3.0)) * (col("kurt") - lit(3.0)) / lit(24.0)))
+      .orderBy("event_type")
+  }, Some(s"""
+    WITH daily AS ($dailySql),
+    m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(y // 100) AS HUGEINT) AS s,
+        sum(CAST(y // 100 AS HUGEINT) * (y // 100)) AS q,
+        sum(CAST(y // 100 AS HUGEINT) * (y // 100) * (y // 100)) AS c,
+        sum(CAST(y // 100 AS HUGEINT) * (y // 100) * (y // 100) * (y // 100)) AS f
+      FROM daily GROUP BY 1),
+    t AS (
+      SELECT event_type, n,
+        CAST(n AS HUGEINT)*n*c - 3*CAST(n AS HUGEINT)*q*s
+          + 2*CAST(s AS HUGEINT)*s*s AS a,
+        CAST(n AS HUGEINT)*q - CAST(s AS HUGEINT)*s AS b,
+        CAST(n AS HUGEINT)*n*n*f - 4*CAST(n AS HUGEINT)*n*c*s
+          + 6*CAST(n AS HUGEINT)*q*s*s - 3*CAST(s AS HUGEINT)*s*s*s AS dd
+      FROM m)
+    SELECT event_type, n AS n_days,
+      CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+        / (CAST(b AS DOUBLE) * CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS skew2,
+      CAST(dd AS DOUBLE) / (CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS kurt,
+      CAST(n AS DOUBLE) * (
+        (CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+          / (CAST(b AS DOUBLE) * CAST(b AS DOUBLE) * CAST(b AS DOUBLE))) / 6.0
+        + (CAST(dd AS DOUBLE) / (CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) - 3.0)
+          * (CAST(dd AS DOUBLE) / (CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) - 3.0)
+          / 24.0) AS jb
+    FROM t ORDER BY event_type
+  """))
+
+  /** Wald–Wolfowitz runs test (mean-dichotomized variant): is each
+    * type's daily revenue serially random, or does it streak? Days
+    * label above/below the type mean EXACTLY (n·y vs Σy — no division),
+    * mean-exact days drop; R = number of label runs in day order.
+    * Under H₀, E[R] = 1 + 2n₁n₂/N and the z² clears to
+    *   z²_milli = 1000·(RN − N − 2n₁n₂)²·(N−1)
+    *              div (N·2n₁n₂·(2n₁n₂ − N)),
+    * all int64-small (N ≤ 366). z² ≥ 3.84e3 milli rejects at 5% —
+    * too FEW runs (trend/clustering) and too MANY (oscillation) both
+    * land high. Degenerate one-sided series emit 0. */
+  private val qRunsTest = BoundQuery("q_runs_test", (s, d) => {
+    val dl = daily(s, d)
+    val tot = dl.groupBy(col("event_type").as("et"))
+      .agg(sum(col("y")).as("sy"), count(lit(1)).as("nd"))
+    val lab = dl.join(broadcast(tot), col("event_type") === col("et"))
+      .withColumn("lab",
+        when(col("nd") * col("y") > col("sy"), lit(1))
+          .when(col("nd") * col("y") < col("sy"), lit(-1)).otherwise(lit(0)))
+      .where(col("lab") =!= 0)
+    val w = Window.partitionBy("event_type").orderBy("day")
+    lab.withColumn("chg",
+        when(lag(col("lab"), 1).over(w).isNull ||
+          lag(col("lab"), 1).over(w) =!= col("lab"), lit(1L)).otherwise(lit(0L)))
+      .groupBy("event_type")
+      .agg(sum(when(col("lab") === 1, 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("lab") === -1, 1L).otherwise(0L)).as("n_below"),
+        sum(col("chg")).as("runs"))
+      .select(col("event_type"), col("n_above"), col("n_below"), col("runs"),
+        expr("""CASE WHEN 2*n_above*n_below <= (n_above+n_below) THEN 0
+                ELSE (1000 * (runs*(n_above+n_below) - (n_above+n_below)
+                              - 2*n_above*n_below)
+                           * (runs*(n_above+n_below) - (n_above+n_below)
+                              - 2*n_above*n_below)
+                           * (n_above+n_below-1))
+                     div ((n_above+n_below) * 2*n_above*n_below
+                          * (2*n_above*n_below - (n_above+n_below))) END""")
+          .as("z2_milli"))
+      .orderBy("event_type")
+  }, Some(s"""
+    WITH daily AS ($dailySql),
+    tot AS (
+      SELECT event_type AS et, CAST(sum(y) AS BIGINT) AS sy,
+        CAST(count(*) AS BIGINT) AS nd
+      FROM daily GROUP BY 1),
+    lab AS (
+      SELECT event_type, day,
+        CASE WHEN nd*y > sy THEN 1 WHEN nd*y < sy THEN -1 ELSE 0 END AS lab
+      FROM daily JOIN tot ON event_type = et
+      WHERE CASE WHEN nd*y > sy THEN 1 WHEN nd*y < sy THEN -1 ELSE 0 END <> 0),
+    chg AS (
+      SELECT event_type, lab,
+        CASE WHEN lag(lab) OVER (PARTITION BY event_type ORDER BY day) IS NULL
+          OR lag(lab) OVER (PARTITION BY event_type ORDER BY day) <> lab
+          THEN 1 ELSE 0 END AS chg
+      FROM lab),
+    agg AS (
+      SELECT event_type,
+        CAST(sum(CASE WHEN lab = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        CAST(sum(CASE WHEN lab = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        CAST(sum(chg) AS BIGINT) AS runs
+      FROM chg GROUP BY 1)
+    SELECT event_type, n_above, n_below, runs,
+      CASE WHEN 2*n_above*n_below <= (n_above+n_below) THEN 0
+      ELSE (1000 * (runs*(n_above+n_below) - (n_above+n_below)
+                    - 2*n_above*n_below)
+                 * (runs*(n_above+n_below) - (n_above+n_below)
+                    - 2*n_above*n_below)
+                 * (n_above+n_below-1))
+           // ((n_above+n_below) * 2*n_above*n_below
+              * (2*n_above*n_below - (n_above+n_below))) END AS z2_milli
+    FROM agg ORDER BY event_type
+  """))
+
+  /** Durbin–Watson autocorrelation diagnostic on the residuals of each
+    * type's daily-revenue-vs-time OLS. The trick that keeps it exact:
+    * DW = Σ(eₜ−eₜ₋₁)²/Σeₜ² is SCALE-INVARIANT in e, so instead of the
+    * rational residual e = y − a − bt we use the integer-scaled
+    *   r = b_den·(n·y − Σy) − b_num·(n·t − Σt)  (= n·b_den·e),
+    * with b_num = nΣty − ΣtΣy, b_den = nΣt² − (Σt)² — the common
+    * factor n·b_den cancels in the ratio, so dw_milli =
+    * 1000·Σ(Δr)² div Σr² is the exact truncated statistic with no
+    * division before the last. DW≈2 ⇔ no autocorrelation, →0 positive
+    * (momentum), →4 negative (mean-reversion). */
+  private val qDurbinWatson = BoundQuery("q_durbin_watson", (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val idx = daily(s, d)
+      .withColumn("t", row_number().over(w).cast("long") - 1L)
+    val agg = idx.groupBy(col("event_type").as("et")).agg(
+      count(lit(1)).as("n"), sum(col("y")).as("sy"), sum(col("t")).as("st"),
+      sum(col("t") * col("t")).as("stt"),
+      sum(expr("CAST(t AS DECIMAL(38,0)) * y")).as("sty"))
+    val r = idx.join(broadcast(agg), col("event_type") === col("et"))
+      .withColumn("r", expr(
+        """(CAST(n*stt - st*st AS DECIMAL(38,0)))
+             * (CAST(n AS DECIMAL(38,0))*y - sy)
+           - (CAST(n AS DECIMAL(38,0))*sty - CAST(st AS DECIMAL(38,0))*sy)
+             * (CAST(n AS DECIMAL(38,0))*t - st)"""))
+      .withColumn("dr", col("r") - lag(col("r"), 1).over(w))
+    r.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(expr("CAST(dr AS DECIMAL(38,0)) * dr")).as("num"),
+        sum(expr("CAST(r AS DECIMAL(38,0)) * r")).as("den"))
+      .select(col("event_type"), col("n_days"),
+        expr("CAST((1000 * num) div den AS BIGINT)").as("dw_milli"))
+      .orderBy("event_type")
+  }, Some(s"""
+    WITH daily AS ($dailySql),
+    idx AS (
+      SELECT event_type, y,
+        CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+          AS BIGINT) - 1 AS t,
+        day
+      FROM daily),
+    agg AS (
+      SELECT event_type AS et, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(y) AS BIGINT) AS sy, CAST(sum(t) AS BIGINT) AS st,
+        CAST(sum(t*t) AS BIGINT) AS stt,
+        CAST(sum(CAST(t AS HUGEINT) * y) AS HUGEINT) AS sty
+      FROM idx GROUP BY 1),
+    res AS (
+      SELECT event_type, day,
+        CAST(n*stt - st*st AS HUGEINT) * (CAST(n AS HUGEINT)*y - sy)
+          - (CAST(n AS HUGEINT)*sty - CAST(st AS HUGEINT)*sy)
+            * (CAST(n AS HUGEINT)*t - st) AS r
+      FROM idx JOIN agg ON event_type = et),
+    dr AS (
+      SELECT event_type, r,
+        r - lag(r) OVER (PARTITION BY event_type ORDER BY day) AS dr
+      FROM res)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      CAST((1000 * sum(CAST(dr AS HUGEINT) * dr))
+           // sum(CAST(r AS HUGEINT) * r) AS BIGINT) AS dw_milli
+    FROM dr GROUP BY event_type ORDER BY event_type
+  """))
+
+  /** Single mean-shift changepoint per type: the split k maximizing
+    * the between-group sum of squares BSS(k) = n₁n₂/n·(x̄₁−x̄₂)², found
+    * from ONE cumulative-sum pass (binary-segmentation round 1, CUSUM
+    * q_cusum's argmax sibling). Scored in exact whole-dollar² units:
+    * score = (S₁n₂ − S₂n₁)² div (n₁·n₂·10⁴) — the 10⁴ folds the cents²
+    * scale back to dollars², keeping the quotient inside int64 at sf1
+    * (Spark's div WRAPS past int64 — the q_logreg_newton finding).
+    * Argmax by (score desc, day asc) is deterministic in both engines
+    * because they compare identical truncated integers. */
+  private val qChangepoint = BoundQuery("q_changepoint", (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val tot = daily(s, d).groupBy(col("event_type").as("et"))
+      .agg(sum(col("y")).as("sy"), count(lit(1)).as("n"))
+    val pre = daily(s, d)
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("s1", sum(col("y")).over(w))
+      .join(broadcast(tot), col("event_type") === col("et"))
+      .where(col("i") < col("n"))
+      .withColumn("score", expr(
+        """(CAST(s1 AS DECIMAL(38,0))*(n-i) - CAST(sy-s1 AS DECIMAL(38,0))*i)
+           * (CAST(s1 AS DECIMAL(38,0))*(n-i) - CAST(sy-s1 AS DECIMAL(38,0))*i)
+           div (i * (n-i) * 10000)"""))
+    pre.withColumn("rn", row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("score").desc, col("day"))))
+      .where(col("rn") === 1)
+      .select(col("event_type"), col("day").as("split_day"),
+        col("i").as("n_left"), (col("n") - col("i")).as("n_right"),
+        expr("s1 div i").as("mean_left_c"),
+        expr("(sy - s1) div (n - i)").as("mean_right_c"),
+        col("score").as("bss_d2"))
+      .orderBy("event_type")
+  }, Some(s"""
+    WITH daily AS ($dailySql),
+    tot AS (
+      SELECT event_type AS et, CAST(sum(y) AS BIGINT) AS sy,
+        CAST(count(*) AS BIGINT) AS n
+      FROM daily GROUP BY 1),
+    pre AS (
+      SELECT event_type, day,
+        CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+          AS BIGINT) AS i,
+        CAST(sum(y) OVER (PARTITION BY event_type ORDER BY day
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s1
+      FROM daily),
+    sc AS (
+      SELECT p.event_type, p.day, p.i, p.s1, t.n, t.sy,
+        (CAST(p.s1 AS HUGEINT)*(t.n-p.i) - CAST(t.sy-p.s1 AS HUGEINT)*p.i)
+        * (CAST(p.s1 AS HUGEINT)*(t.n-p.i) - CAST(t.sy-p.s1 AS HUGEINT)*p.i)
+        // (p.i * (t.n-p.i) * 10000) AS score
+      FROM pre p JOIN tot t ON p.event_type = t.et
+      WHERE p.i < t.n),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+        ORDER BY score DESC, day) AS rn
+      FROM sc)
+    SELECT event_type, day AS split_day, i AS n_left,
+      n - i AS n_right, s1 // i AS mean_left_c,
+      (sy - s1) // (n - i) AS mean_right_c,
+      CAST(score AS BIGINT) AS bss_d2
+    FROM best WHERE rn = 1 ORDER BY event_type
+  """))
+
+  /** Cohen's d effect size between click and view daily revenue — the
+    * "how big", where q_wilcoxon/q_ab_test answer "how sure". Emitted
+    * sqrt-free as the SIGNED SQUARE (the q_mann_kendall z² convention):
+    * d² = (x̄₁−x̄₂)²/s²_pooled clears to
+    *   d²_ppm = ±10⁶·(S₁n₂−S₂n₁)²·(n₁+n₂−2)
+    *            div (n₁n₂·[n₂(n₁Q₁−S₁²) + n₁(n₂Q₂−S₂²)]),
+    * every factor an exact decimal(38,0) product of long sums. |d|≥0.8
+    * ("large") ⇔ d²_ppm ≥ 640 000. The mean gap also lands exact in
+    * cents. Both groups reduce to single rows before the 1×1 join. */
+  private val qCohensD = BoundQuery("q_cohens_d", (s, d) => {
+    def side(t: String, sfx: String) = daily(s, d)
+      .where(col("event_type") === t)
+      .agg(count(lit(1)).as(s"n$sfx"), sum(col("y")).as(s"s$sfx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as(s"q$sfx"))
+    side("click", "1").crossJoin(side("view", "2"))
+      .select(col("n1"), col("n2"),
+        expr("(CAST(s1 AS DECIMAL(38,0))*n2 - CAST(s2 AS DECIMAL(38,0))*n1) div (n1*n2)")
+          .as("mean_diff_c"),
+        expr("""CASE WHEN CAST(s1 AS DECIMAL(38,0))*n2 < CAST(s2 AS DECIMAL(38,0))*n1
+                     THEN -1 ELSE 1 END
+                * ((1000000
+                    * (CAST(s1 AS DECIMAL(38,0))*n2 - CAST(s2 AS DECIMAL(38,0))*n1)
+                    * (CAST(s1 AS DECIMAL(38,0))*n2 - CAST(s2 AS DECIMAL(38,0))*n1)
+                    * (n1 + n2 - 2))
+                   div (CAST(n1 AS DECIMAL(38,0)) * n2
+                        * (n2*(n1*q1 - CAST(s1 AS DECIMAL(38,0))*s1)
+                           + n1*(n2*q2 - CAST(s2 AS DECIMAL(38,0))*s2))))""")
+          .cast("long").as("d2_ppm_signed"))
+  }, Some(s"""
+    WITH daily AS ($dailySql),
+    g1 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n1, CAST(sum(y) AS BIGINT) AS s1,
+        CAST(sum(CAST(y AS HUGEINT)*y) AS HUGEINT) AS q1
+      FROM daily WHERE event_type = 'click'),
+    g2 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n2, CAST(sum(y) AS BIGINT) AS s2,
+        CAST(sum(CAST(y AS HUGEINT)*y) AS HUGEINT) AS q2
+      FROM daily WHERE event_type = 'view')
+    SELECT n1, n2,
+      CAST((CAST(s1 AS HUGEINT)*n2 - CAST(s2 AS HUGEINT)*n1) // (n1*n2)
+        AS BIGINT) AS mean_diff_c,
+      CAST((CASE WHEN CAST(s1 AS HUGEINT)*n2 < CAST(s2 AS HUGEINT)*n1
+                 THEN -1 ELSE 1 END)
+        * ((1000000
+            * (CAST(s1 AS HUGEINT)*n2 - CAST(s2 AS HUGEINT)*n1)
+            * (CAST(s1 AS HUGEINT)*n2 - CAST(s2 AS HUGEINT)*n1)
+            * (n1 + n2 - 2))
+           // (CAST(n1 AS HUGEINT) * n2
+               * (n2*(n1*q1 - CAST(s1 AS HUGEINT)*s1)
+                  + n1*(n2*q2 - CAST(s2 AS HUGEINT)*s2))))
+        AS BIGINT) AS d2_ppm_signed
+    FROM g1 CROSS JOIN g2
+  """))
+
+  /** Per-class one-vs-rest Matthews correlation of the Naive Bayes
+    * classifier — the chance-robust single-number score that q_prf1's
+    * precision/recall cannot give on imbalanced classes (predict-all-
+    * majority scores F1>0 but MCC=0). From the same confusion matrix,
+    * signed-square ppm (q_item_cf convention, sqrt-free):
+    * mcc²_ppm = ±10⁶·(tp·tn − fp·fn)² div ((tp+fp)(tp+fn)(tn+fp)(tn+fn)),
+    * 0 when any marginal is empty (the defined MCC limit). Everything
+    * after the NB scoring is ≤ k² rows. */
+  private val qMcc = BoundQuery("q_mcc", (s, d) => {
+    val conf = MlQueries.naiveBayesConfusion(s, d)
+    val per = conf.groupBy(col("actual").as("label"))
+      .agg(sum(when(col("predicted") === col("actual"), col("n_docs"))
+        .otherwise(0L)).as("tp"), sum(col("n_docs")).as("support"))
+    val pt = conf.groupBy(col("predicted").as("label"))
+      .agg(sum(col("n_docs")).as("pred_n"))
+    val tot = conf.agg(sum(col("n_docs")).as("total"))
+    per.join(pt, Seq("label"), "left").na.fill(0L, Seq("pred_n"))
+      .crossJoin(broadcast(tot))
+      .withColumn("fp", col("pred_n") - col("tp"))
+      .withColumn("fn", col("support") - col("tp"))
+      .withColumn("tn",
+        col("total") - col("tp") - col("fp") - col("fn"))
+      .select(col("label"), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("""CASE WHEN (tp+fp)*(tp+fn) = 0 OR (tn+fp)*(tn+fn) = 0 THEN 0
+                ELSE (CASE WHEN CAST(tp AS DECIMAL(38,0))*tn < CAST(fp AS DECIMAL(38,0))*fn
+                           THEN -1 ELSE 1 END)
+                     * ((1000000
+                         * (CAST(tp AS DECIMAL(38,0))*tn - CAST(fp AS DECIMAL(38,0))*fn)
+                         * (CAST(tp AS DECIMAL(38,0))*tn - CAST(fp AS DECIMAL(38,0))*fn))
+                        div (CAST(tp+fp AS DECIMAL(38,0)) * (tp+fn)
+                             * (tn+fp) * (tn+fn))) END""")
+          .cast("long").as("mcc2_ppm_signed"))
+      .orderBy("label")
+  }, Some(s"""
+    WITH conf AS (${MlQueries.naiveBayesConfusionSql}),
+    per AS (
+      SELECT actual AS label,
+        CAST(sum(CASE WHEN predicted = actual THEN n_docs ELSE 0 END)
+          AS BIGINT) AS tp,
+        CAST(sum(n_docs) AS BIGINT) AS support
+      FROM conf GROUP BY 1),
+    pt AS (SELECT predicted AS label, CAST(sum(n_docs) AS BIGINT) AS pred_n
+           FROM conf GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM conf),
+    cells AS (
+      SELECT per.label, per.tp,
+        coalesce(pt.pred_n, 0) - per.tp AS fp,
+        per.support - per.tp AS fn,
+        total - per.tp - (coalesce(pt.pred_n, 0) - per.tp)
+          - (per.support - per.tp) AS tn
+      FROM per LEFT JOIN pt ON per.label = pt.label CROSS JOIN tot)
+    SELECT label, tp, fp, fn, tn,
+      CAST(CASE WHEN (tp+fp)*(tp+fn) = 0 OR (tn+fp)*(tn+fn) = 0 THEN 0
+      ELSE (CASE WHEN CAST(tp AS HUGEINT)*tn < CAST(fp AS HUGEINT)*fn
+                 THEN -1 ELSE 1 END)
+           * ((1000000
+               * (CAST(tp AS HUGEINT)*tn - CAST(fp AS HUGEINT)*fn)
+               * (CAST(tp AS HUGEINT)*tn - CAST(fp AS HUGEINT)*fn))
+              // (CAST(tp+fp AS HUGEINT) * (tp+fn)
+                 * (tn+fp) * (tn+fn))) END AS BIGINT) AS mcc2_ppm_signed
+    FROM cells ORDER BY label
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qJarqueBera, qRunsTest, qDurbinWatson,
+    qChangepoint, qCohensD, qMcc)
+}
