@@ -54,6 +54,34 @@ object Similarity {
       .select("query_id", "id", "cosine", "rnk")
   }
 
+  /** Hard-negative mining for contrastive/retrieval training: for
+    * each anchor, the k most-similar vectors carrying a DIFFERENT
+    * label — the negatives that sit closest to the decision boundary
+    * and therefore carry the training signal (random negatives are
+    * trivially separable). Same exact-cosine + rounded-rank contract
+    * as bruteForceTopK; the label inequality prunes INSIDE the scored
+    * join, before ranking, so the top-k is over true negatives only.
+    * Scale path: swap the scored join for the LSH-bucketed candidate
+    * generation (knnGraphLsh) and apply the same label filter in the
+    * bucket join — the blocking is label-oblivious so recall carries
+    * over unchanged. */
+  def hardNegatives(df: DataFrame, idCol: Column, vecCol: Column,
+                    labelCol: Column, k: Int): DataFrame = {
+    val lab = df.select(idCol.as("lid"), labelCol.cast("long").as("lab"))
+    val c = spread(normed(df, idCol, vecCol))
+      .join(lab, col("id") === col("lid")).drop("lid")
+    val q = normed(df, idCol, vecCol)
+      .join(lab, col("id") === col("lid"))
+      .select(col("id").as("query_id"), col("vn").as("qn"),
+        col("lab").as("qlab"))
+    val scored = c.join(broadcast(q), col("lab") =!= col("qlab"))
+      .select(col("query_id"), col("id"), col("lab"),
+        round(dotProduct(df.sparkSession, col("vn"), col("qn")), 6).as("cosine"))
+    TopKPerGroup.topK(scored, Seq(col("query_id")),
+      Seq(desc("cosine"), col("id")), k, rankCol = "rnk")
+      .select("query_id", "id", "lab", "cosine", "rnk")
+  }
+
   /** Exact cosine near-duplicate pairs (id_a < id_b, cosine >= tau).
     * Quadratic — correctness baseline and small-collection tool. */
   def cosinePairs(df: DataFrame, idCol: Column, vecCol: Column, tau: Double): DataFrame = {
