@@ -275,5 +275,108 @@ object SeriesQueries {
     FROM rem CROSS JOIN tr ORDER BY channel
   """))
 
-  val all: Seq[BoundQuery] = Seq(qSax, qMarkovAttribution)
+  /** Pairwise Granger causality over the event-type daily-revenue
+    * panel: for every ordered pair (cause, effect), does yesterday's
+    * CAUSE revenue improve today's EFFECT forecast beyond the
+    * effect's own lag? F-test of the nested OLS pair
+    *   restricted:    wₜ = a + b·uₜ₋₁          (u = effect's lag)
+    *   unrestricted:  wₜ = a + b·uₜ₋₁ + c·vₜ₋₁ (v = cause's lag)
+    * with F = (RSS_r − RSS_u)·(n−3)/RSS_u (one restriction).
+    *
+    * Numeric path: all ten power/cross sums are EXACT decimal(38,0)
+    * over cents; the centered forms C__ = n·S__ − S_·S_ stay exact
+    * decimal (~10²² at sf1); the final RSS quotients — whose cleared
+    * forms (C-products of degree 3) would pass decimal(38) — are the
+    * pinned-structure double tree of the q_jarque_bera convention.
+    * The common n-scale of the centered forms cancels inside F, and
+    * r2_gain = (RSS_r−RSS_u)/Cww reads the same quotient as share of
+    * effect variance.
+    *
+    * Scale shape: the (type,day) preagg collapses volume; the lag
+    * alignment is a calendar-keyed self-join (≤366·k rows); the k²−k
+    * pair fan-out is a k-row broadcast cross; one partial-agg
+    * reduction to 20 rows does everything else. */
+  private val qGranger = BoundQuery("q_granger", (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sumCents(col("value")).as("y"))
+    val eff = daily.select(col("event_type").as("te"), col("day"),
+      col("y").as("w"))
+    val lagE = daily.select(col("event_type").as("te"),
+      date_add(col("day"), 1).as("day"), col("y").as("u"))
+    val lagC = daily.select(col("event_type").as("tc"),
+      date_add(col("day"), 1).as("day"), col("y").as("v"))
+    val rows = eff.join(lagE, Seq("te", "day"))
+      .join(lagC, Seq("day")).where(col("tc") =!= col("te"))
+    val m = rows.groupBy(col("tc").as("cause"), col("te").as("effect"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("u")).as("su"), sum(col("v")).as("sv"), sum(col("w")).as("sw"),
+        sum(expr("CAST(u AS DECIMAL(38,0)) * u")).as("suu"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("svv"),
+        sum(expr("CAST(w AS DECIMAL(38,0)) * w")).as("sww"),
+        sum(expr("CAST(u AS DECIMAL(38,0)) * v")).as("suv"),
+        sum(expr("CAST(u AS DECIMAL(38,0)) * w")).as("suw"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * w")).as("svw"))
+    val c = m.select(col("cause"), col("effect"), col("n"),
+      expr("CAST(n AS DECIMAL(38,0))*suu - CAST(su AS DECIMAL(38,0))*su").cast("double").as("cuu"),
+      expr("CAST(n AS DECIMAL(38,0))*svv - CAST(sv AS DECIMAL(38,0))*sv").cast("double").as("cvv"),
+      expr("CAST(n AS DECIMAL(38,0))*sww - CAST(sw AS DECIMAL(38,0))*sw").cast("double").as("cww"),
+      expr("CAST(n AS DECIMAL(38,0))*suv - CAST(su AS DECIMAL(38,0))*sv").cast("double").as("cuv"),
+      expr("CAST(n AS DECIMAL(38,0))*suw - CAST(su AS DECIMAL(38,0))*sw").cast("double").as("cuw"),
+      expr("CAST(n AS DECIMAL(38,0))*svw - CAST(sv AS DECIMAL(38,0))*sw").cast("double").as("cvw"))
+    c.select(col("cause"), col("effect"), col("n").as("n_obs"),
+        (col("cww") - col("cuw") * col("cuw") / col("cuu")).as("rssr"),
+        (col("cww") -
+          ((col("cvv") * col("cuw") - col("cuv") * col("cvw")) * col("cuw")
+            + (col("cuu") * col("cvw") - col("cuv") * col("cuw")) * col("cvw"))
+          / (col("cuu") * col("cvv") - col("cuv") * col("cuv"))).as("rssu"),
+        col("cww"))
+      .select(col("cause"), col("effect"), col("n_obs"),
+        ((col("rssr") - col("rssu")) * (col("n_obs").cast("double") - lit(3.0))
+          / col("rssu")).as("f_stat"),
+        ((col("rssr") - col("rssu")) / col("cww")).as("r2_gain"))
+      .orderBy("cause", "effect")
+  }, Some("""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    rows_ AS (
+      SELECT lc.event_type AS tc, e.event_type AS te,
+        e.y AS w, le.y AS u, lc.y AS v
+      FROM daily e
+      JOIN daily le ON le.event_type = e.event_type AND le.day + 1 = e.day
+      JOIN daily lc ON lc.day + 1 = e.day AND lc.event_type <> e.event_type),
+    m AS (
+      SELECT tc AS cause, te AS effect, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(u) AS HUGEINT) AS su, CAST(sum(v) AS HUGEINT) AS sv,
+        CAST(sum(w) AS HUGEINT) AS sw,
+        sum(CAST(u AS HUGEINT)*u) AS suu, sum(CAST(v AS HUGEINT)*v) AS svv,
+        sum(CAST(w AS HUGEINT)*w) AS sww, sum(CAST(u AS HUGEINT)*v) AS suv,
+        sum(CAST(u AS HUGEINT)*w) AS suw, sum(CAST(v AS HUGEINT)*w) AS svw
+      FROM rows_ GROUP BY 1, 2),
+    c AS (
+      SELECT cause, effect, n,
+        CAST(CAST(n AS HUGEINT)*suu - CAST(su AS HUGEINT)*su AS DOUBLE) AS cuu,
+        CAST(CAST(n AS HUGEINT)*svv - CAST(sv AS HUGEINT)*sv AS DOUBLE) AS cvv,
+        CAST(CAST(n AS HUGEINT)*sww - CAST(sw AS HUGEINT)*sw AS DOUBLE) AS cww,
+        CAST(CAST(n AS HUGEINT)*suv - CAST(su AS HUGEINT)*sv AS DOUBLE) AS cuv,
+        CAST(CAST(n AS HUGEINT)*suw - CAST(su AS HUGEINT)*sw AS DOUBLE) AS cuw,
+        CAST(CAST(n AS HUGEINT)*svw - CAST(sv AS HUGEINT)*sw AS DOUBLE) AS cvw
+      FROM m),
+    r AS (
+      SELECT cause, effect, n AS n_obs,
+        cww - cuw * cuw / cuu AS rssr,
+        cww - ((cvv * cuw - cuv * cvw) * cuw
+               + (cuu * cvw - cuv * cuw) * cvw)
+              / (cuu * cvv - cuv * cuv) AS rssu,
+        cww
+      FROM c)
+    SELECT cause, effect, n_obs,
+      (rssr - rssu) * (CAST(n_obs AS DOUBLE) - 3.0) / rssu AS f_stat,
+      (rssr - rssu) / cww AS r2_gain
+    FROM r ORDER BY cause, effect
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qSax, qMarkovAttribution, qGranger)
 }

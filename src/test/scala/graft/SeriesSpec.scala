@@ -76,4 +76,47 @@ class SeriesSpec extends AnyFunSuite {
     assert(BigInt(conv) == expect,
       s"baseline $conv != absorption replay $expect")
   }
+
+  test("granger: exact-moment pinned-double replay, nested-model laws") {
+    import org.apache.spark.sql.functions._
+    val daily = graft.sources.Tables.events(spark, sfTiny)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("y"))
+      .collect()
+      .map(r => (r.getString(0),
+        r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay,
+        BigInt(r.getAs[Long]("y"))))
+    val byType = daily.groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val types = byType.keys.toSeq.sorted
+    val rows = run("q_granger")
+    assert(rows.length == types.size * (types.size - 1))
+    for (r <- rows) {
+      val (cause, effect) = (r.getString(0), r.getString(1))
+      val (ce, cc) = (byType(effect), byType(cause))
+      val triples = ce.keys.filter(dd =>
+        ce.contains(dd - 1) && cc.contains(dd - 1)).toSeq.sorted
+        .map(dd => (ce(dd), ce(dd - 1), cc(dd - 1))) // (w, u, v)
+      val n = BigInt(triples.size)
+      assert(r.getAs[Long]("n_obs") == triples.size)
+      def s(f: ((BigInt, BigInt, BigInt)) => BigInt) = triples.map(f).sum
+      val (su, sv, sw) = (s(_._2), s(_._3), s(_._1))
+      val cuu = (n * s(t => t._2 * t._2) - su * su).toDouble
+      val cvv = (n * s(t => t._3 * t._3) - sv * sv).toDouble
+      val cww = (n * s(t => t._1 * t._1) - sw * sw).toDouble
+      val cuv = (n * s(t => t._2 * t._3) - su * sv).toDouble
+      val cuw = (n * s(t => t._2 * t._1) - su * sw).toDouble
+      val cvw = (n * s(t => t._3 * t._1) - sv * sw).toDouble
+      val rssr = cww - cuw * cuw / cuu
+      val rssu = cww - ((cvv * cuw - cuv * cvw) * cuw +
+        (cuu * cvw - cuv * cuw) * cvw) / (cuu * cvv - cuv * cuv)
+      val f = (rssr - rssu) * (n.toDouble - 3.0) / rssu
+      assert(r.getAs[Double]("f_stat") == f, s"f $cause->$effect")
+      assert(r.getAs[Double]("r2_gain") == (rssr - rssu) / cww)
+      // nested models: the extra regressor can only reduce RSS
+      assert(rssu <= rssr + math.abs(rssr) * 1e-12)
+      assert(r.getAs[Double]("r2_gain") >= -1e-12 &&
+        r.getAs[Double]("r2_gain") <= 1.0)
+    }
+  }
 }

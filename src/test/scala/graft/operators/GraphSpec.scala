@@ -137,4 +137,25 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
     assert(bounded == got)
   }
+
+  test("katz: local walk-count replay over the bipartite testdata graph") {
+    import org.apache.spark.sql.functions._
+    val sp = graft.sources.Tables.lineitem(spark, graft.TestSpark.sfTiny)
+      .select(concat(lit("s"), col("l_suppkey")).as("a"),
+        concat(lit("p"), col("l_partkey")).as("b"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val adj = (sp ++ sp.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    val w1 = adj.view.mapValues(ns => BigInt(ns.size)).toMap
+    def step(w: Map[String, BigInt]): Map[String, BigInt] =
+      adj.view.mapValues(ns => ns.map(w).sum).toMap
+    val w2 = step(w1); val w3 = step(w2)
+    val katz = adj.keys.map(v =>
+      v -> (w1(v) * 100 + w2(v) * 10 + w3(v))).toMap
+    val expectTop = katz.toSeq.sortBy { case (v, k) => (-k, v) }.take(50)
+    val got = graft.queries.Registry.queries("q_katz")(
+      spark, graft.TestSpark.sfTiny).collect()
+      .map(r => (r.getAs[String]("node"), BigInt(r.getAs[Long]("katz_milli"))))
+    assert(got.toSeq == expectTop)
+  }
 }
