@@ -24,7 +24,16 @@ object Bench {
     graft.sources.Tables.warm(spark, sfDir)
     graft.sources.Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag").count().count()
-    val hs = queries.Registry.headlines
+    // Default: the pinned headline set graded against BASELINE.md.
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b times an ad-hoc subset instead
+    // (local measurement runs; the driver never sets it).
+    val hs = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(names) =>
+        val want = names.split(',').map(_.trim).filter(_.nonEmpty)
+        val byName = queries.Registry.allQueries.map(q => q.name -> q).toMap
+        want.toSeq.map(byName)
+      case None => queries.Registry.headlines
+    }
     // Untimed warm-up pass first: materializes every table's cache and
     // JITs each query's generated code, so the timed pass measures the
     // steady-state service latency (the reference's serving shape), not
