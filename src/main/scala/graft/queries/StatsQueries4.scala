@@ -418,6 +418,169 @@ object StatsQueries4 {
     FROM cells ORDER BY label
   """))
 
+  /** Tukey–Kramer post-hoc: WHICH pairs differ, after q_anova says
+    * SOME pair does. For every type pair, the squared studentized
+    * range statistic in the unbalanced-safe Kramer form clears to
+    *   q² = 2(x̄ᵢ−x̄ⱼ)²/(MSE·(1/nᵢ+1/nⱼ))
+    *      = 2·(Sᵢnⱼ−Sⱼnᵢ)²·(N−k) div (nᵢnⱼ(nᵢ+nⱼ)·ssw),
+    * with ssw = Σ_g((n_g·Q_g − S_g²) div n_g) — one truncating
+    * division per group, error < 1 cent² (the q_kruskal_wallis
+    * normalization). significant = q² ≥ 3.858² (studentized-range 5%
+    * critical for k=5, df=∞, the exact literal 14884 milli; at
+    * df≈145 the flag is conservative by <2%, stated here). Pair
+    * fan-out is k², off the k-row group table. */
+  private val qTukeyHsd = BoundQuery("q_tukey_hsd", (s, d) => {
+    val g = daily(s, d).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("ng"), sum(col("y")).as("sg"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("qg"))
+    val w = g.agg(
+      sum(expr("(ng * qg - CAST(sg AS DECIMAL(38,0)) * sg) div ng"))
+        .as("ssw"), sum(col("ng")).as("n"), count(lit(1)).as("k"))
+    g.as("a").join(g.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .crossJoin(broadcast(w))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        expr("""(CAST(a.sg AS DECIMAL(38,0)) * b.ng
+                 - CAST(b.sg AS DECIMAL(38,0)) * a.ng) div (a.ng * b.ng)""")
+          .as("mean_diff_c"),
+        expr("""CAST((2000 * (CAST(a.sg AS DECIMAL(38,0)) * b.ng
+                              - CAST(b.sg AS DECIMAL(38,0)) * a.ng)
+                           * (CAST(a.sg AS DECIMAL(38,0)) * b.ng
+                              - CAST(b.sg AS DECIMAL(38,0)) * a.ng)
+                           * (n - k))
+                     div (CAST(a.ng AS DECIMAL(38,0)) * b.ng
+                          * (a.ng + b.ng) * ssw) AS BIGINT)""")
+          .as("q2_milli"))
+      .withColumn("significant", col("q2_milli") >= 14884L)
+      .orderBy("type_a", "type_b")
+  }, Some(s"""
+    WITH daily AS ($dailySql),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+        CAST(sum(y) AS BIGINT) AS sg,
+        CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS qg
+      FROM daily GROUP BY 1),
+    w AS (
+      SELECT CAST(sum((ng * qg - CAST(sg AS HUGEINT) * sg) // ng) AS HUGEINT)
+          AS ssw,
+        CAST(sum(ng) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k
+      FROM g)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+      CAST((CAST(a.sg AS HUGEINT) * b.ng - CAST(b.sg AS HUGEINT) * a.ng)
+           // (a.ng * b.ng) AS BIGINT) AS mean_diff_c,
+      CAST((2000 * (CAST(a.sg AS HUGEINT) * b.ng - CAST(b.sg AS HUGEINT) * a.ng)
+                 * (CAST(a.sg AS HUGEINT) * b.ng - CAST(b.sg AS HUGEINT) * a.ng)
+                 * (n - k))
+           // (CAST(a.ng AS HUGEINT) * b.ng * (a.ng + b.ng) * ssw) AS BIGINT)
+        AS q2_milli,
+      (2000 * (CAST(a.sg AS HUGEINT) * b.ng - CAST(b.sg AS HUGEINT) * a.ng)
+            * (CAST(a.sg AS HUGEINT) * b.ng - CAST(b.sg AS HUGEINT) * a.ng)
+            * (n - k))
+        // (CAST(a.ng AS HUGEINT) * b.ng * (a.ng + b.ng) * ssw) >= 14884
+        AS significant
+    FROM g a JOIN g b ON a.event_type < b.event_type
+    CROSS JOIN w ORDER BY type_a, type_b
+  """))
+
+  /** Cochran's Q over (day × type) blocks: do the k event types
+    * systematically trade places WITHIN days? Each day's revenues
+    * dichotomize against the day's own cross-type MEAN, strictly and
+    * EXACTLY (k_d·y vs Σ_day — no division, no median-interpolation
+    * ambiguity between engines), so between-day level shifts cancel
+    * by construction — the repeated-measures question
+    * q_kruskal_wallis's global ranking cannot isolate. Q clears to
+    *   q_milli = 1000·(k−1)·(k·ΣC_j² − N²) div (k·(k·ΣR_d − ΣR_d²)),
+    * C_j per-type above count, R_d per-day above count, N = ΣC. */
+  private val qCochranQ = BoundQuery("q_cochran_q", (s, d) => {
+    val dl = daily(s, d)
+    val med = dl.groupBy(col("day").as("dd"))
+      .agg(sum(col("y")).as("sd"), count(lit(1)).as("kd"))
+    val x = dl.join(broadcast(med), col("day") === col("dd"))
+      .withColumn("above", (col("kd") * col("y") > col("sd")).cast("long"))
+    val cj = x.groupBy("event_type").agg(sum(col("above")).as("c"))
+      .agg(sum(col("c")).as("nn"), sum(col("c") * col("c")).as("c2"),
+        count(lit(1)).as("k"))
+    val rd = x.groupBy("day").agg(sum(col("above")).as("r"))
+      .agg(sum(col("r")).as("sr"), sum(col("r") * col("r")).as("r2"))
+    cj.crossJoin(rd)
+      .select(col("k"), col("nn").as("n_above"),
+        expr("""CASE WHEN k * (k * sr - r2) = 0 THEN 0
+                ELSE (1000 * (k - 1) * (k * c2 - nn * nn))
+                     div (k * (k * sr - r2)) END""").as("q_milli"))
+  }, Some(s"""
+    WITH daily AS ($dailySql),
+    med AS (
+      SELECT day AS dd, CAST(sum(y) AS BIGINT) AS sd,
+        CAST(count(*) AS BIGINT) AS kd
+      FROM daily GROUP BY 1),
+    x AS (
+      SELECT event_type, day, CASE WHEN kd * y > sd THEN 1 ELSE 0 END AS above
+      FROM daily JOIN med ON day = dd),
+    cj AS (
+      SELECT CAST(sum(c) AS BIGINT) AS nn,
+        CAST(sum(c * c) AS BIGINT) AS c2, CAST(count(*) AS BIGINT) AS k
+      FROM (SELECT CAST(sum(above) AS BIGINT) AS c FROM x
+            GROUP BY event_type)),
+    rd AS (
+      SELECT CAST(sum(r) AS BIGINT) AS sr, CAST(sum(r * r) AS BIGINT) AS r2
+      FROM (SELECT CAST(sum(above) AS BIGINT) AS r FROM x GROUP BY day))
+    SELECT k, nn AS n_above,
+      CASE WHEN k * (k * sr - r2) = 0 THEN 0
+      ELSE (1000 * (k - 1) * (k * c2 - nn * nn))
+           // (k * (k * sr - r2)) END AS q_milli
+    FROM cj CROSS JOIN rd
+  """))
+
+  /** A/B sample-size calculator from the measured base rate: per-arm
+    * n to detect a relative lift of {1,2,5,10}% on the purchase share
+    * at α=.05 (two-sided), power .80 — two-proportion z formula
+    *   n = (z_{α/2}+z_β)²·(p₁(1−p₁)+p₂(1−p₂))/(p₁−p₂)²,
+    * EXACT in integers: p in ppm from one event scan, variances in
+    * ppm² longs, and (z_{.025}+z_{.8})² inlined as the exact integer
+    * square of the µ-unit literal 2801585 (= 1959964 + 841621) — no
+    * erf, no float. Ceiling division (+den−1) so the emitted n always
+    * reaches the power target. The MDE grid is a 4-row literal
+    * crossed against the 1-row base rate. */
+  private val qPowerAnalysis = BoundQuery("q_power_analysis", (s, d) => {
+    val base = Tables.events(s, d).agg(
+      expr("""(1000000 * sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END))
+              div count(1)""").as("p1"))
+    import s.implicits._
+    val grid = Seq(10L, 20L, 50L, 100L).toDF("lift_milli")
+    grid.crossJoin(broadcast(base))
+      .withColumn("p2", expr("p1 + (p1 * lift_milli) div 1000"))
+      .withColumn("n_per_arm", expr(
+        """CAST((CAST(2801585 AS DECIMAL(38,0)) * 2801585
+                 * (p1 * (1000000 - p1) + p2 * (1000000 - p2))
+                 + (CAST(1000000000000 AS DECIMAL(38,0))
+                    * ((p2 - p1) * (p2 - p1)) - 1))
+                div (CAST(1000000000000 AS DECIMAL(38,0))
+                     * ((p2 - p1) * (p2 - p1))) AS BIGINT)"""))
+      .select(col("lift_milli"), col("p1").as("p1_ppm"),
+        col("p2").as("p2_ppm"), col("n_per_arm"))
+      .orderBy("lift_milli")
+  }, Some("""
+    WITH base AS (
+      SELECT (1000000 * sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END))
+             // count(*) AS p1
+      FROM events),
+    grid AS (SELECT unnest([10, 20, 50, 100]) AS lift_milli),
+    p AS (
+      SELECT CAST(lift_milli AS BIGINT) AS lift_milli,
+        CAST(p1 AS BIGINT) AS p1,
+        CAST(p1 + (p1 * lift_milli) // 1000 AS BIGINT) AS p2
+      FROM grid CROSS JOIN base)
+    SELECT lift_milli, p1 AS p1_ppm, p2 AS p2_ppm,
+      CAST((CAST(2801585 AS HUGEINT) * 2801585
+            * (p1 * (1000000 - p1) + p2 * (1000000 - p2))
+            + (CAST(1000000000000 AS HUGEINT)
+               * ((p2 - p1) * (p2 - p1)) - 1))
+           // (CAST(1000000000000 AS HUGEINT)
+               * ((p2 - p1) * (p2 - p1))) AS BIGINT) AS n_per_arm
+    FROM p ORDER BY lift_milli
+  """))
+
   val all: Seq[BoundQuery] = Seq(qJarqueBera, qRunsTest, qDurbinWatson,
-    qChangepoint, qCohensD, qMcc)
+    qChangepoint, qCohensD, qMcc, qTukeyHsd, qCochranQ, qPowerAnalysis)
 }

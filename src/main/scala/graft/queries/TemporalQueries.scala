@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -654,7 +655,134 @@ object TemporalQueries {
     FROM a
   """))
 
+  /** Additive Holt–Winters (triple exponential smoothing, period 7)
+    * of per-type daily event counts — q_holt plus the seasonal state
+    * the weekly cycle q_seasonal/q_acf detect. α=.3, β=.2, γ=.2.
+    * Deterministic init (the textbook one): the first period's mean
+    * seeds the level, its deviations seed the seasonal slots, trend
+    * seeds 0. From obs 8 on, the standard recurrences update level /
+    * trend / the active slot (obs t touches slot (t−1) mod 7 + 1).
+    *
+    * Both engines replay the IDENTICAL pinned float fold (the q_holt
+    * convention): Spark as a sorted-array `aggregate` over a 10-field
+    * struct, DuckDB as a recursive CTE carrying the same 10 columns,
+    * update expressions textually mirrored (the repeated l′
+    * subexpression is inlined everywhere on the SQL side — same value,
+    * same IEEE ops). Forecast h steps out reads slot
+    * (n+h−1) mod 7 + 1 via the same CASE in both engines.
+    *
+    * Scale shape: the fold runs per type over the calendar-bounded
+    * day domain AFTER the map-side-combined (type, day) preagg — the
+    * documented bounded-fold contract (sequential recurrences do not
+    * distribute; what scales is the grain collapse before them). */
+  private val qHoltWinters = BoundQuery("q_holt_winters", (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val slots = (1 to 7).map(j => s"s$j")
+    def st(l: Column, b: Column, ss: Seq[Column], i: Column) =
+      struct((Seq(l.as("l"), b.as("b")) ++
+        ss.zip(slots).map { case (c, n) => c.as(n) } :+ i.as("i")): _*)
+    val fold = aggregate(col("seq"),
+      st(lit(0.0), lit(0.0), Seq.fill(7)(lit(0.0)), lit(0L)),
+      (acc, e) => {
+        val x = e("x"); val i = acc("i")
+        val accS = slots.map(acc(_))
+        // t = i+1 (1-based). t<7: accumulate sum in l, stash raw x in
+        // slot t. t=7: level = period mean, slots -> deviations. t>=8:
+        // the HW recurrences on slot (i mod 7)+1.
+        val sumMode = st(acc("l") + x, lit(0.0),
+          slots.indices.map(j => when(i === j.toLong, x).otherwise(accS(j))),
+          i + 1L)
+        val lInit = (acc("l") + x) / lit(7.0)
+        val initMode = st(lInit, lit(0.0),
+          slots.indices.map(j =>
+            (if (j == 6) x else accS(j)) - lInit), i + 1L)
+        val j1 = pmod(i, lit(7L)) // 0-based active slot
+        val sOld = slots.indices.map(j =>
+          when(j1 === j.toLong, accS(j))).reduceRight(_ otherwise _)
+        val l1 = lit(0.3) * (x - sOld) + lit(0.7) * (acc("l") + acc("b"))
+        val b1 = lit(0.2) * (l1 - acc("l")) + lit(0.8) * acc("b")
+        val hwMode = st(l1, b1,
+          slots.indices.map(j => when(j1 === j.toLong,
+            lit(0.2) * (x - l1) + lit(0.8) * accS(j)).otherwise(accS(j))),
+          i + 1L)
+        when(i < 6L, sumMode).when(i === 6L, initMode).otherwise(hwMode)
+      })
+    def slotAt(stc: Column, off: Int) = {
+      // slot index for h=off steps ahead: (n + off - 1) mod 7 (0-based)
+      val j = pmod(stc("i") + lit(off.toLong - 1L), lit(7L))
+      slots.indices.map(jj =>
+        when(j === jj.toLong, stc(slots(jj)))).reduceRight(_ otherwise _)
+    }
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("seq"))
+      .select(col("event_type"), size(col("seq")).cast("long").as("n_days"),
+        fold.as("st"))
+      .select(col("event_type"), col("n_days"),
+        round(col("st.l"), 6).as("level"),
+        round(col("st.b"), 6).as("trend"),
+        round(col("st.l") + col("st.b") + slotAt(col("st"), 1), 6)
+          .as("forecast_1d"),
+        round(col("st.l") + lit(7.0) * col("st.b") + slotAt(col("st"), 7), 6)
+          .as("forecast_7d"))
+      .orderBy("event_type")
+  }, Some {
+    val slotCols = (1 to 7).map(j => s"s$j")
+    // raw-x stash while t<7 (slot t gets x, others carry)
+    val sumSlots = slotCols.zipWithIndex.map { case (c, j) =>
+      s"CASE WHEN s.t = ${j + 1} THEN s.x ELSE r.$c END AS $c" }
+    // t=7 init: deviations from the period mean (s7 uses the incoming x)
+    val lInit = "((r.l + s.x) / 7.0)"
+    val initSlots = slotCols.zipWithIndex.map { case (c, j) =>
+      s"${if (j == 6) "s.x" else s"r.$c"} - $lInit AS $c" }
+    val sOld = "(CASE (s.t - 1) % 7 " + slotCols.zipWithIndex.map {
+      case (c, j) => s"WHEN $j THEN r.$c" }.mkString(" ") + " END)"
+    val l1 = s"(0.3*(s.x - $sOld) + 0.7*(r.l + r.b))"
+    val hwSlots = slotCols.zipWithIndex.map { case (c, j) =>
+      s"CASE WHEN (s.t - 1) % 7 = $j THEN 0.2*(s.x - $l1) + 0.8*r.$c ELSE r.$c END AS $c" }
+    def branch3(field: String, sum: String, init: String, hw: String) =
+      s"CASE WHEN s.t < 7 THEN $sum WHEN s.t = 7 THEN $init ELSE $hw END AS $field"
+    val stepCols = Seq(
+      branch3("l", "r.l + s.x", lInit, l1),
+      branch3("b", "0.0", "0.0", s"(0.2*($l1 - r.l) + 0.8*r.b)")) ++
+      slotCols.zipWithIndex.map { case (c, j) =>
+        branch3(c, sumSlots(j).stripSuffix(s" AS $c"),
+          initSlots(j).stripSuffix(s" AS $c"),
+          hwSlots(j).stripSuffix(s" AS $c")) }
+    def slotAt(off: Int) = "(CASE (n_days + " + (off - 1) +
+      ") % 7 " + slotCols.zipWithIndex.map { case (c, j) =>
+        s"WHEN $j THEN $c" }.mkString(" ") + " END)"
+    s"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2),
+    ser AS (
+      SELECT event_type,
+        CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+          AS BIGINT) AS t, x
+      FROM daily),
+    nn AS (SELECT event_type AS et, CAST(count(*) AS BIGINT) AS n_days
+           FROM ser GROUP BY 1),
+    rec AS (
+      SELECT event_type, t, x AS l, CAST(0.0 AS DOUBLE) AS b,
+        x AS s1, ${slotCols.drop(1).map(c =>
+          s"CAST(0.0 AS DOUBLE) AS $c").mkString(", ")}
+      FROM ser WHERE t = 1
+      UNION ALL
+      SELECT r.event_type, s.t, ${stepCols.mkString(",\n        ")}
+      FROM rec r JOIN ser s
+        ON s.event_type = r.event_type AND s.t = r.t + 1)
+    SELECT event_type, n_days,
+      round(l, 6) AS level, round(b, 6) AS trend,
+      round(l + b + ${slotAt(1)}, 6) AS forecast_1d,
+      round(l + 7.0*b + ${slotAt(7)}, 6) AS forecast_7d
+    FROM rec JOIN nn ON rec.event_type = nn.et AND rec.t = nn.n_days
+    ORDER BY event_type
+  """})
+
   val all: Seq[BoundQuery] =
     Seq(qScd2, qSeasonal, qBacktest, qTransitionMatrix, qGrainRollup,
-      qSurvival, qHolt, qAcf, qMannKendall, qLogrank)
+      qSurvival, qHolt, qAcf, qMannKendall, qLogrank, qHoltWinters)
 }
