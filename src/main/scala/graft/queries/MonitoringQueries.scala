@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Num._
+
+/** SURVEY §2.6 monitoring / cointegration wave: the production-
+  * telemetry tests that sit downstream of q_cusum / q_psi_drift /
+  * q_anomaly — Shewhart control charting with run rules, the
+  * Page–Hinkley sequential change detector, the Engle–Granger
+  * residual unit-root statistic (are two revenue series CO-moving or
+  * just both trending?), and Theil's U2 forecast-skill ratio grading
+  * q_backtest's seasonal-naive against the no-skill naive.
+  *
+  * Numeric rule: the StatsQueries contract — exact long /
+  * decimal(38,0) sums, scale-invariant integer residuals where a
+  * regression is involved (the q_durbin_watson trick), one truncating
+  * division per emitted stat (both engines truncate toward zero —
+  * verified: Spark IntegralDivide and DuckDB // agree at −7/2 = −3),
+  * pinned float folds only where the recurrence is genuinely
+  * sequential (Page–Hinkley), mirrored by a recursive CTE. */
+object MonitoringQueries {
+
+  private def daily(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sumCents(col("value")).as("y"))
+
+  private val dailySql = """
+    SELECT event_type, CAST(ts AS DATE) AS day,
+      CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2"""
+
+  /** Shewhart control chart over each type's daily revenue: per day,
+    * the exact 3σ individuals test (rule 1) and the 8-in-a-row run
+    * rule (rule 2). Both EXACT — rule 1 compares
+    * z²_milli = 1000·(n·y − S)²·(n−1) div (n·(nQ − S²)) against 9000
+    * (the cleared (y−x̄)² > 9s² inequality, no sqrt), rule 2 builds
+    * same-side islands with the gaps-and-islands double row_number
+    * (the q_scd2 machinery) and flags members of islands of length
+    * ≥ 8. Sides come from the exact sign of n·y − S. Limits here are
+    * retrospective (whole-series x̄, s — phase-I charting); a live
+    * chart would freeze them from a reference window. */
+  private val qControlChart = BoundQuery("q_control_chart", (s, d) => {
+    val g = daily(s, d).groupBy(col("event_type").as("et"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("qy"))
+    val base = daily(s, d).join(broadcast(g), col("event_type") === col("et"))
+      .withColumn("z2_milli", expr(
+        """CAST((1000 * (CAST(n AS DECIMAL(38,0))*y - sy)
+                      * (CAST(n AS DECIMAL(38,0))*y - sy) * (n - 1))
+                div (n * (CAST(n AS DECIMAL(38,0))*qy - CAST(sy AS DECIMAL(38,0))*sy))
+                AS BIGINT)"""))
+      .withColumn("side", expr(
+        "CASE WHEN CAST(n AS DECIMAL(38,0))*y > sy THEN 1 WHEN CAST(n AS DECIMAL(38,0))*y < sy THEN -1 ELSE 0 END"))
+    val wAll = Window.partitionBy("event_type").orderBy("day")
+    val wSide = Window.partitionBy("event_type", "side").orderBy("day")
+    val isl = base
+      .withColumn("grp",
+        row_number().over(wAll).cast("long") -
+          row_number().over(wSide).cast("long"))
+    val runLen = Window.partitionBy("event_type", "side", "grp")
+    isl.withColumn("run_len", count(lit(1)).over(runLen))
+      .select(col("event_type"), col("day"), col("y"), col("z2_milli"),
+        col("side").cast("long").as("side"),
+        (col("z2_milli") > 9000L).as("ooc_3sigma"),
+        (col("run_len") >= 8L && col("side") =!= 0).as("ooc_run8"))
+      .orderBy("event_type", "day")
+  }, Some(s"""
+    WITH daily AS ($dailySql),
+    g AS (
+      SELECT event_type AS et, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(y) AS BIGINT) AS sy,
+        CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS qy
+      FROM daily GROUP BY 1),
+    base AS (
+      SELECT event_type, day, y,
+        CAST((1000 * (CAST(n AS HUGEINT)*y - sy)
+                   * (CAST(n AS HUGEINT)*y - sy) * (n - 1))
+             // (n * (CAST(n AS HUGEINT)*qy - CAST(sy AS HUGEINT)*sy))
+             AS BIGINT) AS z2_milli,
+        CASE WHEN CAST(n AS HUGEINT)*y > sy THEN 1
+             WHEN CAST(n AS HUGEINT)*y < sy THEN -1 ELSE 0 END AS side
+      FROM daily JOIN g ON event_type = et),
+    isl AS (
+      SELECT *,
+        CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+          AS BIGINT)
+        - CAST(row_number() OVER (PARTITION BY event_type, side ORDER BY day)
+          AS BIGINT) AS grp
+      FROM base)
+    SELECT event_type, day, y, z2_milli, CAST(side AS BIGINT) AS side,
+      z2_milli > 9000 AS ooc_3sigma,
+      (count(*) OVER (PARTITION BY event_type, side, grp) >= 8
+       AND side <> 0) AS ooc_run8
+    FROM isl ORDER BY event_type, day
+  """))
+
+  /** Page–Hinkley sequential change detector per type: the cumulative
+    * deviation from the RUNNING mean, m_t = m_{t−1} + (x_t − x̄_t),
+    * with alarms when m drifts λ past its running extremum —
+    * ph_inc = m_n − min_t m (upward shift), ph_dec = max_t m − m_n
+    * (downward). δ = 0 (max sensitivity; a deployment would set the
+    * tolerated drift). Genuinely sequential (x̄_t moves), so it runs
+    * as the pinned float fold of the q_holt convention over the
+    * calendar-bounded series, recursive-CTE mirrored. */
+  private val qPageHinkley = BoundQuery("q_page_hinkley", (s, d) => {
+    val dl = daily(s, d).withColumn("x", col("y").cast("double") / lit(100.0))
+    val fold = aggregate(col("seq"),
+      struct(lit(0.0).as("sum"), lit(0.0).as("m"),
+        lit(0.0).as("mn"), lit(0.0).as("mx"), lit(0L).as("i")),
+      (acc: Column, e: Column) => {
+        val x = e("x")
+        val sum1 = acc("sum") + x
+        val m1 = acc("m") + (x - sum1 / (acc("i").cast("double") + lit(1.0)))
+        struct(sum1.as("sum"), m1.as("m"),
+          least(acc("mn"), m1).as("mn"), greatest(acc("mx"), m1).as("mx"),
+          (acc("i") + 1L).as("i"))
+      })
+    dl.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("seq"))
+      .select(col("event_type"), size(col("seq")).cast("long").as("n_days"),
+        fold.as("st"))
+      .select(col("event_type"), col("n_days"),
+        round(col("st.m"), 6).as("m_final"),
+        round(col("st.m") - col("st.mn"), 6).as("ph_inc"),
+        round(col("st.mx") - col("st.m"), 6).as("ph_dec"))
+      .orderBy("event_type")
+  }, Some(s"""
+    WITH RECURSIVE daily AS ($dailySql),
+    ser AS (
+      SELECT event_type,
+        CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+          AS BIGINT) AS t,
+        CAST(y AS DOUBLE) / 100.0 AS x
+      FROM daily),
+    nn AS (SELECT event_type AS et, CAST(count(*) AS BIGINT) AS n_days
+           FROM ser GROUP BY 1),
+    rec AS (
+      SELECT event_type, t, x AS s_sum,
+        x - x / 1.0 AS m,
+        least(0.0, x - x / 1.0) AS mn, greatest(0.0, x - x / 1.0) AS mx
+      FROM ser WHERE t = 1
+      UNION ALL
+      SELECT r.event_type, s.t, r.s_sum + s.x,
+        r.m + (s.x - (r.s_sum + s.x) / CAST(s.t AS DOUBLE)) AS m,
+        least(r.mn, r.m + (s.x - (r.s_sum + s.x) / CAST(s.t AS DOUBLE))),
+        greatest(r.mx, r.m + (s.x - (r.s_sum + s.x) / CAST(s.t AS DOUBLE)))
+      FROM rec r JOIN ser s
+        ON s.event_type = r.event_type AND s.t = r.t + 1)
+    SELECT event_type, n_days,
+      round(m, 6) AS m_final,
+      round(m - mn, 6) AS ph_inc,
+      round(mx - m, 6) AS ph_dec
+    FROM rec JOIN nn ON rec.event_type = nn.et AND rec.t = nn.n_days
+    ORDER BY event_type
+  """))
+
+  /** Engle–Granger cointegration statistic between click and purchase
+    * daily revenue: step 1 regresses purchase on click (levels) with
+    * the SCALE-INVARIANT integer residual of the q_durbin_watson
+    * trick, r = b_den·(n·y − Sy) − b_num·(n·x − Sx); step 2 runs the
+    * Dickey–Fuller no-intercept regression of Δr on r_{t−1}, whose
+    * n·(ρ̂−1) statistic clears to
+    *   df_z_milli = 1000·n·Σ(r_{t−1}·Δr) div Σ(r_{t−1}²)
+    * — the residual scale cancels, so r is first REDUCED by the exact
+    * scalar division r div b_den (both engines truncate identically;
+    * the reduced residual ≈ n·e_t keeps ~8+ significant digits at
+    * every SF while r itself — whose square would need ~92 digits at
+    * sf1 — never gets squared). Strongly negative ⇔ residuals
+    * mean-revert ⇔ the two series co-move rather than just co-trend.
+    * Both engines divide the SIGNED numerator identically (truncation
+    * toward zero in both, verified at −7/2). */
+  private val qEngleGranger = BoundQuery("q_engle_granger", (s, d) => {
+    val base = daily(s, d)
+    val xy = base.where(col("event_type") === "click")
+      .select(col("day"), col("y").as("x"))
+      .join(base.where(col("event_type") === "purchase")
+        .select(col("day"), col("y")), "day")
+    val m = xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+    val r = xy.crossJoin(broadcast(m))
+      .withColumn("r", expr(
+        """((CAST(n AS DECIMAL(38,0))*sxx - CAST(sx AS DECIMAL(38,0))*sx)
+              * (CAST(n AS DECIMAL(38,0))*y - sy)
+            - (CAST(n AS DECIMAL(38,0))*sxy - CAST(sx AS DECIMAL(38,0))*sy)
+              * (CAST(n AS DECIMAL(38,0))*x - sx))
+           div (CAST(n AS DECIMAL(38,0))*sxx - CAST(sx AS DECIMAL(38,0))*sx)"""))
+      .withColumn("rl", lag(col("r"), 1).over(Window.orderBy("day")))
+    r.where(col("rl").isNotNull)
+      .agg(count(lit(1)).as("n_diff"),
+        sum(expr("CAST(rl AS DECIMAL(38,0)) * (r - rl)")).as("num"),
+        sum(expr("CAST(rl AS DECIMAL(38,0)) * rl")).as("den"))
+      .select(col("n_diff"),
+        expr("CAST((1000 * (n_diff + 1) * num) div den AS BIGINT)")
+          .as("df_z_milli"))
+  }, Some(s"""
+    WITH daily AS ($dailySql),
+    xy AS (
+      SELECT c.day, c.y AS x, p.y AS y
+      FROM (SELECT day, y FROM daily WHERE event_type = 'click') c
+      JOIN (SELECT day, y FROM daily WHERE event_type = 'purchase') p
+        ON c.day = p.day),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        CAST(sum(y) AS BIGINT) AS sy,
+        CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM xy),
+    res AS (
+      SELECT day,
+        ((CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx)
+           * (CAST(n AS HUGEINT)*y - sy)
+         - (CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy)
+           * (CAST(n AS HUGEINT)*x - sx))
+        // (CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx) AS r
+      FROM xy CROSS JOIN m),
+    dr AS (
+      SELECT r, lag(r) OVER (ORDER BY day) AS rl FROM res)
+    SELECT CAST(count(*) AS BIGINT) AS n_diff,
+      CAST((1000 * (count(*) + 1) * sum(CAST(rl AS HUGEINT) * (r - rl)))
+           // sum(CAST(rl AS HUGEINT) * rl) AS BIGINT) AS df_z_milli
+    FROM dr WHERE rl IS NOT NULL
+  """))
+
+  /** Theil's U2 forecast-skill ratio for q_backtest's seasonal-naive
+    * model: U2² = Σ(f_t − y_t)² / Σ(y_{t−1} − y_t)² over the days
+    * where both the model (y_{t−7}) and the no-skill naive (y_{t−1})
+    * exist. u2_sq_milli < 1000 ⇔ the weekly-seasonal model beats
+    * carrying yesterday forward — the one-number answer to "is the
+    * seasonality worth modeling" per type, in exact cents². */
+  private val qTheilU = BoundQuery("q_theil_u", (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily(s, d)
+      .withColumn("f", lag(col("y"), 7).over(w))
+      .withColumn("nv", lag(col("y"), 1).over(w))
+      .where(col("f").isNotNull && col("nv").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(expr("CAST(f - y AS DECIMAL(38,0)) * (f - y)")).as("num"),
+        sum(expr("CAST(nv - y AS DECIMAL(38,0)) * (nv - y)")).as("den"))
+      .select(col("event_type"), col("n_scored"),
+        expr("CAST((1000 * num) div den AS BIGINT)").as("u2_sq_milli"))
+      .orderBy("event_type")
+  }, Some(s"""
+    WITH daily AS ($dailySql),
+    l AS (
+      SELECT event_type, y,
+        lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS f,
+        lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS nv
+      FROM daily)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_scored,
+      CAST((1000 * sum(CAST(f - y AS HUGEINT) * (f - y)))
+           // sum(CAST(nv - y AS HUGEINT) * (nv - y)) AS BIGINT) AS u2_sq_milli
+    FROM l WHERE f IS NOT NULL AND nv IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+  """))
+
+  val all: Seq[BoundQuery] =
+    Seq(qControlChart, qPageHinkley, qEngleGranger, qTheilU)
+}
