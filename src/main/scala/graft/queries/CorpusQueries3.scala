@@ -427,6 +427,59 @@ object CorpusQueries3 {
     FROM df GROUP BY 1 ORDER BY log2_df
   """))
 
+  /** CCNet-style perplexity bucketing: split each language's docs
+    * into head / middle / tail TERCILES of the corpus-LM score (the
+    * per-doc bigram logprob of q_bigram_lm) — the curation split that
+    * routes "head" text to pretraining and quarantines the tail for
+    * inspection. Ordering key is the EXACT truncated milli-score
+    * (10⁶·sum_u div n_bigrams, negative-safe: both engines truncate
+    * toward zero), tie-broken by doc_id; per-language rank comes from
+    * ONE two-phase global row_number over (lang, score, doc) — the
+    * scale-safe Ranking.globalRowNumber, never a per-language
+    * WindowExec over data-sized partitions — with per-language bases
+    * subtracted via a k-row broadcast. bucket = (3·r) div n_lang.
+    * Output: per (lang, bucket) doc count and exact score envelope. */
+  private val qPplBuckets = BoundQuery("q_ppl_buckets", (s, d) => {
+    val scores = TextQueries2.bigramLmTerms(s, d)
+      .withColumn("sc", expr("(1000000 * sum_u) div n_bigrams"))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id")
+    val ranked = graft.operators.Ranking.globalRowNumber(scores, "grn",
+      col("lang").asc, col("sc").asc, col("doc_id").asc)
+    val base = ranked.groupBy(col("lang").as("lg"))
+      .agg(min(col("grn")).as("b0"), count(lit(1)).as("nl"))
+    ranked.join(broadcast(base), col("lang") === col("lg"))
+      .withColumn("bucket", expr("(3 * (grn - b0)) div nl"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("sc")).as("min_score_milli"),
+        max(col("sc")).as("max_score_milli"))
+      .withColumn("tier", expr(
+        "CASE bucket WHEN 0 THEN 'tail' WHEN 1 THEN 'middle' ELSE 'head' END"))
+      .select("lang", "bucket", "tier", "n_docs",
+        "min_score_milli", "max_score_milli")
+      .orderBy("lang", "bucket")
+  }, Some(s"""
+    WITH ${TextQueries2.bigramLmTermsSql},
+    scores AS (
+      SELECT l.doc_id, d.lang,
+        (1000000 * l.sum_u) // l.n_bigrams AS sc
+      FROM lmterms l JOIN documents d ON l.doc_id = d.doc_id),
+    ranked AS (
+      SELECT lang, sc,
+        CAST(row_number() OVER (PARTITION BY lang ORDER BY sc, doc_id)
+          AS BIGINT) - 1 AS r,
+        CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS nl
+      FROM scores)
+    SELECT lang, (3 * r) // nl AS bucket,
+      CASE (3 * r) // nl WHEN 0 THEN 'tail' WHEN 1 THEN 'middle'
+        ELSE 'head' END AS tier,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(min(sc) AS BIGINT) AS min_score_milli,
+      CAST(max(sc) AS BIGINT) AS max_score_milli
+    FROM ranked GROUP BY 1, 2, 3 ORDER BY lang, bucket
+  """))
+
   val all: Seq[BoundQuery] = Seq(qJsDivergence, qQuantileNorm, qReadability,
-    qNgramNovelty, qHeapsLaw, qFertility, qShingleDfProfile)
+    qNgramNovelty, qHeapsLaw, qFertility, qShingleDfProfile, qPplBuckets)
 }

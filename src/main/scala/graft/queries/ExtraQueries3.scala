@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Num._
+import graft.operators.IntervalJoin
+
+/** SURVEY §2.6 analytic-surface wave 3: windowed regression analytics
+  * and the interval-overlap join — the two classic engine features
+  * still missing from the window/join families (q_window_suite /
+  * q_rolling_30d cover frames; q_range_join / q_asof_join cover
+  * point-vs-interval; this adds slope-over-frame and
+  * interval-vs-interval). */
+object ExtraQueries3 {
+
+  /** Rolling 7-observation OLS slope of daily revenue per type — the
+    * trend readout a metrics dashboard overlays on q_rolling_30d's
+    * moving average. The slope clears to integers INSIDE each frame:
+    * b = (nΣty − ΣtΣy)/(nΣt² − (Σt)²) over the frame's (epoch-day,
+    * cents) pairs — both forms are t-shift-invariant, so absolute
+    * epoch days need no per-frame reindexing, and gaps in the
+    * calendar change the denominator rather than silently skewing t.
+    * slope_milli = 1000·b_num div b_den (signed; both engines
+    * truncate toward zero). Frames with fewer than 7 observations are
+    * suppressed (rank < 7), not emitted half-filled.
+    *
+    * Scale shape: one (type, day) preagg, then ROWS-frame window sums
+    * per type over the calendar-bounded series — never a global
+    * window, never a self-join. */
+  private val qRollingSlope = BoundQuery("q_rolling_slope", (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sumCents(col("value")).as("y"))
+      .withColumn("t", expr("unix_date(day)"))
+    val f = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(f))
+      .withColumn("st", sum(col("t")).over(f))
+      .withColumn("sy", sum(col("y")).over(f))
+      .withColumn("stt", sum(col("t") * col("t")).over(f))
+      .withColumn("sty", sum(expr("CAST(t AS DECIMAL(38,0)) * y")).over(f))
+      .where(col("rn") >= 7)
+      .select(col("event_type"), col("day"), col("y"),
+        expr("""CAST((1000 * (CAST(n AS DECIMAL(38,0))*sty
+                              - CAST(st AS DECIMAL(38,0))*sy))
+                     div (CAST(n AS DECIMAL(38,0))*stt
+                          - CAST(st AS DECIMAL(38,0))*st) AS BIGINT)""")
+          .as("slope_milli_c_per_day"),
+        expr("sy div n").as("avg7_c"))
+      .orderBy("event_type", "day")
+  }, Some("""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS y,
+        CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t
+      FROM events GROUP BY 1, 2, 4),
+    fr AS (
+      SELECT event_type, day, y,
+        row_number() OVER w AS rn,
+        CAST(count(*) OVER f AS BIGINT) AS n,
+        CAST(sum(t) OVER f AS BIGINT) AS st,
+        CAST(sum(y) OVER f AS BIGINT) AS sy,
+        CAST(sum(t*t) OVER f AS BIGINT) AS stt,
+        CAST(sum(CAST(t AS HUGEINT) * y) OVER f AS HUGEINT) AS sty
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day),
+             f AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT event_type, day, y,
+      CAST((1000 * (CAST(n AS HUGEINT)*sty - CAST(st AS HUGEINT)*sy))
+           // (CAST(n AS HUGEINT)*stt - CAST(st AS HUGEINT)*st) AS BIGINT)
+        AS slope_milli_c_per_day,
+      sy // n AS avg7_c
+    FROM fr WHERE rn >= 7 ORDER BY event_type, day
+  """))
+
+  /** Interval-overlap join (operators.IntervalJoin): for every user,
+    * which of their daily CLICK activity spans overlap their daily
+    * ERROR spans in time — the "were errors landing while the user
+    * was actively browsing" correlation, as an interval×interval
+    * join. Intervals are per-(user, day) [first, last] event-time
+    * spans in exact micros; the join key is the USER ONLY (not the
+    * day — cross-midnight spans must still meet), so the operator's
+    * bucket blocking does real work: each span explodes into the
+    * 6-hour buckets it covers, the join runs as a pure (user, bucket)
+    * EQUI join, candidates verify against the exact closed-interval
+    * predicate and dedupe per pair. The oracle runs the quadratic
+    * per-user formulation DuckDB can afford. */
+  private val qIntervalJoin = BoundQuery("q_interval_join", (s, d) => {
+    def spans(t: String) = Tables.events(s, d)
+      .where(col("event_type") === t)
+      .groupBy(col("user_id").as("key"),
+        expr("unix_date(CAST(ts AS DATE))").as("id"))
+      .agg(min(unix_micros(col("ts"))).as("start"),
+        max(unix_micros(col("ts"))).as("end"))
+    IntervalJoin.overlapPairs(spans("click"), spans("error"),
+        bucketWidth = 6L * 3600 * 1000 * 1000)
+      .select(col("key").as("user_id"),
+        col("a_start").as("click_start_us"), col("a_end").as("click_end_us"),
+        col("b_start").as("error_start_us"), col("b_end").as("error_end_us"),
+        col("overlap").as("overlap_us"))
+      .orderBy("user_id", "click_start_us", "error_start_us")
+  }, Some("""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events
+      WHERE event_type IN ('click', 'error')),
+    spans AS (
+      SELECT user_id, event_type,
+        CAST(min(us) AS BIGINT) AS s, CAST(max(us) AS BIGINT) AS e
+      FROM ev GROUP BY user_id, event_type, us // 86400000000),
+    j AS (
+      SELECT a.user_id,
+        a.s AS click_start_us, a.e AS click_end_us,
+        b.s AS error_start_us, b.e AS error_end_us,
+        least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+      FROM (SELECT * FROM spans WHERE event_type = 'click') a
+      JOIN (SELECT * FROM spans WHERE event_type = 'error') b
+        ON a.user_id = b.user_id AND a.s <= b.e AND b.s <= a.e)
+    SELECT * FROM j
+    ORDER BY user_id, click_start_us, error_start_us
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qRollingSlope, qIntervalJoin)
+}

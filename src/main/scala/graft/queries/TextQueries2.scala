@@ -310,7 +310,10 @@ object TextQueries2 {
     * BEFORE the per-doc sum, so the aggregation is exact long
     * arithmetic in any order on any engine (the cents-integer rule of
     * Num.scala applied to log space). */
-  private val qBigramLm = BoundQuery("q_bigram_lm", (s, d) => {
+  /** Per-doc corpus-LM totals (doc_id, n_bigrams, sum_u) — the shared
+    * scoring core of q_bigram_lm and q_ppl_buckets. */
+  private[queries] def bigramLmTerms(s: org.apache.spark.sql.SparkSession,
+                                     d: String) = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= 2)
@@ -329,12 +332,12 @@ object TextQueries2 {
           .cast("long"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("nats_u")).as("sum_u"))
-      .select(col("doc_id"), col("n_bigrams"),
-        round(col("sum_u").cast("double") / col("n_bigrams").cast("double") / 1e6, 6)
-          .as("avg_logprob"))
-      .orderBy("doc_id")
-  }, Some("""
-    WITH docs AS (
+  }
+
+  /** DuckDB twin of bigramLmTerms as a reusable CTE block; yields a
+    * relation named `lmterms`(doc_id, n_bigrams, sum_u). */
+  private[queries] val bigramLmTermsSql = """
+    docs AS (
       SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks
       FROM documents),
     bigrams AS (
@@ -347,10 +350,23 @@ object TextQueries2 {
     terms AS (
       SELECT doc_id,
         CAST(round(ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)) * 1e6, 0) AS BIGINT) AS nats_u
-      FROM bigrams JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
-    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-           round(CAST(sum(nats_u) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6, 6) AS avg_logprob
-    FROM terms GROUP BY doc_id ORDER BY doc_id
+      FROM bigrams JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+    lmterms AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(nats_u) AS BIGINT) AS sum_u
+      FROM terms GROUP BY doc_id)"""
+
+  private val qBigramLm = BoundQuery("q_bigram_lm", (s, d) => {
+    bigramLmTerms(s, d)
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_u").cast("double") / col("n_bigrams").cast("double") / 1e6, 6)
+          .as("avg_logprob"))
+      .orderBy("doc_id")
+  }, Some(s"""
+    WITH $bigramLmTermsSql
+    SELECT doc_id, n_bigrams,
+           round(CAST(sum_u AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1e6, 6) AS avg_logprob
+    FROM lmterms ORDER BY doc_id
   """))
 
   /** Sequence packing for pretraining: concatenate the corpus in
