@@ -480,6 +480,78 @@ object CorpusQueries3 {
     FROM ranked GROUP BY 1, 2, 3 ORDER BY lang, bucket
   """))
 
+  /** Water-filling mixture rates: sample HALF the corpus while making
+    * the source mixture as uniform as the data allows. The classic
+    * cap solve — find c with Σ_s min(n_s, c) = B (B = N div 2):
+    * sources below the cap keep everything, sources above keep
+    * exactly c each — exact per candidate cut m (sources sorted by
+    * size, the m smallest kept whole): c = (B − prefix_m) div (k − m),
+    * feasible iff n_m ≤ c < n_{m+1}. All on the k-row source-size
+    * table (one partial-agg scan collapses the corpus), the remaining
+    * docs-per-source and rate_ppm by single integral divisions.
+    * This is the planning complement of q_mixture_sample (which
+    * executes a temperature rebalance) — it answers "what per-source
+    * rates hit the budget with maximum balance" before any sampling
+    * runs. */
+  private val qMixtureRates = BoundQuery("q_mixture_rates", (s, d) => {
+    val sizes = Tables.documents(s, d).groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+    val tot = sizes.agg(sum(col("n")).as("nn"), count(lit(1)).as("k"))
+    // the source-size table is k rows (the mixture's arity), so the
+    // rank window here is bounded-input by construction
+    val w = Window.orderBy(col("n"), col("source"))
+    val ranked = sizes.crossJoin(broadcast(tot))
+      .withColumn("m", row_number().over(w).cast("long") - 1L)
+      .withColumn("pref", coalesce(sum(col("n"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .withColumn("b", expr("nn div 2"))
+      .withColumn("cap", expr("(b - pref) div (k - m)"))
+    // the unique feasible cut: the m smallest sources fit under the
+    // cap their removal implies, the rest sit above it
+    val cut = ranked
+      .where((col("prev_n").isNull || col("prev_n") <= col("cap")) &&
+        col("cap") < col("n"))
+      .orderBy("m").limit(1)
+      .select(col("m").as("m_cut"), col("cap").as("capv"))
+    ranked.crossJoin(broadcast(cut))
+      .withColumn("kept",
+        when(col("m") < col("m_cut"), col("n")).otherwise(col("capv")))
+      .select(col("source"), col("n").as("n_docs"),
+        col("kept").as("kept_docs"),
+        expr("(1000000 * kept) div n").as("rate_ppm"),
+        col("b").as("budget_docs"))
+      .orderBy("source")
+  }, Some("""
+    WITH sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS k
+            FROM sizes),
+    ranked AS (
+      SELECT source, n,
+        CAST(row_number() OVER w AS BIGINT) - 1 AS m,
+        CAST(coalesce(sum(n) OVER (ORDER BY n, source
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS pref,
+        lag(n) OVER w AS prev_n,
+        nn // 2 AS b, k
+      FROM sizes CROSS JOIN tot
+      WINDOW w AS (ORDER BY n, source)),
+    capped AS (
+      SELECT *, (b - pref) // (k - m) AS cap FROM ranked),
+    cut AS (
+      SELECT m AS m_cut, cap AS capv FROM capped
+      WHERE (prev_n IS NULL OR prev_n <= cap) AND cap < n
+      ORDER BY m LIMIT 1)
+    SELECT source, n AS n_docs,
+      CAST(CASE WHEN m < m_cut THEN n ELSE capv END AS BIGINT) AS kept_docs,
+      (1000000 * (CASE WHEN m < m_cut THEN n ELSE capv END)) // n AS rate_ppm,
+      b AS budget_docs
+    FROM capped CROSS JOIN cut ORDER BY source
+  """))
+
   val all: Seq[BoundQuery] = Seq(qJsDivergence, qQuantileNorm, qReadability,
-    qNgramNovelty, qHeapsLaw, qFertility, qShingleDfProfile, qPplBuckets)
+    qNgramNovelty, qHeapsLaw, qFertility, qShingleDfProfile, qPplBuckets,
+    qMixtureRates)
 }

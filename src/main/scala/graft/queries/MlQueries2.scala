@@ -343,6 +343,77 @@ object MlQueries2 {
     FROM r WHERE rn = 1 ORDER BY label
   """))
 
+  /** k-means++ style seeding by deterministic farthest-first
+    * traversal (Gonzalez 1985 — the derandomized k-means++ whose
+    * 2-approximation for k-center is provable, where the sampled
+    * variant is only provable in expectation): seed 1 is the min-id
+    * vector; each next seed is the point FARTHEST from the chosen
+    * set (exact squared micro-int distance, ties to min vec_id).
+    * sel_dist traces the k-center radius curve — its decay tells you
+    * the intrinsic cluster count before you ever run Lloyd
+    * iterations (the q_kmeans_arith fitter consumes these seeds at
+    * 100 TB: spread seeds dodge the empty-cluster collapse min-id
+    * seeding risks).
+    *
+    * Scale shape: each of the k−1 rounds is one full scan with a
+    * 1-row broadcast seed + a TakeOrdered(1) argmax, and the running
+    * min-distance column carries forward — O(k·scan), the textbook
+    * distributed farthest-first; no pairwise matrix ever forms. */
+  private val qKmeanspp = BoundQuery("q_kmeanspp", (s, d) => {
+    val v = Tables.embeddings(s, d).select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1e6, 0) AS BIGINT))")
+      .as("vu"))
+    def sq = expr("""aggregate(zip_with(vu, c, (x, y) -> (x - y) * (x - y)),
+                               0L, (acc, z) -> acc + z)""")
+    val c1 = v.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("cid"), col("vu").as("c"))
+    var dmin = v.crossJoin(broadcast(c1)).select(col("vec_id"), col("vu"),
+      sq.as("dmin"))
+    var out = Seq.empty[org.apache.spark.sql.DataFrame]
+    out :+= c1.select(lit(1L).as("seed_rank"), col("cid").as("vec_id"),
+      lit(0L).as("sel_dist"))
+    for (k <- 2 to 4) {
+      val next = dmin.orderBy(desc("dmin"), col("vec_id")).limit(1)
+        .select(col("vec_id").as("cid"), col("vu").as("c"),
+          col("dmin").as("seld"))
+      out :+= next.select(lit(k.toLong).as("seed_rank"),
+        col("cid").as("vec_id"), col("seld").as("sel_dist"))
+      dmin = dmin.crossJoin(broadcast(next.select(col("c"))))
+        .select(col("vec_id"), col("vu"),
+          least(col("dmin"), sq).as("dmin"))
+    }
+    out.reduce(_ unionByName _).orderBy("seed_rank")
+  }, Some {
+    val sqd = (vp: String, cp: String) =>
+      s"""list_reduce(list_transform(range(1, 65),
+            i -> ($vp.vu[i] - $cp.c[i]) * ($vp.vu[i] - $cp.c[i])),
+            (x, y) -> x + y)"""
+    s"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding,
+        x -> CAST(round(CAST(x AS DOUBLE)*1e6, 0) AS BIGINT)) AS vu
+      FROM embeddings),
+    s1 AS (SELECT vec_id AS cid, vu AS c FROM v ORDER BY vec_id LIMIT 1),
+    d1 AS (SELECT v.vec_id, v.vu, ${sqd("v", "s1")} AS dmin
+           FROM v CROSS JOIN s1),
+    s2 AS (SELECT vec_id AS cid, vu AS c, dmin AS seld FROM d1
+           ORDER BY dmin DESC, vec_id LIMIT 1),
+    d2 AS (SELECT d1.vec_id, d1.vu, least(d1.dmin, ${sqd("d1", "s2")}) AS dmin
+           FROM d1 CROSS JOIN s2),
+    s3 AS (SELECT vec_id AS cid, vu AS c, dmin AS seld FROM d2
+           ORDER BY dmin DESC, vec_id LIMIT 1),
+    d3 AS (SELECT d2.vec_id, d2.vu, least(d2.dmin, ${sqd("d2", "s3")}) AS dmin
+           FROM d2 CROSS JOIN s3),
+    s4 AS (SELECT vec_id AS cid, vu AS c, dmin AS seld FROM d3
+           ORDER BY dmin DESC, vec_id LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS seed_rank, cid AS vec_id,
+      CAST(0 AS BIGINT) AS sel_dist FROM s1
+    UNION ALL SELECT 2, cid, CAST(seld AS BIGINT) FROM s2
+    UNION ALL SELECT 3, cid, CAST(seld AS BIGINT) FROM s3
+    UNION ALL SELECT 4, cid, CAST(seld AS BIGINT) FROM s4
+    ORDER BY seed_rank
+  """})
+
   val all: Seq[BoundQuery] = Seq(qDbscan, qPerplexity, qSilhouette,
-    qDaviesBouldin)
+    qDaviesBouldin, qKmeanspp)
 }
