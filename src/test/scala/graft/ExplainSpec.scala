@@ -461,4 +461,69 @@ class ExplainSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p)
     assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
   }
+
+  // -------------------------------------------------------------
+  // Session-8 waves: stats 5/6, eval 2, monitoring, analytics 3
+  // -------------------------------------------------------------
+
+  test("stats-wave windows all partition by event type (calendar-bounded)") {
+    for (q <- Seq("q_runs_test", "q_durbin_watson", "q_changepoint",
+        "q_control_chart", "q_rolling_slope", "q_theil_u")) {
+      val p = plan(q)
+      val bad = p.linesIterator.filter(l =>
+        l.contains("windowspecdefinition") && !l.contains("event_type")).toSeq
+      assert(bad.isEmpty, s"$q has a non-type-partitioned window:\n" +
+        bad.mkString("\n"))
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("jarque_bera / cohens_d / tukey / cochran reduce to k-row joins") {
+    for (q <- Seq("q_jarque_bera", "q_cohens_d", "q_tukey_hsd",
+        "q_cochran_q", "q_granger")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q shuffles a join that " +
+        "should be broadcast-size")
+      assert(!p.contains("windowspecdefinition") ||
+        q == "q_granger" || q == "q_cochran_q", q)
+    }
+  }
+
+  test("interval join is pure equi — never a nested loop over intervals") {
+    val p = plan("q_interval_join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("hard negatives broadcast the query side and group-limit ranks") {
+    val p = plan("q_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("rouge pairs join gram tables on composite keys, no gram self-join") {
+    val p = plan("q_rouge_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ppl buckets rank via __pid-partitioned windows, never unpartitioned") {
+    val p = plan("q_ppl_buckets")
+    val bad = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && !l.contains("__pid")).toSeq
+    assert(bad.isEmpty, s"unpartitioned window:\n${bad.mkString("\n")}")
+  }
+
+  test("katz walk counts are equi joins + partial aggs with TakeOrdered") {
+    val p = plan("q_katz")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("kmeanspp rounds are scans with 1-row broadcasts — no pair matrix") {
+    val p = plan("q_kmeanspp")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
