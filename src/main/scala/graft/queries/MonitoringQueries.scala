@@ -106,8 +106,20 @@ object MonitoringQueries {
     * tolerated drift). Genuinely sequential (x̄_t moves), so it runs
     * as the pinned float fold of the q_holt convention over the
     * calendar-bounded series, recursive-CTE mirrored. */
-  private val qPageHinkley = BoundQuery("q_page_hinkley", (s, d) => {
-    val dl = daily(s, d).withColumn("x", col("y").cast("double") / lit(100.0))
+  /** Per-batch (type, day) cents deltas — the exact-integer partials
+    * the streaming twin merges (order-irrelevant) before scoring. */
+  def dailyTypeSums(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    events.groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(sumCents(col("value")).as("y"))
+
+  /** The PH scorer over a (event_type, day, y) daily table — shared
+    * by the batch binding and the streaming replay spec (the
+    * q_anomaly twin pattern: maintain exact partials incrementally,
+    * run the sequential fold on the maintained state). */
+  def pageHinkleyOf(dailyDf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dl = dailyDf.withColumn("x", col("y").cast("double") / lit(100.0))
     val fold = aggregate(col("seq"),
       struct(lit(0.0).as("sum"), lit(0.0).as("m"),
         lit(0.0).as("mn"), lit(0.0).as("mx"), lit(0L).as("i")),
@@ -128,7 +140,10 @@ object MonitoringQueries {
         round(col("st.m") - col("st.mn"), 6).as("ph_inc"),
         round(col("st.mx") - col("st.m"), 6).as("ph_dec"))
       .orderBy("event_type")
-  }, Some(s"""
+  }
+
+  private val qPageHinkley = BoundQuery("q_page_hinkley", (s, d) =>
+    pageHinkleyOf(daily(s, d)), Some(s"""
     WITH RECURSIVE daily AS ($dailySql),
     ser AS (
       SELECT event_type,

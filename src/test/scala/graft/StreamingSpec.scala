@@ -197,6 +197,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming Page-Hinkley: merged daily partials scored == batch q_page_hinkley") {
+    // same twin pattern as the streaming anomaly test: per-batch
+    // (type, day) cents partials merge into maintained state (exact
+    // longs — merge order irrelevant), and the SHARED sequential PH
+    // fold runs over the state after replay
+    val dir = java.nio.file.Files.createTempDirectory("events_ph")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfTiny/events.parquet"),
+      dir.resolve("events.parquet"))
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = EventStreams.raw(spark, dir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = graft.queries.MonitoringQueries.dailyTypeSums(batch)
+        val merged = state match {
+          case Some(s0) => graft.operators.Incremental.merge(
+            s0, delta, keys = Seq("event_type", "day"), sums = Seq("y"))
+          case None => delta
+        }
+        state = Some(merged.localCheckpoint(true))
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getAs[Long]("n_days"),
+          r.getAs[Double]("m_final"), r.getAs[Double]("ph_inc"),
+          r.getAs[Double]("ph_dec"))).toSet
+      val got = canon(graft.queries.MonitoringQueries.pageHinkleyOf(state.get))
+      val want = canon(graft.queries.Registry.queries("q_page_hinkley")(
+        spark, sfTiny))
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer emits closed sessions incl. watermark-flushed trailers") {
     val dir = java.nio.file.Files.createTempDirectory("events_fmgs")
     java.nio.file.Files.copy(
