@@ -255,5 +255,157 @@ object RetrievalQueries {
   """
   })
 
-  val all: Seq[BoundQuery] = Seq(qBm25, qRrfFusion, qMmr)
+  /** Query likelihood with Dirichlet smoothing (Zhai & Lafferty 2001,
+    * μ=1000) — the probabilistic ranker beside BM25's heuristic one;
+    * where the two disagree, the disagreement IS the relevance
+    * signal q_rrf_fusion blends. Scored in the standard decomposition
+    *   score(d) = Σ_{t∈q∩d} ln(1 + tf/(μ·P(t|C))) + |q|·ln(μ/(dl+μ)),
+    * P(t|C) = ctf_t/T, so the per-(doc,term) matched part and the
+    * per-doc length normalizer are EACH micro-nat-rounded once and
+    * summed as exact longs (the house log-space rule). Docs matching
+    * no query term rank by background alone and are excluded, as in
+    * any posting-driven evaluator.
+    *
+    * Scale shape: identical to q_bm25 — postings filter to the query
+    * terms BEFORE the tf agg, ctf/T broadcast, TakeOrdered top-50. */
+  private val qQlDirichlet = BoundQuery("q_ql_dirichlet", (s, d) => {
+    val mu = 1000.0
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val tot = docs.agg(sum(col("dl")).as("tt"))
+    val ctf = docs.select(explode(col("toks")).as("token"))
+      .where(col("token").isin(qTerms: _*))
+      .groupBy("token").agg(count(lit(1)).as("ctf"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+      .where(col("token").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val matched = tf.join(broadcast(ctf), "token").crossJoin(broadcast(tot))
+      .withColumn("m_u", round(
+        log(lit(1.0) + col("tf").cast("double") * col("tt").cast("double")
+          / (lit(mu) * col("ctf").cast("double"))) * 1e6, 0).cast("long"))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("m_u")).as("m_su"))
+    matched
+      .withColumn("len_u", round(
+        log(lit(mu) / (col("dl").cast("double") + lit(mu)))
+          * lit(qTerms.size.toDouble) * 1e6, 0).cast("long"))
+      .select(col("doc_id"), col("n_terms"),
+        round((col("m_su") + col("len_u")).cast("double") / 1e6, 6).as("ql"))
+      .orderBy(desc("ql"), col("doc_id"))
+      .limit(50)
+  }, Some(s"""
+    WITH d2 AS (
+      SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks
+      FROM documents),
+    d3 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d2),
+    tot AS (SELECT CAST(sum(dl) AS BIGINT) AS tt FROM d3),
+    ctf AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS ctf
+      FROM (SELECT unnest(toks) AS token FROM d3)
+      WHERE token IN ($qTermsSqlList) GROUP BY 1),
+    tf AS (
+      SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, dl, unnest(toks) AS token FROM d3)
+      WHERE token IN ($qTermsSqlList)
+      GROUP BY 1, 2, 3),
+    matched AS (
+      SELECT doc_id, dl, CAST(count(*) AS BIGINT) AS n_terms,
+        CAST(sum(CAST(round(
+          ln(1.0 + CAST(tf AS DOUBLE) * CAST(tt AS DOUBLE)
+            / (1000.0 * CAST(ctf AS DOUBLE))) * 1e6, 0) AS BIGINT))
+          AS BIGINT) AS m_su
+      FROM tf JOIN ctf USING (token) CROSS JOIN tot
+      GROUP BY 1, 2)
+    SELECT doc_id, n_terms,
+      round(CAST(m_su + CAST(round(
+        ln(1000.0 / (CAST(dl AS DOUBLE) + 1000.0))
+          * ${qTerms.size}.0 * 1e6, 0) AS BIGINT) AS DOUBLE) / 1e6, 6) AS ql
+    FROM matched
+    ORDER BY ql DESC, doc_id LIMIT 50
+  """))
+
+  /** Pseudo-relevance feedback (RM1-style) expansion terms: assume
+    * BM25's top-10 docs are relevant, weight every term they contain
+    * by Σ_d relweight(d)·tf_{t,d}/dl_d with relweight = the doc's
+    * exact micro-unit BM25 score, and emit the top-20 NEW terms (the
+    * originals and sub-3-char tokens excluded) — the classic query-
+    * expansion loop of a lexical engine, run entirely relationally.
+    * Per-(doc,term) contributions are single truncating integral
+    * divisions of exact longs; the top-10 doc set broadcasts to the
+    * postings scan. */
+  private val qPrfExpansion = BoundQuery("q_prf_expansion", (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tokens"))
+    val tfq = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+      .where(col("token").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val dfc = tfq.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+    val top10 = tfq.join(broadcast(dfc), "token").crossJoin(broadcast(stats))
+      .withColumn("s_u", round(
+        log(lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5)))
+          * (col("tf").cast("double") * lit(2.2))
+          / (col("tf").cast("double") + lit(1.2) * (lit(0.25)
+            + lit(0.75) * col("dl").cast("double")
+              / (col("tot_tokens").cast("double") / col("n_docs").cast("double"))))
+          * 1e6, 0).cast("long"))
+      .groupBy("doc_id").agg(sum(col("s_u")).as("score_su"))
+      .orderBy(desc("score_su"), col("doc_id")).limit(10)
+    docs.join(broadcast(top10), "doc_id")
+      .select(col("doc_id"), col("dl"), col("score_su"),
+        explode(col("toks")).as("token"))
+      .where(!col("token").isin(qTerms: _*) && length(col("token")) >= 3)
+      .groupBy(col("doc_id"), col("dl"), col("score_su"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("w_u", expr("(tf * score_su) div dl"))
+      .groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), sum(col("w_u")).as("w"))
+      .orderBy(desc("w"), col("token")).limit(20)
+  }, Some(s"""
+    WITH d2 AS (
+      SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks
+      FROM documents),
+    d3 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d2),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS tot_tokens FROM d3),
+    tfq AS (
+      SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, dl, unnest(toks) AS token FROM d3)
+      WHERE token IN ($qTermsSqlList)
+      GROUP BY 1, 2, 3),
+    dfc AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM tfq GROUP BY 1),
+    top10 AS (
+      SELECT doc_id, CAST(sum(CAST(round(
+          ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+            / (CAST(df AS DOUBLE) + 0.5))
+          * (CAST(tf AS DOUBLE) * 2.2)
+          / (CAST(tf AS DOUBLE) + 1.2 * (0.25
+            + 0.75 * CAST(dl AS DOUBLE)
+              / (CAST(tot_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+          * 1e6, 0) AS BIGINT)) AS BIGINT) AS score_su
+      FROM tfq JOIN dfc USING (token) CROSS JOIN stats
+      GROUP BY doc_id ORDER BY score_su DESC, doc_id LIMIT 10),
+    exp_tf AS (
+      SELECT d3.doc_id, d3.dl, t.score_su, token,
+        CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, dl, unnest(toks) AS token FROM d3) d3
+      JOIN top10 t ON d3.doc_id = t.doc_id
+      WHERE token NOT IN ($qTermsSqlList) AND length(token) >= 3
+      GROUP BY 1, 2, 3, 4)
+    SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      CAST(sum((tf * score_su) // dl) AS BIGINT) AS w
+    FROM exp_tf GROUP BY token
+    ORDER BY w DESC, token LIMIT 20
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qBm25, qRrfFusion, qMmr, qQlDirichlet,
+    qPrfExpansion)
 }

@@ -94,4 +94,51 @@ class RetrievalSpec extends AnyFunSuite {
     // relevance of pick 1 is the candidate max (pure-relevance seed)
     assert(got.head._3 == cand.values.max)
   }
+
+  test("ql_dirichlet: negative log-likelihoods, non-increasing, local replay") {
+    val qTerms = Set("spark", "join", "window", "stream")
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq)
+    val tt = docs.map(_._2.size.toLong).sum
+    val ctf = qTerms.map(t => t -> docs.map(_._2.count(_ == t).toLong).sum).toMap
+    def score(ws: Seq[String]): Option[(Long, Double)] = {
+      val matched = qTerms.toSeq.map(t => t -> ws.count(_ == t).toLong)
+        .filter(_._2 > 0)
+      if (matched.isEmpty) None else {
+        val mSu = matched.map { case (t, tf) =>
+          math.round(math.log(1.0 + tf.toDouble * tt.toDouble /
+            (1000.0 * ctf(t).toDouble)) * 1e6) }.sum
+        val lenU = math.round(math.log(1000.0 / (ws.size.toDouble + 1000.0))
+          * qTerms.size.toDouble * 1e6)
+        Some((matched.size.toLong,
+          BigDecimal((mSu + lenU).toDouble / 1e6)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }
+    val expect = docs.flatMap { case (id, ws) => score(ws).map(s => (id, s)) }
+      .sortBy { case (id, (_, ql)) => (-ql, id) }.take(50)
+    val got = run("q_ql_dirichlet").map(r =>
+      (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_terms"), r.getAs[Double]("ql"))))
+    assert(got.toSeq == expect.toSeq)
+    // (the emitted score drops the doc-independent Σ ln P(t|C) shift,
+    // so it is rank-equivalent, not a raw negative log-likelihood)
+    val qs = got.map(_._2._2)
+    assert(qs.zip(qs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("prf_expansion: no query terms, length floor, weights ranked") {
+    val qTerms = Set("spark", "join", "window", "stream")
+    val rows = run("q_prf_expansion")
+    assert(rows.length == 20)
+    for (r <- rows) {
+      val t = r.getString(0)
+      assert(!qTerms.contains(t) && t.length >= 3, t)
+      assert(r.getAs[Long]("n_docs") >= 1 && r.getAs[Long]("n_docs") <= 10)
+    }
+    val ws = rows.map(_.getAs[Long]("w"))
+    assert(ws.zip(ws.tail).forall { case (a, b) => a >= b })
+  }
 }
