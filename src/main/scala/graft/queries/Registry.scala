@@ -661,7 +661,7 @@ object Registry {
       StatsQueries2.all ++ MlQueries2.all ++ StatsQueries3.all ++
       GovernanceQueries.all ++ SeriesQueries.all ++ TpchQueries.all ++
       StatsQueries4.all ++ EvalQueries2.all ++ MonitoringQueries.all ++
-      ExtraQueries3.all ++ BanditQueries.all
+      ExtraQueries3.all ++ BanditQueries.all ++ FeatureQueries.all
       // (q_kcore / q_neighbor_jaccard ride in GraphQueries.all above)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
