@@ -299,6 +299,85 @@ object EvalQueries2 {
     FROM b
   """))
 
+  /** Isotonic calibration of the scorer by pool-adjacent-violators
+    * (PAVA) — the nonparametric recalibration that fixes what
+    * q_brier_decomp's REL term diagnoses. Bins are the score domain
+    * (≤5, ordered by score); a violator pair (observed rate DROPS as
+    * the score rises) pools. The fixpoint is reached by k−1 unrolled
+    * adjacent-merge rounds (each round with a violation strictly
+    * reduces the group count, so 4 rounds suffice for 5 bins — the
+    * same bounded-unroll argument as q_kcore). All comparisons are
+    * EXACT cross-multiplications (posᵢ·nⱼ vs posⱼ·nᵢ — no rate is
+    * ever divided until the final ppm emit), so both engines pool
+    * identically. Output: per original bin, the raw and the
+    * calibrated (pooled) rate — calibrated is non-decreasing by
+    * construction, which the spec asserts. */
+  private val qIsotonic = BoundQuery("q_isotonic_calibration", (s, d) => {
+    var bins = scorer(s, d)
+      .withColumn("score", expr("(1000000 * f_train) div n_train"))
+      .groupBy("score")
+      .agg(sum(col("n_test")).as("n"), sum(col("f_test")).as("pos"))
+      .withColumn("ord",
+        row_number().over(Window.orderBy("score")).cast("long"))
+      .withColumn("gid", col("ord"))
+      .select("ord", "score", "n", "pos", "gid")
+    for (_ <- 1 to 4) {
+      val g = bins.groupBy("gid")
+        .agg(sum(col("n")).as("gn"), sum(col("pos")).as("gpos"),
+          min(col("ord")).as("gord"))
+        .withColumn("rk", row_number().over(Window.orderBy("gord")).cast("long"))
+      val remap = g.as("a").join(g.as("b"), col("b.rk") === col("a.rk") + 1)
+        .where(expr("a.gpos * b.gn > b.gpos * a.gn"))
+        .select(col("b.gid").as("from_gid"), col("a.gid").as("to_gid"))
+      bins = bins.join(broadcast(remap),
+          col("gid") === col("from_gid"), "left")
+        .withColumn("gid", coalesce(col("to_gid"), col("gid")))
+        .select("ord", "score", "n", "pos", "gid")
+    }
+    val pooled = bins.groupBy("gid")
+      .agg(sum(col("n")).as("gn"), sum(col("pos")).as("gpos"))
+    bins.join(pooled, "gid")
+      .select(col("score"), col("n"), col("pos"),
+        expr("(1000000 * pos) div n").as("raw_ppm"),
+        expr("(1000000 * gpos) div gn").as("calibrated_ppm"))
+      .orderBy("score")
+  }, Some {
+    val round = (k: Int) => s"""
+    g$k AS (
+      SELECT gid, CAST(sum(n) AS BIGINT) AS gn,
+        CAST(sum(pos) AS BIGINT) AS gpos, min(ord) AS gord,
+        row_number() OVER (ORDER BY min(ord)) AS rk
+      FROM b${k - 1} GROUP BY gid),
+    r$k AS (
+      SELECT b.gid AS from_gid, a.gid AS to_gid
+      FROM g$k a JOIN g$k b ON b.rk = a.rk + 1
+      WHERE a.gpos * b.gn > b.gpos * a.gn),
+    b$k AS (
+      SELECT ord, score, n, pos, coalesce(to_gid, gid) AS gid
+      FROM b${k - 1} LEFT JOIN r$k ON gid = from_gid)"""
+    s"""
+    WITH g AS ($scorerSql),
+    sc AS (
+      SELECT (1000000 * f_train) // n_train AS score,
+        CAST(sum(n_test) AS BIGINT) AS n, CAST(sum(f_test) AS BIGINT) AS pos
+      FROM g GROUP BY 1),
+    b0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY score) AS BIGINT) AS ord,
+        score, n, pos,
+        CAST(row_number() OVER (ORDER BY score) AS BIGINT) AS gid
+      FROM sc),
+    ${(1 to 4).map(round).mkString(",")},
+    pooled AS (
+      SELECT gid, CAST(sum(n) AS BIGINT) AS gn,
+        CAST(sum(pos) AS BIGINT) AS gpos
+      FROM b4 GROUP BY gid)
+    SELECT score, b4.n, b4.pos,
+      (1000000 * b4.pos) // b4.n AS raw_ppm,
+      (1000000 * gpos) // gn AS calibrated_ppm
+    FROM b4 JOIN pooled ON b4.gid = pooled.gid
+    ORDER BY score
+  """})
+
   val all: Seq[BoundQuery] =
-    Seq(qHardNegatives, qRougePairs, qLiftCurve, qBrierDecomp)
+    Seq(qHardNegatives, qRougePairs, qLiftCurve, qBrierDecomp, qIsotonic)
 }

@@ -83,6 +83,54 @@ class EvalWave2Spec extends AnyFunSuite {
     }
   }
 
+  test("isotonic: calibrated rates monotone, mass-preserving, PAVA replay") {
+    val rows = run("q_isotonic_calibration").sortBy(_.getAs[Long]("score"))
+    assert(rows.nonEmpty)
+    val cal = rows.map(_.getAs[Long]("calibrated_ppm"))
+    assert(cal.zip(cal.tail).forall { case (a, b) => a <= b },
+      s"not monotone: ${cal.toSeq}")
+    for (r <- rows)
+      assert(r.getAs[Long]("raw_ppm") ==
+        1000000L * r.getAs[Long]("pos") / r.getAs[Long]("n"))
+    // local PAVA replay over the (n, pos) bins
+    case class G(n: Long, pos: Long)
+    var gs = rows.map(r => G(r.getAs[Long]("n"), r.getAs[Long]("pos"))).toList
+    var changed = true
+    while (changed) {
+      changed = false
+      val merged = scala.collection.mutable.ListBuffer.empty[G]
+      for (g <- gs) {
+        if (merged.nonEmpty &&
+            merged.last.pos * g.n > g.pos * merged.last.n) {
+          val l = merged.remove(merged.size - 1)
+          merged += G(l.n + g.n, l.pos + g.pos)
+          changed = true
+        } else merged += g
+      }
+      // re-check backwards merges until stable
+      gs = merged.toList
+    }
+    // expand pooled rates back to bins
+    val pooledRates = {
+      val out = scala.collection.mutable.ListBuffer.empty[Long]
+      var i = 0
+      var remaining = rows.map(r => (r.getAs[Long]("n"), r.getAs[Long]("pos"))).toList
+      for (g <- gs) {
+        var acc = 0L
+        while (acc < g.n) {
+          val (n0, _) = remaining.head
+          remaining = remaining.tail
+          acc += n0
+          out += 1000000L * g.pos / g.n
+          i += 1
+        }
+        assert(acc == g.n, "pool boundaries must align with bins")
+      }
+      out.toList
+    }
+    assert(cal.toList == pooledRates)
+  }
+
   test("brier_decomp: non-negative terms, bounded score, tight identity") {
     val rows = run("q_brier_decomp")
     assert(rows.length == 1)
