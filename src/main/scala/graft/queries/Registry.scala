@@ -661,7 +661,8 @@ object Registry {
       StatsQueries2.all ++ MlQueries2.all ++ StatsQueries3.all ++
       GovernanceQueries.all ++ SeriesQueries.all ++ TpchQueries.all ++
       StatsQueries4.all ++ EvalQueries2.all ++ MonitoringQueries.all ++
-      ExtraQueries3.all ++ BanditQueries.all ++ FeatureQueries.all
+      ExtraQueries3.all ++ BanditQueries.all ++ FeatureQueries.all ++
+      TreeQueries.all
       // (q_kcore / q_neighbor_jaccard ride in GraphQueries.all above)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
