@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFunctions._
+
+/** SURVEY §2.6 survey-statistics wave: iterative proportional fitting
+  * (raking) of sample weights to target margins, and Fleiss' κ
+  * multi-rater agreement — the two instruments a measurement team
+  * runs before trusting labels or reweighting a panel. Exact: ppm
+  * weights with one truncating division per cell per round; κ from
+  * fully cleared integer forms.
+  */
+object AgreementQueries {
+
+  /** IPF / raking (Deming & Stephan 1940): adjust per-cell weights on
+    * the (segment × priority) contingency so BOTH margins match the
+    * uniform target, two unrolled rounds (rows then columns — one full
+    * IPF sweep; margins land within per-cell ppm truncation of target,
+    * which the spec checks). Weights stay exact ppm integers:
+    * w' = (w·T) div M with T the target µ-mass per margin slice and
+    * M the slice's current weighted µ-mass — deterministic truncation,
+    * identical engines. Scale shape: one contingency aggregation, two
+    * 5-row margin joins, all broadcast. */
+  private val qIpfRaking = BoundQuery("q_ipf_raking", (s, d) => {
+    val cells = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w0", lit(1000000L))
+    val tot = cells.agg(sum(col("n")).as("nn"),
+      countDistinct(col("seg")).as("kr"), countDistinct(col("pri")).as("kc"))
+    val c1 = cells.crossJoin(broadcast(tot))
+      .withColumn("t_row", expr("(1000000 * nn) div kr"))
+      .withColumn("t_col", expr("(1000000 * nn) div kc"))
+    val rowMass = c1.groupBy(col("seg").as("rs"))
+      .agg(sum(expr("CAST(n AS DECIMAL(38,0)) * w0")).as("m_row"))
+    val r1 = c1.join(broadcast(rowMass), col("seg") === col("rs"))
+      .withColumn("w1", expr(
+        "CAST((CAST(w0 AS DECIMAL(38,0)) * t_row) div m_row AS BIGINT)"))
+    val colMass = r1.groupBy(col("pri").as("cp"))
+      .agg(sum(expr("CAST(n AS DECIMAL(38,0)) * w1")).as("m_col"))
+    r1.join(broadcast(colMass), col("pri") === col("cp"))
+      .withColumn("w2", expr(
+        "CAST((CAST(w1 AS DECIMAL(38,0)) * t_col) div m_col AS BIGINT)"))
+      .select(col("seg"), col("pri"), col("n"), col("w2").as("w_ppm"))
+      .orderBy("seg", "pri")
+  }, Some("""
+    WITH cells AS (
+      SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+        CAST(count(*) AS BIGINT) AS n, CAST(1000000 AS BIGINT) AS w0
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+      CAST(count(DISTINCT seg) AS BIGINT) AS kr,
+      CAST(count(DISTINCT pri) AS BIGINT) AS kc FROM cells),
+    c1 AS (
+      SELECT *, (1000000 * nn) // kr AS t_row, (1000000 * nn) // kc AS t_col
+      FROM cells CROSS JOIN tot),
+    rm AS (SELECT seg AS rs, CAST(sum(CAST(n AS HUGEINT) * w0) AS HUGEINT)
+             AS m_row FROM c1 GROUP BY 1),
+    r1 AS (
+      SELECT c1.*, CAST((CAST(w0 AS HUGEINT) * t_row) // m_row AS BIGINT)
+        AS w1
+      FROM c1 JOIN rm ON seg = rs),
+    cm AS (SELECT pri AS cp, CAST(sum(CAST(n AS HUGEINT) * w1) AS HUGEINT)
+             AS m_col FROM r1 GROUP BY 1)
+    SELECT seg, pri, n,
+      CAST((CAST(w1 AS HUGEINT) * t_col) // m_col AS BIGINT) AS w_ppm
+    FROM r1 JOIN cm ON pri = cp
+    ORDER BY seg, pri
+  """))
+
+  /** Fleiss' κ over three deterministic language "raters" of every
+    * document — the stored label, the stopword heuristic on the full
+    * text, and the heuristic on the first 120 chars (q_mcnemar's
+    * truncated twin). Where q_cohen_kappa compares TWO raters, Fleiss
+    * generalizes to n=3 with chance correction from the pooled
+    * category distribution. Fully cleared:
+    *   κ_ppm = 10⁶·(3N·SP − 2·C2) div (18N² − 2·C2),
+    * SP = Σ_docs(Σ_cat n_ij² − 3), C2 = Σ_cat c_j² — exact longs; the
+    * identity P̄ = SP/(6N), Pe = C2/(9N²) is in the Scaladoc proof.
+    * One ratings union, two partial aggs, a 1×1 join. */
+  private val qFleissKappa = BoundQuery("q_fleiss_kappa", (s, d) => {
+    val docs = Tables.documents(s, d)
+    val ratings = docs.select(col("doc_id"), col("lang").as("cat"))
+      .unionByName(docs.select(col("doc_id"),
+        langId(tokens(col("text"))).as("cat")))
+      .unionByName(docs.select(col("doc_id"),
+        langId(tokens(substring(col("text"), 1, 120))).as("cat")))
+    val nij = ratings.groupBy("doc_id", "cat").agg(count(lit(1)).as("c"))
+    val sp = nij.groupBy("doc_id")
+      .agg((sum(col("c") * col("c")) - lit(3L)).as("pi_num"))
+      .agg(sum(col("pi_num")).as("sp"), count(lit(1)).as("n_docs"))
+    val c2 = ratings.groupBy("cat").agg(count(lit(1)).as("cj"))
+      .agg(sum(expr("CAST(cj AS DECIMAL(38,0)) * cj")).as("c2"),
+        count(lit(1)).as("n_cats"))
+    sp.crossJoin(broadcast(c2))
+      .select(col("n_docs"), col("n_cats"), col("sp"),
+        col("c2").cast("long").as("c2"),
+        expr("(1000000 * sp) div (6 * n_docs)").as("p_bar_ppm"),
+        expr("""CAST((1000000 * c2)
+                div (9 * CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)""")
+          .as("p_e_ppm"),
+        expr("""CAST((1000000 * (3 * CAST(n_docs AS DECIMAL(38,0)) * sp - 2 * c2))
+                div (18 * CAST(n_docs AS DECIMAL(38,0)) * n_docs - 2 * c2)
+                AS BIGINT)""").as("kappa_ppm"))
+  }, Some("""
+    WITH docs AS (SELECT doc_id, text, lang FROM documents),
+    heur AS (
+      SELECT doc_id, text,
+        CAST(len(list_filter(list_filter(string_split(t,' '), x -> x <> ''), w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS c_en,
+        CAST(len(list_filter(list_filter(string_split(t,' '), x -> x <> ''), w -> w IN ('el','la','de','los','y'))) AS BIGINT) AS c_es,
+        CAST(len(list_filter(list_filter(string_split(t,' '), x -> x <> ''), w -> w IN ('der','die','das','und','ist'))) AS BIGINT) AS c_de,
+        CAST(len(list_filter(list_filter(string_split(t,' '), x -> x <> ''), w -> w IN ('le','les','des','et','une'))) AS BIGINT) AS c_fr
+      FROM (SELECT doc_id, text, text AS t FROM docs) x),
+    heur120 AS (
+      SELECT doc_id,
+        CAST(len(list_filter(list_filter(string_split(t,' '), x -> x <> ''), w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS c_en,
+        CAST(len(list_filter(list_filter(string_split(t,' '), x -> x <> ''), w -> w IN ('el','la','de','los','y'))) AS BIGINT) AS c_es,
+        CAST(len(list_filter(list_filter(string_split(t,' '), x -> x <> ''), w -> w IN ('der','die','das','und','ist'))) AS BIGINT) AS c_de,
+        CAST(len(list_filter(list_filter(string_split(t,' '), x -> x <> ''), w -> w IN ('le','les','des','et','une'))) AS BIGINT) AS c_fr
+      FROM (SELECT doc_id, substr(text, 1, 120) AS t FROM docs) x),
+    pred AS (
+      SELECT doc_id,
+        CASE WHEN c_en > 0 AND c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+             WHEN c_es > 0 AND c_es >= c_de AND c_es >= c_fr THEN 'es'
+             WHEN c_de > 0 AND c_de >= c_fr THEN 'de'
+             WHEN c_fr > 0 THEN 'fr' ELSE 'und' END AS cat
+      FROM heur),
+    pred120 AS (
+      SELECT doc_id,
+        CASE WHEN c_en > 0 AND c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+             WHEN c_es > 0 AND c_es >= c_de AND c_es >= c_fr THEN 'es'
+             WHEN c_de > 0 AND c_de >= c_fr THEN 'de'
+             WHEN c_fr > 0 THEN 'fr' ELSE 'und' END AS cat
+      FROM heur120),
+    ratings AS (
+      SELECT doc_id, lang AS cat FROM docs
+      UNION ALL SELECT doc_id, cat FROM pred
+      UNION ALL SELECT doc_id, cat FROM pred120),
+    nij AS (SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS c
+            FROM ratings GROUP BY 1, 2),
+    sp AS (
+      SELECT CAST(sum(pi_num) AS BIGINT) AS sp,
+        CAST(count(*) AS BIGINT) AS n_docs
+      FROM (SELECT doc_id, sum(c * c) - 3 AS pi_num FROM nij GROUP BY 1)),
+    c2 AS (
+      SELECT CAST(sum(CAST(cj AS HUGEINT) * cj) AS HUGEINT) AS c2,
+        CAST(count(*) AS BIGINT) AS n_cats
+      FROM (SELECT cat, CAST(count(*) AS BIGINT) AS cj
+            FROM ratings GROUP BY 1))
+    SELECT n_docs, n_cats, sp, CAST(c2 AS BIGINT) AS c2,
+      (1000000 * sp) // (6 * n_docs) AS p_bar_ppm,
+      CAST((1000000 * c2) // (9 * CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT)
+        AS p_e_ppm,
+      CAST((1000000 * (3 * CAST(n_docs AS HUGEINT) * sp - 2 * c2))
+           // (18 * CAST(n_docs AS HUGEINT) * n_docs - 2 * c2) AS BIGINT)
+        AS kappa_ppm
+    FROM sp CROSS JOIN c2
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qIpfRaking, qFleissKappa)
+}
