@@ -378,6 +378,41 @@ object EvalQueries2 {
     ORDER BY score
   """})
 
+  /** Expected calibration error of the scorer — the single number
+    * dashboards track where q_calibration shows the full reliability
+    * table: ECE = Σ_k (n_k/N)·|pred_k − obs_k|, plus the max-gap MCE.
+    * Bins are the score domain; every term is exact — the gap is a
+    * difference of ppm integers, the weighting one cleared division:
+    * ece_ppm = Σ_k (n_k·|s_k − o_k|) div N. */
+  private val qEce = BoundQuery("q_ece", (s, d) => {
+    val bins = scorer(s, d)
+      .withColumn("sp", expr("(1000000 * f_train) div n_train"))
+      .groupBy("sp")
+      .agg(sum(col("n_test")).as("nk"), sum(col("f_test")).as("pk"))
+      .withColumn("ok", expr("(1000000 * pk) div nk"))
+      .withColumn("gap", abs(col("sp") - col("ok")))
+    bins.agg(sum(col("nk")).as("n_test"),
+        sum(col("nk") * col("gap")).as("wsum"),
+        max(col("gap")).as("mce_ppm"),
+        count(lit(1)).as("n_bins"))
+      .select(col("n_test"), col("n_bins"),
+        expr("wsum div n_test").as("ece_ppm"), col("mce_ppm"))
+  }, Some(s"""
+    WITH g AS ($scorerSql),
+    bins AS (
+      SELECT (1000000 * f_train) // n_train AS sp,
+        CAST(sum(n_test) AS BIGINT) AS nk, CAST(sum(f_test) AS BIGINT) AS pk
+      FROM g GROUP BY 1),
+    gaps AS (
+      SELECT nk, abs(sp - (1000000 * pk) // nk) AS gap FROM bins)
+    SELECT CAST(sum(nk) AS BIGINT) AS n_test,
+      CAST(count(*) AS BIGINT) AS n_bins,
+      CAST(sum(nk * gap) AS BIGINT) // CAST(sum(nk) AS BIGINT) AS ece_ppm,
+      CAST(max(gap) AS BIGINT) AS mce_ppm
+    FROM gaps
+  """))
+
   val all: Seq[BoundQuery] =
-    Seq(qHardNegatives, qRougePairs, qLiftCurve, qBrierDecomp, qIsotonic)
+    Seq(qHardNegatives, qRougePairs, qLiftCurve, qBrierDecomp, qIsotonic,
+      qEce)
 }

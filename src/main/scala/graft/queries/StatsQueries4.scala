@@ -581,6 +581,92 @@ object StatsQueries4 {
     FROM p ORDER BY lift_milli
   """))
 
+  /** Simpson's-paradox audit: does the aggregate association between
+    * customer segment and order failure REVERSE inside priority
+    * strata? For each segment pair, the aggregate rate comparison
+    * (exact cross-multiplication — no rate division) is checked
+    * against every stratum's comparison; emitted per pair: the
+    * aggregate sign, how many strata agree/disagree/flip, and the
+    * paradox flag (aggregate sign nonzero while NO stratum carries
+    * it). The confounder audit an experimentation platform runs
+    * before reading any segmented metric.
+    *
+    * Scale shape: one (segment, priority) contingency collapse, then
+    * k²·m bounded comparisons off the broadcast-sized table. */
+  private val qSimpsonCheck = BoundQuery("q_simpson_check", (s, d) => {
+    val cells = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("o_orderstatus") === "F").cast("long")).as("f"))
+    val agg = cells.groupBy(col("seg")).agg(sum(col("n")).as("n"),
+      sum(col("f")).as("f"))
+    val aggPairs = agg.as("a").join(agg.as("b"),
+        col("a.seg") < col("b.seg"))
+      .select(col("a.seg").as("seg_a"), col("b.seg").as("seg_b"),
+        expr("""CAST(CASE WHEN CAST(a.f AS DECIMAL(38,0)) * b.n
+                          > CAST(b.f AS DECIMAL(38,0)) * a.n THEN 1
+                     WHEN CAST(a.f AS DECIMAL(38,0)) * b.n
+                          < CAST(b.f AS DECIMAL(38,0)) * a.n THEN -1
+                     ELSE 0 END AS BIGINT)""").as("agg_sign"))
+    val strata = cells.as("a").join(cells.as("b"),
+        col("a.seg") < col("b.seg") && col("a.pri") === col("b.pri"))
+      .select(col("a.seg").as("seg_a"), col("b.seg").as("seg_b"),
+        expr("""CASE WHEN CAST(a.f AS DECIMAL(38,0)) * b.n
+                          > CAST(b.f AS DECIMAL(38,0)) * a.n THEN 1
+                     WHEN CAST(a.f AS DECIMAL(38,0)) * b.n
+                          < CAST(b.f AS DECIMAL(38,0)) * a.n THEN -1
+                     ELSE 0 END""").as("s_sign"))
+    aggPairs.join(strata, Seq("seg_a", "seg_b"))
+      .groupBy("seg_a", "seg_b", "agg_sign")
+      .agg(count(lit(1)).as("n_strata"),
+        sum(when(col("s_sign") === col("agg_sign"), 1L).otherwise(0L))
+          .as("n_agree"),
+        sum(when(col("s_sign") === -col("agg_sign") && col("agg_sign") =!= 0,
+          1L).otherwise(0L)).as("n_reversed"))
+      .withColumn("paradox",
+        col("agg_sign") =!= 0 && col("n_agree") === 0L)
+      .select("seg_a", "seg_b", "agg_sign", "n_strata", "n_agree",
+        "n_reversed", "paradox")
+      .orderBy("seg_a", "seg_b")
+  }, Some("""
+    WITH cells AS (
+      SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+          AS f
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    agg AS (SELECT seg, CAST(sum(n) AS BIGINT) AS n,
+                   CAST(sum(f) AS BIGINT) AS f FROM cells GROUP BY 1),
+    ap AS (
+      SELECT a.seg AS seg_a, b.seg AS seg_b,
+        CASE WHEN CAST(a.f AS HUGEINT) * b.n > CAST(b.f AS HUGEINT) * a.n
+          THEN 1
+          WHEN CAST(a.f AS HUGEINT) * b.n < CAST(b.f AS HUGEINT) * a.n
+          THEN -1 ELSE 0 END AS agg_sign
+      FROM agg a JOIN agg b ON a.seg < b.seg),
+    st AS (
+      SELECT a.seg AS seg_a, b.seg AS seg_b,
+        CASE WHEN CAST(a.f AS HUGEINT) * b.n > CAST(b.f AS HUGEINT) * a.n
+          THEN 1
+          WHEN CAST(a.f AS HUGEINT) * b.n < CAST(b.f AS HUGEINT) * a.n
+          THEN -1 ELSE 0 END AS s_sign
+      FROM cells a JOIN cells b ON a.seg < b.seg AND a.pri = b.pri)
+    SELECT seg_a, seg_b, CAST(agg_sign AS BIGINT) AS agg_sign,
+      CAST(count(*) AS BIGINT) AS n_strata,
+      CAST(sum(CASE WHEN s_sign = agg_sign THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_agree,
+      CAST(sum(CASE WHEN agg_sign <> 0 AND s_sign = -agg_sign
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_reversed,
+      (agg_sign <> 0 AND
+       sum(CASE WHEN s_sign = agg_sign THEN 1 ELSE 0 END) = 0) AS paradox
+    FROM ap JOIN st USING (seg_a, seg_b)
+    GROUP BY seg_a, seg_b, agg_sign
+    ORDER BY seg_a, seg_b
+  """))
+
   val all: Seq[BoundQuery] = Seq(qJarqueBera, qRunsTest, qDurbinWatson,
-    qChangepoint, qCohensD, qMcc, qTukeyHsd, qCochranQ, qPowerAnalysis)
+    qChangepoint, qCohensD, qMcc, qTukeyHsd, qCochranQ, qPowerAnalysis,
+    qSimpsonCheck)
 }

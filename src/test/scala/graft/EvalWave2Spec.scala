@@ -131,6 +131,46 @@ class EvalWave2Spec extends AnyFunSuite {
     assert(cal.toList == pooledRates)
   }
 
+  test("ece: gap replay against a local scorer rebuild; mce bounds ece") {
+    val h = substring(md5(col("o_orderkey").cast("string")), 1, 2)
+    val cal = graft.sources.Tables.orders(spark, sfTiny)
+      .withColumn("is_train", (h < "80").cast("long"))
+      .withColumn("is_f", (col("o_orderstatus") === "F").cast("long"))
+      .groupBy("o_orderpriority")
+      .agg(sum(col("is_train")).as("n_train"),
+        sum(col("is_train") * col("is_f")).as("f_train"),
+        sum(lit(1L) - col("is_train")).as("n_test"),
+        sum((lit(1L) - col("is_train")) * col("is_f")).as("f_test"))
+      .collect()
+    val bins = cal.groupBy(r =>
+      1000000L * r.getAs[Long]("f_train") / r.getAs[Long]("n_train"))
+      .map { case (sp, rs) =>
+        val nk = rs.map(_.getAs[Long]("n_test")).sum
+        val pk = rs.map(_.getAs[Long]("f_test")).sum
+        (nk, math.abs(sp - 1000000L * pk / nk))
+      }.toSeq
+    val n = bins.map(_._1).sum
+    val ece = bins.map { case (nk, g) => nk * g }.sum / n
+    val r = run("q_ece").head
+    assert(r.getAs[Long]("n_test") == n)
+    assert(r.getAs[Long]("ece_ppm") == ece)
+    assert(r.getAs[Long]("mce_ppm") == bins.map(_._2).max)
+    assert(r.getAs[Long]("mce_ppm") >= r.getAs[Long]("ece_ppm"))
+  }
+
+  test("simpson_check: counters are consistent and bounded by strata") {
+    val rows = run("q_simpson_check")
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (ns, na, nr) = (r.getAs[Long]("n_strata"),
+        r.getAs[Long]("n_agree"), r.getAs[Long]("n_reversed"))
+      assert(na + nr <= ns && na >= 0 && nr >= 0)
+      if (r.getAs[Boolean]("paradox"))
+        assert(r.getAs[Long]("agg_sign") != 0 && na == 0)
+      if (r.getAs[Long]("agg_sign") == 0) assert(nr == 0)
+    }
+  }
+
   test("brier_decomp: non-negative terms, bounded score, tight identity") {
     val rows = run("q_brier_decomp")
     assert(rows.length == 1)
