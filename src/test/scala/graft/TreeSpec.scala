@@ -66,4 +66,26 @@ class TreeSpec extends AnyFunSuite {
     assert(Seq("LL", "LR", "RL", "RR").map(rows(_).getAs[Long]("n")).sum ==
       rows("root").getAs[Long]("n"))
   }
+
+  test("gbm_boost: training MSE never increases across stages") {
+    val rows = graft.queries.Registry.queries("q_gbm_boost")(spark, sfTiny)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("init", "round1", "round2"))
+    val m0 = rows("init").getAs[Long]("mse_c2")
+    val m1 = rows("round1").getAs[Long]("mse_c2")
+    val m2 = rows("round2").getAs[Long]("mse_c2")
+    // L2 boosting with a half-step side-mean update can only shrink
+    // the quadratic (up to the 1-cent truncation of the predictions)
+    assert(m1 <= m0 && m2 <= m1, s"$m0 -> $m1 -> $m2")
+    // init prediction is the exact global mean
+    val base = graft.sources.Tables.orders(spark, sfTiny)
+      .join(graft.sources.Tables.customer(spark, sfTiny),
+        col("o_custkey") === col("c_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("s"),
+        count(lit(1)).as("n")).collect().head
+    assert(rows("init").getAs[Long]("base_pred_c") ==
+      base.getAs[Long]("s") / base.getAs[Long]("n"))
+    for (st <- Seq("round1", "round2"))
+      assert(rows(st).getAs[String]("split_feature") != null)
+  }
 }
