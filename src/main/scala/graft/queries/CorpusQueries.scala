@@ -645,8 +645,47 @@ object CorpusQueries {
     ORDER BY sized.doc_id
   """))
 
+  /** word2vec-style negative-sampling table (Mikolov 2013): unigram
+    * counts tempered to the ¾ power, normalized to sampling
+    * probabilities. Each token's c^0.75 rounds ONCE to micro-units
+    * (pow is the only float op, identical IEEE on identical doubles);
+    * the normalizer is then an exact long sum and every probability
+    * one integral division — so the table is partition-invariant and
+    * engine-exact despite the fractional power. Top-50 by tempered
+    * mass via TakeOrdered; the flattening is visible as
+    * prob_ppm < raw share for head tokens. */
+  private val qUnigramSampling = BoundQuery("q_unigram_sampling", (s, d) => {
+    val counts = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .withColumn("t_u",
+        round(pow(col("c").cast("double"), 0.75) * 1e6, 0).cast("long"))
+    val tot = counts.agg(sum(col("t_u")).as("tt"), sum(col("c")).as("tc"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("token"), col("c"),
+        expr("(1000000 * t_u) div tt").as("prob_ppm"),
+        expr("(1000000 * c) div tc").as("raw_ppm"))
+      .orderBy(desc("c"), col("token")).limit(50)
+  }, Some("""
+    WITH counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c,
+        CAST(round(pow(CAST(count(*) AS DOUBLE), 0.75) * 1e6, 0) AS BIGINT)
+          AS t_u
+      FROM (SELECT unnest(list_filter(string_split(text,' '), x -> x <> ''))
+              AS token FROM documents)
+      GROUP BY token),
+    tot AS (SELECT CAST(sum(t_u) AS BIGINT) AS tt,
+                   CAST(sum(c) AS BIGINT) AS tc FROM counts)
+    SELECT token, c,
+      (1000000 * t_u) // tt AS prob_ppm,
+      (1000000 * c) // tc AS raw_ppm
+    FROM counts CROSS JOIN tot
+    ORDER BY c DESC, token LIMIT 50
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qStratifiedSample, qMixtureSample, qContamination,
       qRepetitionFilter, qBpeEncode, qBoilerplateSpans, qSourceOverlap,
-      qTokenBudget, qPmiCollocations, qCtfidf, qDatasetCard, qSpanScrub)
+      qTokenBudget, qPmiCollocations, qCtfidf, qDatasetCard, qSpanScrub,
+      qUnigramSampling)
 }

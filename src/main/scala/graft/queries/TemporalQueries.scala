@@ -782,7 +782,51 @@ object TemporalQueries {
     ORDER BY event_type
   """})
 
+  /** Day-of-week forecast bands: the exact nearest-rank P10/P50/P90
+    * of daily revenue per (type, weekday) — the empirical envelope an
+    * on-call dashboard draws around tomorrow's expected value, and
+    * the quantile companion of q_seasonal's dow mean index. Ranks are
+    * pure integers (ceil(q·n) = (q·n + den−1) div den), selection is
+    * a row_number over the ≤53-row (type, dow) partitions with a
+    * (y, day) tie-break — no interpolation, no float, engine-exact. */
+  private val qDowBands = BoundQuery("q_dow_bands", (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(sumCents(col("value")).as("y"))
+      .withColumn("dow", dayofweek(col("day")).cast("long"))
+    val w = Window.partitionBy("event_type", "dow").orderBy("y", "day")
+    daily
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("event_type", "dow")))
+      .groupBy("event_type", "dow")
+      .agg(max(col("n")).as("n_obs"),
+        max(when(col("rn") === expr("(n + 9) div 10"), col("y"))).as("p10_c"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("y"))).as("p50_c"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("y")))
+          .as("p90_c"))
+      .orderBy("event_type", "dow")
+  }, Some("""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS y,
+        CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow
+      FROM events GROUP BY 1, 2, 4),
+    r AS (
+      SELECT event_type, dow, y,
+        CAST(row_number() OVER (PARTITION BY event_type, dow
+          ORDER BY y, day) AS BIGINT) AS rn,
+        CAST(count(*) OVER (PARTITION BY event_type, dow) AS BIGINT) AS n
+      FROM daily)
+    SELECT event_type, dow, max(n) AS n_obs,
+      max(CASE WHEN rn = (n + 9) // 10 THEN y END) AS p10_c,
+      max(CASE WHEN rn = (n + 1) // 2 THEN y END) AS p50_c,
+      max(CASE WHEN rn = (9 * n + 9) // 10 THEN y END) AS p90_c
+    FROM r GROUP BY 1, 2 ORDER BY event_type, dow
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qScd2, qSeasonal, qBacktest, qTransitionMatrix, qGrainRollup,
-      qSurvival, qHolt, qAcf, qMannKendall, qLogrank, qHoltWinters)
+      qSurvival, qHolt, qAcf, qMannKendall, qLogrank, qHoltWinters,
+      qDowBands)
 }
