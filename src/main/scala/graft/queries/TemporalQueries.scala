@@ -825,8 +825,85 @@ object TemporalQueries {
     FROM r GROUP BY 1, 2 ORDER BY event_type, dow
   """))
 
+  /** Pinball (quantile) loss backtest of the day-of-week band
+    * forecaster: bands fit on the first three weeks (nearest-rank
+    * P10/P50/P90 per (type, dow), the q_dow_bands recipe), scored on
+    * the final week with the quantile loss
+    * L_q(y,f) = q·(y−f)⁺ + (1−q)·(f−y)⁺ — the proper scoring rule
+    * for quantile forecasts (P10 must UNDER-predict to win; MAE can't
+    * see that). Everything is exact cents; the per-(type,q) loss is a
+    * ratio of exact sums, emitted as avg cents by one integral
+    * division. The q-weights are /10 rationals folded into the sum
+    * (10·L stays integer). */
+  private val qPinball = BoundQuery("q_pinball", (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(sumCents(col("value")).as("y"))
+      .withColumn("dow", dayofweek(col("day")).cast("long"))
+    val cut = daily.agg(date_add(min(col("day")), 21).as("c"))
+    val marked = daily.crossJoin(broadcast(cut))
+      .withColumn("is_train", col("day") < col("c"))
+    val w = Window.partitionBy("event_type", "dow").orderBy("y", "day")
+    val bands = marked.where(col("is_train"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("event_type", "dow")))
+      .groupBy(col("event_type").as("et"), col("dow").as("dw"))
+      .agg(max(when(col("rn") === expr("(n + 9) div 10"), col("y"))).as("f10"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("y"))).as("f50"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("y")))
+          .as("f90"))
+    marked.where(!col("is_train"))
+      .join(broadcast(bands),
+        col("event_type") === col("et") && col("dow") === col("dw"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(expr("greatest(y - f10, 0) * 1 + greatest(f10 - y, 0) * 9"))
+          .as("l10x10"),
+        sum(expr("greatest(y - f50, 0) * 5 + greatest(f50 - y, 0) * 5"))
+          .as("l50x10"),
+        sum(expr("greatest(y - f90, 0) * 9 + greatest(f90 - y, 0) * 1"))
+          .as("l90x10"))
+      .select(col("event_type"), col("n_scored"),
+        expr("l10x10 div (10 * n_scored)").as("pinball10_c"),
+        expr("l50x10 div (10 * n_scored)").as("pinball50_c"),
+        expr("l90x10 div (10 * n_scored)").as("pinball90_c"))
+      .orderBy("event_type")
+  }, Some("""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS y,
+        CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow
+      FROM events GROUP BY 1, 2, 4),
+    cut AS (SELECT min(day) + 21 AS c FROM daily),
+    marked AS (
+      SELECT daily.*, day < c AS is_train FROM daily CROSS JOIN cut),
+    rtrain AS (
+      SELECT event_type, dow, y,
+        CAST(row_number() OVER (PARTITION BY event_type, dow
+          ORDER BY y, day) AS BIGINT) AS rn,
+        CAST(count(*) OVER (PARTITION BY event_type, dow) AS BIGINT) AS n
+      FROM marked WHERE is_train),
+    bands AS (
+      SELECT event_type AS et, dow AS dw,
+        max(CASE WHEN rn = (n + 9) // 10 THEN y END) AS f10,
+        max(CASE WHEN rn = (n + 1) // 2 THEN y END) AS f50,
+        max(CASE WHEN rn = (9 * n + 9) // 10 THEN y END) AS f90
+      FROM rtrain GROUP BY 1, 2)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_scored,
+      CAST(sum(greatest(y - f10, 0) * 1 + greatest(f10 - y, 0) * 9) AS BIGINT)
+        // (10 * count(*)) AS pinball10_c,
+      CAST(sum(greatest(y - f50, 0) * 5 + greatest(f50 - y, 0) * 5) AS BIGINT)
+        // (10 * count(*)) AS pinball50_c,
+      CAST(sum(greatest(y - f90, 0) * 9 + greatest(f90 - y, 0) * 1) AS BIGINT)
+        // (10 * count(*)) AS pinball90_c
+    FROM marked JOIN bands ON event_type = et AND dow = dw
+    WHERE NOT is_train
+    GROUP BY event_type ORDER BY event_type
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qScd2, qSeasonal, qBacktest, qTransitionMatrix, qGrainRollup,
       qSurvival, qHolt, qAcf, qMannKendall, qLogrank, qHoltWinters,
-      qDowBands)
+      qDowBands, qPinball)
 }
