@@ -28,3 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Forked run output goes straight to this process's stdout/stderr —
+// without this, sbt's logger prefixes every stdout line with
+// "[info] ", which is what left BENCH_r02's driver-side JSON parse
+// null (the bench line was there, wrapped in the prefix).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Num._
+
+/** SURVEY §2.6 commerce-analytics wave: the revenue-science trio —
+  * funnel A/B significance (does a treatment change step
+  * conversion?), log-log price elasticity (how demand responds to
+  * price), and ABC's variability companion XYZ (how forecastable
+  * demand is). Exact rules as everywhere: micro-nat logs rounded once
+  * per row, cleared-integer test statistics, one truncating division
+  * per emitted value.
+  */
+object EconQueries {
+
+  /** Two-proportion z² per funnel step between md5-split arms — the
+    * experiment readout layered over q_funnel's step semantics (first
+    * view → click within a day → purchase within a day). For each
+    * transition, with (a/b) the A-arm conversions/athletes and (c/d)
+    * the B-arm's, the pooled z² clears to
+    *   z²_milli = 1000·(ad − cb)²·(b+d)
+    *              div (b·d·(a+c)·(b+d−a−c)),
+    * exact decimal products. The arm split rides the same md5
+    * convention as q_ab_srm, so a true SRM would surface there. */
+  private val qFunnelSig = BoundQuery("q_funnel_sig", (s, d) => {
+    val stepNs = 86400000000000L
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+      col("ts_ns"),
+      (substring(md5(col("user_id").cast("string")), 1, 2) < "80")
+        .as("arm_a"))
+    val t1 = ev.where(col("event_type") === "view")
+      .groupBy("user_id", "arm_a").agg(min("ts_ns").as("t1"))
+    val t2 = ev.where(col("event_type") === "click")
+      .join(t1.select("user_id", "t1"), "user_id")
+      .where(col("ts_ns") > col("t1") &&
+        col("ts_ns") - col("t1") <= lit(stepNs))
+      .groupBy("user_id").agg(min("ts_ns").as("t2"))
+    val t3 = ev.where(col("event_type") === "purchase")
+      .join(t2.select("user_id", "t2"), "user_id")
+      .where(col("ts_ns") > col("t2") &&
+        col("ts_ns") - col("t2") <= lit(stepNs))
+      .groupBy("user_id").agg(min("ts_ns").as("t3"))
+    val flags = t1.select(col("user_id"), col("arm_a"))
+      .join(t2.select(col("user_id"), lit(1L).as("s2")), Seq("user_id"), "left")
+      .join(t3.select(col("user_id"), lit(1L).as("s3")), Seq("user_id"), "left")
+      .na.fill(0L, Seq("s2", "s3"))
+    val arms = flags.groupBy("arm_a")
+      .agg(count(lit(1)).as("n1"), sum(col("s2")).as("n2"),
+        sum(col("s3")).as("n3"))
+    val w = arms.groupBy()
+      .pivot("arm_a", Seq(true, false)).agg(
+        first(col("n1")).as("x1"), first(col("n2")).as("x2"),
+        first(col("n3")).as("x3"))
+      .select(col("true_x1").as("b1"), col("true_x2").as("a2"),
+        col("true_x3").as("a3"), col("false_x1").as("d1"),
+        col("false_x2").as("c2"), col("false_x3").as("c3"))
+    def z2(a: String, b: String, c: String, dd: String) = expr(
+      s"""CASE WHEN ($a + $c) = 0 OR ($b + $dd - $a - $c) = 0 THEN 0
+          ELSE CAST((1000 * (CAST($a AS DECIMAL(38,0)) * $dd
+                             - CAST($c AS DECIMAL(38,0)) * $b)
+                          * (CAST($a AS DECIMAL(38,0)) * $dd
+                             - CAST($c AS DECIMAL(38,0)) * $b)
+                          * ($b + $dd))
+               div (CAST($b AS DECIMAL(38,0)) * $dd * ($a + $c)
+                    * ($b + $dd - $a - $c)) AS BIGINT) END""")
+    w.select(
+        struct(lit("view_to_click").as("step"), col("a2").as("conv_a"),
+          col("b1").as("n_a"), col("c2").as("conv_b"), col("d1").as("n_b"),
+          z2("a2", "b1", "c2", "d1").as("z2_milli")).as("r1"),
+        struct(lit("click_to_purchase").as("step"), col("a3").as("conv_a"),
+          col("a2").as("n_a"), col("c3").as("conv_b"), col("c2").as("n_b"),
+          z2("a3", "a2", "c3", "c2").as("z2_milli")).as("r2"))
+      .select(explode(array(col("r1"), col("r2"))).as("r"))
+      .select("r.step", "r.conv_a", "r.n_a", "r.conv_b", "r.n_b",
+        "r.z2_milli")
+      .orderBy("step")
+  }, Some("""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_ns(ts) AS t,
+        substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80' AS arm_a
+      FROM events),
+    t1 AS (SELECT user_id, arm_a, min(t) AS t1 FROM ev
+           WHERE event_type = 'view' GROUP BY 1, 2),
+    t2 AS (SELECT e.user_id, min(t) AS t2 FROM ev e JOIN t1 USING (user_id)
+           WHERE event_type = 'click' AND t > t1.t1
+             AND t - t1.t1 <= 86400000000000 GROUP BY 1),
+    t3 AS (SELECT e.user_id, min(t) AS t3 FROM ev e JOIN t2 USING (user_id)
+           WHERE event_type = 'purchase' AND t > t2.t2
+             AND t - t2.t2 <= 86400000000000 GROUP BY 1),
+    flags AS (
+      SELECT t1.user_id, t1.arm_a,
+        CASE WHEN t2.user_id IS NULL THEN 0 ELSE 1 END AS s2,
+        CASE WHEN t3.user_id IS NULL THEN 0 ELSE 1 END AS s3
+      FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+      LEFT JOIN t3 ON t1.user_id = t3.user_id),
+    arms AS (
+      SELECT arm_a, CAST(count(*) AS BIGINT) AS n1,
+        CAST(sum(s2) AS BIGINT) AS n2, CAST(sum(s3) AS BIGINT) AS n3
+      FROM flags GROUP BY 1),
+    w AS (
+      SELECT
+        max(CASE WHEN arm_a THEN n1 END) AS b1,
+        max(CASE WHEN arm_a THEN n2 END) AS a2,
+        max(CASE WHEN arm_a THEN n3 END) AS a3,
+        max(CASE WHEN NOT arm_a THEN n1 END) AS d1,
+        max(CASE WHEN NOT arm_a THEN n2 END) AS c2,
+        max(CASE WHEN NOT arm_a THEN n3 END) AS c3
+      FROM arms)
+    SELECT 'view_to_click' AS step, a2 AS conv_a, b1 AS n_a,
+      c2 AS conv_b, d1 AS n_b,
+      CASE WHEN (a2 + c2) = 0 OR (b1 + d1 - a2 - c2) = 0 THEN 0
+      ELSE CAST((1000 * (CAST(a2 AS HUGEINT) * d1 - CAST(c2 AS HUGEINT) * b1)
+                      * (CAST(a2 AS HUGEINT) * d1 - CAST(c2 AS HUGEINT) * b1)
+                      * (b1 + d1))
+           // (CAST(b1 AS HUGEINT) * d1 * (a2 + c2) * (b1 + d1 - a2 - c2))
+           AS BIGINT) END AS z2_milli
+    FROM w
+    UNION ALL
+    SELECT 'click_to_purchase', a3, a2, c3, c2,
+      CASE WHEN (a3 + c3) = 0 OR (a2 + c2 - a3 - c3) = 0 THEN 0
+      ELSE CAST((1000 * (CAST(a3 AS HUGEINT) * c2 - CAST(c3 AS HUGEINT) * a2)
+                      * (CAST(a3 AS HUGEINT) * c2 - CAST(c3 AS HUGEINT) * a2)
+                      * (a2 + c2))
+           // (CAST(a2 AS HUGEINT) * c2 * (a3 + c3) * (a2 + c2 - a3 - c3))
+           AS BIGINT) END
+    FROM w
+    ORDER BY step
+  """))
+
+  /** Log-log price elasticity of demand per brand: the OLS slope of
+    * ln(total quantity sold) on ln(retail price) across the brand's
+    * parts — the ε a pricing team reads as "a 1% price rise moves
+    * demand ε%". Each log rounds ONCE to micro-nats; the slope is the
+    * exact cleared rational of micro-nat moments with a final ppm
+    * division (the q_ar1 lag-OLS convention). Parts with zero sales
+    * drop (ln undefined), counted alongside. */
+  private val qElasticity = BoundQuery("q_elasticity", (s, d) => {
+    val demand = Tables.lineitem(s, d).groupBy(col("l_partkey"))
+      .agg(sumCents(col("l_quantity")).as("qc"))
+    val rows = Tables.part(s, d)
+      .join(demand, col("p_partkey") === col("l_partkey"))
+      .where(col("qc") > 0)
+      .select(col("p_brand"),
+        round(log(col("p_retailprice")) * 1e6, 0).cast("long").as("x"),
+        round(log(col("qc").cast("double") / lit(100.0)) * 1e6, 0)
+          .cast("long").as("y"))
+    rows.groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+      .select(col("p_brand"), col("n_parts"),
+        expr("""CAST((1000000 * (CAST(n_parts AS DECIMAL(38,0))*sxy
+                                 - CAST(sx AS DECIMAL(38,0))*sy))
+                div (CAST(n_parts AS DECIMAL(38,0))*sxx
+                     - CAST(sx AS DECIMAL(38,0))*sx) AS BIGINT)""")
+          .as("elasticity_ppm"))
+      .orderBy("p_brand")
+  }, Some("""
+    WITH demand AS (
+      SELECT l_partkey,
+        CAST(sum(CAST(round(l_quantity*100, 0) AS BIGINT)) AS BIGINT) AS qc
+      FROM lineitem GROUP BY 1),
+    rows_ AS (
+      SELECT p_brand,
+        CAST(round(ln(p_retailprice) * 1e6, 0) AS BIGINT) AS x,
+        CAST(round(ln(CAST(qc AS DOUBLE) / 100.0) * 1e6, 0) AS BIGINT) AS y
+      FROM part JOIN demand ON p_partkey = l_partkey
+      WHERE qc > 0)
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+      CAST((1000000 * (CAST(count(*) AS HUGEINT)*sum(CAST(x AS HUGEINT)*y)
+                       - CAST(sum(x) AS HUGEINT)*sum(y)))
+           // (CAST(count(*) AS HUGEINT)*sum(CAST(x AS HUGEINT)*x)
+               - CAST(sum(x) AS HUGEINT)*sum(x)) AS BIGINT)
+        AS elasticity_ppm
+    FROM rows_ GROUP BY p_brand ORDER BY p_brand
+  """))
+
+  /** XYZ demand-variability classes per brand — q_abc_class's
+    * forecastability companion: per part, CV² of monthly shipped
+    * quantity over the part's observed months, exact as
+    * cv2_ppm = 10⁶·(n·Q − S²) div S²; class X (cv ≤ .5, steady) /
+    * Y (≤ 1, swinging) / Z (lumpy) by integer thresholds; rolled up
+    * to (brand, class) counts. Parts seen in a single month are Z by
+    * convention (one observation carries no variability evidence —
+    * stated, not hidden). */
+  private val qXyzClass = BoundQuery("q_xyz_class", (s, d) => {
+    val monthly = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), date_trunc("month", col("l_shipdate"))
+        .as("m"))
+      .agg(sumCents(col("l_quantity")).as("q"))
+    val per = monthly.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+        sum(expr("CAST(q AS DECIMAL(38,0)) * q")).as("qq"))
+      .withColumn("cv2_ppm", expr(
+        """CASE WHEN n <= 1 THEN NULL
+           ELSE CAST((1000000 * (n * qq - CAST(sq AS DECIMAL(38,0)) * sq))
+                div (CAST(sq AS DECIMAL(38,0)) * sq) AS BIGINT) END"""))
+      .withColumn("xyz", expr(
+        """CASE WHEN cv2_ppm IS NULL THEN 'Z'
+                WHEN cv2_ppm <= 250000 THEN 'X'
+                WHEN cv2_ppm <= 1000000 THEN 'Y' ELSE 'Z' END"""))
+    per.join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "xyz")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("sq")).as("qty_c"))
+      .orderBy("p_brand", "xyz")
+  }, Some("""
+    WITH monthly AS (
+      SELECT l_partkey, date_trunc('month', l_shipdate) AS m,
+        CAST(sum(CAST(round(l_quantity*100, 0) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2),
+    per AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(q) AS BIGINT) AS sq,
+        CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS qq
+      FROM monthly GROUP BY 1),
+    cls AS (
+      SELECT l_partkey, sq,
+        CASE WHEN n <= 1 THEN 'Z'
+          WHEN (1000000 * (n * qq - CAST(sq AS HUGEINT) * sq))
+               // (CAST(sq AS HUGEINT) * sq) <= 250000 THEN 'X'
+          WHEN (1000000 * (n * qq - CAST(sq AS HUGEINT) * sq))
+               // (CAST(sq AS HUGEINT) * sq) <= 1000000 THEN 'Y'
+          ELSE 'Z' END AS xyz
+      FROM per)
+    SELECT p_brand, xyz, CAST(count(*) AS BIGINT) AS n_parts,
+      CAST(sum(sq) AS BIGINT) AS qty_c
+    FROM cls JOIN part ON l_partkey = p_partkey
+    GROUP BY 1, 2 ORDER BY p_brand, xyz
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qFunnelSig, qElasticity, qXyzClass)
+}

@@ -526,4 +526,32 @@ class ExplainSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("gbm/tree route rows via broadcast CASE — no data-dependent plans") {
+    for (q <- Seq("q_tree_depth2", "q_gbm_boost")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") ||
+        p.contains("BroadcastNestedLoopJoin"), q)
+      assert(!p.contains("SortMergeJoin") || q == "q_gbm_boost", q)
+    }
+  }
+
+  test("dow bands / pinball windows partition by (type, dow)") {
+    for (q <- Seq("q_dow_bands", "q_pinball")) {
+      val p = plan(q)
+      val bad = p.linesIterator.filter(l =>
+        l.contains("windowspecdefinition") &&
+          !(l.contains("event_type") && l.contains("dow"))).toSeq
+      assert(bad.isEmpty, s"$q window not (type,dow)-partitioned:\n" +
+        bad.mkString("\n"))
+    }
+  }
+
+  test("elasticity and xyz stay partial-agg + broadcast shapes") {
+    for (q <- Seq("q_elasticity", "q_xyz_class")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("windowspecdefinition"), q)
+    }
+  }
 }
