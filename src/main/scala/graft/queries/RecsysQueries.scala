@@ -132,5 +132,62 @@ object RecsysQueries {
     ORDER BY conf_ppm DESC, lift_ppm DESC, ante, cons LIMIT 50
   """))
 
-  val all: Seq[BoundQuery] = Seq(qItemCf, qAssocRulesExact)
+  /** Recommender-quality readout for the item-item CF model: catalog
+    * COVERAGE (what share of sellable parts ever appear in the
+    * servable pair set — a model recommending 50 blockbusters scores
+    * high accuracy and zero discovery) and NOVELTY (mean
+    * self-information −log₂ popularity of the recommended items,
+    * Vargas & Castells 2011 — higher = deeper into the tail). The
+    * pair set is q_item_cf's exact definition (cooc ≥ 2); novelty's
+    * per-item −log₂(deg/orders) rounds ONCE to micro-bits, then exact
+    * long averaging; coverage is pure counts. One row, emitted beside
+    * per-brand coverage would be the production cut — the global
+    * numbers gate model promotion. */
+  private val qRecEval = BoundQuery("q_rec_eval", (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val deg = items.groupBy("pk").agg(count(lit(1)).as("deg"))
+    val nOrders = items.agg(countDistinct(col("ok")).as("no"))
+    val recItems = items.as("a").join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("cooc"))
+      .where(col("cooc") >= 2)
+      .select(explode(array(col("part_a"), col("part_b"))).as("pk"))
+      .distinct()
+    val catalog = Tables.part(s, d).agg(count(lit(1)).as("n_parts"))
+    val novelty = recItems.join(deg, "pk").crossJoin(broadcast(nOrders))
+      // ln/ln2 in BOTH engines — a native log2 could differ by an ulp
+      // from the quotient form and flip a rounding boundary
+      .withColumn("si_u", round(
+        -(log(col("deg").cast("double") / col("no").cast("double"))
+          / lit(0.6931471805599453)) * 1e6, 0).cast("long"))
+      .agg(count(lit(1)).as("n_rec_items"), sum(col("si_u")).as("si_sum"))
+    novelty.crossJoin(broadcast(catalog))
+      .select(col("n_rec_items"), col("n_parts"),
+        expr("(1000000 * n_rec_items) div n_parts").as("coverage_ppm"),
+        expr("si_sum div n_rec_items").as("novelty_ubits"))
+  }, Some("""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    deg AS (SELECT pk, CAST(count(*) AS BIGINT) AS deg FROM items GROUP BY pk),
+    no_ AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS no FROM items),
+    rec AS (
+      SELECT DISTINCT pk FROM (
+        SELECT unnest([a.pk, b.pk]) AS pk
+        FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY a.pk, b.pk HAVING count(*) >= 2) x),
+    cat AS (SELECT CAST(count(*) AS BIGINT) AS n_parts FROM part),
+    nov AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rec_items,
+        CAST(sum(CAST(round(-(ln(CAST(deg AS DOUBLE) / CAST(no AS DOUBLE))
+          / 0.6931471805599453) * 1e6, 0) AS BIGINT)) AS BIGINT) AS si_sum
+      FROM rec JOIN deg USING (pk) CROSS JOIN no_)
+    SELECT n_rec_items, n_parts,
+      (1000000 * n_rec_items) // n_parts AS coverage_ppm,
+      si_sum // n_rec_items AS novelty_ubits
+    FROM nov CROSS JOIN cat
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qItemCf, qAssocRulesExact, qRecEval)
 }

@@ -223,4 +223,32 @@ class RecsysStatsSpec extends AnyFunSuite {
         206835L - (1015L * wps) / 1000000L - (84600L * spw) / 1000000L)
     }
   }
+
+  test("rec_eval: exact local replay of coverage and novelty") {
+    import org.apache.spark.sql.functions._
+    val items = graft.sources.Tables.lineitem(spark, sfTiny)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = items.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val cooc = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    for ((_, ps) <- byOrder; i <- ps.indices; j <- i + 1 until ps.size)
+      cooc((ps(i), ps(j))) = cooc.getOrElse((ps(i), ps(j)), 0) + 1
+    val rec = cooc.filter(_._2 >= 2).keys
+      .flatMap(p => Seq(p._1, p._2)).toSet
+    val deg = items.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size).toMap
+    val nOrders = byOrder.size
+    val nParts = graft.sources.Tables.part(spark, sfTiny).count()
+    val siSum = rec.toSeq.map(pk => math.round(
+      -(math.log(deg(pk).toDouble / nOrders.toDouble) / 0.6931471805599453)
+        * 1e6)).sum
+    val r = run("q_rec_eval").head
+    assert(r.getAs[Long]("n_rec_items") == rec.size)
+    assert(r.getAs[Long]("n_parts") == nParts)
+    assert(r.getAs[Long]("coverage_ppm") == 1000000L * rec.size / nParts)
+    assert(r.getAs[Long]("novelty_ubits") == siSum / rec.size)
+    // recommended items can never be novel beyond the rarest item
+    val maxSi = deg.values.min
+    assert(r.getAs[Long]("novelty_ubits") <= math.round(
+      -(math.log(maxSi.toDouble / nOrders.toDouble) / 0.6931471805599453) * 1e6))
+  }
 }
