@@ -40,6 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       BloomMightContain(exprs(0), exprs(1), k)
     }))
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    e.injectOptimizerRule(_ => graft.plans.IntervalJoinRewrite)
   }
 }
 

@@ -96,4 +96,110 @@ class PlansSpec extends AnyFunSuite {
       } finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
     }
   }
+
+  // -------------------------------------------------------------
+  // IntervalJoinRewrite (interval × interval overlap)
+  // -------------------------------------------------------------
+
+  private def ivA = spark.range(0, 400).select(
+    col("id").as("a_id"),
+    (col("id") * 700.0).as("a_s"),
+    (col("id") * 700.0 + 2500.0).as("a_e"))
+  // deliberately includes duplicate rows (same interval twice) so the
+  // multiplicity-preservation claim is actually exercised
+  private def ivB = spark.range(0, 300).select(
+    (col("id") % 150).as("b_id"),
+    ((col("id") % 150) * 1300.0 + 101.0).as("b_s"),
+    ((col("id") % 150) * 1300.0 + 3600.0).as("b_e"))
+  private def overlapCond =
+    col("a_s") <= col("b_e") && col("b_s") <= col("a_e")
+
+  private def ivPairs(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+    df.select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+
+  private def withIvRule[A](body: => A): A = {
+    val old = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = old :+ graft.plans.IntervalJoinRewrite
+    try body finally spark.experimental.extraOptimizations = old
+  }
+
+  test("IntervalJoinRewrite: overlap join becomes a hash join, identical MULTISET") {
+    val naive = ivA.join(ivB, overlapCond)
+    assert(naive.queryExecution.executedPlan.toString.contains("NestedLoop"))
+    val expected = ivPairs(naive)
+    assert(expected.nonEmpty && expected.values.exists(_ > 1),
+      "fixture must contain duplicate pairs to test multiplicity")
+    withIvRule {
+      spark.conf.set("spark.graft.intervalJoin.bucketWidth", "1000.0")
+      try {
+        val rewritten = ivA.join(ivB, overlapCond)
+        val plan = rewritten.queryExecution.executedPlan.toString
+        assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+        assert(ivPairs(rewritten) == expected)
+      } finally spark.conf.unset("spark.graft.intervalJoin.bucketWidth")
+    }
+  }
+
+  test("IntervalJoinRewrite: oversized spans fall back losslessly") {
+    val huge = ivB.union(spark.range(0, 1).select(
+      lit(999L).as("b_id"), lit(-1.0e9).as("b_s"), lit(1.0e9).as("b_e")))
+    val expected = ivPairs(ivA.join(huge, overlapCond))
+    withIvRule {
+      spark.conf.set("spark.graft.intervalJoin.bucketWidth", "1000.0")
+      spark.conf.set("spark.graft.intervalJoin.maxBucketsPerRow", "100")
+      try {
+        assert(ivPairs(ivA.join(huge, overlapCond)) == expected)
+      } finally {
+        spark.conf.unset("spark.graft.intervalJoin.bucketWidth")
+        spark.conf.unset("spark.graft.intervalJoin.maxBucketsPerRow")
+      }
+    }
+  }
+
+  test("IntervalJoinRewrite leaves BETWEEN and equi joins to other rules") {
+    withIvRule {
+      // point-in-interval (degenerate [p,p] interval) must NOT match —
+      // that is RangeJoinRewrite's territory
+      val between = points.join(bands, betweenCond)
+      assert(between.queryExecution.executedPlan.toString.contains("NestedLoop"))
+      val equi = ivA.join(ivB, col("a_id") === col("b_id"))
+      assert(equi.queryExecution.executedPlan.toString.contains("HashJoin"))
+    }
+  }
+
+  test("IntervalJoinRewrite respects the enabled flag") {
+    withIvRule {
+      spark.conf.set("spark.graft.intervalJoin.enabled", "false")
+      try {
+        val q = ivA.join(ivB, overlapCond)
+        assert(q.queryExecution.executedPlan.toString.contains("NestedLoop"))
+      } finally spark.conf.set("spark.graft.intervalJoin.enabled", "true")
+    }
+  }
+
+  test("IntervalJoinRewrite composes with the operator twin on real data") {
+    // the declarative rewrite and operators.IntervalJoin agree on the
+    // session-overlap pairs the bound q_interval_join computes
+    val expected = graft.queries.Registry.queries("q_interval_join")(
+      spark, sfTiny).count()
+    withIvRule {
+      def spans(t: String) = graft.sources.Tables.events(spark, sfTiny)
+        .where(col("event_type") === t)
+        .groupBy(col("user_id"), expr("unix_date(CAST(ts AS DATE))").as("dd"))
+        .agg(min(unix_micros(col("ts"))).as("s"),
+          max(unix_micros(col("ts"))).as("e"))
+      spark.conf.set("spark.graft.intervalJoin.bucketWidth", "21600000000.0")
+      try {
+        val a = spans("click").select(col("user_id").as("u1"),
+          col("s").as("a_s"), col("e").as("a_e"))
+        val b = spans("error").select(col("user_id").as("u2"),
+          col("s").as("b_s"), col("e").as("b_e"))
+        val joined = a.join(b, col("u1") === col("u2") &&
+          col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+        assert(joined.count() == expected)
+      } finally spark.conf.unset("spark.graft.intervalJoin.bucketWidth")
+    }
+  }
 }
