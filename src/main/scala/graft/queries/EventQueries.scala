@@ -686,5 +686,79 @@ object EventQueries {
   val all: Seq[BoundQuery] =
     Seq(qFunnel, qGapFill, qRetention, qSlidingWindow, qSqlSurface, qEwma,
       qIncremental, qGroupingSets, qOhlcBars, qTwap, qIntervalCoverage,
-      qAttribution, qAbsorption, qStickiness, qTimeToConvert, qInterarrival)
+      qAttribution, qAbsorption, qStickiness, qTimeToConvert, qInterarrival,
+      qRetentionDecay)
+
+  /** Exponential-decay fit of the retention curve: pooled over
+    * cohorts, ln(retention at week w) regressed on w — the one-number
+    * model (λ, and half-life ln2/λ) a growth team quotes where
+    * q_retention shows the full triangle. Retention ratios are exact
+    * rationals (active_w/cohort_size); each ln rounds ONCE to
+    * micro-nats; the slope is the exact cleared OLS of (w, nats_u)
+    * pairs (the q_elasticity convention) and the half-life one more
+    * integral division (milli-weeks; negative slope ⇒ positive
+    * half-life — degenerate non-decaying fits emit NULL, stated). */
+  private lazy val qRetentionDecay = BoundQuery("q_retention_decay", (s, d) => {
+    val ev = Tables.events(s, d)
+    val firstW = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cw"))
+    val activeW = ev.select(col("user_id"),
+      date_trunc("week", col("ts")).as("aw")).distinct()
+    val tri = firstW.join(activeW, "user_id")
+      .select(col("cw"),
+        (datediff(col("aw"), col("cw")) / 7).cast("long").as("w"),
+        col("user_id"))
+      .groupBy("cw", "w").agg(countDistinct(col("user_id")).as("users"))
+    val base = tri.where(col("w") === 0)
+      .select(col("cw").as("cw0"), col("users").as("n0"))
+    val pts = tri.join(broadcast(base), col("cw") === col("cw0"))
+      .where(col("w") > 0)
+      .groupBy("w")
+      .agg(sum(col("users")).as("act"), sum(col("n0")).as("cohort"))
+      .withColumn("y", round(
+        log(col("act").cast("double") / col("cohort").cast("double")) * 1e6, 0)
+        .cast("long"))
+    pts.agg(count(lit(1)).as("n"), sum(col("w")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("w") * col("w")).as("sxx"),
+        sum(expr("CAST(w AS DECIMAL(38,0)) * y")).as("sxy"))
+      .select(col("n").as("n_weeks"),
+        expr("""CAST((1000000 * (CAST(n AS DECIMAL(38,0))*sxy
+                                 - CAST(sx AS DECIMAL(38,0))*sy))
+                div (1000000 * (CAST(n AS DECIMAL(38,0))*sxx
+                                - CAST(sx AS DECIMAL(38,0))*sx)) AS BIGINT)""")
+          .as("lambda_u"))
+      .withColumn("half_life_milliweeks", expr(
+        "CASE WHEN lambda_u < 0 THEN (-693147 * 1000) div (-lambda_u) END"))
+  }, Some("""
+    WITH fw AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+                FROM events GROUP BY 1),
+    aw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events),
+    tri AS (
+      SELECT cw, CAST(date_diff('day', cw, aw.aw)/7 AS BIGINT) AS w,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS users
+      FROM fw JOIN aw USING (user_id) GROUP BY 1, 2),
+    base AS (SELECT cw AS cw0, users AS n0 FROM tri WHERE w = 0),
+    pts AS (
+      SELECT w, CAST(round(ln(CAST(sum(users) AS DOUBLE)
+          / CAST(sum(n0) AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y
+      FROM tri JOIN base ON cw = cw0 WHERE w > 0 GROUP BY w),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(w) AS BIGINT) AS sx,
+        CAST(sum(y) AS BIGINT) AS sy, CAST(sum(w*w) AS BIGINT) AS sxx,
+        CAST(sum(CAST(w AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM pts)
+    SELECT n AS n_weeks,
+      CAST((1000000 * (CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy))
+           // (1000000 * (CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx))
+        AS BIGINT) AS lambda_u,
+      CASE WHEN (1000000 * (CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy))
+                // (1000000 * (CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx))
+                < 0
+        THEN CAST((-693147 * 1000)
+             // (-((1000000 * (CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy))
+                   // (1000000 * (CAST(n AS HUGEINT)*sxx
+                                 - CAST(sx AS HUGEINT)*sx))))
+             AS BIGINT) END AS half_life_milliweeks
+    FROM m
+  """))
 }
