@@ -275,6 +275,76 @@ object MonitoringQueries {
     GROUP BY event_type ORDER BY event_type
   """))
 
+  /** Robust seasonal outlier detection (S-H-ESD-lite): deseasonalize
+    * each type's daily revenue by its day-of-week nearest-rank median
+    * (the q_dow_bands P50), then flag days whose residual exceeds
+    * 3σ-equivalent in MAD units — |r| > 3·1.4826·MAD, the robust rule
+    * that q_control_chart's mean/σ version loses to the moment a fat
+    * outlier inflates σ itself. EXACT throughout: both medians are
+    * integer nearest-rank selections, the flag compares
+    * 10000·|r| > 44478·MAD in pure longs (44478 = 3·1.4826·10⁴).
+    * Every row emits with its residual, MAD, and flag — the spec
+    * checks the flagged set equals a local replay. */
+  private val qSeasonalEsd = BoundQuery("q_seasonal_esd", (s, d) => {
+    val dl = daily(s, d).withColumn("dow", dayofweek(col("day")).cast("long"))
+    val wd = Window.partitionBy("event_type", "dow").orderBy("y", "day")
+    val med = dl
+      .withColumn("rn", row_number().over(wd).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("event_type", "dow")))
+      .groupBy(col("event_type").as("et"), col("dow").as("dw"))
+      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("y")))
+        .as("med_dow"))
+    val resid = dl.join(broadcast(med),
+        col("event_type") === col("et") && col("dow") === col("dw"))
+      .withColumn("r", col("y") - col("med_dow"))
+      .withColumn("ar", abs(col("r")))
+    val wm = Window.partitionBy("event_type").orderBy("ar", "day")
+    val mad = resid
+      .withColumn("rn2", row_number().over(wm).cast("long"))
+      .withColumn("n2", count(lit(1)).over(
+        Window.partitionBy("event_type")))
+      .groupBy(col("event_type").as("et2"))
+      .agg(max(when(col("rn2") === expr("(n2 + 1) div 2"), col("ar")))
+        .as("mad"))
+    resid.join(broadcast(mad), col("event_type") === col("et2"))
+      .select(col("event_type"), col("day"), col("y"), col("r"), col("mad"),
+        (col("ar") * 10000L > col("mad") * 44478L).as("outlier"))
+      .orderBy("event_type", "day")
+  }, Some(s"""
+    WITH daily AS ($dailySql),
+    dl AS (SELECT event_type, day, y,
+             CAST(dayofweek(day) + 1 AS BIGINT) AS dow FROM daily),
+    rmed AS (
+      SELECT event_type, dow, y,
+        CAST(row_number() OVER (PARTITION BY event_type, dow
+          ORDER BY y, day) AS BIGINT) AS rn,
+        CAST(count(*) OVER (PARTITION BY event_type, dow) AS BIGINT) AS n
+      FROM dl),
+    med AS (
+      SELECT event_type AS et, dow AS dw,
+        max(CASE WHEN rn = (n + 1) // 2 THEN y END) AS med_dow
+      FROM rmed GROUP BY 1, 2),
+    resid AS (
+      SELECT dl.event_type, dl.day, dl.y, dl.y - med_dow AS r,
+        abs(dl.y - med_dow) AS ar
+      FROM dl JOIN med ON event_type = et AND dow = dw),
+    rmad AS (
+      SELECT event_type, ar,
+        CAST(row_number() OVER (PARTITION BY event_type
+          ORDER BY ar, day) AS BIGINT) AS rn2,
+        CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n2
+      FROM resid),
+    mad AS (
+      SELECT event_type AS et2,
+        max(CASE WHEN rn2 = (n2 + 1) // 2 THEN ar END) AS mad
+      FROM rmad GROUP BY 1)
+    SELECT event_type, day, y, r, mad,
+      ar * 10000 > mad * 44478 AS outlier
+    FROM resid JOIN mad ON event_type = et2
+    ORDER BY event_type, day
+  """))
+
   val all: Seq[BoundQuery] =
-    Seq(qControlChart, qPageHinkley, qEngleGranger, qTheilU)
+    Seq(qControlChart, qPageHinkley, qEngleGranger, qTheilU, qSeasonalEsd)
 }

@@ -93,6 +93,34 @@ class MonitoringSpec extends AnyFunSuite {
     assert(BigInt(row.getAs[Long]("df_z_milli")) == expect)
   }
 
+  test("seasonal_esd: exact nearest-rank replay of medians, MAD, flags") {
+    val rows = run("q_seasonal_esd")
+    assert(rows.nonEmpty)
+    for ((t, series) <- daily) {
+      // dow medians via the same (y, day)-ordered nearest-rank
+      val withDow = series.map { case (day, y) =>
+        (day, y, java.time.LocalDate.ofEpochDay(day).getDayOfWeek.getValue % 7 + 1)
+      }
+      val med = withDow.groupBy(_._3).view.mapValues { g =>
+        val sorted = g.sortBy(x => (x._2, x._1))
+        sorted((g.size + 1) / 2 - 1)._2
+      }.toMap
+      val resid = withDow.map { case (day, y, dw) => (day, y, y - med(dw)) }
+      val sortedAbs = resid.sortBy(x => (x._3.abs, x._1))
+      val mad = sortedAbs((resid.size + 1) / 2 - 1)._3.abs
+      val mine = rows.filter(_.getString(0) == t).map(r =>
+        (r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay, r)).toMap
+      assert(mine.size == series.size)
+      for ((day, y, rr) <- resid) {
+        val row = mine(day)
+        assert(BigInt(row.getAs[Long]("r")) == rr, s"$t $day")
+        assert(BigInt(row.getAs[Long]("mad")) == mad)
+        assert(row.getAs[Boolean]("outlier") ==
+          (rr.abs * 10000 > mad * 44478), s"$t $day flag")
+      }
+    }
+  }
+
   test("theil_u: exact error-ratio replay per type") {
     val rows = run("q_theil_u").map(r => r.getString(0) -> r).toMap
     for ((t, series) <- daily) {
