@@ -31,6 +31,10 @@ object Bench {
       case Some(names) =>
         val want = names.split(',').map(_.trim).filter(_.nonEmpty)
         val byName = queries.Registry.allQueries.map(q => q.name -> q).toMap
+        val unknown = want.filterNot(byName.contains)
+        if (unknown.nonEmpty) sys.error(
+          s"unknown SPARK_GRAFT_BENCH_ONLY queries: ${unknown.mkString(", ")}" +
+            s" (valid names are Registry.allQueries keys, e.g. ${byName.keys.take(5).mkString(", ")} ...)")
         want.toSeq.map(byName)
       case None => queries.Registry.headlines
     }

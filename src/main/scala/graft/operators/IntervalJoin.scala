@@ -29,7 +29,14 @@ object IntervalJoin {
 
   /** `a`/`b`: (key, id, start, end) with integral start/end (micros,
     * days — any unit). Returns one row per overlapping (a, b) pair
-    * with both ids, both spans, and the exact overlap length. */
+    * with both ids, both spans, and the exact overlap length.
+    *
+    * CONTRACT: (key, id) must be unique within each input — the
+    * multi-bucket dedup groups on (a_key, a_id, b_id) and takes
+    * first() of the spans, so duplicate ids per key would collapse
+    * multiplicity and pick spans nondeterministically. Use the
+    * IntervalJoinRewrite optimizer rule (canonical-bucket pin) when
+    * duplicate-preserving semantics are needed. */
   def overlapPairs(a: DataFrame, b: DataFrame, bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     def blocked(df: DataFrame, pfx: String) = df.select(

@@ -67,7 +67,10 @@ object Similarity {
     * over unchanged. */
   def hardNegatives(df: DataFrame, idCol: Column, vecCol: Column,
                     labelCol: Column, k: Int): DataFrame = {
-    val lab = df.select(idCol.as("lid"), labelCol.cast("long").as("lab"))
+    // labels compare on their NATIVE type — a numeric cast would turn
+    // string labels into null and make `lab =!= qlab` null-eliminate
+    // every row silently
+    val lab = df.select(idCol.as("lid"), labelCol.as("lab"))
     val c = spread(normed(df, idCol, vecCol))
       .join(lab, col("id") === col("lid")).drop("lid")
     val q = normed(df, idCol, vecCol)

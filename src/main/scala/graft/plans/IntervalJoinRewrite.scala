@@ -26,7 +26,10 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   * fail the residual predicate as before. The rewrite is therefore an
   * identity on results including duplicates.
   *
-  * Oversized spans (> maxBucketsPerRow buckets) on EITHER side fall
+  * Oversized spans (> maxBucketsPerRow buckets) and REVERSED spans
+  * (s > e — the condition shape matches any numeric conjunct pair, so
+  * nothing guarantees well-formed intervals, and a reversed row can
+  * still satisfy `a.s <= b.e AND b.s <= a.e`) on EITHER side fall
   * back to the plain join branch under a span guard, exactly
   * partitioning the pair space — the RangeJoinRewrite degradation
   * contract: worst case is the nested loop it replaced, and only for
@@ -121,8 +124,15 @@ object IntervalJoinRewrite extends Rule[LogicalPlan]
       Subtract(bucketOf(e), bucketOf(s))
     val aBkt = AttributeReference("__graft_a_bkt", LongType, nullable = false)()
     val bBkt = AttributeReference("__graft_b_bkt", LongType, nullable = false)()
-    val smallL = Filter(LessThanOrEqual(spanOf(sa, ea), maxBuckets), l)
-    val smallR = Filter(LessThanOrEqual(spanOf(sb, eb), maxBuckets), r)
+    val zero = Literal(0L, LongType)
+    // a row is bucketable iff 0 <= span <= maxBuckets; reversed spans
+    // (s > e) must route to the fallback, not silently explode to
+    // nothing (a reversed row can still satisfy the overlap condition)
+    def bucketable(s: Expression, e: Expression): Expression =
+      And(GreaterThanOrEqual(spanOf(s, e), zero),
+        LessThanOrEqual(spanOf(s, e), maxBuckets))
+    val smallL = Filter(bucketable(sa, ea), l)
+    val smallR = Filter(bucketable(sb, eb), r)
     val genL = Generate(Explode(bucketsOf(sa, ea)),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(aBkt), child = smallL)
@@ -130,13 +140,22 @@ object IntervalJoinRewrite extends Rule[LogicalPlan]
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(bBkt), child = smallR)
     // the canonical-bucket pin: exactly one (aBkt, bBkt) combination
-    // survives per overlapping pair — multiplicity preserved, no dedup
-    val canon = EqualTo(aBkt, bucketOf(Greatest(Seq(sa, sb))))
+    // survives per overlapping pair — multiplicity preserved, no dedup.
+    // sa/sb may carry different analyzer-coerced numeric types, and
+    // Greatest requires same-typed children — cast both to double
+    // (matching bucketOf) before comparing.
+    val canon = EqualTo(aBkt, bucketOf(
+      Greatest(Seq(Cast(sa, DoubleType), Cast(sb, DoubleType)))))
     val bucketed = Project(output,
       Join(genL, genR, Inner,
         Some(And(EqualTo(aBkt, bBkt), And(canon, cond))), hint))
-    val eitherHuge = Or(GreaterThan(spanOf(sa, ea), maxBuckets),
-      GreaterThan(spanOf(sb, eb), maxBuckets))
+    // complement of (bucketable(l) AND bucketable(r)): oversized OR
+    // reversed span on either side. Null spans fail cond anyway.
+    val eitherHuge = Or(
+      Or(GreaterThan(spanOf(sa, ea), maxBuckets),
+        LessThan(spanOf(sa, ea), zero)),
+      Or(GreaterThan(spanOf(sb, eb), maxBuckets),
+        LessThan(spanOf(sb, eb), zero)))
     val fallback = Project(output,
       Join(l, r, Inner, Some(And(eitherHuge, cond)), hint))
     Union(Seq(bucketed, fallback))

@@ -58,6 +58,7 @@ object EvalQueries2 {
   private val qHardNegatives = BoundQuery("q_hard_negatives", (s, d) => {
     Similarity.hardNegatives(Tables.embeddings(s, d), col("vec_id"),
       col("embedding"), col("label"), k = 3)
+      .withColumn("lab", col("lab").cast("long"))
       .orderBy("query_id", "rnk")
   }, Some(s"""
     WITH e AS (SELECT vec_id, label, embedding, ${VectorQueries.duckNorm} AS nrm

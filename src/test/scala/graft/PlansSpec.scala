@@ -158,6 +158,49 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("IntervalJoinRewrite: reversed spans (s > e) route to the fallback, not dropped") {
+    // a reversed "interval" can still satisfy a_s <= b_e AND b_s <= a_e
+    // (e.g. [5000, 1000] vs [0, 10000]); the bucketed branch cannot
+    // represent it (empty bucket sequence), so it must reach the
+    // fallback branch instead of silently vanishing
+    // [3500+i, 150] matches ivB's k=0 band [101, 3600]; buckets 3 vs 0
+    // → span -3, unrepresentable in the bucketed branch
+    val revA = ivA.union(spark.range(0, 3).select(
+      (col("id") + 900L).as("a_id"),
+      (lit(3500.0) + col("id")).as("a_s"), lit(150.0).as("a_e")))
+    // [2400, 40] (span -2) matches ivA's id=0 row [0, 2500]
+    val revB = ivB.union(spark.range(0, 1).select(
+      lit(800L).as("b_id"), lit(2400.0).as("b_s"), lit(40.0).as("b_e")))
+    val expected = ivPairs(revA.join(revB, overlapCond))
+    assert(expected.keys.exists(_._1 >= 900L),
+      "fixture must produce matches involving reversed left rows")
+    assert(expected.keys.exists(_._2 == 800L),
+      "fixture must produce matches involving reversed right rows")
+    withIvRule {
+      spark.conf.set("spark.graft.intervalJoin.bucketWidth", "1000.0")
+      try {
+        assert(ivPairs(revA.join(revB, overlapCond)) == expected)
+      } finally spark.conf.unset("spark.graft.intervalJoin.bucketWidth")
+    }
+  }
+
+  test("IntervalJoinRewrite: mixed numeric bound types still rewrite and agree") {
+    // left bounds long, right bounds double — the canonical-bucket
+    // Greatest must not be built over mismatched child types
+    val la = spark.range(0, 200).select(col("id").as("a_id"),
+      (col("id") * 700L).as("a_s"), (col("id") * 700L + 2500L).as("a_e"))
+    val expected = ivPairs(la.join(ivB, overlapCond))
+    withIvRule {
+      spark.conf.set("spark.graft.intervalJoin.bucketWidth", "1000.0")
+      try {
+        val rewritten = la.join(ivB, overlapCond)
+        val plan = rewritten.queryExecution.executedPlan.toString
+        assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+        assert(ivPairs(rewritten) == expected)
+      } finally spark.conf.unset("spark.graft.intervalJoin.bucketWidth")
+    }
+  }
+
   test("IntervalJoinRewrite leaves BETWEEN and equi joins to other rules") {
     withIvRule {
       // point-in-interval (degenerate [p,p] interval) must NOT match —
