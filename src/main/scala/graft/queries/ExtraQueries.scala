@@ -136,15 +136,31 @@ object ExtraQueries {
     ORDER BY e.event_id
   """), headline = true)
 
-  /** Sketch aggregates: HyperLogLog distinct estimates next to exact
-    * counts (rows-only — HLL implementations differ across engines by
-    * design; SketchSpec pins the error envelope). */
+  /** Sketch aggregates: HyperLogLog distinct estimates GRADED against
+    * exact counts inside the engine. HLL internals have no DuckDB
+    * twin, so the gate carries the exact counts plus envelope
+    * booleans: approx_count_distinct's default rsd is 0.05, so a
+    * correct sketch lands within 3σ = 15% of exact — if Spark's
+    * estimate ever escapes the envelope the boolean flips and the
+    * oracle hash breaks. SketchSpec separately pins tighter
+    * distributional behavior. */
   private val qApproxDistinct = BoundQuery("q_approx_distinct", (s, d) => {
     Tables.orders(s, d).agg(
-      approx_count_distinct(col("o_custkey")).as("approx_users"),
       countDistinct(col("o_custkey")).as("exact_users"),
-      approx_count_distinct(col("o_orderkey")).as("approx_orders"))
-  }, None)
+      countDistinct(col("o_orderkey")).as("exact_orders"),
+      approx_count_distinct(col("o_custkey")).as("au"),
+      approx_count_distinct(col("o_orderkey")).as("ao"))
+      .select(col("exact_users"), col("exact_orders"),
+        (abs(col("au") - col("exact_users")).cast("double") <=
+          col("exact_users").cast("double") * 0.15).as("users_in_envelope"),
+        (abs(col("ao") - col("exact_orders")).cast("double") <=
+          col("exact_orders").cast("double") * 0.15).as("orders_in_envelope"))
+  }, Some("""
+    SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_users,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS users_in_envelope, TRUE AS orders_in_envelope
+    FROM orders
+  """))
 
   /** Salted two-phase aggregation (SkewTools): identical answer to a
     * direct groupBy — the oracle IS the direct groupBy — with the

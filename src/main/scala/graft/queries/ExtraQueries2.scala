@@ -216,22 +216,48 @@ object ExtraQueries2 {
     GROUP BY band_id ORDER BY band_id
   """))
 
-  /** Approximate quantile sketch next to the exact answer (rows-only:
-    * sketch internals are engine-specific; PropertiesSpec pins the
-    * error envelope against the exact percentiles). */
+  /** Approximate quantile sketch GRADED against the exact answer
+    * inside the engine: percentile_approx(accuracy=10000) guarantees
+    * rank error ≤ n/accuracy, so for each probed q the gate computes
+    * the TRUE rank of the returned value and checks
+    * |rank − q·n| ≤ n/10000 + 1. The sketch internals stay
+    * engine-specific (rows-only before this grade); the oracle
+    * replays the exact interpolated percentiles and expects every
+    * rank check to hold — a sketch regression flips a boolean and
+    * breaks the hash. */
   private val qApproxQuantiles = BoundQuery("q_approx_quantiles", (s, d) => {
-    Tables.orders(s, d).agg(
+    val o = Tables.orders(s, d)
+    val agg = o.agg(
       percentile_approx(col("o_totalprice"),
         array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("approx"),
-      expr("percentile(o_totalprice, array(0.5D, 0.9D, 0.99D))").as("exact"))
-      .select(
-        element_at(col("approx"), 1).as("approx_p50"),
-        element_at(col("approx"), 2).as("approx_p90"),
-        element_at(col("approx"), 3).as("approx_p99"),
-        element_at(col("exact"), 1).as("exact_p50"),
-        element_at(col("exact"), 2).as("exact_p90"),
-        element_at(col("exact"), 3).as("exact_p99"))
-  }, None)
+      expr("percentile(o_totalprice, array(0.5D, 0.9D, 0.99D))").as("exact"),
+      count(lit(1)).as("n"))
+    val graded = o.crossJoin(broadcast(agg))
+      .agg(
+        first(col("exact")).as("exact"), first(col("n")).as("n"),
+        sum(when(col("o_totalprice") <= element_at(col("approx"), 1), 1L)
+          .otherwise(0L)).as("r50"),
+        sum(when(col("o_totalprice") <= element_at(col("approx"), 2), 1L)
+          .otherwise(0L)).as("r90"),
+        sum(when(col("o_totalprice") <= element_at(col("approx"), 3), 1L)
+          .otherwise(0L)).as("r99"))
+    def rankOk(r: org.apache.spark.sql.Column, q: Double): org.apache.spark.sql.Column =
+      abs(r.cast("double") - lit(q) * col("n").cast("double")) <=
+        col("n").cast("double") / 10000.0 + 1.0
+    graded.select(
+      round(element_at(col("exact"), 1), 6).as("exact_p50"),
+      round(element_at(col("exact"), 2), 6).as("exact_p90"),
+      round(element_at(col("exact"), 3), 6).as("exact_p99"),
+      rankOk(col("r50"), 0.5).as("p50_rank_ok"),
+      rankOk(col("r90"), 0.9).as("p90_rank_ok"),
+      rankOk(col("r99"), 0.99).as("p99_rank_ok"))
+  }, Some("""
+    SELECT round(quantile_cont(o_totalprice, 0.5), 6) AS exact_p50,
+           round(quantile_cont(o_totalprice, 0.9), 6) AS exact_p90,
+           round(quantile_cont(o_totalprice, 0.99), 6) AS exact_p99,
+           TRUE AS p50_rank_ok, TRUE AS p90_rank_ok, TRUE AS p99_rank_ok
+    FROM orders
+  """))
 
   /** Mergeable KLL quantile sketch (expressions.KllSketch) probed at
     * five quantiles. Capacity 2^21 exceeds the row count through sf1,

@@ -178,40 +178,88 @@ object QualityQueries {
     * native hll_sketch_agg/hll_union_agg): one sketch per event_type
     * plus the merged ALL row — the monitoring shape where per-shard /
     * per-day sketches are persisted and UNIONED instead of recounting
-    * raw events (a union is O(sketch), a recount is O(data)). Rows-
-    * only: the estimate depends on the sketch implementation, which
-    * has no DuckDB twin; QualitySpec pins the error envelope against
-    * exact distinct counts and union consistency. */
+    * raw events (a union is O(sketch), a recount is O(data)). The
+    * estimate depends on the sketch implementation (no DuckDB twin),
+    * so the GATE carries exact distinct counts plus an in-engine
+    * envelope boolean per row — the estimate itself is graded where
+    * it is computed; QualitySpec additionally pins union
+    * consistency. */
   private val qHllUnion = BoundQuery("q_hll_union", (s, d) => {
-    val perType = Tables.events(s, d).groupBy("event_type")
+    val ev = Tables.events(s, d)
+    val perType = ev.groupBy("event_type")
       .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
-        count(lit(1)).as("n_events"))
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("exact_users"))
     val typed = perType.select(col("event_type"), col("n_events"),
-      hll_sketch_estimate(col("sk")).as("approx_users"))
+      col("exact_users"), hll_sketch_estimate(col("sk")).as("approx_users"))
+    val allExact = ev.agg(countDistinct(col("user_id")).as("exact_users"))
     val merged = perType.agg(
       hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
       sum(col("n_events")).as("n_events"))
-      .select(lit("ALL").as("event_type"), col("n_events"), col("approx_users"))
-    typed.unionByName(merged).orderBy("event_type")
-  }, None)
+      .crossJoin(broadcast(allExact))
+      .select(lit("ALL").as("event_type"), col("n_events"),
+        col("exact_users"), col("approx_users"))
+    // lgK=12 → rsd ≈ 1.04/√4096 ≈ 1.6%; 3σ envelope = 5%. A sketch
+    // (or union) regression flips the boolean and breaks the gate.
+    typed.unionByName(merged)
+      .select(col("event_type"), col("n_events"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users").cast("double")) <=
+          col("exact_users").cast("double") * 0.05).as("in_envelope"))
+      .orderBy("event_type")
+  }, Some("""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS in_envelope
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT 'ALL', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT user_id) AS BIGINT), TRUE
+    FROM events
+    ORDER BY event_type
+  """))
 
   /** Trailing-7-row distinct users per (event_type, day) by UNIONING
     * the daily HLL sketches over a sliding window — each day's raw
     * events are scanned once ever; the trailing-window "distinct over
     * 7 days of data" that an exact recount would re-scan 7× comes
     * from merging seven ~4 KB sketches. The at-scale shape for every
-    * "rolling unique users" dashboard tile. Rows-only; QualitySpec
-    * pins the envelope against exact trailing distincts. */
+    * "rolling unique users" dashboard tile. The estimate has no
+    * DuckDB twin, so the gate emits the exact trailing distinct
+    * (windowed set union — the test-scale recount the sketch path
+    * replaces in production) plus an in-engine 5% envelope boolean
+    * per row (lgK=12 → 3σ ≈ 5%); QualitySpec additionally pins
+    * union consistency. */
   private val qHllSliding = BoundQuery("q_hll_sliding", (s, d) => {
     val daily = Tables.events(s, d)
       .groupBy(col("event_type"), col("ts").cast("date").as("day"))
-      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+        collect_set(col("user_id")).as("us"))
     val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
     daily.select(col("event_type"), col("day"),
         count(lit(1)).over(w).as("n_days"),
-        hll_sketch_estimate(hll_union_agg(col("sk")).over(w)).as("approx_users_7d"))
+        size(array_distinct(flatten(collect_list(col("us")).over(w))))
+          .cast("long").as("exact_users_7d"),
+        hll_sketch_estimate(hll_union_agg(col("sk")).over(w)).as("approx"))
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        col("n_days"), col("exact_users_7d"),
+        (abs(col("approx") - col("exact_users_7d").cast("double")) <=
+          col("exact_users_7d").cast("double") * 0.05).as("in_envelope"))
       .orderBy("event_type", "day")
-  }, None)
+  }, Some("""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             list(DISTINCT user_id) AS us
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           CAST(count(*) OVER w AS BIGINT) AS n_days,
+           CAST(len(list_distinct(flatten(list(us) OVER w))) AS BIGINT)
+             AS exact_users_7d,
+           TRUE AS in_envelope
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY event_type, day
+  """))
 
   /** Trending detection: each event_type's LAST full day of volume
     * against its trailing-28-day daily average — the lift ratio a

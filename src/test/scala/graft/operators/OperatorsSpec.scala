@@ -70,9 +70,17 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("approx_count_distinct lands within 5% of exact") {
+    // the gate's 15% (3σ) envelope booleans
     val r = graft.queries.Registry.queries("q_approx_distinct")(spark, sfTiny).collect()(0)
-    val approx = r.getAs[Long]("approx_users").toDouble
-    val exact = r.getAs[Long]("exact_users").toDouble
+    assert(r.getAs[Long]("exact_users") > 0)
+    assert(r.getAs[Boolean]("users_in_envelope"))
+    assert(r.getAs[Boolean]("orders_in_envelope"))
+    // and the raw estimate is in fact much tighter at this sf
+    val o = graft.sources.Tables.orders(spark, sfTiny)
+    val row = o.agg(
+      approx_count_distinct(col("o_custkey")).as("a"),
+      countDistinct(col("o_custkey")).as("e")).collect()(0)
+    val (approx, exact) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
     assert(math.abs(approx - exact) / exact <= 0.05, s"approx $approx vs exact $exact")
   }
 
