@@ -294,8 +294,11 @@ object VectorQueries {
 
   /** IVF with a spherical-k-means-trained coarse quantizer
     * (Similarity.ivfTopKTrained) — the production FAISS-style ANN
-    * shape; rows-only (k-means means round trip through distributed
-    * double avgs; VectorSpec pins recall vs brute force). */
+    * shape. FULL ORACLE: KMeansLite's training is deterministic
+    * (lowest-id init, round-9 means, lowest-cluster ties), so DuckDB
+    * replays train → assign → probe → rank term-for-term
+    * (DuckVectorSql.annIvfTrainedSql); VectorSpec separately pins
+    * recall vs brute force. */
   private val qAnnIvfTrained = BoundQuery("q_ann_ivf_trained", (s, d) => {
     val e = Tables.embeddings(s, d)
     Similarity.ivfTopKTrained(
@@ -303,13 +306,16 @@ object VectorQueries {
       e.where(col("vec_id") < 5), col("vec_id"), col("embedding"),
       k = 10)
       .orderBy("query_id", "rnk")
-  }, None)
+  }, Some(DuckVectorSql.annIvfTrainedSql(
+    dim = 64, nCells = 16, nProbe = 4, iters = 3, k = 10)))
 
   /** Product-quantization ANN (ml.ProductQuantizer): 64-dim floats
-    * compressed to 8 codebook codes, ranked by ADC lookup distance
-    * (rows-only; VectorSpec pins recall vs exact L2 top-k). The
-    * 64x-compressed path is what still fits in memory at 100 TB of
-    * embeddings. */
+    * compressed to 8 codebook codes, ranked by ADC lookup distance.
+    * The 64x-compressed path is what still fits in memory at 100 TB
+    * of embeddings. FULL ORACLE: all 8 per-subspace codebooks are
+    * deterministic KMeansLite runs, so DuckDB replays
+    * train → encode → ADC → rank (DuckVectorSql.pqTopkSql);
+    * VectorSpec separately pins recall vs exact L2 top-k. */
   private val qPqTopk = BoundQuery("q_pq_topk", (s, d) => {
     import graft.ml.ProductQuantizer
     val e = Tables.embeddings(s, d)
@@ -323,21 +329,25 @@ object VectorQueries {
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
     ProductQuantizer.adcTopK(enc, qs, cb, kTop = 10)
       .orderBy("query_id", "rnk")
-  }, None)
+  }, Some(DuckVectorSql.pqTopkSql(dim = 64, m = 8, kCodes = 16, iters = 3, k = 10)))
 
   /** IVF+PQ composed ANN (Similarity.ivfPqTopK, the FAISS-IVFPQ
     * shape): trained coarse cells bound the candidate set, PQ codes
     * bound per-candidate memory — the configuration that serves ANN
-    * when neither the collection nor its raw vectors fit. Rows-only:
-    * both stages are approximate by construction; VectorSpec pins
-    * recall against the exact brute-force top-k. */
+    * when neither the collection nor its raw vectors fit. FULL
+    * ORACLE: both stages are deterministic KMeansLite pipelines and
+    * the driver-side probe ranking uses rounded distances with cell
+    * tie-breaks, so DuckDB replays the whole composition
+    * (DuckVectorSql.ivfPqSql); VectorSpec separately pins recall
+    * against the exact brute-force top-k. */
   private val qIvfPq = BoundQuery("q_ivf_pq", (s, d) => {
     Similarity.ivfPqTopK(Tables.embeddings(s, d),
       col("vec_id"), col("embedding"),
       queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10,
       nCells = 16, nProbe = 6, m = 8, kCodes = 16, iters = 3)
       .orderBy("query_id", "rnk")
-  }, None)
+  }, Some(DuckVectorSql.ivfPqSql(dim = 64, nCells = 16, nProbe = 6,
+    m = 8, kCodes = 16, iters = 3, k = 10)))
 
   /** PCA energy spectrum — top-5 scatter eigenvalues + variance-
     * explained shares via ml.ScatterPower's integer deflated power
