@@ -211,9 +211,11 @@ object CorpusQueries {
     * model applied back to the corpus): per-doc word and subword
     * counts. The distinct-word table — vocab-sized, not corpus-sized —
     * is what gets segmented (BpeTrainer.encodeWords); the corpus pays
-    * one hash join against it. Rows-only by design (the merge table
-    * comes from iterative training); BpeSpec pins the segmentation
-    * against an independent single-machine reference encoder. */
+    * one hash join against it. FULL ORACLE: DuckBpeSql unrolls the
+    * same 12-merge training recurrence and applies it to the vocab,
+    * so the per-doc subword counts replay end-to-end; BpeSpec
+    * additionally pins the segmentation against an independent
+    * single-machine reference encoder. */
   private val qBpeEncode = BoundQuery("q_bpe_encode", (s, d) => {
     val docs = Tables.documents(s, d)
     val merges = BpeTrainer.train(docs, col("text"), numMerges = 12)
@@ -224,7 +226,7 @@ object CorpusQueries {
       .agg(count(lit(1)).as("n_words"),
         sum(size(col("toks")).cast("long")).as("n_subwords"))
       .orderBy("doc_id")
-  }, None)
+  }, Some(DuckBpeSql.encodeSql(numMerges = 12)))
 
   /** Boilerplate span detector: 8-token spans occurring in ≥ 2
     * distinct documents, with document and occurrence counts — the

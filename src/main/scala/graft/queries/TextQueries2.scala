@@ -456,15 +456,17 @@ object TextQueries2 {
   """))
 
   /** BPE tokenizer training (ml.BpeTrainer): the first 12 byte-pair
-    * merges over the corpus, with weighted pair counts. Rows-only —
-    * each merge REWRITES the tokenization the next iteration counts,
-    * which a SQL oracle cannot unroll without the same fold; BpeSpec
-    * pins the full merge sequence against an independent reference
-    * implementation. */
+    * merges over the corpus, with weighted pair counts. FULL ORACLE:
+    * each merge rewrites the tokenization the next iteration counts,
+    * and DuckDB unrolls exactly that recurrence — per-iteration pair
+    * counts, total-order argmax, and the leftmost non-overlapping
+    * merge application expressed as run-parity window logic
+    * (DuckBpeSql); BpeSpec additionally pins the merge sequence
+    * against an independent reference implementation. */
   private val qBpeMerges = BoundQuery("q_bpe_merges", (s, d) => {
     graft.ml.BpeTrainer.mergesDF(Tables.documents(s, d), col("text"), numMerges = 12)
       .orderBy("rank")
-  }, None)
+  }, Some(DuckBpeSql.mergesSql(numMerges = 12)))
 
   /** Containment near-dup pairs (Dedup.ngramContainmentPairs): the
     * subset-duplication detector jaccard under-scores. The
