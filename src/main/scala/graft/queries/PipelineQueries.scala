@@ -188,6 +188,52 @@ object PipelineQueries {
     FROM h ORDER BY id
   """))
 
+  /** REAL media decode on real bytes (round 4, closing the stub
+    * decoder gap): a deterministic corpus of GENUINE BMP/PNG/WAV
+    * files — spec-compliant headers, CRC'd PNG chunks, Deflater
+    * IDAT, PCM frames (multimodal.MediaCodec.render) — is
+    * materialized per doc_id, ingested through the binaryFile
+    * source, and header-parsed back by magic bytes in the same
+    * mapPartitions lifecycle as the stub path
+    * (BinaryColumns.decodeMedia). The oracle replays the corpus
+    * dimension FORMULAS, so a misread offset or endianness in the
+    * parser breaks the round trip; MultimodalSpec additionally
+    * decodes hand-written golden bytes so generator and parser
+    * cannot share a consistent-but-wrong interpretation. The stub
+    * path (q_multimodal_features) stays as the oracle-replayable
+    * arithmetic twin. */
+  private val qMultimodalDecode = BoundQuery("q_multimodal_decode", (s, d) => {
+    // fixture GENERATOR (driver-side by design — it stands in for the
+    // media bucket); the decode pipeline below is fully distributed
+    val ids = Tables.documents(s, d).select(col("doc_id")).orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val tag = java.lang.Integer.toHexString(d.hashCode) + "_" + ids.length
+    val dir = graft.multimodal.MediaCorpus.ensure(ids, tag)
+    val bin = s.read.format("binaryFile").load(dir + "/m*")
+    val packed = bin.select(
+      regexp_extract(col("path"), "m(\\d+)\\.", 1).cast("long").as("id"),
+      col("content").as("payload"))
+    BinaryColumns.decodeMedia(packed).orderBy("id")
+  }, Some("""
+    SELECT doc_id AS id,
+      CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' ELSE 'wav' END AS format,
+      CASE WHEN doc_id % 3 = 0 THEN CAST(16 + (doc_id * 7) % 48 AS INT)
+           WHEN doc_id % 3 = 1 THEN CAST(16 + (doc_id * 11) % 48 AS INT)
+      END AS width,
+      CASE WHEN doc_id % 3 = 0 THEN CAST(16 + (doc_id * 13) % 40 AS INT)
+           WHEN doc_id % 3 = 1 THEN CAST(16 + (doc_id * 17) % 40 AS INT)
+      END AS height,
+      CASE WHEN doc_id % 3 IN (0, 1) THEN 3
+           ELSE CAST(1 + doc_id % 2 AS INT) END AS channels,
+      CASE WHEN doc_id % 3 = 2 THEN CAST(8000 + (doc_id % 5) * 4000 AS INT)
+      END AS sample_rate,
+      CASE WHEN doc_id % 3 = 2 THEN
+        CAST(((1000 + (doc_id * 37) % 2000) * 1000)
+             // (8000 + (doc_id % 5) * 4000) AS BIGINT)
+      END AS duration_ms
+    FROM documents ORDER BY id
+  """))
+
   /** Per-file manifest of the lineitem scan (sources.Manifest): file
     * basename, row count, key/date/price min-max — the layout-audit
     * table. The oracle names the single physical file the test corpus
@@ -211,5 +257,6 @@ object PipelineQueries {
 
   val all: Seq[BoundQuery] = Seq(
     qGeoDistance, qGeoRadiusJoin, qWindowSessions, qSessionWindow,
-    qStreamHourly, qMultimodalMeta, qMultimodalFeatures, qManifest)
+    qStreamHourly, qMultimodalMeta, qMultimodalFeatures,
+    qMultimodalDecode, qManifest)
 }
