@@ -52,7 +52,7 @@ object Bench {
       try q.run(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    val results = hs.map { q =>
+    def timeAll(qs: Seq[queries.BoundQuery]): Seq[(String, Double)] = qs.map { q =>
       val t0 = System.nanoTime()
       try {
         val n = q.run(spark, sfDir).count()
@@ -62,10 +62,31 @@ object Bench {
       }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val results = timeAll(hs)
+    // the ten TPC-H completions ride along as a TRACKED, non-headline
+    // subtotal (r3 verdict item 2): "value" stays the 12-headliner
+    // total BASELINE.md's cross-round ratio is defined on; "tpch10"
+    // is graded against its own same-session DuckDB row in BASELINE.md
+    val tpchTen = Seq("q6_forecast_revenue", "q8_market_share",
+      "q10_returned_items", "q13_order_distribution", "q14_promo_effect",
+      "q15_top_supplier", "q17_small_qty_revenue", "q18_large_orders",
+      "q19_discounted_revenue", "q22_dormant_customers")
+    val byName = queries.Registry.allQueries.map(q => q.name -> q).toMap
+    val tpchResults =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) Seq.empty
+      else {
+        val qs = tpchTen.flatMap(byName.get)
+        qs.foreach(q => try q.run(spark, sfDir).count()
+          catch { case _: Throwable => () }) // same untimed warm-up
+        timeAll(qs)
+      }
+    val qs = (results ++ tpchResults).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val tpchField =
+      if (tpchResults.isEmpty) ""
+      else s""""tpch10":${tpchResults.map(_._2).sum},"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$tpchField"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -65,9 +65,16 @@ case class DotProduct(left: Expression, right: Expression)
 object DotProduct {
   import org.apache.spark.sql.classic.ClassicConversions.castToImpl
 
+  // once per session: re-registering on every query invocation both
+  // mutates the session mid-flight and floods the log with
+  // replaced-function WARNs that bury real warnings (r3 verdict)
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def register(spark: SparkSession): Unit =
-    castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null)
+      castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
+        "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
 
   def dotProduct(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)

@@ -33,11 +33,18 @@ object CacheScope {
     override def initialValue(): ArrayBuffer[DataFrame] = ArrayBuffer.empty
   }
 
-  /** Persist `df` and register it with the current thread's scope. */
+  /** Persist `df` and register it with the current thread's scope.
+    * Already-persisted inputs (e.g. a warmed service-mode table
+    * passed straight into an operator) pass through untouched —
+    * re-persisting them only emits "already cached" WARNs, and
+    * registering them would wrongly unpersist the long-lived warm
+    * cache when this scope closes. */
   def persist(df: DataFrame,
               level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    df.persist(level)
-    reg.get() += df
+    if (df.storageLevel == StorageLevel.NONE) {
+      df.persist(level)
+      reg.get() += df
+    }
     df
   }
 
