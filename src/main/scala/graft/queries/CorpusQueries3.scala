@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.functions.TextFunctions.tokens
+import graft.functions.TextFunctions.{tokens, wordShingles}
 
 /** SURVEY §2.4 curation wave 3: cross-source distribution comparison
   * (pairwise Jensen–Shannon divergence — "which sources are
@@ -551,7 +551,82 @@ object CorpusQueries3 {
     FROM capped CROSS JOIN cut ORDER BY source
   """))
 
+  /** Chao1 species-richness estimate of the vocabulary (Chao 1984,
+    * bias-corrected form): how many distinct tokens the corpus WOULD
+    * contain if sampling continued — V + f1·(f1−1)/(2·(f2+1)) from
+    * the observed-once (f1) and observed-twice (f2) counts. The
+    * "how much unseen vocabulary is left" telemetry that complements
+    * q_heaps_law's growth-curve fit. All-integer: counts are exact,
+    * the correction term is one integer division in micro-units.
+    * One token explode + two tiny aggs — scan-bound at any scale. */
+  private val qChao1 = BoundQuery("q_chao1", (s, d) => {
+    val counts = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    counts.agg(
+      count(lit(1)).as("v_obs"),
+      sum(when(col("n") === 1, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("n") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("v_obs"), col("f1"), col("f2"),
+        (col("v_obs") * 1000000L +
+          expr("(1000000 * f1 * (f1 - 1)) div (2 * (f2 + 1))"))
+          .as("chao1_micro"))
+  }, Some("""
+    WITH counts AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS w
+        FROM documents) GROUP BY w)
+    SELECT CAST(count(*) AS BIGINT) AS v_obs,
+      CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+      CAST(count(*) * 1000000
+           + (1000000 * sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+              * (sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) - 1))
+             // (2 * (sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) + 1))
+        AS BIGINT) AS chao1_micro
+    FROM counts
+  """))
+
+  /** Dictionary / blocklist matching — the scrubber JOIN shape: the
+    * corpus's own top-20 4-token spans (count desc, span asc — the
+    * q_boilerplate_spans telemetry turned into a dictionary) are
+    * broadcast against every document's 4-gram shingles; per flagged
+    * doc: total hits, distinct phrases hit. At 100 TB the dictionary
+    * side is always broadcast-small (a blocklist is KBs) and the doc
+    * side is one explode — no shuffle wider than the per-doc
+    * aggregation. The equi-join-on-shingle shape is what replaces a
+    * per-doc regex scan over a large phrase set (Aho-Corasick's job)
+    * when the phrases are fixed token n-grams. */
+  private val qBlocklist = BoundQuery("q_blocklist", (s, d) => {
+    val spans = Tables.documents(s, d)
+      .select(col("doc_id"), explode(wordShingles(col("text"), 4)).as("span"))
+    val dict = spans.groupBy("span").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("span")).limit(20)
+      .select(col("span"))
+    spans.join(broadcast(dict), "span")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("span")).as("n_phrases"))
+      .orderBy("doc_id")
+  }, Some("""
+    WITH sh AS (
+      SELECT doc_id,
+        unnest(list_transform(range(1, greatest(len(w) - 2, 1)),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS span
+      FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents)
+      WHERE len(w) >= 4),
+    dict AS (
+      SELECT span FROM (
+        SELECT span, count(*) AS n FROM sh GROUP BY span
+        ORDER BY n DESC, span LIMIT 20)),
+    hits AS (SELECT s.doc_id, s.span FROM sh s JOIN dict d ON s.span = d.span)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+      CAST(count(DISTINCT span) AS BIGINT) AS n_phrases
+    FROM hits GROUP BY doc_id ORDER BY doc_id
+  """))
+
   val all: Seq[BoundQuery] = Seq(qJsDivergence, qQuantileNorm, qReadability,
     qNgramNovelty, qHeapsLaw, qFertility, qShingleDfProfile, qPplBuckets,
-    qMixtureRates)
+    qMixtureRates, qChao1, qBlocklist)
 }

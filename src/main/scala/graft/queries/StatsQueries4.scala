@@ -666,7 +666,136 @@ object StatsQueries4 {
     ORDER BY seg_a, seg_b
   """))
 
+  /** Benjamini–Hochberg FDR correction over a FAMILY of simultaneous
+    * tests — the multiple-comparisons discipline every metrics
+    * dashboard skips and then regrets: 15 (priority × status) cells
+    * each run a one-sample z of their mean order value against the
+    * global mean; raw p-values are then STEP-UP corrected (find the
+    * largest k with p_(k) ≤ k·α/m, discover ranks 1..k, α = 0.05).
+    *
+    * The tail probability uses the logistic approximation
+    * p = 2/(1+exp(1.702·|z|)) ≈ 2(1−Φ(|z|)) — neither engine ships
+    * erf, and the approximation (|error| < 0.0095, Bowling 2009) is
+    * an identical expression tree on both sides, so the DEFINITION is
+    * the approximation and the gate is exact. Moments are exact
+    * cents-longs; the BH pass runs on the m=15-row table (two window
+    * functions), nothing scales past the first groupBy. */
+  private val qFdr = BoundQuery("q_fdr", (s, d) => {
+    val cell = Tables.orders(s, d)
+      .withColumn("c", cents(col("o_totalprice")))
+      .groupBy(col("o_orderpriority").as("priority"),
+        col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"), sum("c").as("sc"),
+        sum(col("c") * col("c")).as("ssc"))
+    val glob = Tables.orders(s, d)
+      .withColumn("c", cents(col("o_totalprice")))
+      .agg(count(lit(1)).as("ng"), sum("c").as("scg"))
+    val z = cell.crossJoin(broadcast(glob))
+      .withColumn("mean", col("sc").cast("double") / col("n").cast("double"))
+      .withColumn("gmean", col("scg").cast("double") / col("ng").cast("double"))
+      .withColumn("variance",
+        (col("ssc").cast("double") - col("sc").cast("double") *
+          col("sc").cast("double") / col("n").cast("double")) /
+          (col("n") - 1).cast("double"))
+      .withColumn("z",
+        (col("mean") - col("gmean")) / sqrt(col("variance") / col("n").cast("double")))
+      .withColumn("p", lit(2.0) / (lit(1.0) + exp(lit(1.702) * abs(col("z")))))
+    val wRank = Window.orderBy(col("p"), col("priority"), col("status"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    z.withColumn("k", row_number().over(wRank).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("ok", col("p") <= col("k").cast("double") * 0.05 / col("m").cast("double"))
+      .withColumn("kstar", max(when(col("ok"), col("k"))).over(wAll))
+      .select(col("priority"), col("status"), col("n"),
+        round(col("z"), 6).as("z"),
+        round(col("p") * 1e6, 0).cast("long").as("p_ppm"),
+        col("k"), (col("k") <= coalesce(col("kstar"), lit(0L))).as("discovered"))
+      .orderBy("k")
+  }, Some("""
+    WITH cell AS (
+      SELECT o_orderpriority AS priority, o_orderstatus AS status,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sc,
+        CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+               * CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS ssc
+      FROM orders GROUP BY 1, 2),
+    gstats AS (
+      SELECT CAST(count(*) AS BIGINT) AS ng,
+        CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS scg
+      FROM orders),
+    z AS (
+      SELECT priority, status, n,
+        (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)
+          - CAST(scg AS DOUBLE) / CAST(ng AS DOUBLE))
+        / sqrt(((CAST(ssc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                 / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))
+               / CAST(n AS DOUBLE)) AS z
+      FROM cell CROSS JOIN gstats),
+    p AS (
+      SELECT priority, status, n, z,
+        2.0 / (1.0 + exp(1.702 * abs(z))) AS p
+      FROM z),
+    ranked AS (
+      SELECT priority, status, n, z, p,
+        CAST(row_number() OVER (ORDER BY p, priority, status) AS BIGINT) AS k,
+        CAST(count(*) OVER () AS BIGINT) AS m
+      FROM p),
+    flagged AS (
+      SELECT *, p <= CAST(k AS DOUBLE) * 0.05 / CAST(m AS DOUBLE) AS ok
+      FROM ranked),
+    kstar AS (SELECT max(CASE WHEN ok THEN k END) AS ks FROM flagged)
+    SELECT priority, status, n, round(z, 6) AS z,
+      CAST(round(p * 1e6, 0) AS BIGINT) AS p_ppm, k,
+      k <= COALESCE(ks, 0) AS discovered
+    FROM flagged CROSS JOIN kstar ORDER BY k
+  """))
+
+  /** Exact per-group quantiles by RANK arithmetic — the per-nation
+    * p50/p90 revenue readout, each quantile the element of rank
+    * max(1, ceil(q·n)) within its group (quantile_disc's convention,
+    * the same contract q_kll_quantiles pins globally). Two window
+    * passes over cents-longs, no sketch, no interpolation floats —
+    * exact and hash-stable at any group size; at 100 TB the
+    * per-group sort is the partitioned window shuffle. */
+  private val qGroupQuantiles = BoundQuery("q_group_quantiles", (s, d) => {
+    val j = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), cents(col("o_totalprice")).as("c"))
+    val w = Window.partitionBy("n_name").orderBy(col("c"))
+    val ranked = j
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("n_name")))
+    def pick(q: Double, as: String) =
+      max(when(col("rn") === greatest(lit(1L),
+        ceil(lit(q) * col("n").cast("double")).cast("long")), col("c"))).as(as)
+    ranked.groupBy("n_name")
+      .agg(max(col("n")).as("n"), pick(0.5, "p50_c"), pick(0.9, "p90_c"))
+      .select(col("n_name"), col("n"),
+        money(col("p50_c")).as("p50"), money(col("p90_c")).as("p90"))
+      .orderBy("n_name")
+  }, Some("""
+    WITH j AS (
+      SELECT n_name, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey),
+    ranked AS (
+      SELECT n_name, c,
+        CAST(row_number() OVER (PARTITION BY n_name ORDER BY c) AS BIGINT) AS rn,
+        CAST(count(*) OVER (PARTITION BY n_name) AS BIGINT) AS n
+      FROM j)
+    SELECT n_name, max(n) AS n,
+      CAST(max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+               THEN c END) AS DOUBLE) / 100.0 AS p50,
+      CAST(max(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
+               THEN c END) AS DOUBLE) / 100.0 AS p90
+    FROM ranked GROUP BY n_name ORDER BY n_name
+  """))
+
   val all: Seq[BoundQuery] = Seq(qJarqueBera, qRunsTest, qDurbinWatson,
     qChangepoint, qCohensD, qMcc, qTukeyHsd, qCochranQ, qPowerAnalysis,
-    qSimpsonCheck)
+    qSimpsonCheck, qFdr, qGroupQuantiles)
 }

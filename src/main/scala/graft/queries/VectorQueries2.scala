@@ -86,5 +86,84 @@ object VectorQueries2 {
     FROM pairs ORDER BY id_a
   """))
 
-  val all: Seq[BoundQuery] = Seq(qJlProjection)
+  /** Binary-quantization ANN — the 32×-compression tier beside PQ's
+    * 64× (q_pq_topk): each vector collapses to a 63-bit SIGN
+    * SIGNATURE (one long; bit 63 stays clear because a signed-64
+    * 1<<63 overflows DuckDB — one dim of signature is noise-level
+    * for recall and keeps both engines in exact parity), candidates
+    * rank by XOR-popcount Hamming distance — pure codegen'd integer
+    * ops over 8 resident bytes per vector — and the top-50 per query
+    * rerank by exact cosine. The serving shape when even PQ codes
+    * are too wide: a billion vectors fit in 8 GB of signatures.
+    * FULL ORACLE: quantization, signatures, Hamming ranking (id
+    * tie-breaks) and the rounded-cosine rerank replay term-for-term;
+    * recall vs the exact top-k is pinned in VectorSpec's family
+    * audits via q_ann_topk's truth. */
+  private val qBqTopk = BoundQuery("q_bq_topk", (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT))")
+        .as("vu"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vd"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(zip_with(vd, vd, (x, y) -> x * y), 0.0D, (a, z) -> a + z))"))
+      .withColumn("sig", expr("""
+        aggregate(sequence(1, 63), 0L, (acc, i) ->
+          acc + shiftleft(BIGINT(IF(element_at(vu, i) > 0, 1, 0)), i - 1))"""))
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("sig").as("qsig"),
+        col("vd").as("qvd"), col("nrm").as("qnrm"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("hamming", expr("bit_count(sig ^ qsig)").cast("long"))
+    val cand = graft.operators.TopKPerGroup.topK(scored,
+      Seq(col("query_id")), Seq(col("hamming"), col("vec_id")), 50,
+      rankCol = "crnk")
+    val reranked = cand.withColumn("cosine", round(expr(
+      "aggregate(zip_with(vd, qvd, (x, y) -> (x / nrm) * (y / qnrm)), 0.0D, (a, z) -> a + z)"),
+      6))
+    graft.operators.TopKPerGroup.topK(reranked, Seq(col("query_id")),
+      Seq(desc("cosine"), col("vec_id")), 10, rankCol = "rnk")
+      .select(col("query_id"), col("vec_id").as("id"), col("hamming"),
+        col("cosine"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }, Some(s"""
+    WITH e AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT)) AS vu,
+        embedding, ${VectorQueries.duckNorm} AS nrm
+      FROM embeddings),
+    sigs AS (
+      SELECT vec_id, embedding, nrm,
+        list_reduce(list_transform(range(1, 64),
+          i -> CASE WHEN vu[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
+                    ELSE CAST(0 AS BIGINT) END),
+          (x, y) -> x + y) AS sig
+      FROM e),
+    scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id, a.embedding, a.nrm,
+        q.embedding AS qemb, q.nrm AS qnrm,
+        CAST(bit_count(xor(a.sig, q.sig)) AS BIGINT) AS hamming
+      FROM sigs a JOIN sigs q
+        ON q.vec_id < 5 AND a.vec_id <> q.vec_id),
+    cand AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY hamming, vec_id) AS crnk
+        FROM scored) WHERE crnk <= 50),
+    rer AS (
+      SELECT query_id, vec_id AS id, hamming,
+        round(list_reduce(list_transform(range(1, 65),
+          i -> (CAST(embedding[i] AS DOUBLE)/nrm)
+             * (CAST(qemb[i] AS DOUBLE)/qnrm)), (x, y) -> x + y), 6) AS cosine
+      FROM cand)
+    SELECT query_id, id, hamming, cosine, rnk FROM (
+      SELECT query_id, id, hamming, cosine,
+        CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, id) AS BIGINT) AS rnk
+      FROM rer) WHERE rnk <= 10
+    ORDER BY query_id, rnk
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qJlProjection, qBqTopk)
 }
