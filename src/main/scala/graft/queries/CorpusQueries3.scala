@@ -626,7 +626,35 @@ object CorpusQueries3 {
     FROM hits GROUP BY doc_id ORDER BY doc_id
   """))
 
+  /** Effective sample size under length weighting (Kish 1965):
+    * when documents are weighted by size (every token-budget mixture
+    * does this implicitly), the statistically EFFECTIVE number of
+    * documents per source is ESS = (Σw)²/Σw², and the design effect
+    * deff = n/ESS says how much a few huge docs dominate. All exact:
+    * n_chars longs sum into decimal(38,0)/HUGEINT, ESS and deff are
+    * single integer divisions in milli-units. One partial agg. */
+  private val qEffectiveN = BoundQuery("q_effective_n", (s, d) => {
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).cast("decimal(38,0)").as("sw"),
+        sum(col("n_chars") * col("n_chars")).cast("decimal(38,0)").as("sww"))
+      .select(col("source"), col("n"),
+        expr("CAST((sw * sw * 1000) DIV sww AS BIGINT)").as("ess_milli"),
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * sww * 1000) DIV (sw * sw) AS BIGINT)")
+          .as("deff_milli"))
+      .orderBy("source")
+  }, Some("""
+    SELECT source, CAST(count(*) AS BIGINT) AS n,
+      CAST((CAST(sum(n_chars) AS HUGEINT) * sum(n_chars) * 1000)
+           // sum(CAST(n_chars AS HUGEINT) * n_chars) AS BIGINT) AS ess_milli,
+      CAST((CAST(count(*) AS HUGEINT)
+            * sum(CAST(n_chars AS HUGEINT) * n_chars) * 1000)
+           // (CAST(sum(n_chars) AS HUGEINT) * sum(n_chars)) AS BIGINT) AS deff_milli
+    FROM documents GROUP BY source ORDER BY source
+  """))
+
   val all: Seq[BoundQuery] = Seq(qJsDivergence, qQuantileNorm, qReadability,
     qNgramNovelty, qHeapsLaw, qFertility, qShingleDfProfile, qPplBuckets,
-    qMixtureRates, qChao1, qBlocklist)
+    qMixtureRates, qChao1, qBlocklist, qEffectiveN)
 }

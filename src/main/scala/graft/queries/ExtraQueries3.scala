@@ -123,5 +123,51 @@ object ExtraQueries3 {
     ORDER BY user_id, click_start_us, error_start_us
   """))
 
-  val all: Seq[BoundQuery] = Seq(qRollingSlope, qIntervalJoin)
+  /** Top-k MIGRATION between consecutive years — the "movers and
+    * shakers" dashboard table: each year's top-20 revenue parts with
+    * their rank, previous-year rank, delta, and entry status
+    * (new / up / down / steady). Revenue is exact cents; ranks
+    * tie-break on partkey; the year-over-year match is a self equi
+    * join of two 20-row frames per year — nothing wider than the
+    * per-(year, part) partial agg ever shuffles. */
+  private val qTopkMigration = BoundQuery("q_topk_migration", (s, d) => {
+    val rev = Tables.lineitem(s, d)
+      .groupBy(year(col("l_shipdate")).cast("long").as("yr"),
+        col("l_partkey").as("pk"))
+      .agg(sum(cents(col("l_extendedprice"))).as("rev_c"))
+    val w = Window.partitionBy("yr").orderBy(desc("rev_c"), col("pk"))
+    val top = rev.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 20)
+    val prev = top.select((col("yr") + 1).as("yr"), col("pk"),
+      col("rnk").as("prev_rnk"))
+    top.join(prev, Seq("yr", "pk"), "left")
+      .select(col("yr"), col("pk"), col("rnk"),
+        col("prev_rnk"),
+        (coalesce(col("prev_rnk"), lit(0L)) - col("rnk")).as("delta"),
+        when(col("prev_rnk").isNull, "new")
+          .when(col("prev_rnk") > col("rnk"), "up")
+          .when(col("prev_rnk") < col("rnk"), "down")
+          .otherwise("steady").as("status"))
+      .orderBy("yr", "rnk")
+  }, Some("""
+    WITH rev AS (
+      SELECT CAST(year(l_shipdate) AS BIGINT) AS yr, l_partkey AS pk,
+        CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY 1, 2),
+    top AS (
+      SELECT yr, pk, rnk FROM (
+        SELECT yr, pk,
+          CAST(row_number() OVER (PARTITION BY yr ORDER BY rev_c DESC, pk) AS BIGINT) AS rnk
+        FROM rev) WHERE rnk <= 20)
+    SELECT t.yr, t.pk, t.rnk, p.rnk AS prev_rnk,
+      COALESCE(p.rnk, 0) - t.rnk AS delta,
+      CASE WHEN p.rnk IS NULL THEN 'new'
+           WHEN p.rnk > t.rnk THEN 'up'
+           WHEN p.rnk < t.rnk THEN 'down'
+           ELSE 'steady' END AS status
+    FROM top t LEFT JOIN top p ON p.yr = t.yr - 1 AND p.pk = t.pk
+    ORDER BY t.yr, t.rnk
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qRollingSlope, qIntervalJoin, qTopkMigration)
 }

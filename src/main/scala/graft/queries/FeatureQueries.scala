@@ -163,5 +163,70 @@ object FeatureQueries {
     ORDER BY o_orderpriority
   """))
 
-  val all: Seq[BoundQuery] = Seq(qLagFeatures, qTargetEncoding, qWoeIv)
+  /** Empirical-Bayes rate smoothing (beta-binomial shrinkage): per
+    * user, purchase-per-event rate shrunk toward a method-of-moments
+    * Beta prior fit on the population — the principled fix for
+    * "user with 2 events, 1 purchase, rate 50%" leaderboard noise
+    * that q_target_encoding's fixed-m smoothing approximates.
+    *
+    * Parity discipline: per-user raw rates quantize ONCE to exact
+    * ppm longs (k·10⁶ div n), so the prior's moment sums are exact
+    * integers; α, β and each shrunk rate (k+α)/(n+α+β) are then
+    * identical double expression trees. Top-20 by shrunk rate with
+    * id tie-break. One user-keyed partial agg + one broadcast of the
+    * 1-row prior — fully scan-shaped. */
+  private val qEbSmooth = BoundQuery("q_eb_smooth", (s, d) => {
+    val u = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("k"))
+      .withColumn("rate_ppm", expr("(k * 1000000) div n"))
+    val prior = u.agg(count(lit(1)).as("uu"),
+        sum("rate_ppm").as("sr"), sum(expr("rate_ppm * rate_ppm")).as("srr"))
+      .select(
+        (col("sr").cast("double") / col("uu").cast("double") / 1e6).as("m"),
+        ((col("srr").cast("double") -
+          col("sr").cast("double") * col("sr").cast("double") /
+            col("uu").cast("double")) /
+          (col("uu") - 1).cast("double") / 1e12).as("v"))
+      .select(col("m"), col("v"),
+        (col("m") * (lit(1.0) - col("m")) / col("v") - lit(1.0)).as("nu"))
+      .select((col("m") * col("nu")).as("alpha"),
+        ((lit(1.0) - col("m")) * col("nu")).as("beta"))
+    u.crossJoin(broadcast(prior))
+      .select(col("user_id"), col("n"), col("k"), col("rate_ppm"),
+        round((col("k").cast("double") + col("alpha")) /
+          (col("n").cast("double") + col("alpha") + col("beta")), 6)
+          .as("shrunk_rate"),
+        round(col("alpha"), 6).as("alpha"), round(col("beta"), 6).as("beta"))
+      .orderBy(desc("shrunk_rate"), col("user_id")).limit(20)
+  }, Some("""
+    WITH u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS k
+      FROM events GROUP BY 1),
+    r AS (SELECT user_id, n, k, CAST((k * 1000000) // n AS BIGINT) AS rate_ppm
+          FROM u),
+    pm AS (
+      SELECT CAST(count(*) AS BIGINT) AS uu,
+        CAST(sum(rate_ppm) AS BIGINT) AS sr,
+        CAST(sum(rate_ppm * rate_ppm) AS BIGINT) AS srr
+      FROM r),
+    mv AS (
+      SELECT CAST(sr AS DOUBLE) / CAST(uu AS DOUBLE) / 1e6 AS m,
+        (CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)
+          / CAST(uu AS DOUBLE)) / CAST(uu - 1 AS DOUBLE) / 1e12 AS v
+      FROM pm),
+    nu AS (SELECT m, v, m * (1.0 - m) / v - 1.0 AS nu FROM mv),
+    prior AS (SELECT m * nu AS alpha, (1.0 - m) * nu AS beta FROM nu)
+    SELECT user_id, n, k, rate_ppm,
+      round((CAST(k AS DOUBLE) + alpha)
+            / (CAST(n AS DOUBLE) + alpha + beta), 6) AS shrunk_rate,
+      round(alpha, 6) AS alpha, round(beta, 6) AS beta
+    FROM r CROSS JOIN prior
+    ORDER BY shrunk_rate DESC, user_id LIMIT 20
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qLagFeatures, qTargetEncoding, qWoeIv,
+    qEbSmooth)
 }

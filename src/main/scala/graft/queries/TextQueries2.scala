@@ -474,6 +474,45 @@ object TextQueries2 {
     * note: above the real df tail incl. the sf1 smoke's ~40, far
     * below boilerplate scale); capped candidates re-verify against
     * full shingle sets. */
+  /** Dedup IMPACT REPORT — the before-you-run-it readout every
+    * curation pipeline wants from exact dedup: the cluster-size
+    * histogram (size s → how many duplicate classes, docs removed
+    * under keep-first = (s−1) per class, bytes removed from exact
+    * n_chars sums of the non-kept members). Exact-dup classes ARE
+    * the text hash groups, so this is one digest-keyed partial agg
+    * plus a window min — same 16-byte shuffle key as q_dedup_exact,
+    * no pairwise anything. */
+  private val qDedupReport = BoundQuery("q_dedup_report", (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(md5(col("text")).as("h"), col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    val classes = docs
+      .withColumn("rn", row_number().over(w))
+      .groupBy("h")
+      .agg(count(lit(1)).as("sz"),
+        sum(when(col("rn") > 1, col("n_chars")).otherwise(0L))
+          .as("bytes_removed"))
+    classes.groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        ((col("sz") - 1) * count(lit(1))).as("docs_removed"),
+        sum("bytes_removed").as("chars_removed"))
+      .orderBy("cluster_size")
+  }, Some("""
+    WITH docs AS (
+      SELECT md5(text) AS h, doc_id, n_chars,
+        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents),
+    classes AS (
+      SELECT h, CAST(count(*) AS BIGINT) AS sz,
+        CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+          AS bytes_removed
+      FROM docs GROUP BY h)
+    SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+      CAST((sz - 1) * count(*) AS BIGINT) AS docs_removed,
+      CAST(sum(bytes_removed) AS BIGINT) AS chars_removed
+    FROM classes GROUP BY sz ORDER BY cluster_size
+  """))
+
   private val qContainmentPairs = BoundQuery("q_containment_pairs", (s, d) => {
     Dedup.ngramContainmentPairs(Tables.documents(s, d), col("doc_id"), col("text"),
       shingleSize = 5, minContainment = 0.5, maxShingleDf = Some(1000))
@@ -502,5 +541,6 @@ object TextQueries2 {
   val all: Seq[BoundQuery] =
     Seq(qTfidf, qLevenshteinPairs, qDedupClusters, qCapPerSource,
       qDedupKeepBest, qNormalize, qTrainSplit, qVocab, qCmsWords,
-      qBigramLm, qBpeMerges, qPackSequences, qChunkDocs, qContainmentPairs)
+      qBigramLm, qBpeMerges, qPackSequences, qChunkDocs, qContainmentPairs,
+      qDedupReport)
 }

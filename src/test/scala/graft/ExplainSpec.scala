@@ -554,4 +554,38 @@ class ExplainSpec extends AnyFunSuite {
       assert(!p.contains("windowspecdefinition"), q)
     }
   }
+
+  test("blocklist matches via a broadcast dictionary join") {
+    val p = plan("q_blocklist")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("bq topk ranks hamming candidates with group limits, broadcast queries") {
+    val p = plan("q_bq_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("label prop rounds are equi joins + partial aggs, no cartesian") {
+    val p = plan("q_label_prop")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("group quantiles windows partition by nation") {
+    val p = plan("q_group_quantiles")
+    val bad = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && !l.contains("n_name")).toSeq
+    assert(bad.isEmpty, s"unpartitioned window:\n${bad.mkString("\n")}")
+  }
+
+  test("fdr and chao1 are partial-agg pipelines over one scan each") {
+    for (q <- Seq("q_fdr", "q_chao1")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), q)
+    }
+  }
 }
