@@ -51,7 +51,11 @@ class PropertiesSpec extends AnyFunSuite {
         // event analytics, two-phase cumsum selection, centroid margins
         "q_minhash_pairs", "q_entropy_filter", "q_twap",
         "q_interval_coverage", "q_token_budget", "q_label_margins",
-        "q_pmi_collocations")
+        "q_pmi_collocations",
+        // round-4 wave: integer scatter spectrum, sign-signature ANN,
+        // BH step-up, EB shrinkage, LP communities, exact group ranks
+        "q_pca", "q_bq_topk", "q_fdr", "q_eb_smooth", "q_label_prop",
+        "q_group_quantiles", "q_chao1", "q_dedup_report")
         .map { n =>
           graft.queries.Registry.queries(n)(spark, sfTiny)
             .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
