@@ -236,11 +236,126 @@ object Similarity {
     val n = df.count()
     val planes = math.min(24, math.max(1,
       math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
+    val tables = tablesFor(planes, tau, targetRecall, maxTables)
+    lshCosinePairs(df, idCol, vecCol, tau, dim, planes, tables, seed = seed)
+  }
+
+  // ---------------------------------------------------------------
+  // Irwin–Hall integer-plane family: the ENGINE-PROVEN production LSH
+  // ---------------------------------------------------------------
+
+  /** Integer-exact plane count: the smallest q with 2^q ≥ n/target
+    * (≡ ceil(log2(n/target)) but decided by the integer comparison
+    * 100·2^q ≥ n, so no float log can ulp-flip it across engines),
+    * clamped to [1, 24]. */
+  def planesFor(n: Long, targetBucket: Int): Int = {
+    val cnt = (0 until 24).count(q => targetBucket.toLong * (1L << q) < n)
+    math.min(24, math.max(1, cnt))
+  }
+
+  /** Band count from the recall inversion, computed ONCE in Scala:
+    * smallest t with (1−p^planes)^t ≤ 1−recall, p = 1−acos(tau)/π.
+    * The oracle embeds this mapping as a planes→tables CASE generated
+    * from THIS function, so transcendental libm differences can never
+    * flip the sizing cross-engine. */
+  def tablesFor(planes: Int, tau: Double, targetRecall: Double, maxTables: Int): Int = {
     val p = 1.0 - math.acos(tau) / math.Pi
     val pSig = math.pow(p, planes)
-    val tables = math.min(maxTables, math.max(1,
+    math.min(maxTables, math.max(1,
       math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - pSig)).toInt))
-    lshCosinePairs(df, idCol, vecCol, tau, dim, planes, tables, seed = seed)
+  }
+
+  /** Irwin–Hall integer coefficient for plane `p`, dimension `i`
+    * (1-based): the sum of four affine-hash uniforms on [0, 999]
+    * minus the mean 1998 — CLT-approximately Gaussian, spherically
+    * symmetric enough for hyperplane LSH (Achlioptas 2003 shows even
+    * ±1 suffices), and EXACT integer arithmetic, so signatures are
+    * replayable by any engine. */
+  def ihCoef(p: Int, i: Int, dim: Int): Long = {
+    val M = 2147483647L
+    var s = 0L
+    var k = 1
+    while (k <= 4) {
+      val idx = (p.toLong * dim + (i - 1)) * 4 + k
+      s += ((2654435761L * idx + 40503L * (p + 1)) % M) % 1000L
+      k += 1
+    }
+    s - 1998L
+  }
+
+  /** lshCosinePairs with the Irwin–Hall integer planes: identical
+    * banded shape (sign signatures per table, in-bucket equi join,
+    * maxBucket degenerate guard, inline exact verify) but every sign
+    * bit is decided by Σ g(p,i)·round(v_i·10⁶) — all-long arithmetic
+    * (|terms| ≤ 64·2000·2·10⁶ ≈ 2.6·10¹¹), bit-identical across
+    * engines and partitionings. This is the PRODUCTION binding of
+    * the near-dup headline: same recall machinery as the
+    * seeded-Gaussian variant, plus a full DuckDB oracle. */
+  def lshCosinePairsIH(df: DataFrame, idCol: Column, vecCol: Column, tau: Double,
+                       dim: Int, planes: Int, tables: Int,
+                       maxBucket: Int = 100000): DataFrame = {
+    val coef: Seq[Seq[Long]] = (0 until tables * planes).map { p =>
+      (1 to dim).map(i => ihCoef(p, i, dim))
+    }
+    val n = CacheScope.persist(
+      df.select(idCol.as("id"), toDouble(vecCol).as("vd"))
+        .withColumn("nrm", sqrt(dotProduct(df.sparkSession, col("vd"), col("vd"))))
+        .withColumn("vn", transform(col("vd"), x => x / col("nrm")))
+        .withColumn("vu", transform(col("vd"), x => round(x * 1e6, 0).cast("long")))
+        .select(col("id"), col("vn"), col("vu")))
+    val coefLit = typedLit(coef)
+    val bits = transform(coefLit, cp =>
+      (aggregate(zip_with(col("vu"), cp, (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+        > 0).cast("int"))
+    val sigCols = (0 until tables).map { t =>
+      val sig = (0 until planes).map { p =>
+        element_at(col("__bits"), t * planes + p + 1) * lit(1 << p)
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), sig.as("sig"))
+    }
+    val buckets = n
+      .withColumn("__bits", bits)
+      .select(col("id"), col("vn"), explode(array(sigCols: _*)).as("bk"))
+      .select(col("id"), col("vn"), col("bk.tbl").as("tbl"), col("bk.sig").as("sig"))
+    val capped = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("tbl", "sig")
+      CacheScope.persist(buckets.withColumn("__bn", count(lit(1)).over(w))
+        .where(col("__bn") <= maxBucket).drop("__bn"))
+    }
+    capped.as("a").join(capped.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(dotProduct(df.sparkSession, col("a.vn"), col("b.vn")), 6).as("cosine"))
+      .where(col("cosine") >= tau)
+      .groupBy("id_a", "id_b").agg(first(col("cosine")).as("cosine"))
+  }
+
+  /** Auto-sized Irwin–Hall LSH: planesFor's integer sizing +
+    * tablesFor's precomputed inversion — both replayed verbatim by
+    * the oracle generator (DuckVectorSql.ihLshPairsSql). */
+  def lshCosinePairsAutoIH(df: DataFrame, idCol: Column, vecCol: Column, tau: Double,
+                           dim: Int, targetRecall: Double = 0.8,
+                           targetBucket: Int = 100, maxTables: Int = 64): DataFrame = {
+    val n = df.count()
+    val planes = planesFor(n, targetBucket)
+    val tables = tablesFor(planes, tau, targetRecall, maxTables)
+    lshCosinePairsIH(df, idCol, vecCol, tau, dim, planes, tables)
+  }
+
+  /** knnGraphLsh over the Irwin–Hall candidate generation — the
+    * engine-proven kNN-graph scale path (same symmetrize + rescore +
+    * per-node top-k as knnGraphLsh). */
+  def knnGraphLshIH(df: DataFrame, idCol: Column, vecCol: Column,
+                    k: Int, tau: Double, dim: Int,
+                    targetRecall: Double = 0.9): DataFrame = {
+    val pairs = lshCosinePairsAutoIH(df, idCol, vecCol, tau, dim,
+      targetRecall = targetRecall)
+    val sym = pairs.select(col("id_a").as("query_id"), col("id_b").as("id"), col("cosine"))
+      .union(pairs.select(col("id_b").as("query_id"), col("id_a").as("id"), col("cosine")))
+    TopKPerGroup.topK(sym, Seq(col("query_id")),
+      Seq(desc("cosine"), col("id")), k, rankCol = "rnk")
+      .select("query_id", "id", "cosine", "rnk")
   }
 
   /** Approximate k-nearest-neighbor GRAPH (every node's top-k

@@ -130,6 +130,90 @@ private[queries] object DuckVectorSql {
   """
   }
 
+  /** Shared CTE chain replaying Similarity.lshCosinePairsAutoIH over
+    * the embeddings table, ending in CTE `pairs` (id_a, id_b,
+    * cosine). The auto-sizing replays EXACTLY: planes by the integer
+    * comparison 100·2^q < n (Similarity.planesFor), tables by a
+    * planes→tables CASE generated from Similarity.tablesFor — the
+    * one transcendental step runs once, in Scala, at SQL-generation
+    * time, so libm differences cannot flip the sizing. Irwin–Hall
+    * coefficients, micro-int sign sums, the maxBucket window and the
+    * rounded-cosine verify are all exact-replay arithmetic. */
+  private def ihPairsCtes(tau: Double, dim: Int, targetRecall: Double,
+                          targetBucket: Int, maxTables: Int,
+                          maxBucket: Int): String = {
+    val tableCase = (1 to 24).map(pl =>
+      s"WHEN $pl THEN ${graft.operators.Similarity.tablesFor(pl, tau, targetRecall, maxTables)}")
+      .mkString(" ")
+    def u(k: Int) =
+      s"((2654435761 * ((p.p*$dim + (i-1))*4 + $k) + 40503*(p.p+1)) % 2147483647) % 1000"
+    s"""e AS (
+      SELECT vec_id, embedding, ${VectorQueries.duckNorm} AS nrm,
+        list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT)) AS vu
+      FROM embeddings),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+    par AS (
+      SELECT least(24, greatest(1,
+        (SELECT CAST(count(*) AS BIGINT) FROM range(0, 24) t(q), nn
+         WHERE ($targetBucket * (CAST(1 AS BIGINT) << q)) < n))) AS planes),
+    par2 AS (SELECT planes,
+      CAST(CASE planes $tableCase END AS BIGINT) AS tables FROM par),
+    idx AS (SELECT unnest(range(0, (SELECT planes * tables FROM par2))) AS p),
+    sigs AS (
+      SELECT vec_id,
+        CAST(p // (SELECT planes FROM par2) AS BIGINT) AS tbl,
+        CAST(sum(CASE WHEN bitsum > 0 THEN 1 ELSE 0 END
+             * (CAST(1 AS BIGINT) << CAST(p % (SELECT planes FROM par2) AS INTEGER)))
+          AS BIGINT) AS sig
+      FROM (
+        SELECT e.vec_id, p.p,
+          list_sum(list_transform(range(1, ${dim + 1}), i ->
+            (${u(1)} + ${u(2)} + ${u(3)} + ${u(4)} - 1998) * vu[i])) AS bitsum
+        FROM e CROSS JOIN idx p)
+      GROUP BY vec_id, tbl),
+    capped AS (
+      SELECT vec_id, tbl, sig FROM (
+        SELECT vec_id, tbl, sig,
+          count(*) OVER (PARTITION BY tbl, sig) AS bn FROM sigs)
+      WHERE bn <= $maxBucket),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM capped a JOIN capped b
+        ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id),
+    pairs AS (
+      SELECT id_a, id_b, round(${VectorQueries.duckCosine("a", "b")}, 6) AS cosine
+      FROM cand JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b
+      WHERE round(${VectorQueries.duckCosine("a", "b")}, 6) >= $tau)"""
+  }
+
+  /** Oracle for q_lsh_cosine_pairs (auto-sized Irwin–Hall LSH). */
+  def ihLshPairsSql(tau: Double, dim: Int, targetRecall: Double = 0.8,
+                    targetBucket: Int = 100, maxTables: Int = 64,
+                    maxBucket: Int = 100000): String = s"""
+    WITH ${ihPairsCtes(tau, dim, targetRecall, targetBucket, maxTables, maxBucket)}
+    SELECT id_a, id_b, cosine FROM pairs ORDER BY id_a, id_b
+  """
+
+  /** Oracle for q_knn_graph_lsh (Similarity.knnGraphLshIH): the same
+    * pair chain, symmetrized and ranked per node. */
+  def ihKnnGraphSql(k: Int, tau: Double, dim: Int,
+                    targetRecall: Double = 0.9,
+                    targetBucket: Int = 100, maxTables: Int = 64,
+                    maxBucket: Int = 100000): String = s"""
+    WITH ${ihPairsCtes(tau, dim, targetRecall, targetBucket, maxTables, maxBucket)},
+    sym AS (
+      SELECT id_a AS query_id, id_b AS id, cosine FROM pairs
+      UNION ALL
+      SELECT id_b, id_a, cosine FROM pairs)
+    SELECT query_id, id, cosine, rnk FROM (
+      SELECT query_id, id, cosine,
+        CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, id) AS BIGINT) AS rnk
+      FROM sym) WHERE rnk <= $k
+    ORDER BY query_id, rnk
+  """
+
   /** Oracle for q_ivf_pq (Similarity.ivfPqTopK: coarse KMeansLite
     * cells + PQ codebooks, both over NORMALIZED vectors; driver-side
     * probe selection replayed as the same rounded distance ranking). */

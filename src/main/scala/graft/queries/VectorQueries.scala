@@ -47,18 +47,25 @@ object VectorQueries {
     * HEADLINE and the 100 TB path: O(n·tables) bucket rows + in-bucket
     * joins instead of the exact baseline's O(n²) broadcast compare,
     * with planes/tables AUTO-SIZED from the collection size and an
-    * 0.8 recall target (Similarity.lshCosinePairsAuto) so per-bucket
-    * work stays pinned as data grows — the sf1 smoke showed fixed
-    * planes re-growing quadratic buckets at 10×. Exact verification
-    * means every emitted pair is a true pair at tau; rows-only by
-    * design (seeded Gaussian hyperplanes are not SQL-expressible) —
-    * VectorSpec pins subset + recall ≥ floor for both the fixed and
-    * auto parameterizations. */
+    * 0.8 recall target so per-bucket work stays pinned as data grows
+    * — the sf1 smoke showed fixed planes re-growing quadratic buckets
+    * at 10×. Exact verification means every emitted pair is a true
+    * pair at tau.
+    *
+    * FULL ORACLE since r4: the planes are the Irwin–Hall INTEGER
+    * family (Similarity.lshCosinePairsAutoIH — CLT-Gaussian sums of
+    * four affine-hash uniforms, exact long arithmetic), the sizing
+    * replays integrally (integer plane comparison + a Scala-generated
+    * planes→tables CASE), and the maxBucket window, banding and
+    * rounded-cosine verify replay term-for-term. The seeded-Gaussian
+    * variant stays in the library (lshCosinePairsAuto) for callers
+    * wanting float planes; VectorSpec pins recall ≥ floor for both
+    * families. */
   private val qLshCosinePairs = BoundQuery("q_lsh_cosine_pairs", (s, d) => {
-    Similarity.lshCosinePairsAuto(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+    Similarity.lshCosinePairsAutoIH(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
       tau = 0.4, dim = 64)
       .orderBy("id_a", "id_b")
-  }, None, headline = true)
+  }, Some(DuckVectorSql.ihLshPairsSql(tau = 0.4, dim = 64)), headline = true)
 
   /** Arithmetic-hyperplane LSH twin of q_lsh_cosine_pairs: Rademacher
     * ±1 planes from a published affine family over exact micro-int
@@ -151,15 +158,16 @@ object VectorQueries {
     ORDER BY query_id, rnk
   """))
 
-  /** LSH-bucketed kNN graph — the SCALE path (Similarity.knnGraphLsh):
-    * banded sign-signature candidate buckets + exact rescoring, never
-    * an all-pairs compare. Rows-only by design (seeded hyperplanes);
-    * VectorSpec pins per-edge recall vs the exact graph above. */
+  /** LSH-bucketed kNN graph — the SCALE path: banded sign-signature
+    * candidate buckets + exact rescoring, never an all-pairs compare.
+    * FULL ORACLE since r4 via the Irwin–Hall integer planes
+    * (Similarity.knnGraphLshIH — see q_lsh_cosine_pairs); VectorSpec
+    * pins per-edge recall vs the exact graph above. */
   private val qKnnGraphLsh = BoundQuery("q_knn_graph_lsh", (s, d) => {
-    Similarity.knnGraphLsh(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+    Similarity.knnGraphLshIH(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
       k = 5, tau = 0.2, dim = 64)
       .orderBy("query_id", "rnk")
-  }, None)
+  }, Some(DuckVectorSql.ihKnnGraphSql(k = 5, tau = 0.2, dim = 64)))
 
   /** IVF-bucketed ANN — the approximate scale path. Full oracle: the
     * coarse quantizer is deterministic (centroids = the 16 lowest-id

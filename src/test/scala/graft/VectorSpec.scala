@@ -125,6 +125,40 @@ class VectorSpec extends AnyFunSuite {
     assert(recall >= 0.55, s"auto LSH recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("Irwin-Hall auto-sized LSH (the q_lsh_cosine_pairs binding): subset + recall") {
+    val exact = Similarity.cosinePairs(emb, col("vec_id"), col("embedding"), 0.4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val ih = Similarity.lshCosinePairsAutoIH(emb, col("vec_id"), col("embedding"),
+        tau = 0.4, dim = 64)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(ih.subsetOf(exact))
+    val recall = ih.size.toDouble / exact.size
+    assert(recall >= 0.55, s"IH LSH recall $recall (${ih.size}/${exact.size})")
+    // integer sizing agrees with the float formula it replaces
+    val n = emb.count()
+    val planesFloat = math.min(24, math.max(1,
+      math.ceil(math.log(math.max(1.0, n.toDouble / 100)) / math.log(2.0)).toInt))
+    assert(Similarity.planesFor(n, 100) == planesFloat)
+  }
+
+  test("Irwin-Hall kNN graph (the q_knn_graph_lsh binding): k cap + recall") {
+    val k = 5
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+        emb, col("vec_id"), col("embedding"), k)
+      .where(col("cosine") > 0.3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id"))).toSet
+    val ih = Similarity.knnGraphLshIH(emb, col("vec_id"), col("embedding"),
+        k = k, tau = 0.2, dim = 64).collect()
+    ih.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      assert(g.length <= k)
+      assert(g.map(_.getAs[Long]("rnk")).sorted.toSeq == (1L to g.length))
+    }
+    val ihSet = ih.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id"))).toSet
+    val hit = exact.count(ihSet)
+    assert(hit.toDouble / exact.size >= 0.7,
+      s"IH kNN-graph recall ${hit.toDouble / exact.size} ($hit/${exact.size})")
+  }
+
   test("LSH kNN graph: per-node k cap, exact scores, recall vs exact graph") {
     val k = 5
     val exact = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),

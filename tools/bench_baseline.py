@@ -25,8 +25,12 @@ HEADLINERS = [
     "q_ngram_jaccard", "q_lsh_cosine_pairs", "q_ann_topk",
     "q_window_sessions", "q_stream_hourly", "q_asof_join",
 ]
-# rows-only headliners have no oracle SQL; time the exact-equivalent
-# query instead (same task, exact formulation) and say so
+# q_lsh_cosine_pairs HAS a full oracle since r4 (Irwin-Hall replay),
+# but that replay exists to prove correctness, not to be DuckDB's best
+# formulation — single-threaded it re-runs the banded signature math
+# Spark spreads over 32 cores. DuckDB's natural formulation of the
+# TASK (find cosine near-dup pairs) is the exact join, so the baseline
+# keeps timing that — it is also the FASTER choice for DuckDB at sf0.1.
 SUBSTITUTES = {"q_lsh_cosine_pairs": "q_embedding_neardup"}
 
 con = duckdb.connect()
