@@ -654,7 +654,72 @@ object CorpusQueries3 {
     FROM documents GROUP BY source ORDER BY source
   """))
 
+  /** Char-trigram cross-entropy between source pairs — the
+    * CHARACTER-level companion to q_js_divergence's token-level
+    * comparison (char grams catch orthography/style/transliteration
+    * drift that token distributions miss): H(a,b) =
+    * Σ p_a(g)·ln(1/q_b(g)) with add-one smoothing over the union
+    * vocabulary. The µ-nat convention makes the float-log sum exact:
+    * each ln((N_b+V)/(c_b+1)) rounds ONCE to micro-nats as a long,
+    * the Σ c_a·L term is then exact integer, and one truncating
+    * division by N_a emits the entropy — partition-invariant, fully
+    * replayable. Work is V·S² on the gram table, never corpus². */
+  private val qCharNgramXent = BoundQuery("q_char_ngram_xent", (s, d) => {
+    val tri = Tables.documents(s, d)
+      .select(col("source"), explode(expr(
+        """CASE WHEN length(text) >= 3
+           THEN transform(sequence(1, length(text)-2), i -> substring(text, i, 3))
+           ELSE CAST(array() AS array<string>) END""")).as("tri"))
+    val counts = graft.util.CacheScope.persist(
+      tri.groupBy("source", "tri").agg(count(lit(1)).as("c")))
+    val totals = counts.groupBy("source").agg(sum("c").as("nn"))
+    val vocab = counts.select("tri").distinct()
+    val vtot = vocab.agg(count(lit(1)).as("v"))
+    val lt = totals.crossJoin(vocab)
+      .join(counts, Seq("source", "tri"), "left")
+      .crossJoin(broadcast(vtot))
+      .select(col("source").as("src_b"), col("tri"),
+        round(log((col("nn") + col("v")).cast("double") /
+          (coalesce(col("c"), lit(0L)) + 1).cast("double")) * 1e6, 0)
+          .cast("long").as("lmicro"))
+    counts.select(col("source").as("src_a"), col("tri"), col("c"))
+      .join(lt, "tri")
+      .where(col("src_a") =!= col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(sum(col("c") * col("lmicro")).as("sm"))
+      .join(totals.select(col("source").as("src_a"), col("nn")), "src_a")
+      .select(col("src_a"), col("src_b"),
+        expr("sm div nn").as("xent_micro"))
+      .orderBy("src_a", "src_b")
+  }, Some("""
+    WITH tri AS (
+      SELECT source,
+        unnest(list_transform(range(1, greatest(length(text)-1, 1)),
+          i -> substring(text, i, 3))) AS tri
+      FROM documents WHERE length(text) >= 3),
+    counts AS (
+      SELECT source, tri, CAST(count(*) AS BIGINT) AS c
+      FROM tri GROUP BY 1, 2),
+    totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS nn
+               FROM counts GROUP BY 1),
+    vocab AS (SELECT DISTINCT tri FROM counts),
+    vtot AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+    lt AS (
+      SELECT t.source AS src_b, vb.tri,
+        CAST(round(ln(CAST(t.nn + vt.v AS DOUBLE)
+                     / CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)) * 1e6, 0)
+          AS BIGINT) AS lmicro
+      FROM totals t CROSS JOIN vocab vb CROSS JOIN vtot vt
+      LEFT JOIN counts c ON c.source = t.source AND c.tri = vb.tri)
+    SELECT a.source AS src_a, lt.src_b,
+      CAST(sum(a.c * lt.lmicro) // max(ta.nn) AS BIGINT) AS xent_micro
+    FROM counts a
+    JOIN lt ON lt.tri = a.tri AND lt.src_b <> a.source
+    JOIN totals ta ON ta.source = a.source
+    GROUP BY 1, 2 ORDER BY 1, 2
+  """))
+
   val all: Seq[BoundQuery] = Seq(qJsDivergence, qQuantileNorm, qReadability,
     qNgramNovelty, qHeapsLaw, qFertility, qShingleDfProfile, qPplBuckets,
-    qMixtureRates, qChao1, qBlocklist, qEffectiveN)
+    qMixtureRates, qChao1, qBlocklist, qEffectiveN, qCharNgramXent)
 }

@@ -231,5 +231,126 @@ object EconQueries {
     GROUP BY 1, 2 ORDER BY p_brand, xyz
   """))
 
-  val all: Seq[BoundQuery] = Seq(qFunnelSig, qElasticity, qXyzClass)
+  /** Laspeyres / Paasche / Fisher price indices year over year — the
+    * classic index-number trio over the part catalog. Per (year,
+    * part): exact cents revenue R and centi-unit quantity Q; the
+    * index sums run entirely in integers by clearing each price
+    * ratio's denominator with ONE truncating division per part
+    * (L = Σ R₁·Q₀ div Q₁ over Σ R₀, P = Σ R₁ over Σ R₀·Q₁ div Q₀ —
+    * the div-before-sum keeps every partial exact and
+    * partition-invariant), emitted in milli; Fisher is the one final
+    * sqrt over the two exact millis, identical trees both engines.
+    * Parts present in both years only (the matched-basket rule). */
+  private val qFisherIndex = BoundQuery("q_fisher_index", (s, d) => {
+    val py = Tables.lineitem(s, d)
+      .groupBy(year(col("l_shipdate")).cast("long").as("yr"),
+        col("l_partkey").as("pk"))
+      .agg(sum(cents(col("l_extendedprice"))).as("r"),
+        sum(cents(col("l_quantity"))).as("q"))
+    val cur = py.select(col("yr"), col("pk"), col("r").as("r1"), col("q").as("q1"))
+    val base = py.select((col("yr") + 1).as("yr"), col("pk"),
+      col("r").as("r0"), col("q").as("q0"))
+    cur.join(base, Seq("yr", "pk"))
+      .groupBy("yr")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(expr("(r1 * q0) div q1")).as("l_num"),
+        sum(col("r0")).as("l_den"),
+        sum(col("r1")).as("p_num"),
+        sum(expr("(r0 * q1) div q0")).as("p_den"))
+      .select(col("yr"), col("n_parts"),
+        expr("(l_num * 1000) div l_den").as("laspeyres_milli"),
+        expr("(p_num * 1000) div p_den").as("paasche_milli"),
+        round(sqrt(expr("((l_num * 1000) div l_den)").cast("double") *
+          expr("((p_num * 1000) div p_den)").cast("double")) / 1000.0, 6)
+          .as("fisher"))
+      .orderBy("yr")
+  }, Some("""
+    WITH py AS (
+      SELECT CAST(year(l_shipdate) AS BIGINT) AS yr, l_partkey AS pk,
+        CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS r,
+        CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2),
+    m AS (
+      SELECT c.yr, c.pk, c.r AS r1, c.q AS q1, b.r AS r0, b.q AS q0
+      FROM py c JOIN py b ON b.yr = c.yr - 1 AND b.pk = c.pk),
+    agg AS (
+      SELECT yr, CAST(count(*) AS BIGINT) AS n_parts,
+        CAST(sum((r1 * q0) // q1) AS BIGINT) AS l_num,
+        CAST(sum(r0) AS BIGINT) AS l_den,
+        CAST(sum(r1) AS BIGINT) AS p_num,
+        CAST(sum((r0 * q1) // q0) AS BIGINT) AS p_den
+      FROM m GROUP BY yr)
+    SELECT yr, n_parts,
+      CAST((l_num * 1000) // l_den AS BIGINT) AS laspeyres_milli,
+      CAST((p_num * 1000) // p_den AS BIGINT) AS paasche_milli,
+      round(sqrt(CAST((l_num * 1000) // l_den AS DOUBLE)
+               * CAST((p_num * 1000) // p_den AS DOUBLE)) / 1000.0, 6) AS fisher
+    FROM agg ORDER BY yr
+  """))
+
+  /** Croston's method for intermittent demand (Croston 1972) — the
+    * forecasting standard when a part sells in occasional lumps and a
+    * plain SES just averages the zeros away: one SES over nonzero
+    * demand SIZES, one over the INTERVALS between demand months, and
+    * forecast = ẑ/p̂ per month. Both recurrences are order-dependent
+    * float folds made engine-exact the q_ewma way: collect per part,
+    * sort on the unique month key, fold left with literal α=0.2 from
+    * the first observation — identical IEEE sequences on both
+    * engines. Parts need ≥4 demand months; first 100 by key. */
+  private val qCroston = BoundQuery("q_croston", (s, d) => {
+    val pm = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("pk"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+          .cast("long").as("m"))
+      .agg(sum(cents(col("l_quantity"))).as("z"))
+    pm.groupBy("pk")
+      .agg(sort_array(collect_list(struct(col("m"), col("z")))).as("sq"))
+      .where(size(col("sq")) >= 4)
+      .select(col("pk"), size(col("sq")).cast("long").as("n_months"),
+        expr("transform(sq, x -> CAST(x.z AS DOUBLE)/100.0)").as("zs"),
+        expr("transform(sq, x -> x.m)").as("ms"))
+      .select(col("pk"), col("n_months"), col("zs"),
+        expr("""transform(sequence(2, size(ms)),
+                i -> CAST(element_at(ms, i) - element_at(ms, i-1) AS DOUBLE))""")
+          .as("gaps"))
+      .select(col("pk"), col("n_months"),
+        round(expr("""aggregate(slice(zs, 2, size(zs)-1), element_at(zs, 1),
+          (acc, z) -> 0.2D*z + 0.8D*acc)"""), 9).as("z_hat"),
+        round(expr("""aggregate(slice(gaps, 2, size(gaps)-1), element_at(gaps, 1),
+          (acc, g) -> 0.2D*g + 0.8D*acc)"""), 9).as("p_hat"))
+      .withColumn("forecast_per_month", round(col("z_hat") / col("p_hat"), 6))
+      .orderBy("pk").limit(100)
+  }, Some("""
+    WITH pm AS (
+      SELECT l_partkey AS pk,
+        CAST(year(l_shipdate)*12 + month(l_shipdate) AS BIGINT) AS m,
+        CAST(sum(CAST(round(l_quantity*100, 0) AS BIGINT)) AS BIGINT) AS z
+      FROM lineitem GROUP BY 1, 2),
+    seqs AS (
+      SELECT pk, list_sort(list(struct_pack(m := m, z := z))) AS sq
+      FROM pm GROUP BY pk),
+    good AS (
+      SELECT pk, CAST(len(sq) AS BIGINT) AS n_months,
+        list_transform(sq, x -> CAST(x.z AS DOUBLE)/100.0) AS zs,
+        list_transform(sq, x -> x.m) AS ms
+      FROM seqs WHERE len(sq) >= 4),
+    gapped AS (
+      SELECT pk, n_months, zs,
+        list_transform(range(2, CAST(n_months AS INTEGER)+1),
+          i -> CAST(ms[i] - ms[i-1] AS DOUBLE)) AS gaps
+      FROM good),
+    fitted AS (
+      SELECT pk, n_months,
+        round(list_reduce(list_prepend(zs[1], zs[2:]),
+          (acc, z) -> 0.2*z + 0.8*acc), 9) AS z_hat,
+        round(list_reduce(list_prepend(gaps[1], gaps[2:]),
+          (acc, g) -> 0.2*g + 0.8*acc), 9) AS p_hat
+      FROM gapped)
+    SELECT pk, n_months, z_hat, p_hat,
+      round(z_hat / p_hat, 6) AS forecast_per_month
+    FROM fitted ORDER BY pk LIMIT 100
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qFunnelSig, qElasticity, qXyzClass,
+    qFisherIndex, qCroston)
 }

@@ -196,6 +196,65 @@ object TemporalQueries {
     FROM bi JOIN tot USING (cur) ORDER BY cur, nxt
   """))
 
+  /** Stationary distribution of the event-type transition chain —
+    * where q_transition_matrix reads single steps, this answers "what
+    * share of a long session is spent in each state": π ← πT, 8
+    * unrolled integer power steps in micro-units (π(j) ←
+    * Σ_i π(i)·n(i,j) div out(i) — truncating division, deterministic
+    * on both engines; leaked mass stays unrenormalized and is
+    * reported as the readout's resolution, the q_pagerank
+    * convention). The chain matrix is states² rows — constant-size
+    * iteration no matter how many events built it. */
+  private val qMarkovStationary = BoundQuery("q_markov_stationary", (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val bi = graft.util.CacheScope.persist(Tables.events(s, d)
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("event_id"), col("event_type"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .where(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n")))
+    val out = bi.groupBy("cur").agg(sum(col("n")).as("out_n"))
+    val tm = graft.util.CacheScope.persist(
+      bi.join(broadcast(out), "cur")
+        .select(col("cur"), col("nxt"), col("n"), col("out_n")))
+    val states = tm.select(col("cur").as("state")).distinct()
+    var pi = states.crossJoin(broadcast(
+        states.agg(count(lit(1)).as("k"))))
+      .select(col("state"), expr("1000000 div k").as("pi"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 8) {
+      pi = tm.join(pi.withColumnRenamed("state", "cur"), "cur")
+        .groupBy(col("nxt").as("state"))
+        .agg(sum(expr("(pi * n) div out_n")).as("pi"))
+        .localCheckpoint(true)
+    }
+    pi.select(col("state"), col("pi").as("pi_micro")).orderBy("state")
+  }, Some {
+    def step(k: Int) = s"""
+    pi$k AS MATERIALIZED (
+      SELECT t.nxt AS state, CAST(sum((p.pi * t.n) // t.out_n) AS BIGINT) AS pi
+      FROM tm t JOIN pi${k - 1} p ON p.state = t.cur GROUP BY 1)"""
+    s"""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS nxt
+      FROM events),
+    bi AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT cur, CAST(sum(n) AS BIGINT) AS out_n FROM bi GROUP BY 1),
+    tm AS MATERIALIZED (
+      SELECT bi.cur, bi.nxt, bi.n, tot.out_n FROM bi JOIN tot USING (cur)),
+    st AS (SELECT DISTINCT cur AS state FROM tm),
+    pi0 AS MATERIALIZED (
+      SELECT state, CAST(1000000 // (SELECT count(*) FROM st) AS BIGINT) AS pi
+      FROM st),
+    ${(1 to 8).map(step).mkString(",")}
+    SELECT state, pi AS pi_micro FROM pi8 ORDER BY state
+  """})
+
   /** Aggregate-rollup reuse (the materialized-view pattern): the fact
     * table is scanned ONCE into a daily (event_type, day) pre-aggregate;
     * the month and week grains are then derived by reaggregating that
@@ -905,5 +964,5 @@ object TemporalQueries {
   val all: Seq[BoundQuery] =
     Seq(qScd2, qSeasonal, qBacktest, qTransitionMatrix, qGrainRollup,
       qSurvival, qHolt, qAcf, qMannKendall, qLogrank, qHoltWinters,
-      qDowBands, qPinball)
+      qDowBands, qPinball, qMarkovStationary)
 }
