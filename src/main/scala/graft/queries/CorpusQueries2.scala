@@ -184,5 +184,74 @@ object CorpusQueries2 {
     GROUP BY source ORDER BY source
   """))
 
-  val all: Seq[BoundQuery] = Seq(qRake, qChunkOverlap, qOov)
+  /** Training-order INTERLEAVE AUDIT: after the standard hash shuffle
+    * (order by md5(doc_id)), is each 50-doc window of the training
+    * stream actually well-mixed across sources, or do same-source
+    * runs survive? Per window: source count, source-mix entropy in
+    * µ-nats (exact counts; ln rounds once per term, the established
+    * µ-nat rule), and the longest same-source run (gaps-and-islands
+    * inside the window). Long runs / low entropy flag order-
+    * correlated batches before they bias a training job. The global
+    * row_number is the documented driver-page-only shape at test
+    * scale — production assigns stream positions by hash range. */
+  private val qInterleaveAudit = BoundQuery("q_interleave_audit", (s, d) => {
+    val ordered = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rn", row_number().over(Window.orderBy("h", "doc_id"))
+        .cast("long"))
+      .withColumn("bucket", expr("(rn - 1) div 50"))
+    val runs = ordered
+      .withColumn("grp", col("rn") - row_number().over(
+        Window.partitionBy("bucket", "source").orderBy("rn")))
+      .groupBy("bucket", "source", "grp").agg(count(lit(1)).as("runlen"))
+    val maxRun = runs.groupBy("bucket").agg(max(col("runlen")).as("max_run"))
+    val perSrc = ordered.groupBy("bucket", "source").agg(count(lit(1)).as("c"))
+    val ent = perSrc
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("bucket")))
+      .withColumn("term",
+        col("c") * round(log(col("n").cast("double") / col("c").cast("double"))
+          * 1e6, 0).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_sources"), max(col("n")).as("n_docs"),
+        expr("sum(term) div max(n)").as("entropy_micro"))
+    ent.join(maxRun, "bucket")
+      .select(col("bucket"), col("n_docs"), col("n_sources"),
+        col("entropy_micro"), col("max_run"))
+      .orderBy("bucket")
+  }, Some("""
+    WITH ordered AS (
+      SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h,
+        CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+          AS BIGINT) AS rn
+      FROM documents),
+    bucketed AS (SELECT *, (rn - 1) // 50 AS bucket FROM ordered),
+    runs AS (
+      SELECT bucket, CAST(max(runlen) AS BIGINT) AS max_run FROM (
+        SELECT bucket, source, grp, count(*) AS runlen FROM (
+          SELECT bucket, source, rn,
+            rn - row_number() OVER (PARTITION BY bucket, source ORDER BY rn) AS grp
+          FROM bucketed)
+        GROUP BY bucket, source, grp)
+      GROUP BY bucket),
+    persrc AS (
+      SELECT bucket, source, CAST(count(*) AS BIGINT) AS c
+      FROM bucketed GROUP BY 1, 2),
+    ent AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_sources,
+        CAST(max(n) AS BIGINT) AS n_docs,
+        CAST(sum(term) // max(n) AS BIGINT) AS entropy_micro
+      FROM (
+        SELECT bucket, source, c,
+          sum(c) OVER (PARTITION BY bucket) AS n,
+          c * CAST(round(ln(CAST(sum(c) OVER (PARTITION BY bucket) AS DOUBLE)
+                           / CAST(c AS DOUBLE)) * 1e6, 0) AS BIGINT) AS term
+        FROM persrc)
+      GROUP BY bucket)
+    SELECT e.bucket, n_docs, n_sources, entropy_micro, max_run
+    FROM ent e JOIN runs r ON r.bucket = e.bucket
+    ORDER BY e.bucket
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qRake, qChunkOverlap, qOov, qInterleaveAudit)
 }

@@ -683,11 +683,41 @@ object EventQueries {
     FROM ranked, tot GROUP BY n
   """))
 
+  /** Time-decayed event counts per type at the stream head — the
+    * "trending score" primitive (Ebbinghaus decay with a 7-day
+    * half-life): every event contributes exp(−ln2·Δdays/7), so a
+    * burst yesterday outweighs steady noise last month. Each row's
+    * weight rounds ONCE to micro-units (identical exp tree over the
+    * exact µs age on both engines — the µ-nat rule), then the per-type
+    * sums are exact integer partials: partition-invariant, streaming-
+    * friendly (the same weight is a multiplier a state store applies
+    * at read time). */
+  private val qDecayedCounts = BoundQuery("q_decayed_counts", (s, d) => {
+    val ev = Tables.events(s, d)
+    val head = ev.agg(max(expr("ts_ns div 1000")).as("mx"))
+    ev.select(col("event_type"), expr("ts_ns div 1000").as("us"))
+      .crossJoin(broadcast(head))
+      .withColumn("w_micro",
+        round(exp((col("us") - col("mx")).cast("double") / 86400e6 *
+          (log(lit(2.0)) / 7.0)) * 1e6, 0).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum(col("w_micro")).as("decayed_micro"))
+      .orderBy("event_type")
+  }, Some("""
+    WITH head AS (SELECT max(epoch_us(ts)) AS mx FROM events)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      CAST(sum(CAST(round(exp(CAST(epoch_us(ts) - mx AS DOUBLE) / 86400e6
+                              * (ln(2.0) / 7.0)) * 1e6, 0) AS BIGINT))
+        AS BIGINT) AS decayed_micro
+    FROM events CROSS JOIN head
+    GROUP BY event_type ORDER BY event_type
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qFunnel, qGapFill, qRetention, qSlidingWindow, qSqlSurface, qEwma,
       qIncremental, qGroupingSets, qOhlcBars, qTwap, qIntervalCoverage,
       qAttribution, qAbsorption, qStickiness, qTimeToConvert, qInterarrival,
-      qRetentionDecay)
+      qRetentionDecay, qDecayedCounts)
 
   /** Exponential-decay fit of the retention curve: pooled over
     * cohorts, ln(retention at week w) regressed on w — the one-number

@@ -345,6 +345,118 @@ object MonitoringQueries {
     ORDER BY event_type, day
   """))
 
+  /** Hurst exponent by rescaled-range analysis (Hurst 1951, the
+    * Mandelbrot–Wallis estimator): does each type's daily revenue
+    * series trend-persist (H > 0.5), mean-revert (H < 0.5), or walk
+    * randomly? For block sizes m ∈ {8, 16, 32}, the series splits
+    * into ⌊n/m⌋ blocks; each block's R/S = (max−min of the
+    * mean-adjusted cumulative sum) / σ is averaged, and H is the
+    * log-log slope over the three (m, avg R/S) points.
+    *
+    * Exactness: cumulative sums run on exact cents (one partitioned
+    * window); each block's R and S² clear denominators to integers
+    * (R_u = m·max−min of m·cusum−t·blocksum; S²_u = m·Σx²−S²), so
+    * every per-block value rounds ONCE to micro-units; block
+    * averages are exact integer sums; only the final 3-point
+    * log-log slope runs in doubles as identical trees. Windows
+    * partition by (type, block) over the bounded day domain. */
+  private val qHurst = BoundQuery("q_hurst", (s, d) => {
+    val dl = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sumCents(col("value")).as("y"))
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    val indexed = graft.util.CacheScope.persist(
+      dl.withColumn("t", row_number().over(wOrd).cast("long") - 1))
+    val ms = Seq(8, 16, 32)
+    val perM = ms.map { m =>
+      val blocked = indexed
+        .withColumn("blk", expr(s"t div $m"))
+        .withColumn("i", expr(s"t % $m") + 1)
+        .withColumn("nblk", count(lit(1)).over(
+          Window.partitionBy("event_type", "blk")))
+        .where(col("nblk") === m) // full blocks only
+      val wb = Window.partitionBy("event_type", "blk").orderBy("i")
+      val withCs = blocked
+        .withColumn("cs", sum(col("y")).over(wb))
+        .withColumn("bs", sum(col("y")).over(
+          Window.partitionBy("event_type", "blk")))
+        .withColumn("ss", sum(col("y") * col("y")).over(
+          Window.partitionBy("event_type", "blk")))
+        // mean-adjusted cusum, cleared: d_u = m·cs − i·bs (exact)
+        .withColumn("du", lit(m.toLong) * col("cs") - col("i") * col("bs"))
+      withCs.groupBy("event_type", "blk")
+        .agg(max(col("du")).as("mx"), min(col("du")).as("mn"),
+          max(col("ss")).as("ssq"), max(col("bs")).as("bsum"))
+        // R/S = ((mx−mn)/m) / sqrt((m·Σy²−bs²)/m²) — one rounded
+        // micro-unit value per block, then exact integer averaging
+        .select(col("event_type"),
+          round((col("mx") - col("mn")).cast("double") /
+            lit(m.toDouble) /
+            sqrt((lit(m.toDouble) * col("ssq").cast("double") -
+              col("bsum").cast("double") * col("bsum").cast("double")) /
+              lit(m.toDouble * m)) * 1e6, 0).cast("long").as("rs_micro"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("nb"), sum(col("rs_micro")).as("srs"))
+        .select(col("event_type"), lit(m.toLong).as("m"),
+          expr("srs div nb").as("avg_rs_micro"))
+    }
+    val pts = perM.reduce(_.unionAll(_))
+    // 3-point log-log OLS slope: H = Σ(lx−l̄x)(ly−l̄y)/Σ(lx−l̄x)²
+    val logged = pts
+      .withColumn("lx", log(col("m").cast("double")))
+      .withColumn("ly", log(col("avg_rs_micro").cast("double") / 1e6))
+    logged.groupBy("event_type")
+      .agg(count(lit(1)).as("k"), sum("lx").as("sx"), sum("ly").as("sy"),
+        sum(col("lx") * col("lx")).as("sxx"), sum(col("lx") * col("ly")).as("sxy"))
+      .select(col("event_type"),
+        round((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")), 6).as("hurst"))
+      .orderBy("event_type")
+  }, Some {
+    def block(m: Int) = s"""
+    SELECT event_type, CAST($m AS BIGINT) AS m,
+      CAST(sum(rs_micro) // count(*) AS BIGINT) AS avg_rs_micro
+    FROM (
+      SELECT event_type, blk,
+        CAST(round((CAST(max(du) - min(du) AS DOUBLE) / $m.0)
+          / sqrt(($m.0 * CAST(max(ss) AS DOUBLE)
+                  - CAST(max(bs) AS DOUBLE) * CAST(max(bs) AS DOUBLE))
+                 / ${m * m}.0) * 1e6, 0) AS BIGINT) AS rs_micro
+      FROM (
+        SELECT event_type, blk, i,
+          CAST($m AS BIGINT) * cs - i * bs AS du, ss, bs
+        FROM (
+          SELECT event_type, t // $m AS blk, (t % $m) + 1 AS i,
+            sum(y) OVER (PARTITION BY event_type, t // $m ORDER BY t) AS cs,
+            sum(y) OVER (PARTITION BY event_type, t // $m) AS bs,
+            sum(y*y) OVER (PARTITION BY event_type, t // $m) AS ss,
+            count(*) OVER (PARTITION BY event_type, t // $m) AS nblk
+          FROM idx)
+        WHERE nblk = $m)
+      GROUP BY event_type, blk)
+    GROUP BY event_type"""
+    s"""
+    WITH daily AS ($dailySql),
+    idx AS (
+      SELECT event_type, day,
+        CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+          AS BIGINT) - 1 AS t,
+        y
+      FROM daily),
+    pts AS (${ms3.map(block).mkString("\n    UNION ALL\n    ")}),
+    logged AS (
+      SELECT event_type, ln(CAST(m AS DOUBLE)) AS lx,
+        ln(CAST(avg_rs_micro AS DOUBLE) / 1e6) AS ly
+      FROM pts)
+    SELECT event_type,
+      round((count(*) * sum(lx*ly) - sum(lx) * sum(ly))
+            / (count(*) * sum(lx*lx) - sum(lx) * sum(lx)), 6) AS hurst
+    FROM logged GROUP BY event_type ORDER BY event_type
+  """})
+
+  private def ms3 = Seq(8, 16, 32)
+
   val all: Seq[BoundQuery] =
-    Seq(qControlChart, qPageHinkley, qEngleGranger, qTheilU, qSeasonalEsd)
+    Seq(qControlChart, qPageHinkley, qEngleGranger, qTheilU, qSeasonalEsd,
+      qHurst)
 }
