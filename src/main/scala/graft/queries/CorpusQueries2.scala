@@ -185,22 +185,26 @@ object CorpusQueries2 {
   """))
 
   /** Training-order INTERLEAVE AUDIT: after the standard hash shuffle
-    * (order by md5(doc_id)), is each 50-doc window of the training
-    * stream actually well-mixed across sources, or do same-source
-    * runs survive? Per window: source count, source-mix entropy in
-    * µ-nats (exact counts; ln rounds once per term, the established
-    * µ-nat rule), and the longest same-source run (gaps-and-islands
-    * inside the window). Long runs / low entropy flag order-
-    * correlated batches before they bias a training job. The global
-    * row_number is the documented driver-page-only shape at test
-    * scale — production assigns stream positions by hash range. */
+    * (stream position = md5(doc_id) order), is each window of the
+    * training stream actually well-mixed across sources, or do
+    * same-source runs survive? Stream windows are HASH-RANGE buckets
+    * (the first 3 hex digits of the doc hash, folded to 64 buckets)
+    * — exactly how a 1000-executor pipeline would stripe the stream,
+    * and crucially NOT a global row_number (no single-partition
+    * window anywhere; every window partitions by bucket). Per
+    * bucket: source count, source-mix entropy in µ-nats (exact
+    * counts; ln rounds once per term, the established µ-nat rule),
+    * and the longest same-source run in hash order
+    * (gaps-and-islands). Long runs / low entropy flag order-
+    * correlated batches before they bias a training job. */
   private val qInterleaveAudit = BoundQuery("q_interleave_audit", (s, d) => {
     val ordered = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         md5(col("doc_id").cast("string")).as("h"))
-      .withColumn("rn", row_number().over(Window.orderBy("h", "doc_id"))
+      .withColumn("bucket", expr("conv(substring(h, 1, 3), 16, 10) % 64")
         .cast("long"))
-      .withColumn("bucket", expr("(rn - 1) div 50"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("bucket").orderBy("h", "doc_id")).cast("long"))
     val runs = ordered
       .withColumn("grp", col("rn") - row_number().over(
         Window.partitionBy("bucket", "source").orderBy("rn")))
@@ -220,18 +224,26 @@ object CorpusQueries2 {
         col("entropy_micro"), col("max_run"))
       .orderBy("bucket")
   }, Some("""
-    WITH ordered AS (
-      SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h,
-        CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
-          AS BIGINT) AS rn
+    WITH hashed AS (
+      SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h
       FROM documents),
-    bucketed AS (SELECT *, (rn - 1) // 50 AS bucket FROM ordered),
+    bucketed AS (
+      SELECT doc_id, source, h,
+        CAST(((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1)) % 64
+          AS BIGINT) AS bucket
+      FROM hashed),
+    rns AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id)
+        AS BIGINT) AS rn
+      FROM bucketed),
     runs AS (
       SELECT bucket, CAST(max(runlen) AS BIGINT) AS max_run FROM (
         SELECT bucket, source, grp, count(*) AS runlen FROM (
           SELECT bucket, source, rn,
             rn - row_number() OVER (PARTITION BY bucket, source ORDER BY rn) AS grp
-          FROM bucketed)
+          FROM rns)
         GROUP BY bucket, source, grp)
       GROUP BY bucket),
     persrc AS (

@@ -50,6 +50,29 @@ class EdgeCasesSpec extends AnyFunSuite {
       tau = 0.5, dim = 2).count() == 0)
   }
 
+  test("Irwin-Hall LSH and kNN graph on empty / singleton collections") {
+    val emptyVecs = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    assert(Similarity.lshCosinePairsAutoIH(emptyVecs, col("vec_id"), col("embedding"),
+      tau = 0.5, dim = 2).count() == 0)
+    assert(Similarity.knnGraphLshIH(emptyVecs, col("vec_id"), col("embedding"),
+      k = 3, tau = 0.2, dim = 2).count() == 0)
+    val one = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    assert(Similarity.lshCosinePairsAutoIH(one, col("vec_id"), col("embedding"),
+      tau = 0.5, dim = 2).count() == 0) // no self-pairs
+  }
+
+  test("Irwin-Hall sizing helpers match their contracts at the boundaries") {
+    assert(Similarity.planesFor(0L, 100) == 1)
+    assert(Similarity.planesFor(100L, 100) == 1)
+    assert(Similarity.planesFor(101L, 100) == 1)   // 100*2^0 < 101 -> 1
+    assert(Similarity.planesFor(201L, 100) == 2)
+    assert(Similarity.planesFor(6400L, 100) == 6)
+    assert(Similarity.planesFor(Long.MaxValue, 100) == 24)
+    for (pl <- 1 to 24)
+      assert(Similarity.tablesFor(pl, 0.4, 0.8, 64) >= 1 &&
+        Similarity.tablesFor(pl, 0.4, 0.8, 64) <= 64)
+  }
+
   test("KLL of an empty input yields NaN quantiles, not a crash") {
     import graft.expressions.{KllFns, KllSketch}
     val empty = Seq.empty[Double].toDF("v")
