@@ -265,5 +265,107 @@ object CorpusQueries2 {
     ORDER BY e.bucket
   """))
 
-  val all: Seq[BoundQuery] = Seq(qRake, qChunkOverlap, qOov, qInterleaveAudit)
+  /** Template-opener dedup: duplicate classes keyed on the first
+    * 8 tokens — the "Chapter one." / boilerplate-header detector that
+    * exact dedup (whole-text) and shingle near-dup (anywhere in the
+    * doc) both miss as a CLASS readout. Prefix classes with ≥2 docs,
+    * their sizes, and the share of the corpus opening identically.
+    * One prefix-keyed partial agg; at 100 TB the prefix string would
+    * be its ShingleHash64, the shape is unchanged. */
+  private val qPrefixDedup = BoundQuery("q_prefix_dedup", (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_join(slice(tokens(col("text")), 1, 8), " ").as("prefix"))
+    val tot = docs.agg(count(lit(1)).as("t"))
+    docs.groupBy("prefix").agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .where(col("n_docs") >= 2)
+      .crossJoin(broadcast(tot))
+      .select(col("prefix"), col("n_docs"), col("first_doc"),
+        expr("(n_docs * 1000000) div t").as("share_ppm"))
+      .orderBy(desc("n_docs"), col("prefix"))
+      .limit(50)
+  }, Some("""
+    WITH docs AS (
+      SELECT doc_id,
+        array_to_string((list_filter(string_split(text,' '), x -> x <> ''))[1:8], ' ')
+          AS prefix
+      FROM documents),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM docs)
+    SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(min(doc_id) AS BIGINT) AS first_doc,
+      CAST((count(*) * 1000000) // max(t) AS BIGINT) AS share_ppm
+    FROM docs CROSS JOIN tot
+    GROUP BY prefix HAVING count(*) >= 2
+    ORDER BY n_docs DESC, prefix LIMIT 50
+  """))
+
+  /** Distinctive vocabulary per source by smoothed LOG-ODDS RATIO
+    * (Monroe, Colaresi & Quinn 2008, the informative-Dirichlet-prior
+    * "Fightin' Words" statistic): for each (source, token), the
+    * log-odds of the token in that source vs the REST of the corpus,
+    * both sides smoothed by the corpus-wide prior, z-scored by the
+    * delta's approximate variance (1/(c+αc) + 1/(r+αr)). What TF-IDF
+    * is to documents, this is to corpus slices — the principled
+    * "what words make this source different" table. Exact counts;
+    * each ln/sqrt value derives from integer operands in identical
+    * expression trees; top-5 per source by z with token tie-break —
+    * a WindowGroupLimit, never a global sort. */
+  private val qLogOdds = BoundQuery("q_log_odds", (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+    val cs = graft.util.CacheScope.persist(
+      tok.groupBy("source", "w").agg(count(lit(1)).as("c")))
+    val totS = cs.groupBy("source").agg(sum("c").as("ns"))
+    val totW = cs.groupBy("w").agg(sum("c").as("cw"))
+    val grand = cs.agg(sum("c").as("ng"))
+    val j = cs.join(totS, "source").join(totW, "w")
+      .crossJoin(broadcast(grand))
+      // rest-of-corpus counts and the Dirichlet prior scaled to a=1000
+      .withColumn("r", col("cw") - col("c"))
+      .withColumn("nr", col("ng") - col("ns"))
+      .withColumn("ac", (col("cw").cast("double") * 1000.0) / col("ng").cast("double"))
+      .withColumn("delta",
+        log((col("c").cast("double") + col("ac")) /
+          (col("ns").cast("double") + 1000.0 - col("c").cast("double") - col("ac"))) -
+        log((col("r").cast("double") + col("ac")) /
+          (col("nr").cast("double") + 1000.0 - col("r").cast("double") - col("ac"))))
+      .withColumn("z", col("delta") /
+        sqrt(lit(1.0) / (col("c").cast("double") + col("ac")) +
+          lit(1.0) / (col("r").cast("double") + col("ac"))))
+    graft.operators.TopKPerGroup.topK(
+      j.select(col("source"), col("w"), col("c"), round(col("z"), 6).as("z")),
+      Seq(col("source")), Seq(desc("z"), col("w")), 5, rankCol = "rnk")
+      .orderBy("source", "rnk")
+  }, Some("""
+    WITH tok AS (
+      SELECT source, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS w
+      FROM documents),
+    cs AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+    tots AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM cs GROUP BY 1),
+    totw AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM cs GROUP BY 1),
+    grand AS (SELECT CAST(sum(c) AS BIGINT) AS ng FROM cs),
+    scored AS (
+      SELECT cs.source, cs.w, cs.c,
+        (ln((CAST(c AS DOUBLE) + ac) /
+            (CAST(ns AS DOUBLE) + 1000.0 - CAST(c AS DOUBLE) - ac)) -
+         ln((CAST(r AS DOUBLE) + ac) /
+            (CAST(nr AS DOUBLE) + 1000.0 - CAST(r AS DOUBLE) - ac)))
+        / sqrt(1.0 / (CAST(c AS DOUBLE) + ac) + 1.0 / (CAST(r AS DOUBLE) + ac)) AS z
+      FROM (
+        SELECT cs.source, cs.w, cs.c, tots.ns, totw.cw, grand.ng,
+          totw.cw - cs.c AS r, grand.ng - tots.ns AS nr,
+          (CAST(totw.cw AS DOUBLE) * 1000.0) / CAST(grand.ng AS DOUBLE) AS ac
+        FROM cs JOIN tots USING (source) JOIN totw USING (w) CROSS JOIN grand
+      ) cs)
+    SELECT source, w, c, z, rnk FROM (
+      SELECT source, w, c, round(z, 6) AS z,
+        CAST(row_number() OVER (PARTITION BY source
+              ORDER BY round(z, 6) DESC, w) AS BIGINT) AS rnk
+      FROM scored) WHERE rnk <= 5
+    ORDER BY source, rnk
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qRake, qChunkOverlap, qOov, qInterleaveAudit,
+    qPrefixDedup, qLogOdds)
 }
