@@ -685,9 +685,56 @@ object CorpusQueries {
     ORDER BY c DESC, token LIMIT 50
   """))
 
+  /** Needle-in-haystack contamination: exact VERBATIM substring
+    * search for benchmark "needles" across the whole corpus — the
+    * check that catches what q_contamination's 8-gram blocking can
+    * miss (a needle straddling tokenization, punctuation-fused
+    * grams) and what near-dup never looks for (a single quoted
+    * sentence inside an otherwise-novel doc). Needles are 32-char
+    * cores of every 97th doc (the stand-in for a held-out benchmark
+    * set); the scan is corpus × broadcast(needles) with a
+    * codegen'd `contains` — a benchmark needle set is KBs at any
+    * corpus scale, so the broadcast side never grows with data.
+    * Output: per needle, the count of OTHER docs containing it
+    * verbatim (hits > 0 ⇒ leaked). */
+  private val qNeedleContamination = BoundQuery("q_needle_contamination", (s, d) => {
+    val docs = Tables.documents(s, d)
+    val needles = docs.where(col("doc_id") % 97 === 0 && length(col("text")) >= 48)
+      .select(col("doc_id").as("needle_doc"),
+        substring(col("text"), 9, 32).as("needle"))
+    docs.crossJoin(broadcast(needles))
+      .where(col("doc_id") =!= col("needle_doc") &&
+        col("text").contains(col("needle")))
+      .groupBy("needle_doc", "needle")
+      .agg(count(lit(1)).as("n_hits"))
+      .unionByName( // needles with zero hits still report
+        needles.join(
+          docs.crossJoin(broadcast(needles))
+            .where(col("doc_id") =!= col("needle_doc") &&
+              col("text").contains(col("needle")))
+            .select(col("needle_doc")).distinct(),
+          Seq("needle_doc"), "left_anti")
+          .select(col("needle_doc"), col("needle"), lit(0L).as("n_hits")))
+      .orderBy("needle_doc")
+  }, Some("""
+    WITH needles AS (
+      SELECT doc_id AS needle_doc, substring(text, 9, 32) AS needle
+      FROM documents WHERE doc_id % 97 = 0 AND length(text) >= 48),
+    hits AS (
+      SELECT n.needle_doc, n.needle, CAST(count(*) AS BIGINT) AS n_hits
+      FROM documents d CROSS JOIN needles n
+      WHERE d.doc_id <> n.needle_doc AND contains(d.text, n.needle)
+      GROUP BY 1, 2)
+    SELECT needle_doc, needle, n_hits FROM hits
+    UNION ALL
+    SELECT n.needle_doc, n.needle, CAST(0 AS BIGINT)
+    FROM needles n WHERE n.needle_doc NOT IN (SELECT needle_doc FROM hits)
+    ORDER BY needle_doc
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qStratifiedSample, qMixtureSample, qContamination,
       qRepetitionFilter, qBpeEncode, qBoilerplateSpans, qSourceOverlap,
       qTokenBudget, qPmiCollocations, qCtfidf, qDatasetCard, qSpanScrub,
-      qUnigramSampling)
+      qUnigramSampling, qNeedleContamination)
 }
