@@ -513,6 +513,35 @@ object TextQueries2 {
     FROM classes GROUP BY sz ORDER BY cluster_size
   """))
 
+  /** Cross-source exact-duplicate matrix — WHO mirrors WHOM: pairs of
+    * identical texts landing under different sources, counted per
+    * (source_a, source_b) with source names ordered inside the pair.
+    * The q_dedup_report sibling that turns "how much is duplicated"
+    * into "between which feeds" — the table that decides which source
+    * to drop. Digest-keyed self-join inside hash classes only (never
+    * corpus×corpus); class sizes are exact-dup-bounded. */
+  private val qSourceDupMatrix = BoundQuery("q_source_dup_matrix", (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(md5(col("text")).as("h"), col("doc_id"), col("source"))
+    docs.as("a").join(docs.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.source") =!= col("b.source"))
+      .select(least(col("a.source"), col("b.source")).as("source_a"),
+        greatest(col("a.source"), col("b.source")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_dup_pairs"))
+      .orderBy(desc("n_dup_pairs"), col("source_a"), col("source_b"))
+  }, Some("""
+    WITH docs AS (SELECT md5(text) AS h, doc_id, source FROM documents)
+    SELECT least(a.source, b.source) AS source_a,
+           greatest(a.source, b.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_dup_pairs
+    FROM docs a JOIN docs b
+      ON a.h = b.h AND a.doc_id < b.doc_id AND a.source <> b.source
+    GROUP BY 1, 2
+    ORDER BY n_dup_pairs DESC, source_a, source_b
+  """))
+
   private val qContainmentPairs = BoundQuery("q_containment_pairs", (s, d) => {
     Dedup.ngramContainmentPairs(Tables.documents(s, d), col("doc_id"), col("text"),
       shingleSize = 5, minContainment = 0.5, maxShingleDf = Some(1000))
@@ -542,5 +571,5 @@ object TextQueries2 {
     Seq(qTfidf, qLevenshteinPairs, qDedupClusters, qCapPerSource,
       qDedupKeepBest, qNormalize, qTrainSplit, qVocab, qCmsWords,
       qBigramLm, qBpeMerges, qPackSequences, qChunkDocs, qContainmentPairs,
-      qDedupReport)
+      qDedupReport, qSourceDupMatrix)
 }
