@@ -713,11 +713,61 @@ object EventQueries {
     GROUP BY event_type ORDER BY event_type
   """))
 
+  /** Tail latency of the event stream: per event_type, the p50 / p95 /
+    * p99 inter-arrival gap in exact microseconds by RANK arithmetic
+    * (rank = max(1, ceil(q·n)), the quantile_disc convention shared
+    * with q_kll_quantiles / q_group_quantiles — no sketch, no
+    * interpolation floats, so the tail readout is hash-stable). The
+    * SRE dashboard staple: p99 divergence from p50 is the queueing
+    * signal long before means move. Gaps come from one per-user
+    * partitioned lag window; the percentile pass is a per-type
+    * partitioned sort — the partitioned-window shuffle shape. */
+  private val qTailLatency = BoundQuery("q_tail_latency", (s, d) => {
+    val w = Window.partitionBy("event_type", "user_id").orderBy("ts_us", "event_id")
+    val gaps = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_id"))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .where(col("gap_us").isNotNull)
+    val wr = Window.partitionBy("event_type").orderBy(col("gap_us"), col("event_id"))
+    val ranked = gaps
+      .withColumn("rn", row_number().over(wr).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    def pick(q: Double, as: String) =
+      max(when(col("rn") === greatest(lit(1L),
+        ceil(lit(q) * col("n").cast("double")).cast("long")), col("gap_us"))).as(as)
+    ranked.groupBy("event_type")
+      .agg(max(col("n")).as("n_gaps"), pick(0.5, "p50_us"),
+        pick(0.95, "p95_us"), pick(0.99, "p99_us"))
+      .orderBy("event_type")
+  }, Some("""
+    WITH gaps AS (
+      SELECT event_type, event_id,
+        epoch_us(ts) - lag(epoch_us(ts)) OVER (
+          PARTITION BY event_type, user_id
+          ORDER BY epoch_us(ts), event_id) AS gap_us
+      FROM events),
+    ranked AS (
+      SELECT event_type, gap_us,
+        CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY gap_us, event_id) AS BIGINT) AS rn,
+        CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM gaps WHERE gap_us IS NOT NULL)
+    SELECT event_type, max(n) AS n_gaps,
+      max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+           THEN gap_us END) AS p50_us,
+      max(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
+           THEN gap_us END) AS p95_us,
+      max(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
+           THEN gap_us END) AS p99_us
+    FROM ranked GROUP BY event_type ORDER BY event_type
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qFunnel, qGapFill, qRetention, qSlidingWindow, qSqlSurface, qEwma,
       qIncremental, qGroupingSets, qOhlcBars, qTwap, qIntervalCoverage,
       qAttribution, qAbsorption, qStickiness, qTimeToConvert, qInterarrival,
-      qRetentionDecay, qDecayedCounts)
+      qRetentionDecay, qDecayedCounts, qTailLatency)
 
   /** Exponential-decay fit of the retention curve: pooled over
     * cohorts, ln(retention at week w) regressed on w — the one-number

@@ -513,6 +513,47 @@ object TextQueries2 {
     FROM classes GROUP BY sz ORDER BY cluster_size
   """))
 
+  /** Per-source duplicate TOKEN INFLATION: how many of each source's
+    * tokens are re-counted copies — total tokens vs tokens surviving
+    * exact keep-first dedup, and the inflation in ppm. The
+    * source-level budget view of q_dedup_report (a source can look
+    * token-rich while 30% of it is one press release repeated).
+    * Digest window + one partial agg; token counts ride the same
+    * shuffle. */
+  private val qDupInflation = BoundQuery("q_dup_inflation", (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("n_toks"),
+        md5(col("text")).as("h"))
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    docs.withColumn("rn", row_number().over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("tokens_total"),
+        sum(when(col("rn") === 1, col("n_toks")).otherwise(0L))
+          .as("tokens_kept"))
+      .select(col("source"), col("n_docs"), col("tokens_total"),
+        col("tokens_kept"),
+        expr("((tokens_total - tokens_kept) * 1000000) div tokens_total")
+          .as("inflation_ppm"))
+      .orderBy("source")
+  }, Some("""
+    WITH docs AS (
+      SELECT source, doc_id,
+        CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT)
+          AS n_toks,
+        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(n_toks) AS BIGINT) AS tokens_total,
+      CAST(sum(CASE WHEN rn = 1 THEN n_toks ELSE 0 END) AS BIGINT)
+        AS tokens_kept,
+      CAST(((sum(n_toks) - sum(CASE WHEN rn = 1 THEN n_toks ELSE 0 END))
+            * 1000000) // sum(n_toks) AS BIGINT) AS inflation_ppm
+    FROM docs GROUP BY source ORDER BY source
+  """))
+
   /** Cross-source exact-duplicate matrix — WHO mirrors WHOM: pairs of
     * identical texts landing under different sources, counted per
     * (source_a, source_b) with source names ordered inside the pair.
@@ -571,5 +612,5 @@ object TextQueries2 {
     Seq(qTfidf, qLevenshteinPairs, qDedupClusters, qCapPerSource,
       qDedupKeepBest, qNormalize, qTrainSplit, qVocab, qCmsWords,
       qBigramLm, qBpeMerges, qPackSequences, qChunkDocs, qContainmentPairs,
-      qDedupReport, qSourceDupMatrix)
+      qDedupReport, qSourceDupMatrix, qDupInflation)
 }
