@@ -513,6 +513,67 @@ object TextQueries2 {
     FROM classes GROUP BY sz ORDER BY cluster_size
   """))
 
+  /** SPLIT LEAKAGE: what fraction of the test split's distinct
+    * 8-grams already appear in train — the gram-level contamination
+    * q_train_split's doc-level hash split cannot see (two different
+    * docs sharing a template leak n-grams across the split even
+    * though no DOC crosses it). Same md5 split rule as
+    * q_train_split; distinct gram sets per side; coverage ppm from
+    * exact counts via one gram-keyed join (the shuffle is
+    * gram-hashed, never doc×doc). High leakage says held-out
+    * perplexity will flatter the model. */
+  private val qSplitLeakage = BoundQuery("q_split_leakage", (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("split",
+        when(substring(md5(col("text")), 1, 2) < "cc", "train")
+          .when(substring(md5(col("text")), 1, 2) < "e6", "val")
+          .otherwise("test"))
+    val grams = docs
+      .select(col("split"),
+        explode(graft.functions.TextFunctions.wordShingles(col("text"), 8))
+          .as("g"))
+      .distinct()
+    val train = grams.where(col("split") === "train").select("g")
+    val other = grams.where(col("split") =!= "train")
+    val leaked = other.join(train, Seq("g"), "left_semi")
+      .groupBy("split").agg(count(lit(1)).as("n_leaked"))
+    other.groupBy("split").agg(count(lit(1)).as("n_grams"))
+      .join(leaked, Seq("split"), "left")
+      .select(col("split"), col("n_grams"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        expr("(coalesce(n_leaked, 0) * 1000000) div n_grams")
+          .as("leakage_ppm"))
+      .orderBy("split")
+  }, Some("""
+    WITH docs AS (
+      SELECT CASE WHEN substr(md5(text),1,2) < 'cc' THEN 'train'
+                  WHEN substr(md5(text),1,2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split,
+        list_filter(string_split(text,' '), x -> x <> '') AS w
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT split, g FROM (
+        SELECT split,
+          unnest(list_transform(range(1, greatest(len(w)-6, 1)),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' '
+               || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS g
+        FROM docs WHERE len(w) >= 8)),
+    train AS (SELECT g FROM grams WHERE split = 'train'),
+    other AS (SELECT split, g FROM grams WHERE split <> 'train'),
+    leaked AS (
+      SELECT o.split, CAST(count(*) AS BIGINT) AS n_leaked
+      FROM other o WHERE EXISTS (SELECT 1 FROM train t WHERE t.g = o.g)
+      GROUP BY o.split),
+    tot AS (SELECT split, CAST(count(*) AS BIGINT) AS n_grams
+            FROM other GROUP BY split)
+    SELECT tot.split, n_grams,
+      CAST(COALESCE(n_leaked, 0) AS BIGINT) AS n_leaked,
+      CAST((COALESCE(n_leaked, 0) * 1000000) // n_grams AS BIGINT)
+        AS leakage_ppm
+    FROM tot LEFT JOIN leaked ON leaked.split = tot.split
+    ORDER BY tot.split
+  """))
+
   /** Per-source duplicate TOKEN INFLATION: how many of each source's
     * tokens are re-counted copies — total tokens vs tokens surviving
     * exact keep-first dedup, and the inflation in ppm. The
@@ -612,5 +673,5 @@ object TextQueries2 {
     Seq(qTfidf, qLevenshteinPairs, qDedupClusters, qCapPerSource,
       qDedupKeepBest, qNormalize, qTrainSplit, qVocab, qCmsWords,
       qBigramLm, qBpeMerges, qPackSequences, qChunkDocs, qContainmentPairs,
-      qDedupReport, qSourceDupMatrix, qDupInflation)
+      qDedupReport, qSourceDupMatrix, qDupInflation, qSplitLeakage)
 }
