@@ -351,6 +351,68 @@ object EconQueries {
     FROM fitted ORDER BY pk LIMIT 100
   """))
 
+  /** Wilson score intervals on conversion rates — the CI every
+    * conversion dashboard should draw instead of the Wald interval
+    * that collapses at small n or extreme p (Wilson 1927, Brown
+    * Cai DasGupta 2001's recommendation): per event type, the share
+    * of its users who also purchased, with the 95% Wilson bounds
+    *   (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n).
+    * Counts are exact (distinct users via one aggregation); the
+    * bounds are identical double expression trees over the two
+    * integers with z = 1.96 literal. One events scan, one user-keyed
+    * agg, one type-keyed agg. */
+  private val qWilsonCi = BoundQuery("q_wilson_ci", (s, d) => {
+    val byUser = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(collect_set(col("event_type")).as("types"))
+    val perType = byUser
+      .select(explode(col("types")).as("event_type"),
+        array_contains(col("types"), "purchase").cast("long").as("conv"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
+    val z = 1.96
+    val nD = col("n").cast("double"); val p = col("k").cast("double") / nD
+    val z2n = lit(z * z) / nD
+    val centre = (p + z2n / 2.0) / (lit(1.0) + z2n)
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      lit(z * z) / (lit(4.0) * nD * nD))) / (lit(1.0) + z2n)
+    perType.select(col("event_type"), col("n"), col("k"),
+        expr("(k * 1000000) div n").as("p_ppm"),
+        round(centre - half, 6).as("wilson_lo"),
+        round(centre + half, 6).as("wilson_hi"))
+      .orderBy("event_type")
+  }, Some("""
+    WITH byuser AS (
+      SELECT user_id, list(DISTINCT event_type) AS types,
+        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id),
+    pertype AS (
+      SELECT unnest(types) AS event_type, conv FROM byuser),
+    agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(conv) AS BIGINT) AS k
+      FROM pertype GROUP BY 1)
+    SELECT event_type, n, k,
+      CAST((k * 1000000) // n AS BIGINT) AS p_ppm,
+      round((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+             + (1.96 * 1.96) / CAST(n AS DOUBLE) / 2.0)
+            / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))
+          - (1.96 * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                / CAST(n AS DOUBLE)
+              + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+            / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6) AS wilson_lo,
+      round((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+             + (1.96 * 1.96) / CAST(n AS DOUBLE) / 2.0)
+            / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))
+          + (1.96 * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                / CAST(n AS DOUBLE)
+              + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+            / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6) AS wilson_hi
+    FROM agg ORDER BY event_type
+  """))
+
   val all: Seq[BoundQuery] = Seq(qFunnelSig, qElasticity, qXyzClass,
-    qFisherIndex, qCroston)
+    qFisherIndex, qCroston, qWilsonCi)
 }
