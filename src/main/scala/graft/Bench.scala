@@ -18,8 +18,11 @@ object Bench {
     // SPARK_GRAFT_CONF="k=v;k2=v2" — ad-hoc config overrides for local
     // tuning experiments (the driver never sets it)
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k.trim, v.trim)
+      kv.split("=", 2) match {
+        case Array(k, v)              => builder.config(k.trim, v.trim)
+        case Array(s) if s.trim.isEmpty => () // tolerate ';;' / trailing ';'
+        case _ => sys.error(s"bad SPARK_GRAFT_CONF segment (want k=v): '$kv'")
+      }
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -75,7 +78,10 @@ object Bench {
     val tpchResults =
       if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) Seq.empty
       else {
-        val qs = tpchTen.flatMap(byName.get)
+        val missing = tpchTen.filterNot(byName.contains)
+        require(missing.isEmpty,
+          s"tpch10 subtotal lost queries (renamed/removed?): ${missing.mkString(", ")}")
+        val qs = tpchTen.map(byName)
         qs.foreach(q => try q.run(spark, sfDir).count()
           catch { case _: Throwable => () }) // same untimed warm-up
         timeAll(qs)

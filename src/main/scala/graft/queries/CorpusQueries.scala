@@ -702,19 +702,17 @@ object CorpusQueries {
     val needles = docs.where(col("doc_id") % 97 === 0 && length(col("text")) >= 48)
       .select(col("doc_id").as("needle_doc"),
         substring(col("text"), 9, 32).as("needle"))
-    docs.crossJoin(broadcast(needles))
+    // one corpus scan: aggregate hits per needle (a needle-sized
+    // handful), then left-join the needle set to it so zero-hit
+    // needles report 0 without re-scanning the corpus
+    val hits = docs.crossJoin(broadcast(needles))
       .where(col("doc_id") =!= col("needle_doc") &&
         col("text").contains(col("needle")))
       .groupBy("needle_doc", "needle")
       .agg(count(lit(1)).as("n_hits"))
-      .unionByName( // needles with zero hits still report
-        needles.join(
-          docs.crossJoin(broadcast(needles))
-            .where(col("doc_id") =!= col("needle_doc") &&
-              col("text").contains(col("needle")))
-            .select(col("needle_doc")).distinct(),
-          Seq("needle_doc"), "left_anti")
-          .select(col("needle_doc"), col("needle"), lit(0L).as("n_hits")))
+    needles.join(broadcast(hits), Seq("needle_doc", "needle"), "left")
+      .select(col("needle_doc"), col("needle"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .orderBy("needle_doc")
   }, Some("""
     WITH needles AS (

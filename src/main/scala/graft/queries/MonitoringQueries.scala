@@ -387,6 +387,10 @@ object MonitoringQueries {
       withCs.groupBy("event_type", "blk")
         .agg(max(col("du")).as("mx"), min(col("du")).as("mn"),
           max(col("ss")).as("ssq"), max(col("bs")).as("bsum"))
+        // zero-variance guard: m·Σy² = S² iff the block is constant
+        // (Cauchy–Schwarz equality) → S = 0 → R/S is 0/0; skip the
+        // block, identically on both sides, so the readout is total
+        .where(lit(m.toLong) * col("ssq") > col("bsum") * col("bsum"))
         // R/S = ((mx−mn)/m) / sqrt((m·Σy²−bs²)/m²) — one rounded
         // micro-unit value per block, then exact integer averaging
         .select(col("event_type"),
@@ -433,7 +437,9 @@ object MonitoringQueries {
             count(*) OVER (PARTITION BY event_type, t // $m) AS nblk
           FROM idx)
         WHERE nblk = $m)
-      GROUP BY event_type, blk)
+      GROUP BY event_type, blk
+      HAVING CAST($m AS HUGEINT) * max(ss)
+           > CAST(max(bs) AS HUGEINT) * max(bs))
     GROUP BY event_type"""
     s"""
     WITH daily AS ($dailySql),

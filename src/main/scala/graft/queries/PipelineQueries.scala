@@ -203,11 +203,12 @@ object PipelineQueries {
     * path (q_multimodal_features) stays as the oracle-replayable
     * arithmetic twin. */
   private val qMultimodalDecode = BoundQuery("q_multimodal_decode", (s, d) => {
-    // fixture GENERATOR (driver-side by design — it stands in for the
-    // media bucket); the decode pipeline below is fully distributed
-    val ids = Tables.documents(s, d).select(col("doc_id")).orderBy("doc_id")
-      .collect().map(_.getLong(0)).toSeq
-    val tag = java.lang.Integer.toHexString(d.hashCode) + "_" + ids.length
+    // fixture GENERATOR (stands in for the media bucket): a
+    // DISTRIBUTED render+write keyed on an id-set digest — no
+    // driver-side id collect; the decode pipeline below then reads
+    // it back through the binaryFile source
+    val ids = Tables.documents(s, d).select(col("doc_id"))
+    val tag = java.lang.Integer.toHexString(d.hashCode)
     val dir = graft.multimodal.MediaCorpus.ensure(ids, tag)
     val bin = s.read.format("binaryFile").load(dir + "/m*")
     val packed = bin.select(
