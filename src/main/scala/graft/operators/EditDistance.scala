@@ -70,24 +70,36 @@ object EditDistance {
 
     // probe side: for each target length l2 = l+d, segment i, start
     // offset o, the |seg(l2,i)|-length substring of this string at
-    // seg's position + o. Invalid combos (out of range) → null, dropped.
-    val probeSubs = for {
+    // seg's position + o. The (d, i, o) grid explodes as a LITERAL
+    // integer-triple array and the substring math runs ONCE on the
+    // exploded row — inlining a per-combo CASE into the generate
+    // consume (the old shape) grew the generated method past janino's
+    // 64 KB limit at k ≥ 3 and silently fell back to interpreted.
+    def segLenC(l: Column, i: Column): Column = {
+      val lb = floor(l / (k + 1)).cast("long")
+      val nSmall = lit(k + 1) - pmod(l, lit(k + 1))
+      when(i < nSmall, lb).otherwise(lb + 1)
+    }
+    def segStartC(l: Column, i: Column): Column = { // 0-based
+      val lb = floor(l / (k + 1)).cast("long")
+      val nSmall = lit(k + 1) - pmod(l, lit(k + 1))
+      i.cast("long") * lb + greatest(lit(0L), i.cast("long") - nSmall)
+    }
+    val combos = array((for {
       d <- -k to k
       i <- 0 until k + 1
       o <- -k to k
-    } yield {
-      val l2 = col("l") + d
-      val st = segStart(l2, i) + o // 0-based in THIS string
-      val ln = segLen(l2, i)
-      val valid = l2 > 2 * k && ln > 0 && st >= 0 && st + ln <= col("l")
-      when(valid, struct(l2.as("l2"), lit(i).as("i"),
-        col("s").substr(st + 1, ln).as("sub"))).otherwise(lit(null))
-    }
+    } yield struct(lit(d).as("d"), lit(i).as("i"), lit(o).as("o"))): _*)
     val probed = long
-      .select(col("id"), col("blk"), explode(array(probeSubs: _*)).as("e"))
-      .where(col("e").isNotNull)
-      .select(col("id"), col("blk"), col("e.l2").as("l2"), col("e.i").as("i"),
-        col("e.sub").as("sub"))
+      .select(col("id"), col("blk"), col("l"), col("s"),
+        explode(combos).as("c"))
+      .withColumn("l2", col("l") + col("c.d"))
+      .withColumn("st", segStartC(col("l2"), col("c.i")) + col("c.o"))
+      .withColumn("ln", segLenC(col("l2"), col("c.i")))
+      .where(col("l2") > 2 * k && col("ln") > 0 && col("st") >= 0 &&
+        col("st") + col("ln") <= col("l"))
+      .select(col("id"), col("blk"), col("l2"), col("c.i").as("i"),
+        col("s").substr(col("st") + 1, col("ln")).as("sub"))
       .distinct() // a string can generate the same probe key many times
 
     val candLong = probed.as("p").join(indexed.as("x"),
