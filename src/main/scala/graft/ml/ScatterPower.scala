@@ -53,24 +53,24 @@ object ScatterPower {
   def spectrum(df: DataFrame, idCol: Column, vecCol: Column,
                dim: Int, k: Int, iters: Int): DataFrame = {
     val sess = df.sparkSession
-    import graft.util.CacheScope
-    val dm = CacheScope.persist(df
-      .select(idCol.as("rid"), posexplode(toDouble(vecCol)).as(Seq("pos", "x")))
-      .select(col("rid"), (col("pos") + 1).as("i"),
-        round(col("x") * 1000, 0).cast("long").as("xm")))
-    val n = BigInt(dm.agg(countDistinct(col("rid"))).head().getLong(0))
-    val moments = dm.as("a").join(dm.as("b"), "rid")
-      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-      .agg(sum(col("a.xm") * col("b.xm")).cast("decimal(38,0)").as("mij"))
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1)) -> BigInt(r.getDecimal(2).toBigInteger))
-      .toMap
-    val sums = dm.groupBy(col("i"))
-      .agg(sum(col("xm")).cast("decimal(38,0)").as("si"))
-      .collect()
-      .map(r => r.getInt(0) -> BigInt(r.getDecimal(1).toBigInteger)).toMap
+    // ONE partial-aggregable pass over the data: each partition folds
+    // its rows into a d(d+1)/2-cell exact-integer Gram buffer
+    // (expressions.GramAggLong) and only those buffers shuffle — no
+    // n·d² posexplode/self-join row inflation. Integer sums commute,
+    // so the result is bit-identical to the oracle's sum(a.xm*b.xm)
+    // under any partitioning.
+    val xm = transform(toDouble(vecCol), x => round(x * 1000, 0).cast("long"))
+    val g = df
+      .select(graft.expressions.Gram.gramAggLong(sess, xm, dim).as("g"))
+      .head().getStruct(0)
+    val n = BigInt(g.getLong(0))
+    val sumsArr = g.getSeq[java.math.BigDecimal](1)
+      .map(x => BigInt(x.toBigInteger)).toArray
+    val gramArr = g.getSeq[java.math.BigDecimal](2)
+      .map(x => BigInt(x.toBigInteger)).toArray
     val s0 = Array.tabulate(dim, dim)((i, j) =>
-      n * moments((i + 1, j + 1)) - sums(i + 1) * sums(j + 1))
+      n * gramArr(graft.expressions.GramFns.triIndex(dim, math.min(i, j), math.max(i, j))) -
+        sumsArr(i) * sumsArr(j))
     val trace = (0 until dim).map(i => s0(i)(i)).sum
     val big1e12 = BigInt("1000000000000")
 

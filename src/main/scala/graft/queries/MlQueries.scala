@@ -447,25 +447,36 @@ object MlQueries {
     * milli²-scale units. The oracle unrolls the same 8 steps as CTEs
     * from one Scala-generated recurrence (the q_pagerank technique).
     *
-    * Scale shape: the scatter moments are ONE self-join on vec_id
-    * (64²-wide per vector, map-side combined into a 4096-row table);
-    * every iteration thereafter touches only 64-row/4096-row tables —
-    * constant-size work regardless of collection size. At 1e9+ rows
-    * the milli-unit products need the decimal path end-to-end (noted
-    * on the moment columns). */
+    * Scale shape: the scatter moments come from ONE partial-aggregable
+    * pass (expressions.GramAggLong — per-partition d(d+1)/2-cell
+    * exact-integer buffers; only the buffers shuffle, no 64²-wide row
+    * inflation); the d² cells then re-parallelize as the 4096-row
+    * moment table (the ml.Pca d²-cells contract) and every iteration
+    * thereafter touches only 64-row/4096-row tables — constant-size
+    * work regardless of collection size. At 1e9+ rows the milli-unit
+    * products need the decimal path end-to-end (GramAggLong's BigInt
+    * spill lane already covers the aggregation itself). */
   private val qPcaPower = BoundQuery("q_pca_power", (s, d) => {
     val iters = 8
-    val dm = graft.util.CacheScope.persist(
-      Tables.embeddings(s, d)
-        .select(col("vec_id"), posexplode(toDouble(col("embedding")))
-          .as(Seq("pos", "x")))
-        .select(col("vec_id"), (col("pos") + 1).as("i"),
-          round(col("x") * 1000, 0).cast("long").as("xm")))
-    val nRow = dm.agg(countDistinct(col("vec_id")).as("n"))
-    val m = dm.as("a").join(dm.as("b"), "vec_id")
-      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-      .agg(sum(col("a.xm") * col("b.xm")).as("mij"))
-    val sv = dm.groupBy(col("i")).agg(sum(col("xm")).as("si"))
+    val g = Tables.embeddings(s, d)
+      .select(graft.expressions.Gram.gramAggLong(s,
+        transform(toDouble(col("embedding")),
+          x => round(x * 1000, 0).cast("long")), 64).as("g"))
+      .head().getStruct(0)
+    val nVal = g.getLong(0)
+    val sumsArr = g.getSeq[java.math.BigDecimal](1)
+      .map(_.toBigInteger.longValueExact()).toArray
+    val gramArr = g.getSeq[java.math.BigDecimal](2)
+      .map(_.toBigInteger.longValueExact()).toArray
+    import s.implicits._
+    val nRow = Seq(nVal).toDF("n")
+    val m = (for (i <- 0 until 64; j <- 0 until 64) yield
+        ((i + 1).toLong, (j + 1).toLong,
+          gramArr(graft.expressions.GramFns.triIndex(
+            64, math.min(i, j), math.max(i, j)))))
+      .toDF("i", "j", "mij")
+    val sv = sumsArr.zipWithIndex
+      .map { case (si, i) => ((i + 1).toLong, si) }.toSeq.toDF("i", "si")
     val smat = graft.util.CacheScope.persist(
       m.join(broadcast(sv.select(col("i"), col("si").as("sa"))), "i")
         .join(broadcast(sv.select(col("i").as("j"), col("si").as("sb"))), "j")
