@@ -662,7 +662,8 @@ object Registry {
       GovernanceQueries.all ++ SeriesQueries.all ++ TpchQueries.all ++
       StatsQueries4.all ++ EvalQueries2.all ++ MonitoringQueries.all ++
       ExtraQueries3.all ++ BanditQueries.all ++ FeatureQueries.all ++
-      TreeQueries.all ++ AgreementQueries.all ++ EconQueries.all
+      TreeQueries.all ++ AgreementQueries.all ++ EconQueries.all ++
+      StatsQueries5.all
       // (q_kcore / q_neighbor_jaccard ride in GraphQueries.all above)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
