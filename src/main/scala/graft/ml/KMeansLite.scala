@@ -22,8 +22,12 @@ object KMeansLite {
   final case class Model(centroids: Array[Array[Double]], assignments: DataFrame)
 
   def fit(df: DataFrame, idCol: Column, vecCol: Column, k: Int, iters: Int): Model = {
-    val data = graft.util.CacheScope.persist(
-      df.select(idCol.as("id"), toDouble(vecCol).as("v")))
+    // Spread before persisting: every iteration replays the k·d-term
+    // assignment expression over this cache, so a file-bound single
+    // partition would serialize the whole training loop through one
+    // core (util.Spread doc — measured 1-core starvation at sf10)
+    val data = graft.util.CacheScope.persist(graft.util.Spread(
+      df.select(idCol.as("id"), toDouble(vecCol).as("v"))))
     val dim = data.select(size(col("v"))).first().getInt(0)
 
     var cents: Array[Array[Double]] = data.orderBy("id").limit(k)

@@ -41,8 +41,12 @@ object ProductQuantizer {
     Codebooks(m, subDim, cents)
   }
 
-  /** Compress every vector to its m nearest-centroid codes. */
-  def encode(df: DataFrame, idCol: Column, vecCol: Column, cb: Codebooks): DataFrame = {
+  /** Compress every vector to its m nearest-centroid codes. The
+    * input is Spread first: the m·k·subDim argmin expression is the
+    * dominant cost and must not inherit a file-bound single
+    * partition (util.Spread doc). */
+  def encode(df0: DataFrame, idCol: Column, vecCol: Column, cb: Codebooks): DataFrame = {
+    val df = graft.util.Spread(df0)
     val codeCols = (0 until cb.m).map { j =>
       val sub = slice(toDouble(vecCol), j * cb.subDim + 1, cb.subDim)
       val dists = array(cb.cents(j).zipWithIndex.map { case (c, i) =>

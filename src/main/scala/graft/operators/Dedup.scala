@@ -38,7 +38,7 @@ object Dedup {
                         shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
                         maxBucket: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sigs = df.select(
+    val sigs = graft.util.Spread(df).select(
         idCol.as("id"),
         array_distinct(shingleHashes(df.sparkSession, textCol, shingleSize)).as("sh"))
       .where(size(col("sh")) > 0)
@@ -76,28 +76,49 @@ object Dedup {
     * checkable) this variant's estimates hash-match a DuckDB oracle.
     * Same LSH scale shape: O(docs × bands) blocking join, candidates
     * distinct-ed before the signature compare, never O(docs²). */
+  /** The arithmetic-family minhash signature table (id, sig) —
+    * persisted, since callers feed it to both the band join and the
+    * verification join. */
+  private def arithSignatures(df: DataFrame, idCol: Column, textCol: Column,
+                              shingleSize: Int, k: Int): DataFrame = {
+    val P = MinhashPrime
+    // Spread first: the per-char rolling-hash fold below is the
+    // pipeline's dominant cost and must not inherit a file-bound
+    // single partition (util.Spread doc — the measured 1-core case)
+    val docs = graft.util.Spread(df).select(idCol.as("id"),
+        array_distinct(wordShingles(textCol, shingleSize)).as("shg"))
+      .where(size(col("shg")) > 0)
+      .withColumn("hs", transform(col("shg"), s => rollingFingerprint(s)))
+    graft.util.CacheScope.persist(docs.select(col("id"),
+      array(minhashPermConsts(k).map { case (a, b) =>
+        array_min(transform(col("hs"), x => pmod(lit(a) * x + lit(b), lit(P))))
+      }: _*).as("sig")))
+  }
+
+  private def bandKeysOf(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sig.select(col("id"),
+        explode(array((0 until bands).map { bi =>
+          struct(lit(bi).as("band"),
+            aggregate(slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand), lit(0L),
+              (acc, v) => pmod(acc * lit(1048573L) + v, lit(MinhashPrime))).as("bkey"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
+  /** The (id, band, bkey) LSH banding table of the arithmetic family,
+    * exposed for band-occupancy diagnostics (q_minhash_band_stats) —
+    * same hash constants as minhashCandidatesArith, so its bucket
+    * statistics describe exactly the join that pipeline would run. */
+  def arithBandKeys(df: DataFrame, idCol: Column, textCol: Column,
+                    shingleSize: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    bandKeysOf(arithSignatures(df, idCol, textCol, shingleSize,
+      bands * rowsPerBand), bands, rowsPerBand)
+
   def minhashCandidatesArith(df: DataFrame, idCol: Column, textCol: Column,
                              shingleSize: Int = 3, bands: Int = 8,
                              rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand
-    val P = MinhashPrime
-    val docs = df.select(idCol.as("id"),
-        array_distinct(wordShingles(textCol, shingleSize)).as("shg"))
-      .where(size(col("shg")) > 0)
-      .withColumn("hs", transform(col("shg"), s => rollingFingerprint(s)))
-    // persist: the signature table feeds the band join AND both sides
-    // of the verification join
-    val sig = graft.util.CacheScope.persist(docs.select(col("id"),
-      array(minhashPermConsts(k).map { case (a, b) =>
-        array_min(transform(col("hs"), x => pmod(lit(a) * x + lit(b), lit(P))))
-      }: _*).as("sig")))
-    val bandKeys = sig.select(col("id"),
-        explode(array((0 until bands).map { bi =>
-          struct(lit(bi).as("band"),
-            aggregate(slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand), lit(0L),
-              (acc, v) => pmod(acc * lit(1048573L) + v, lit(P))).as("bkey"))
-        }: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val sig = arithSignatures(df, idCol, textCol, shingleSize, k)
+    val bandKeys = bandKeysOf(sig, bands, rowsPerBand)
     val cand = bandKeys.as("a").join(bandKeys.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
         col("a.id") < col("b.id"))
@@ -135,7 +156,7 @@ object Dedup {
     // join side a, join side b) — without the persist each branch
     // recomputes the HOF shingle pipeline, tripling the dominant cost.
     val docs = graft.util.CacheScope.persist(
-      df.select(idCol.as("id"), block.as("blk"),
+      graft.util.Spread(df).select(idCol.as("id"), block.as("blk"),
           array_distinct(shingleHashes(df.sparkSession, textCol, shingleSize)).as("sh"))
         .where(size(col("sh")) > 0))
     val sizes = docs.select(col("id"), col("blk"), size(col("sh")).as("n"))
@@ -198,7 +219,7 @@ object Dedup {
                             shingleSize: Int, minContainment: Double,
                             maxShingleDf: Option[Int] = None): DataFrame = {
     val docs = graft.util.CacheScope.persist(
-      df.select(idCol.as("id"),
+      graft.util.Spread(df).select(idCol.as("id"),
           array_distinct(shingleHashes(df.sparkSession, textCol, shingleSize)).as("sh"))
         .where(size(col("sh")) > 0))
     val sizes = docs.select(col("id"), size(col("sh")).as("n"))
@@ -260,7 +281,7 @@ object Dedup {
     * for a full DuckDB-replayable gate. */
   def simhashPairsArith(df: DataFrame, idCol: Column, textCol: Column,
                         maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(idCol.as("id"),
+    val sigs = graft.util.Spread(df).select(idCol.as("id"),
         graft.expressions.SimHashPoly.simhashPoly(df.sparkSession, tokens(textCol)).as("sig"))
       .withColumn("blk", shiftrightunsigned(col("sig"), 23))
     sigs.as("a").join(sigs.as("b"),
@@ -296,7 +317,7 @@ object Dedup {
     val exact = nw.join(od.select(col("dg")).distinct(), Seq("dg"), "leftsemi")
       .select(col("id")).withColumn("is_exact", lit(true))
     def shingled(df: DataFrame): DataFrame =
-      graft.util.CacheScope.persist(df.select(col("id"),
+      graft.util.CacheScope.persist(graft.util.Spread(df).select(col("id"),
           array_distinct(shingleHashes(spark, col("text"), shingleSize)).as("sh"))
         .where(size(col("sh")) > 0))
     val ns = shingled(nw)

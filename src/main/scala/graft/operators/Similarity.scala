@@ -30,12 +30,12 @@ object Similarity {
       .select(col("id"), transform(col("vd"), x => x / col("nrm")).as("vn"))
 
   /** Spread the probe side of a broadcast/nested-loop product across
-    * all cores. The cached tables arrive as ONE partition (single
-    * row-group files), which would serialize the whole O(n*m) compare
-    * through one task — the repartition costs one small shuffle and
-    * buys full parallelism on the quadratic stage. */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * all cores — the cached tables can arrive as ONE partition
+    * (single row-group files), which would serialize the whole
+    * O(n*m) compare through one task. Now the shared conditional
+    * util (graft.util.Spread): a no-op when the input already
+    * carries enough splits. */
+  private def spread(df: DataFrame): DataFrame = graft.util.Spread(df)
 
   /** Exact top-k nearest (cosine) rows for each query row.
     * Cosine is rounded to 6 decimals BEFORE ranking, with the id as

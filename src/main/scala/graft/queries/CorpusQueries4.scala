@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Graph
+
+/** SURVEY §2.6 corpus wave 4 (r5): TextRank keyword extraction (the
+  * graph-ranking upgrade over q_rake's frequency heuristics) and
+  * label-centroid drift between dataset halves (the embedding-space
+  * stability audit a retraining pipeline gates on).
+  */
+object CorpusQueries4 {
+
+  private val trIters = 8
+  private val trScale = 10000000000L // 1e10: headroom for ~1e7-word vocabs
+
+  /** TextRank (Mihalcea & Tarau 2004) over the adjacent-token
+    * co-occurrence graph of content words (length ≥ 4): distinct
+    * directed pairs, symmetrized, ranked by the SAME exact-integer
+    * damped recurrence as q_pagerank (operators.Graph.pageRank,
+    * BIGINT units, truncating div — partition-order invariant, so an
+    * iterative keyword ranker becomes hash-checkable). Top-50 words.
+    * Scale shape: per round one dst-keyed agg shuffle + one node
+    * join; the graph is vocabulary-sized, not corpus-sized. */
+  private val qTextrank = BoundQuery("q_textrank", (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(tokens(col("text")).as("w"))
+    val pairs = toks.select(explode(when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("a"),
+            element_at(col("w"), i + 1).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+      .select(col("p.a").as("src"), col("p.b").as("dst"))
+      .where(length(col("src")) >= 4 && length(col("dst")) >= 4 &&
+        col("src") =!= col("dst"))
+    val edges = pairs.union(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    Graph.pageRank(edges, "src", "dst", iters = trIters, scale = trScale)
+      .orderBy(desc("rank"), col("node")).limit(50)
+      .select(col("node").as("word"), col("rank"))
+  }, Some {
+    val base = 15L * trScale / 100L
+    def step(k: Int) = s"""
+    pr$k AS (
+      SELECT n.node,
+             CAST($base + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum(p.rank // d.d) AS BIGINT) AS s
+        FROM pr${k - 1} p
+        JOIN deg d ON p.node = d.src
+        JOIN edges e ON e.src = p.node
+        GROUP BY e.dst) c ON n.node = c.node)"""
+    s"""
+    WITH toks AS (
+      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+        i -> struct_pack(a := w[i], b := w[i+1]))) AS p
+      FROM toks WHERE len(w) >= 2),
+    e0 AS (
+      SELECT DISTINCT p.a AS src, p.b AS dst FROM bi
+      WHERE len(p.a) >= 4 AND len(p.b) >= 4 AND p.a <> p.b),
+    edges AS (SELECT src, dst FROM e0
+              UNION SELECT dst, src FROM e0),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    pr0 AS (SELECT node, CAST($trScale AS BIGINT) AS rank FROM nodes),
+    ${(1 to trIters).map(step).mkString(",")}
+    SELECT node AS word, rank FROM pr$trIters
+    ORDER BY rank DESC, word LIMIT 50
+  """
+  })
+
+  /** Label-centroid drift between the even- and odd-id halves of the
+    * embedding collection — "did this label's region move?" without
+    * any float mean: per label and coordinate the milli-unit sums
+    * (sa, sb) and counts (na, nb) give the EXACT squared centroid
+    * distance Σ_i (sa_i·nb − sb_i·na)² div (na·nb)², in milli² units
+    * (the cross-multiplied mean-difference identity — the same trick
+    * as the scatter matrix's n²-scaling). One exploded aggregation,
+    * decimal headroom on the cross products, no windows. */
+  private val qCentroidDrift = BoundQuery("q_centroid_drift", (s, d) => {
+    val dm = Tables.embeddings(s, d)
+      .select(col("label"), (col("vec_id") % 2 === 0).cast("long").as("isA"),
+        posexplode(transform(col("embedding"),
+          x => round(x.cast("double") * 1000, 0).cast("long")))
+          .as(Seq("i", "xm")))
+    dm.groupBy("label", "i")
+      .agg(sum(col("isA") * col("xm")).as("sa"),
+        sum((lit(1L) - col("isA")) * col("xm")).as("sb"),
+        sum(col("isA")).as("na"), sum(lit(1L) - col("isA")).as("nb"))
+      .groupBy("label")
+      .agg(max(col("na")).as("n_even"), max(col("nb")).as("n_odd"),
+        sum(expr("""(CAST(sa AS DECIMAL(38,0)) * nb - CAST(sb AS DECIMAL(38,0)) * na)
+                    * (CAST(sa AS DECIMAL(38,0)) * nb - CAST(sb AS DECIMAL(38,0)) * na)"""))
+          .as("num"))
+      .select(col("label").cast("long").as("label"), col("n_even"), col("n_odd"),
+        expr("""CAST(num div (CAST(n_even AS DECIMAL(38,0)) * n_even
+                              * n_odd * n_odd) AS BIGINT)""")
+          .as("dist2_milli2"))
+      .orderBy("label")
+  }, Some("""
+    WITH dm AS (
+      SELECT label,
+        CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS isA,
+        i,
+        CAST(round(CAST(embedding[i] AS DOUBLE)*1000, 0) AS BIGINT) AS xm
+      FROM embeddings, unnest(range(1, 65)) AS t(i)),
+    percoord AS (
+      SELECT label, i,
+        CAST(sum(isA * xm) AS BIGINT) AS sa,
+        CAST(sum((1 - isA) * xm) AS BIGINT) AS sb,
+        CAST(sum(isA) AS BIGINT) AS na,
+        CAST(sum(1 - isA) AS BIGINT) AS nb
+      FROM dm GROUP BY 1, 2)
+    SELECT CAST(label AS BIGINT) AS label,
+      max(na) AS n_even, max(nb) AS n_odd,
+      CAST(sum((CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na)
+             * (CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na))
+        // (CAST(max(na) AS HUGEINT) * max(na) * max(nb) * max(nb)) AS BIGINT)
+        AS dist2_milli2
+    FROM percoord GROUP BY label ORDER BY label
+  """))
+
+  /** LSH band-occupancy statistics for the q_minhash_pairs family —
+    * the TUNING readout production dedup watches before paying for a
+    * run: per band, how many buckets exist, how big the largest one
+    * is, and how many candidate pairs Σ C(sz,2) the band join will
+    * emit. A band whose max bucket explodes is the boilerplate-skew
+    * signature (the maxBucket guard's trigger condition), visible
+    * here BEFORE the join runs. Same arithmetic hash family as the
+    * oracle-replayed q_minhash_pairs, so every bucket count
+    * hash-matches DuckDB. One banding pass + one two-level agg. */
+  private val qMinhashBandStats = BoundQuery("q_minhash_band_stats", (s, d) => {
+    graft.operators.Dedup.arithBandKeys(Tables.documents(s, d),
+        col("doc_id"), col("text"), shingleSize = 3, bands = 8, rowsPerBand = 4)
+      .groupBy("band", "bkey").agg(count(lit(1)).as("sz"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("sz")).as("n_docs"),
+        sum((col("sz") === 1L).cast("long")).as("singletons"),
+        max(col("sz")).as("max_bucket"),
+        sum(expr("(sz * (sz - 1)) div 2")).as("cand_pairs"))
+      .select(col("band").cast("long").as("band"), col("n_buckets"),
+        col("n_docs"), col("singletons"), col("max_bucket"), col("cand_pairs"))
+      .orderBy("band")
+  }, Some {
+    val P = graft.operators.Dedup.MinhashPrime
+    val sigExprs = graft.operators.Dedup.minhashPermConsts(32).map { case (a, b) =>
+      s"list_min(list_transform(hs, x -> (${a}*x + ${b}) % ${P}))"
+    }.mkString(",\n        ")
+    val bandVals = (0 until 8).map(b => s"($b)").mkString(",")
+    s"""
+    WITH sh AS (
+      SELECT doc_id,
+        list_distinct(list_transform(range(1, greatest(len(w)-1, 1)),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents)
+      WHERE len(w) >= 3),
+    xs AS (
+      SELECT doc_id,
+        list_transform(shingles, s ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, length(s)+1),
+              i -> CAST(ascii(substring(s, i, 1)) AS BIGINT))),
+            (a, b) -> (a*31 + b) % ${P})) AS hs
+      FROM sh WHERE len(shingles) > 0),
+    sigl AS (
+      SELECT doc_id, [
+        ${sigExprs}
+      ] AS sig FROM xs),
+    bands AS (
+      SELECT doc_id, b.band AS band,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_slice(sig, b.band*4+1, b.band*4+4)),
+          (acc, v) -> (acc*1048573 + v) % ${P}) AS bkey
+      FROM sigl CROSS JOIN (VALUES ${bandVals}) b(band)),
+    buckets AS (
+      SELECT band, bkey, CAST(count(*) AS BIGINT) AS sz
+      FROM bands GROUP BY 1, 2)
+    SELECT CAST(band AS BIGINT) AS band,
+      CAST(count(*) AS BIGINT) AS n_buckets,
+      CAST(sum(sz) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS singletons,
+      CAST(max(sz) AS BIGINT) AS max_bucket,
+      CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs
+    FROM buckets GROUP BY band ORDER BY band
+  """
+  })
+
+  val all: Seq[BoundQuery] = Seq(qTextrank, qCentroidDrift, qMinhashBandStats)
+}

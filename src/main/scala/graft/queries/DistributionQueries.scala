@@ -1,0 +1,366 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Num._
+
+/** SURVEY §2.6 distribution wave (r5): sequential testing (SPRT),
+  * distribution distance (binned 1-Wasserstein), extreme-value block
+  * maxima (Gumbel moment fit), boxplot fences (Tukey), and
+  * recommendation coverage/novelty — the distributional instruments
+  * around the existing KS/PSI/EVT-Hill family.
+  *
+  * Exactness: counts and cumulative mass are integer-cleared; float
+  * folds walk a PINNED order (sorted day lists, the q_ewma rule);
+  * closed-form finishes are identical double trees with shared
+  * frozen literals (π, γ as written constants on both engines).
+  */
+object DistributionQueries {
+
+  /** Wald's sequential probability ratio test per event type, walked
+    * day by day (Wald 1945): H1 "high-value share p = 0.14" vs H0
+    * "p = 0.125" over the daily (trials, successes = value ≥ 100)
+    * counts, stopping at the classic A = ln 19, B = −ln 19 bounds
+    * (α = β = 0.05). The fold carries (llr, decision, day) through a
+    * sorted CALENDAR-bounded day list; once a bound is crossed the
+    * accumulator freezes — the day recorded is the decision day. The
+    * llr increments are doubles, but the walk order is pinned and
+    * identical on both engines, so the fold is replayable. */
+  private val qSprt = BoundQuery("q_sprt", (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value") >= 100.0).cast("long")).as("k"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sort_array(collect_list(struct(col("day"), col("n"), col("k"))))
+          .as("tr"))
+      .select(col("event_type"), col("n_days"), expr("""
+        aggregate(tr,
+          named_struct('llr', CAST(0.0 AS DOUBLE),
+                       'dday', CAST(NULL AS DATE), 'decn', 'continue'),
+          (acc, v) -> CASE WHEN acc.decn <> 'continue' THEN acc
+            WHEN acc.llr + CAST(v.k AS DOUBLE) * ln(0.14D/0.125D)
+                 + CAST(v.n - v.k AS DOUBLE) * ln(0.86D/0.875D) >= ln(19.0D)
+              THEN named_struct(
+                'llr', acc.llr + CAST(v.k AS DOUBLE) * ln(0.14D/0.125D)
+                       + CAST(v.n - v.k AS DOUBLE) * ln(0.86D/0.875D),
+                'dday', v.day, 'decn', 'accept_h1')
+            WHEN acc.llr + CAST(v.k AS DOUBLE) * ln(0.14D/0.125D)
+                 + CAST(v.n - v.k AS DOUBLE) * ln(0.86D/0.875D) <= -ln(19.0D)
+              THEN named_struct(
+                'llr', acc.llr + CAST(v.k AS DOUBLE) * ln(0.14D/0.125D)
+                       + CAST(v.n - v.k AS DOUBLE) * ln(0.86D/0.875D),
+                'dday', v.day, 'decn', 'accept_h0')
+            ELSE named_struct(
+                'llr', acc.llr + CAST(v.k AS DOUBLE) * ln(0.14D/0.125D)
+                       + CAST(v.n - v.k AS DOUBLE) * ln(0.86D/0.875D),
+                'dday', CAST(NULL AS DATE), 'decn', 'continue') END)
+        """).as("w"))
+      .select(col("event_type"), col("n_days"),
+        col("w.decn").as("decision"), col("w.dday").cast("string").as("decision_day"),
+        round(col("w.llr"), 9).as("llr"))
+      .orderBy("event_type")
+  }, Some("""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS k
+      FROM events GROUP BY 1, 2),
+    seqs AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        list_sort(list(struct_pack(day := day, n := n, k := k))) AS tr
+      FROM daily GROUP BY 1),
+    folded AS (
+      SELECT event_type, n_days,
+        list_reduce(
+          list_prepend(struct_pack(llr := CAST(0.0 AS DOUBLE),
+                                   dday := CAST(NULL AS DATE),
+                                   decn := 'continue',
+                                   day := CAST(NULL AS DATE),
+                                   n := CAST(0 AS BIGINT),
+                                   k := CAST(0 AS BIGINT)),
+            list_transform(tr, v -> struct_pack(llr := CAST(0.0 AS DOUBLE),
+                                   dday := CAST(NULL AS DATE),
+                                   decn := 'continue',
+                                   day := v.day, n := v.n, k := v.k))),
+          (acc, v) -> CASE WHEN acc.decn <> 'continue' THEN acc
+            WHEN acc.llr + CAST(v.k AS DOUBLE) * ln(0.14/0.125)
+                 + CAST(v.n - v.k AS DOUBLE) * ln(0.86/0.875) >= ln(19.0)
+              THEN struct_pack(
+                llr := acc.llr + CAST(v.k AS DOUBLE) * ln(0.14/0.125)
+                       + CAST(v.n - v.k AS DOUBLE) * ln(0.86/0.875),
+                dday := v.day, decn := 'accept_h1',
+                day := v.day, n := v.n, k := v.k)
+            WHEN acc.llr + CAST(v.k AS DOUBLE) * ln(0.14/0.125)
+                 + CAST(v.n - v.k AS DOUBLE) * ln(0.86/0.875) <= -ln(19.0)
+              THEN struct_pack(
+                llr := acc.llr + CAST(v.k AS DOUBLE) * ln(0.14/0.125)
+                       + CAST(v.n - v.k AS DOUBLE) * ln(0.86/0.875),
+                dday := v.day, decn := 'accept_h0',
+                day := v.day, n := v.n, k := v.k)
+            ELSE struct_pack(
+                llr := acc.llr + CAST(v.k AS DOUBLE) * ln(0.14/0.125)
+                       + CAST(v.n - v.k AS DOUBLE) * ln(0.86/0.875),
+                dday := CAST(NULL AS DATE), decn := 'continue',
+                day := v.day, n := v.n, k := v.k) END) AS w
+      FROM seqs)
+    SELECT event_type, n_days, w.decn AS decision, CAST(w.dday AS VARCHAR) AS decision_day,
+      round(w.llr, 9) AS llr
+    FROM folded ORDER BY event_type
+  """))
+
+  /** Binned 1-Wasserstein (earth-mover) distance between 1998's and
+    * 1999's order-value distributions, per priority: values bin to
+    * $1000 buckets (a bounded domain, the q_decision_stump contract),
+    * CDFs accumulate per priority, and
+    *   W1 = Σ_bins |F_a − F_b| · Δ
+    * clears to ONE integral division: with counts nA/nB and
+    * cumulative cA/cB, W1 in milli-bins = (1000·Σ|cA·nB − cB·nA|)
+    * div (nA·nB) — exact integers end-to-end (decimal headroom on
+    * the cross products). The drift number PSI/KS don't give: how
+    * FAR apart the distributions sit, in dollars. */
+  private val qWasserstein = BoundQuery("q_wasserstein", (s, d) => {
+    val o = Tables.orders(s, d)
+      .where(year(col("o_orderdate")).isin(1998, 1999))
+      .select(col("o_orderpriority").as("pri"),
+        (year(col("o_orderdate")) === 1998).cast("long").as("isA"),
+        expr("CAST(round(o_totalprice*100, 0) AS LONG) div 100000").as("bin"))
+    val binned = o.groupBy("pri", "bin")
+      .agg(sum(col("isA")).as("a"), sum(lit(1L) - col("isA")).as("b"))
+    val w = Window.partitionBy("pri").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("pri")
+    binned
+      .withColumn("ca", sum(col("a")).over(w))
+      .withColumn("cb", sum(col("b")).over(w))
+      .withColumn("na", sum(col("a")).over(tot))
+      .withColumn("nb", sum(col("b")).over(tot))
+      .groupBy(col("pri"), col("na"), col("nb"))
+      .agg(sum(expr(
+        "abs(CAST(ca AS DECIMAL(38,0)) * nb - CAST(cb AS DECIMAL(38,0)) * na)"))
+        .as("sd"))
+      .select(col("pri"), col("na").as("n_1998"), col("nb").as("n_1999"),
+        expr("""CAST((1000 * sd) div (CAST(na AS DECIMAL(38,0)) * nb)
+                AS BIGINT)""").as("w1_millibins"))
+      .orderBy("pri")
+  }, Some("""
+    WITH o AS (
+      SELECT o_orderpriority AS pri,
+        CASE WHEN year(o_orderdate) = 1998 THEN 1 ELSE 0 END AS isA,
+        CAST(round(o_totalprice*100, 0) AS BIGINT) // 100000 AS bin
+      FROM orders WHERE year(o_orderdate) IN (1998, 1999)),
+    binned AS (
+      SELECT pri, bin, CAST(sum(isA) AS BIGINT) AS a,
+        CAST(sum(1 - isA) AS BIGINT) AS b
+      FROM o GROUP BY 1, 2),
+    cum AS (
+      SELECT pri, bin, a, b,
+        CAST(sum(a) OVER (PARTITION BY pri ORDER BY bin
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+        CAST(sum(b) OVER (PARTITION BY pri ORDER BY bin
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb,
+        CAST(sum(a) OVER (PARTITION BY pri) AS BIGINT) AS na,
+        CAST(sum(b) OVER (PARTITION BY pri) AS BIGINT) AS nb
+      FROM binned)
+    SELECT pri, na AS n_1998, nb AS n_1999,
+      CAST((1000 * sum(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)))
+        // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS w1_millibins
+    FROM cum GROUP BY pri, na, nb ORDER BY pri
+  """))
+
+  /** Gumbel block-maxima fit of monthly peak daily revenue (EVT's
+    * other tail beside q_hill's Pareto index): daily revenue cents →
+    * per-month block maximum → method-of-moments Gumbel parameters
+    *   β̂ = s·√6/π,  μ̂ = m̄ − γ·β̂   (γ = 0.5772156649015329)
+    * from the EXACT integer moments (n, Σ, Σ²) of the maxima, plus
+    * the plug-in exceedance P(max > observed all-time peak) =
+    * 1 − exp(−exp(−(x−μ̂)/β̂)). All finishes are identical double
+    * trees with the constants written out on both sides. Two
+    * calendar-bounded aggregations; no windows. */
+  private val qGumbel = BoundQuery("q_gumbel", (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sumCents(col("o_totalprice")).as("rev"))
+    val blocks = daily
+      .groupBy(date_trunc("month", col("day")).as("mon"))
+      .agg(max(col("rev")).as("mx"))
+    val m = blocks.agg(count(lit(1)).as("n"), sum(col("mx")).as("sx"),
+      sum(expr("CAST(mx AS DECIMAL(38,0)) * mx")).as("sxx"),
+      max(col("mx")).as("peak"))
+    val nD = col("n").cast("double")
+    val mean = col("sx").cast("double") / nD
+    val sdev = sqrt((nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")) /
+      (nD * (nD - 1.0)))
+    val beta = sdev * lit(2.449489742783178) / lit(3.141592653589793)
+    val mu = mean - lit(0.5772156649015329) * beta
+    m.select(col("n").as("n_blocks"), money(col("peak")).as("peak_revenue"),
+        round(mu / 100.0, 6).as("mu_dollars"),
+        round(beta / 100.0, 6).as("beta_dollars"),
+        round(lit(1.0) - exp(-exp((mu - col("peak").cast("double")) / beta)), 9)
+          .as("p_exceed_peak"))
+  }, Some("""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+        CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1),
+    blocks AS (
+      SELECT date_trunc('month', day) AS mon, CAST(max(rev) AS BIGINT) AS mx
+      FROM daily GROUP BY 1),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(mx) AS BIGINT) AS sx,
+        CAST(sum(CAST(mx AS HUGEINT) * mx) AS HUGEINT) AS sxx,
+        CAST(max(mx) AS BIGINT) AS peak
+      FROM blocks)
+    SELECT n AS n_blocks, CAST(peak AS DOUBLE)/100.0 AS peak_revenue,
+      round((CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)
+        - 0.5772156649015329 *
+          (sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0)))
+           * 2.449489742783178 / 3.141592653589793)) / 100.0, 6) AS mu_dollars,
+      round((sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0)))
+           * 2.449489742783178 / 3.141592653589793) / 100.0, 6) AS beta_dollars,
+      round(1.0 - exp(-exp((
+          (CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)
+           - 0.5772156649015329 *
+             (sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                   / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0)))
+              * 2.449489742783178 / 3.141592653589793))
+          - CAST(peak AS DOUBLE))
+        / (sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0)))
+           * 2.449489742783178 / 3.141592653589793))), 9) AS p_exceed_peak
+    FROM m
+  """))
+
+  /** Tukey boxplot fences per priority: Q1/Q3 by the house
+    * quantile_disc rank arithmetic (rn = ceil(q·n) row under a
+    * per-priority sort), fences at ±1.5·IQR kept EXACT in
+    * quarter-cents (4·lo = 7·Q1 − 3·Q3, 4·hi = 7·Q3 − 3·Q1 — no
+    * float 1.5 ever materializes), and outlier counts from one
+    * second pass against the broadcast 5-row fence table. */
+  private val qTukeyFences = BoundQuery("q_tukey_fences", (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("pri"), cents(col("o_totalprice")).as("c"))
+    val w = Window.partitionBy("pri").orderBy(col("c"))
+    val ranked = o
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("pri")))
+    def pick(q: Double, as: String) =
+      max(when(col("rn") === greatest(lit(1L),
+        ceil(lit(q) * col("n").cast("double")).cast("long")), col("c"))).as(as)
+    val fences = ranked.groupBy("pri")
+      .agg(max(col("n")).as("n"), pick(0.25, "q1"), pick(0.75, "q3"))
+      .withColumn("lo4", lit(7L) * col("q1") - lit(3L) * col("q3"))
+      .withColumn("hi4", lit(7L) * col("q3") - lit(3L) * col("q1"))
+    o.join(broadcast(fences), "pri")
+      .groupBy(col("pri"), col("n"), col("q1"), col("q3"))
+      .agg(sum((lit(4L) * col("c") < col("lo4")).cast("long")).as("n_low"),
+        sum((lit(4L) * col("c") > col("hi4")).cast("long")).as("n_high"))
+      .select(col("pri"), col("n"), money(col("q1")).as("q1_d"),
+        money(col("q3")).as("q3_d"), col("n_low"), col("n_high"),
+        expr("(1000000 * (n_low + n_high)) div n").as("outlier_ppm"))
+      .orderBy("pri")
+  }, Some("""
+    WITH o AS (
+      SELECT o_orderpriority AS pri,
+        CAST(round(o_totalprice*100, 0) AS BIGINT) AS c
+      FROM orders),
+    ranked AS (
+      SELECT pri, c,
+        CAST(row_number() OVER (PARTITION BY pri ORDER BY c) AS BIGINT) AS rn,
+        CAST(count(*) OVER (PARTITION BY pri) AS BIGINT) AS n
+      FROM o),
+    f AS (
+      SELECT pri, max(n) AS n,
+        CAST(max(CASE WHEN rn = greatest(1, CAST(ceil(0.25 * n) AS BIGINT))
+                 THEN c END) AS BIGINT) AS q1,
+        CAST(max(CASE WHEN rn = greatest(1, CAST(ceil(0.75 * n) AS BIGINT))
+                 THEN c END) AS BIGINT) AS q3
+      FROM ranked GROUP BY pri)
+    SELECT o.pri, n, CAST(q1 AS DOUBLE)/100.0 AS q1_d,
+      CAST(q3 AS DOUBLE)/100.0 AS q3_d,
+      CAST(sum(CASE WHEN 4*c < 7*q1 - 3*q3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      CAST(sum(CASE WHEN 4*c > 7*q3 - 3*q1 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+      (1000000 * (CAST(sum(CASE WHEN 4*c < 7*q1 - 3*q3 THEN 1 ELSE 0 END) AS BIGINT)
+                + CAST(sum(CASE WHEN 4*c > 7*q3 - 3*q1 THEN 1 ELSE 0 END) AS BIGINT)))
+        // n AS outlier_ppm
+    FROM o JOIN f ON o.pri = f.pri
+    GROUP BY o.pri, n, q1, q3 ORDER BY o.pri
+  """))
+
+  /** Coverage and novelty of the q_item_cf top-50 recommendations —
+    * the recsys health metrics beside q_rec_eval's accuracy: what
+    * share of the co-purchasable catalog do the recommendations
+    * touch (coverage), and how popular are the parts they push
+    * (mean popularity, in ppm of orders) — low coverage + high
+    * popularity is the filter-bubble signature. Exact integral
+    * divisions over the q_item_cf integer tables. */
+  private val qRecCoverage = BoundQuery("q_rec_coverage", (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val deg = items.groupBy("pk").agg(count(lit(1)).as("deg"))
+    val no = items.agg(countDistinct(col("ok")).as("n_orders"))
+    val cat = deg.agg(count(lit(1)).as("catalog_parts"))
+    val pairs = items.as("a").join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("cooc"))
+      .where(col("cooc") >= 2)
+    val top = pairs
+      .join(broadcast(deg.withColumnRenamed("pk", "part_a")
+        .withColumnRenamed("deg", "deg_a")), "part_a")
+      .join(broadcast(deg.withColumnRenamed("pk", "part_b")
+        .withColumnRenamed("deg", "deg_b")), "part_b")
+      .select(col("part_a"), col("part_b"),
+        expr("(1000000 * cooc * cooc) div (deg_a * deg_b)").as("cos2_ppm"))
+      .orderBy(desc("cos2_ppm"), col("part_a"), col("part_b")).limit(50)
+    val recParts = top.select(col("part_a").as("pk"))
+      .unionByName(top.select(col("part_b").as("pk"))).distinct()
+    recParts.join(deg, "pk").crossJoin(broadcast(no))
+      .groupBy("n_orders")
+      .agg(count(lit(1)).as("n_rec_parts"),
+        sum(expr("(1000000 * deg) div n_orders")).as("pop_sum"))
+      .crossJoin(broadcast(cat))
+      .select(col("n_rec_parts"), col("catalog_parts"),
+        expr("(1000000 * n_rec_parts) div catalog_parts").as("coverage_ppm"),
+        expr("pop_sum div n_rec_parts").as("mean_pop_ppm"))
+  }, Some("""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    deg AS (SELECT pk, CAST(count(*) AS BIGINT) AS deg FROM items GROUP BY pk),
+    no AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
+    cat AS (SELECT CAST(count(*) AS BIGINT) AS catalog FROM deg),
+    pairs AS (
+      SELECT a.pk AS part_a, b.pk AS part_b, CAST(count(*) AS BIGINT) AS cooc
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    top AS (
+      SELECT part_a, part_b,
+        CAST((1000000 * cooc * cooc) // (da.deg * db.deg) AS BIGINT) AS cos2_ppm
+      FROM pairs
+      JOIN deg da ON da.pk = part_a
+      JOIN deg db ON db.pk = part_b
+      ORDER BY cos2_ppm DESC, part_a, part_b LIMIT 50),
+    rec AS (
+      SELECT DISTINCT pk FROM (
+        SELECT part_a AS pk FROM top UNION ALL SELECT part_b FROM top))
+    SELECT CAST(count(*) AS BIGINT) AS n_rec_parts,
+      catalog AS catalog_parts,
+      (1000000 * CAST(count(*) AS BIGINT)) // catalog AS coverage_ppm,
+      CAST(sum((1000000 * deg) // n_orders) AS BIGINT)
+        // CAST(count(*) AS BIGINT) AS mean_pop_ppm
+    FROM rec JOIN deg USING (pk), no, cat
+    GROUP BY catalog
+  """))
+
+  val all: Seq[BoundQuery] =
+    Seq(qSprt, qWasserstein, qGumbel, qTukeyFences, qRecCoverage)
+}

@@ -83,9 +83,15 @@ object PackingQueries {
     * reduce per doc — one shuffle on doc_id, no global windows. */
   private val qDsir = BoundQuery("q_dsir", (s, d) => {
     val B = 256L
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
-      .withColumn("b", pmod(rollingFingerprint(col("tok")), lit(B)))
+    // Spread + persist: the per-char rolling hash below is the
+    // dominant cost and BOTH branches (bucket model, per-doc counts)
+    // read it — without the persist the interpreted fold runs twice,
+    // and without Spread it inherits a file-bound single partition
+    // (util.Spread doc)
+    val toks = graft.util.CacheScope.persist(
+      graft.util.Spread(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+        .withColumn("b", pmod(rollingFingerprint(col("tok")), lit(B))))
     val byBucket = toks.groupBy("b").agg(
       count(lit(1)).as("cnt_r"),
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cnt_t"))

@@ -663,7 +663,8 @@ object Registry {
       StatsQueries4.all ++ EvalQueries2.all ++ MonitoringQueries.all ++
       ExtraQueries3.all ++ BanditQueries.all ++ FeatureQueries.all ++
       TreeQueries.all ++ AgreementQueries.all ++ EconQueries.all ++
-      StatsQueries5.all
+      StatsQueries5.all ++ MetricsQueries.all ++ SeriesQueries2.all ++
+      DistributionQueries.all ++ CorpusQueries4.all
       // (q_kcore / q_neighbor_jaccard ride in GraphQueries.all above)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Num._
+
+/** SURVEY §2.6 series wave 2 (r5): Chatterjee's ξ rank correlation —
+  * the modern "is y a FUNCTION of x" coefficient that detects
+  * non-monotone dependence Pearson/Spearman miss — and dynamic time
+  * warping between two calendar years of monthly revenue, the
+  * alignment distance for "did this year follow last year's shape,
+  * possibly shifted?".
+  *
+  * Both are EXACT integer pipelines end-to-end: ξ is rank arithmetic
+  * cleared to one truncating ppm division (the q_spearman doubled-rank
+  * school), DTW is integer |·| and min over cents with the 12×12
+  * recurrence unrolled identically on both engines (the q_pca_power
+  * unroll technique, laid out across generated columns / CTEs).
+  */
+object SeriesQueries2 {
+
+  /** Chatterjee's ξ (JASA 2020, ties form) per event type between
+    * daily event count (x) and daily revenue (y) on the (type, day)
+    * grain: sort by (x, day), take y's max-ranks r_i = #{y_j ≤ y_i},
+    * l_i = #{y_j ≥ y_i}, then
+    *   ξ = 1 − n·Σ|r_{i+1} − r_i| / (2·Σ l_i(n − l_i)).
+    * Every term is exact integers from rank windows; ties in y are
+    * handled by the max-rank convention the formula requires, and the
+    * data order is pinned by (x, day) so both engines walk the same
+    * permutation. Windows are partitioned by event_type and bounded
+    * by the CALENDAR (the q_spearman contract). Degenerate constant-y
+    * types surface as NULL on both engines. */
+  private val qXiCorr = BoundQuery("q_xi_corr", (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"), sumCents(col("value")).as("y"))
+    val wN = Window.partitionBy("event_type")
+    val wy = Window.partitionBy("event_type").orderBy("y")
+    val wx = Window.partitionBy("event_type").orderBy("x", "day")
+    val ranked = daily
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("r",
+        rank().over(wy).cast("long") +
+          count(lit(1)).over(Window.partitionBy("event_type", "y")) - 1L)
+      .withColumn("l",
+        col("n") - rank().over(wy).cast("long") + 1L)
+      .withColumn("dr", abs(col("r") - lag(col("r"), 1).over(wx)))
+    ranked.groupBy("event_type")
+      .agg(max(col("n")).as("n_days"),
+        sum(col("dr")).as("sum_dr"),
+        sum(col("l") * (col("n") - col("l"))).as("sum_l"))
+      .select(col("event_type"), col("n_days"), col("sum_dr"),
+        expr("""CASE WHEN sum_l > 0 THEN
+                  (1000000 * (2 * sum_l - n_days * sum_dr)) div (2 * sum_l)
+                END""").as("xi_ppm"))
+      .orderBy("event_type")
+  }, Some("""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        CAST(count(*) AS BIGINT) AS x,
+        CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT event_type, x, day, y,
+        CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        CAST(rank() OVER (PARTITION BY event_type ORDER BY y) AS BIGINT)
+          + CAST(count(*) OVER (PARTITION BY event_type, y) AS BIGINT) - 1 AS r,
+        CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+          - CAST(rank() OVER (PARTITION BY event_type ORDER BY y) AS BIGINT)
+          + 1 AS l
+      FROM daily),
+    walked AS (
+      SELECT event_type, n, l, r,
+        abs(r - lag(r) OVER (PARTITION BY event_type ORDER BY x, day)) AS dr
+      FROM ranked),
+    agg AS (
+      SELECT event_type, max(n) AS n_days,
+        CAST(sum(dr) AS BIGINT) AS sum_dr,
+        CAST(sum(l * (n - l)) AS BIGINT) AS sum_l
+      FROM walked GROUP BY 1)
+    SELECT event_type, n_days, sum_dr,
+      CASE WHEN sum_l > 0 THEN
+        (1000000 * (2 * sum_l - n_days * sum_dr)) // (2 * sum_l)
+      END AS xi_ppm
+    FROM agg ORDER BY event_type
+  """))
+
+  /** Dynamic time warping between 1998's and 1999's monthly revenue
+    * curves (12 points each, exact cents): the classic Sakoe-Chiba
+    * DP c_{i,j} = |a_i − b_j| + min(c_{i−1,j}, c_{i,j−1}, c_{i−1,j−1})
+    * — unrolled as 144 generated projection columns over the ONE-ROW
+    * monthly aggregate, so the whole alignment is integer adds and
+    * mins with zero runtime iteration (the q_pca_power unroll, laid
+    * out across columns). The oracle unrolls the same 144 cells as a
+    * chained-CTE column stack; both engines compute the identical
+    * recurrence, hence identical BIGINT output.
+    *
+    * Scale shape: ONE conditional-aggregation scan collapses any
+    * number of orders to 24 cells; the DP is constant-size. */
+  private val qDtw = BoundQuery("q_dtw", (s, d) => {
+    val conds = (1 to 12).flatMap { m =>
+      Seq(sum(when(year(col("o_orderdate")) === 1998 &&
+            month(col("o_orderdate")) === m, cents(col("o_totalprice")))
+          .otherwise(0L)).as(s"a$m"),
+        sum(when(year(col("o_orderdate")) === 1999 &&
+            month(col("o_orderdate")) === m, cents(col("o_totalprice")))
+          .otherwise(0L)).as(s"b$m"))
+    }
+    var df = Tables.orders(s, d)
+      .where(year(col("o_orderdate")).isin(1998, 1999))
+      .groupBy()
+      .agg(conds.head, conds.tail: _*)
+    for (i <- 1 to 12; j <- 1 to 12) {
+      val cost = abs(col(s"a$i") - col(s"b$j"))
+      val best =
+        if (i == 1 && j == 1) lit(0L)
+        else if (i == 1) col(s"c${i}_${j - 1}")
+        else if (j == 1) col(s"c${i - 1}_$j")
+        else least(col(s"c${i - 1}_$j"), col(s"c${i}_${j - 1}"),
+          col(s"c${i - 1}_${j - 1}"))
+      df = df.withColumn(s"c${i}_$j", cost + best)
+    }
+    df.select(
+      money((1 to 12).map(m => col(s"a$m")).reduce(_ + _)).as("rev_1998"),
+      money((1 to 12).map(m => col(s"b$m")).reduce(_ + _)).as("rev_1999"),
+      col("c12_12").as("dtw_cents"),
+      money(col("c12_12")).as("dtw_dollars"))
+  }, Some {
+    val aggs = (1 to 12).flatMap { m =>
+      Seq(
+        s"""CAST(sum(CASE WHEN year(o_orderdate) = 1998 AND month(o_orderdate) = $m
+           THEN CAST(round(o_totalprice*100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS a$m""",
+        s"""CAST(sum(CASE WHEN year(o_orderdate) = 1999 AND month(o_orderdate) = $m
+           THEN CAST(round(o_totalprice*100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS b$m""")
+    }.mkString(",\n        ")
+    val cells = new StringBuilder
+    var prev = "m0"
+    for (i <- 1 to 12; j <- 1 to 12) {
+      val best =
+        if (i == 1 && j == 1) "0"
+        else if (i == 1) s"c${i}_${j - 1}"
+        else if (j == 1) s"c${i - 1}_$j"
+        else s"least(c${i - 1}_$j, c${i}_${j - 1}, c${i - 1}_${j - 1})"
+      val cur = s"t${i}_$j"
+      cells.append(
+        s",\n    $cur AS (SELECT *, abs(a$i - b$j) + $best AS c${i}_$j FROM $prev)")
+      prev = cur
+    }
+    s"""
+    WITH m0 AS (
+      SELECT
+        $aggs
+      FROM orders WHERE year(o_orderdate) IN (1998, 1999))$cells
+    SELECT
+      CAST(${(1 to 12).map(m => s"a$m").mkString(" + ")} AS DOUBLE)/100.0 AS rev_1998,
+      CAST(${(1 to 12).map(m => s"b$m").mkString(" + ")} AS DOUBLE)/100.0 AS rev_1999,
+      c12_12 AS dtw_cents,
+      CAST(c12_12 AS DOUBLE)/100.0 AS dtw_dollars
+    FROM $prev
+  """
+  })
+
+  val all: Seq[BoundQuery] = Seq(qXiCorr, qDtw)
+}
