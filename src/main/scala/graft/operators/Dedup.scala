@@ -273,21 +273,43 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** SimHash pairs over the ORACLE-REPLICABLE 31-bit polynomial
-    * signature (graft.expressions.SimHashPoly — see there for the
-    * twin rationale): block on the top-8-bit prefix, verify with
-    * exact hamming. Same never-quadratic prefix-blocked join shape
-    * as simhashPairs; trades signature width and per-byte hash speed
-    * for a full DuckDB-replayable gate. */
+  /** SimHash pairs over the ORACLE-REPLICABLE 62-bit dual polynomial
+    * signature (graft.expressions.SimHashPoly62 — see there for the
+    * twin rationale) with PIGEONHOLE band blocking: the signature
+    * splits into maxHamming+1 bands, any pair within the hamming
+    * radius shares at least one exact band, so the banded candidate
+    * join is COMPLETE (every hamming ≤ maxHamming pair is emitted —
+    * strictly better than the old top-8-bit prefix block, which both
+    * missed cross-prefix pairs and degenerated quadratically: 256
+    * buckets over 1.5M docs measured 63× cost for 10× data). Bucket
+    * keys carry ~62/(maxHamming+1) bits, so occupancy shrinks with
+    * the radius budget, and the hamming verify keeps the output
+    * exact. Every step replays in DuckDB. */
   def simhashPairsArith(df: DataFrame, idCol: Column, textCol: Column,
                         maxHamming: Int = 3): DataFrame = {
-    val sigs = graft.util.Spread(df).select(idCol.as("id"),
-        graft.expressions.SimHashPoly.simhashPoly(df.sparkSession, tokens(textCol)).as("sig"))
-      .withColumn("blk", shiftrightunsigned(col("sig"), 23))
-    sigs.as("a").join(sigs.as("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hamming"))
+    val bands = maxHamming + 1
+    val w = 62 / bands
+    val sigs = graft.util.CacheScope.persist(
+      graft.util.Spread(df).select(idCol.as("id"),
+        graft.expressions.SimHashPoly.simhashPoly62(df.sparkSession,
+          tokens(textCol)).as("sig")))
+    val bandKeys = sigs.select(col("id"), explode(array((0 until bands).map { b =>
+        val lo = b * w
+        val width = if (b == bands - 1) 62 - lo else w
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), lo)
+            .bitwiseAND(lit((1L << width) - 1L)).as("bval"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bval").as("bval"))
+    val cand = bandKeys.as("a").join(bandKeys.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("siga")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sigb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("siga").bitwiseXOR(col("sigb"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 

@@ -601,7 +601,10 @@ object StatsQueries4 {
         sum((col("o_orderstatus") === "F").cast("long")).as("f"))
     val agg = cells.groupBy(col("seg")).agg(sum(col("n")).as("n"),
       sum(col("f")).as("f"))
-    val aggPairs = agg.as("a").join(agg.as("b"),
+    // broadcast: the segment aggregate is K rows, and a bare
+    // non-equi self-join would otherwise plan a CartesianProduct
+    // (PlanLintSpec's class of offense)
+    val aggPairs = agg.as("a").join(broadcast(agg.as("b")),
         col("a.seg") < col("b.seg"))
       .select(col("a.seg").as("seg_a"), col("b.seg").as("seg_b"),
         expr("""CAST(CASE WHEN CAST(a.f AS DECIMAL(38,0)) * b.n

@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Num._
+
+/** SURVEY §2.6 stats wave 6 (r5): partial autocorrelation (the AR
+  * order-selection readout on top of q_acf) and variance inflation
+  * factors (the multicollinearity audit for the q_ols3 feature set).
+  *
+  * Both finish through GENERATED expression strings applied verbatim
+  * on both engines — the Durbin–Levinson recursion and the 3×3
+  * correlation-inverse diagonals are built once in Scala and pasted
+  * into the Spark plan and the DuckDB oracle alike, so the double
+  * trees cannot drift (the q_dtw column-unroll school).
+  */
+object StatsQueries6 {
+
+  private val pacfLags = 5
+
+  /** Durbin–Levinson levels as (columnName, sqlExpr) pairs over
+    * r1..r5 — shared verbatim by both engines. */
+  private def dlExprs: Seq[(String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    out += (("phi_1_1", "r1"))
+    for (k <- 2 to pacfLags) {
+      val num = s"r$k - (" +
+        (1 until k).map(j => s"phi_${k - 1}_$j * r${k - j}").mkString(" + ") + ")"
+      val den = "1.0 - (" +
+        (1 until k).map(j => s"phi_${k - 1}_$j * r$j").mkString(" + ") + ")"
+      out += ((s"phi_${k}_$k", s"($num) / ($den)"))
+      for (j <- 1 until k)
+        out += ((s"phi_${k}_$j", s"phi_${k - 1}_$j - phi_${k}_$k * phi_${k - 1}_${k - j}"))
+    }
+    out.toSeq
+  }
+
+  /** PACF at lags 1..5 of the daily-revenue series via
+    * Durbin–Levinson on the EXACT integer ACF (the q_acf ppm values
+    * — n·x − Σx centering in decimals, one truncating division per
+    * lag): both engines read identical ρ ppm integers, convert once
+    * to doubles, and replay the identical generated recursion.
+    * Scale shape: q_acf's — calendar-bounded series, lag joins on
+    * date keys, then a 1-row scalar pipeline. */
+  private val qPacf = BoundQuery("q_pacf", (s, d) => {
+    val ser = graft.util.CacheScope.persist(
+      Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents(col("o_totalprice"))).as("x")))
+    val st = ser.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val y = graft.util.CacheScope.persist(
+      ser.crossJoin(broadcast(st))
+        .select(col("day"),
+          (col("n").cast("decimal(19,0)") * col("x").cast("decimal(19,0)") -
+            col("sx").cast("decimal(38,0)")).as("y")))
+    val den = y.agg(
+      floor(sum(col("y") * col("y")) / lit(1000000L)).as("den_m"))
+    val lags = s.range(1, pacfLags + 1).select(col("id").as("lag"))
+    val acf = y.crossJoin(broadcast(lags))
+      .join(y.select(col("day").as("bday"), col("y").as("yb")),
+        col("bday") === date_add(col("day"), col("lag").cast("int")))
+      .groupBy("lag")
+      .agg(sum(col("y") * col("yb")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), expr("num div den_m").as("acf_ppm"))
+    var wide: DataFrame = acf.groupBy()
+      .agg(max(when(col("lag") === 1, col("acf_ppm"))).as("a1"),
+        (2 to pacfLags).map(k =>
+          max(when(col("lag") === k, col("acf_ppm"))).as(s"a$k")): _*)
+      .select((1 to pacfLags).map(k =>
+        (col(s"a$k").cast("double") / 1e6).as(s"r$k")): _*)
+    for ((nm, sql) <- dlExprs) wide = wide.withColumn(nm, expr(sql))
+    (1 to pacfLags).map(k =>
+      wide.select(lit(k.toLong).as("lag"),
+        round(col(s"phi_${k}_$k"), 9).as("pacf")))
+      .reduce(_ unionByName _).orderBy("lag")
+  }, Some {
+    val chain = new StringBuilder
+    var prev = "wide"
+    var idx = 0
+    for ((nm, sql) <- dlExprs) {
+      idx += 1
+      chain.append(s",\n    t$idx AS (SELECT *, $sql AS $nm FROM $prev)")
+      prev = s"t$idx"
+    }
+    val arms = (1 to pacfLags).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS lag, round(phi_${k}_$k, 9) AS pacf FROM $prev")
+      .mkString("\n    UNION ALL ")
+    s"""
+    WITH ser AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS HUGEINT) AS x
+      FROM orders GROUP BY 1),
+    st AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx FROM ser),
+    y AS (SELECT day, n*x - sx AS y FROM ser, st),
+    den AS (SELECT sum(y*y) // 1000000 AS den_m FROM y),
+    acf AS (
+      SELECT CAST(l.lag AS BIGINT) AS lag,
+             CAST(sum(a.y*b.y) // den_m AS BIGINT) AS acf_ppm
+      FROM y a
+      CROSS JOIN (SELECT unnest(range(1, ${pacfLags + 1})) AS lag) l
+      JOIN y b ON b.day = a.day + CAST(l.lag AS INTEGER)
+      CROSS JOIN den
+      GROUP BY l.lag, den_m),
+    wide AS (
+      SELECT ${(1 to pacfLags).map(k =>
+        s"CAST(max(CASE WHEN lag = $k THEN acf_ppm END) AS DOUBLE)/1e6 AS r$k")
+        .mkString(",\n             ")}
+      FROM acf)$chain
+    $arms
+    ORDER BY lag
+  """
+  })
+
+  /** Variance inflation factors of the 3-feature per-order design
+    * (total quantity, line count, summed discount bp — the q_ols3
+    * features plus the discount channel): VIF_j = [R⁻¹]_jj from the
+    * 3×3 Pearson correlation matrix, closed-form
+    *   VIF_1 = (1 − r23²)/detR,  detR = 1 + 2·r12·r13·r23 − r12² −
+    *   r13² − r23²
+    * (and cyclically). Correlations come from ONE exact-integer
+    * moment pass (small-domain units — BIGINT headroom at any n);
+    * the ratios are identical double trees. VIF > 5-10 is the
+    * standard "drop a feature" alarm for q_ols3's normal equations. */
+  private val qVif = BoundQuery("q_vif", (s, d) => {
+    val per = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("x1"),
+        count(lit(1)).as("x2"),
+        sum(expr("CAST(round(l_discount*10000, 0) AS LONG)")).as("x3"))
+    val m = per.agg(count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("x3")).as("s3"),
+      sum(col("x1") * col("x1")).as("s11"), sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x3") * col("x3")).as("s33"), sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x1") * col("x3")).as("s13"), sum(col("x2") * col("x3")).as("s23"))
+    def cD(nm: String) = col(nm).cast("double")
+    def corr(sab: String, sa: String, sb: String, saa: String, sbb: String) =
+      (cD("n") * cD(sab) - cD(sa) * cD(sb)) /
+        sqrt((cD("n") * cD(saa) - cD(sa) * cD(sa)) *
+          (cD("n") * cD(sbb) - cD(sb) * cD(sb)))
+    val withR = m
+      .withColumn("r12", corr("s12", "s1", "s2", "s11", "s22"))
+      .withColumn("r13", corr("s13", "s1", "s3", "s11", "s33"))
+      .withColumn("r23", corr("s23", "s2", "s3", "s22", "s33"))
+      .withColumn("detr", lit(1.0) + lit(2.0) * col("r12") * col("r13") * col("r23")
+        - col("r12") * col("r12") - col("r13") * col("r13") - col("r23") * col("r23"))
+    Seq(("qty", "r23"), ("lines", "r13"), ("disc", "r12")).map { case (f, rOpp) =>
+      withR.select(lit(f).as("feature"), col("n"),
+        round((lit(1.0) - col(rOpp) * col(rOpp)) / col("detr"), 9).as("vif"))
+    }.reduce(_ unionByName _).orderBy("feature")
+  }, Some("""
+    WITH per AS (
+      SELECT l_orderkey,
+        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x1,
+        CAST(count(*) AS BIGINT) AS x2,
+        CAST(sum(CAST(round(l_discount*10000, 0) AS BIGINT)) AS BIGINT) AS x3
+      FROM lineitem GROUP BY 1),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+        CAST(sum(x3) AS BIGINT) AS s3,
+        CAST(sum(x1*x1) AS BIGINT) AS s11, CAST(sum(x2*x2) AS BIGINT) AS s22,
+        CAST(sum(x3*x3) AS BIGINT) AS s33, CAST(sum(x1*x2) AS BIGINT) AS s12,
+        CAST(sum(x1*x3) AS BIGINT) AS s13, CAST(sum(x2*x3) AS BIGINT) AS s23
+      FROM per),
+    r AS (
+      SELECT n,
+        (CAST(n AS DOUBLE)*CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s2 AS DOUBLE))
+          / sqrt((CAST(n AS DOUBLE)*CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
+               * (CAST(n AS DOUBLE)*CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE))) AS r12,
+        (CAST(n AS DOUBLE)*CAST(s13 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s3 AS DOUBLE))
+          / sqrt((CAST(n AS DOUBLE)*CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
+               * (CAST(n AS DOUBLE)*CAST(s33 AS DOUBLE) - CAST(s3 AS DOUBLE)*CAST(s3 AS DOUBLE))) AS r13,
+        (CAST(n AS DOUBLE)*CAST(s23 AS DOUBLE) - CAST(s2 AS DOUBLE)*CAST(s3 AS DOUBLE))
+          / sqrt((CAST(n AS DOUBLE)*CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE))
+               * (CAST(n AS DOUBLE)*CAST(s33 AS DOUBLE) - CAST(s3 AS DOUBLE)*CAST(s3 AS DOUBLE))) AS r23
+      FROM m),
+    dd AS (
+      SELECT *, 1.0 + 2.0*r12*r13*r23 - r12*r12 - r13*r13 - r23*r23 AS detr
+      FROM r)
+    SELECT 'disc' AS feature, n, round((1.0 - r12*r12) / detr, 9) AS vif FROM dd
+    UNION ALL
+    SELECT 'lines', n, round((1.0 - r13*r13) / detr, 9) FROM dd
+    UNION ALL
+    SELECT 'qty', n, round((1.0 - r23*r23) / detr, 9) FROM dd
+    ORDER BY feature
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qPacf, qVif)
+}

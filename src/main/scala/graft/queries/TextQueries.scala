@@ -140,41 +140,70 @@ object TextQueries {
   }
 
   /** SimHash near-dup pairs. Bound to the polynomial-signature twin
-    * (Dedup.simhashPairsArith / expressions.SimHashPoly) so the whole
-    * pipeline — per-token code-point fold, 31-bit ±1 vote, prefix
-    * blocking, hamming verify — is replayed by the DuckDB oracle:
-    * a full hash-checked gate. DedupSpec pins the xxhash64 production
+    * (Dedup.simhashPairsArith / expressions.SimHashPoly62) so the
+    * whole pipeline — per-token dual code-point folds, 62-bit ±1
+    * vote, pigeonhole band blocking (COMPLETE for hamming ≤ 3),
+    * hamming verify — is replayed by the DuckDB oracle: a full
+    * hash-checked gate. DedupSpec pins the xxhash64 production
     * variant (simhashPairs) separately. */
   private val qSimhashPairs = BoundQuery("q_simhash_pairs", (s, d) => {
     Dedup.simhashPairsArith(Tables.documents(s, d), col("doc_id"), col("text"), maxHamming = 3)
       .orderBy("id_a", "id_b")
   }, Some(simhashOracleSql))
 
-  /** DuckDB twin of simhashPairsArith: 31 generated vote terms. */
+  /** DuckDB twin of simhashPairsArith: 62 generated vote terms (two
+    * 31-bit polynomial folds, bases 31/37) and the same pigeonhole
+    * band join (maxHamming+1 = 4 bands over 62 bits → complete
+    * hamming ≤ 3 candidates). */
   private def simhashOracleSql: String = {
-    val sigTerms = (0 until 31).map { b =>
-      s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END)"
+    val maxHamming = 3
+    val bands = maxHamming + 1
+    val w = 62 / bands
+    def fold(base: Int, fin: Long) =
+      s"""list_transform(w, t ->
+          (list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, length(t)+1),
+              i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+            (a, c) -> (a*$base + c) % 2147483648) * $fin) % 2147483648)"""
+    val terms1 = (0 until 31).map { b =>
+      s"(CASE WHEN list_sum(list_transform(h1, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString("\n        + ")
+    val terms2 = (0 until 31).map { b =>
+      s"(CASE WHEN list_sum(list_transform(h2, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << (31 + b)} ELSE 0 END)"
+    }.mkString("\n        + ")
+    val shiftCase = (0 until bands).map(b => s"WHEN ${b} THEN ${b * w}")
+      .mkString("CASE band ", " ", " END")
+    val maskCase = (0 until bands).map { b =>
+      val width = if (b == bands - 1) 62 - b * w else w
+      s"WHEN ${b} THEN ${(1L << width) - 1L}"
+    }.mkString("CASE band ", " ", " END")
+    val bandVals = (0 until bands).map(b => s"($b)").mkString(",")
     s"""
     WITH toks AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
       FROM documents),
     hs AS (
       SELECT doc_id,
-        list_transform(w, t ->
-          (list_reduce(list_prepend(CAST(0 AS BIGINT),
-            list_transform(range(1, length(t)+1),
-              i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
-            (a, c) -> (a*31 + c) % 2147483648) * 2654435761) % 2147483648) AS hs
+        ${fold(31, 2654435761L)} AS h1,
+        ${fold(37, 2246822519L)} AS h2
       FROM toks),
     sigs AS (
-      SELECT doc_id, CAST(${sigTerms} AS BIGINT) AS sig
-      FROM hs)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-    FROM sigs a JOIN sigs b
-      ON (a.sig >> 23) = (b.sig >> 23) AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+      SELECT doc_id, CAST(${terms1}
+        + ${terms2} AS BIGINT) AS sig
+      FROM hs),
+    bk AS (
+      SELECT doc_id, b.band AS band,
+        (sig >> ($shiftCase)) & ($maskCase) AS bval
+      FROM sigs CROSS JOIN (VALUES $bandVals) b(band)),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bk a JOIN bk b
+        ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+      CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+    FROM cand JOIN sigs sa ON id_a = sa.doc_id JOIN sigs sb ON id_b = sb.doc_id
+    WHERE bit_count(xor(sa.sig, sb.sig)) <= $maxHamming
     ORDER BY id_a, id_b
   """
   }
@@ -392,7 +421,8 @@ object TextQueries {
     val pred = Dedup.minhashCandidatesArith(docs, col("doc_id"), col("text"))
       .where(col("jaccard_est") >= 0.5).select("id_a", "id_b")
     val truth = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
-      shingleSize = 3, minJaccard = 0.5).select("id_a", "id_b")
+      shingleSize = 3, minJaccard = 0.5,
+      maxShingleDf = Some(1000)).select("id_a", "id_b")
     val tp = pred.join(truth, Seq("id_a", "id_b")).agg(count(lit(1)).as("tp"))
     pred.agg(count(lit(1)).as("n_pred"))
       .crossJoin(truth.agg(count(lit(1)).as("n_truth")))

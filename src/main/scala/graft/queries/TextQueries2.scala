@@ -77,7 +77,8 @@ object TextQueries2 {
     * reachability over the identical pair set. */
   private val qDedupClusters = BoundQuery("q_dedup_clusters", (s, d) => {
     val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d),
-      col("doc_id"), col("text"), shingleSize = 5, minJaccard = 0.3)
+      col("doc_id"), col("text"), shingleSize = 5, minJaccard = 0.3,
+      maxShingleDf = Some(1000))
     ConnectedComponents.labelPropagation(pairs, "id_a", "id_b")
       .select(col("id").as("doc_id"), col("component").as("cluster_id"),
         (col("id") === col("component")).as("is_canonical"))
@@ -139,7 +140,7 @@ object TextQueries2 {
   private val qDedupKeepBest = BoundQuery("q_dedup_keep_best", (s, d) => {
     val docs = Tables.documents(s, d)
     val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
-      shingleSize = 5, minJaccard = 0.3)
+      shingleSize = 5, minJaccard = 0.3, maxShingleDf = Some(1000))
     val cc = ConnectedComponents.labelPropagation(pairs, "id_a", "id_b")
     val scored = docs.join(cc, docs("doc_id") === cc("id"))
       .select(col("doc_id"), col("component").as("cluster_id"),

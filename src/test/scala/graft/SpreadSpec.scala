@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.util.Spread
+
+/** util.Spread — the file-bound parallelism guard. Pins: widening a
+  * starved input to defaultParallelism, the no-op on already-parallel
+  * inputs (no gratuitous exchange at scale), and value preservation.
+  */
+class SpreadSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("widens a single-partition input to defaultParallelism") {
+    val p = spark.sparkContext.defaultParallelism
+    val df = (1 to 1000).toDF("x").coalesce(1)
+    assert(df.rdd.getNumPartitions == 1)
+    val out = Spread(df)
+    assert(out.rdd.getNumPartitions == p)
+    assert(out.agg(org.apache.spark.sql.functions.sum("x")).head.getLong(0) == 500500L)
+  }
+
+  test("no-op when the input already has enough partitions") {
+    val p = spark.sparkContext.defaultParallelism
+    val df = (1 to 100).toDF("x").repartition(p + 3)
+    val out = Spread(df)
+    // same plan object — no exchange inserted
+    assert(out eq df)
+  }
+}
