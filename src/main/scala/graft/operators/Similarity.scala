@@ -88,7 +88,7 @@ object Similarity {
   /** Exact cosine near-duplicate pairs (id_a < id_b, cosine >= tau).
     * Quadratic — correctness baseline and small-collection tool. */
   def cosinePairs(df: DataFrame, idCol: Column, vecCol: Column, tau: Double): DataFrame = {
-    val n = CacheScope.persist(normed(df, idCol, vecCol))
+    val n = CacheScope.persist(spread(normed(df, idCol, vecCol)))
     spread(n).as("a").join(broadcast(n).as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(dotProduct(df.sparkSession, col("a.vn"), col("b.vn")), 6).as("cosine"))
@@ -116,7 +116,7 @@ object Similarity {
     val rnd = new scala.util.Random(seed)
     val hyper: Seq[Seq[Double]] =
       Seq.fill(tables * planes)(Seq.fill(dim)(rnd.nextGaussian()))
-    val n = CacheScope.persist(normed(df, idCol, vecCol))
+    val n = CacheScope.persist(spread(normed(df, idCol, vecCol)))
     // One typedLit constant + one transform pass computes all
     // tables*planes sign bits — inlining each plane as its own array()
     // literal would put tables*planes*dim literal nodes in the plan and
@@ -395,7 +395,7 @@ object Similarity {
                      queries: DataFrame, qId: Column, qVec: Column,
                      k: Int, nCells: Int = 16, nProbe: Int = 4,
                      iters: Int = 3): DataFrame = {
-    val c = CacheScope.persist(normed(collection, colId, colVec))
+    val c = CacheScope.persist(spread(normed(collection, colId, colVec)))
     val model = graft.ml.KMeansLite.fit(c, col("id"), col("vn"), nCells, iters)
     val assigned = spread(c.join(
       model.assignments.withColumnRenamed("cluster", "cell"), "id"))
@@ -427,7 +427,7 @@ object Similarity {
   def ivfTopK(collection: DataFrame, colId: Column, colVec: Column,
               queries: DataFrame, qId: Column, qVec: Column,
               k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val c = CacheScope.persist(normed(collection, colId, colVec))
+    val c = CacheScope.persist(spread(normed(collection, colId, colVec)))
     val cents: Array[(Int, Seq[Double])] = c.orderBy("id").limit(nCells)
       .collect().zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
     def cellScores(vn: Column): Column = array(cents.map { case (i, v) =>
@@ -463,7 +463,7 @@ object Similarity {
                 nCells: Int = 16, nProbe: Int = 4,
                 m: Int = 8, kCodes: Int = 16, iters: Int = 3): DataFrame = {
     import graft.ml.{KMeansLite, ProductQuantizer}
-    val c = CacheScope.persist(normed(collection, colId, colVec))
+    val c = CacheScope.persist(spread(normed(collection, colId, colVec)))
     val model = KMeansLite.fit(c, col("id"), col("vn"), nCells, iters)
     val cb = ProductQuantizer.train(c, col("id"), col("vn"), m, kCodes, iters)
     val encoded = ProductQuantizer.encode(c, col("id"), col("vn"), cb)
