@@ -293,24 +293,27 @@ object Dedup {
       graft.util.Spread(df).select(idCol.as("id"),
         graft.expressions.SimHashPoly.simhashPoly62(df.sparkSession,
           tokens(textCol)).as("sig")))
-    val bandKeys = sigs.select(col("id"), explode(array((0 until bands).map { b =>
-        val lo = b * w
-        val width = if (b == bands - 1) 62 - lo else w
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("sig"), lo)
-            .bitwiseAND(lit((1L << width) - 1L)).as("bval"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bval").as("bval"))
-    val cand = bandKeys.as("a").join(bandKeys.as("b"),
+    // signatures RIDE ALONG with the band rows (the lshCosinePairs
+    // pattern): the hamming verify runs inline in the band join and
+    // the pair-dedup groupBy happens AFTER the radius filter, over
+    // true pairs only — no candidate-table distinct, no sig re-joins
+    val bandKeys = sigs.select(col("id"), col("sig"),
+        explode(array((0 until bands).map { b =>
+          val lo = b * w
+          val width = if (b == bands - 1) 62 - lo else w
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("sig"), lo)
+              .bitwiseAND(lit((1L << width) - 1L)).as("bval"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("sig"),
+        col("bk.band").as("band"), col("bk.bval").as("bval"))
+    bandKeys.as("a").join(bandKeys.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    cand
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("siga")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sigb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("siga").bitwiseXOR(col("sigb"))).cast("long").as("hamming"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b").agg(first(col("hamming")).as("hamming"))
   }
 
   /** Incremental dedup: grade a NEW ingest batch against an EXISTING
