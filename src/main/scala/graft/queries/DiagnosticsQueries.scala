@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Num._
+
+/** SURVEY §2.6 wave 9 (r5): the three serial-diagnostics closed
+  * forms every forecasting pipeline runs over its residual/series
+  * checks — Ljung–Box portmanteau, the Lo–MacKinlay variance ratio,
+  * and MASE of the seasonal-naive baseline. All three build on the
+  * exact-integer daily-series discipline (q_acf's n·x − Σx centering,
+  * cents sums) with identical-double-tree finishes.
+  */
+object DiagnosticsQueries {
+
+  /** Ljung–Box Q over lags 1..10 of the daily-revenue series
+    * (Ljung & Box 1978): Q = n(n+2)·Σ_k ρ̂_k²/(n−k), with the ρ̂_k
+    * read as the SAME exact acf ppm integers q_acf computes (decimal
+    * centering, one truncating division per lag), so both engines
+    * share the identical ρ inputs; the lag sum walks k = 1..10 in a
+    * pinned ORDER BY fold. Emits Q alongside the 10-lag ppm table's
+    * summary terms. */
+  private val qLjungBox = BoundQuery("q_ljung_box", (s, d) => {
+    val ser = graft.util.CacheScope.persist(
+      Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents(col("o_totalprice"))).as("x")))
+    val st = ser.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val y = graft.util.CacheScope.persist(
+      ser.crossJoin(broadcast(st))
+        .select(col("day"),
+          (col("n").cast("decimal(19,0)") * col("x").cast("decimal(19,0)") -
+            col("sx").cast("decimal(38,0)")).as("y")))
+    val den = y.agg(
+      floor(sum(col("y") * col("y")) / lit(1000000L)).as("den_m"))
+    val lags = s.range(1, 11).select(col("id").as("lag"))
+    val acf = y.crossJoin(broadcast(lags))
+      .join(y.select(col("day").as("bday"), col("y").as("yb")),
+        col("bday") === date_add(col("day"), col("lag").cast("int")))
+      .groupBy("lag")
+      .agg(sum(col("y") * col("yb")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), expr("num div den_m").as("acf_ppm"))
+    acf.crossJoin(broadcast(st.select(col("n"))))
+      .groupBy("n")
+      .agg(sort_array(collect_list(struct(col("lag"), col("acf_ppm")))).as("rs"))
+      .select(col("n").as("n_days"),
+        round(expr("""
+          CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) *
+          aggregate(rs, CAST(0.0 AS DOUBLE), (acc, v) ->
+            acc + (CAST(v.acf_ppm AS DOUBLE)/1e6) * (CAST(v.acf_ppm AS DOUBLE)/1e6)
+                  / (CAST(n AS DOUBLE) - CAST(v.lag AS DOUBLE)))"""), 6)
+          .as("ljung_box_q"),
+        size(col("rs")).cast("long").as("n_lags"))
+  }, Some("""
+    WITH ser AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS HUGEINT) AS x
+      FROM orders GROUP BY 1),
+    st AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx FROM ser),
+    y AS (SELECT day, n*x - sx AS y FROM ser, st),
+    den AS (SELECT sum(y*y) // 1000000 AS den_m FROM y),
+    acf AS (
+      SELECT CAST(l.lag AS BIGINT) AS lag,
+             CAST(sum(a.y*b.y) // den_m AS BIGINT) AS acf_ppm
+      FROM y a
+      CROSS JOIN (SELECT unnest(range(1, 11)) AS lag) l
+      JOIN y b ON b.day = a.day + CAST(l.lag AS INTEGER)
+      CROSS JOIN den
+      GROUP BY l.lag, den_m),
+    packed AS (
+      SELECT CAST(max(n) AS BIGINT) AS n,
+        list_sort(list(struct_pack(lag := lag, acf_ppm := acf_ppm))) AS rs
+      FROM acf, st)
+    SELECT n AS n_days,
+      round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) *
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(rs, v ->
+            (CAST(v.acf_ppm AS DOUBLE)/1e6) * (CAST(v.acf_ppm AS DOUBLE)/1e6)
+              / (CAST(n AS DOUBLE) - CAST(v.lag AS DOUBLE)))),
+          (acc, v) -> acc + v), 6) AS ljung_box_q,
+      CAST(len(rs) AS BIGINT) AS n_lags
+    FROM packed
+  """))
+
+  /** Lo–MacKinlay variance ratio VR(q) for q = 5 on daily revenue
+    * changes — "is the series a random walk?" (VR ≈ 1) or mean-
+    * reverting (< 1) / trending (> 1): both variances come from
+    * exact integer moment sums of the 1-day and 5-day differences
+    * (overlapping q-period differences, the standard estimator), and
+    * VR = (n₁·(n₁·Q₅ − S₅²)) / (q·n₅·(n₅·Q₁ − S₁²)) as one identical
+    * double tree over six exact integers. */
+  private val vrQ = 5
+
+  private val qVarianceRatio = BoundQuery("q_variance_ratio", (s, d) => {
+    val q = vrQ
+    val ser = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(cents(col("o_totalprice"))).as("x"))
+    val w = Window.orderBy("day")
+    val diffs = ser
+      .withColumn("d1", col("x") - lag(col("x"), 1).over(w))
+      .withColumn("dq", col("x") - lag(col("x"), q).over(w))
+    val m = diffs.agg(
+      count(col("d1")).as("n1"), sum(col("d1")).as("s1"),
+      sum(expr("CAST(d1 AS DECIMAL(38,0)) * d1")).as("q1"),
+      count(col("dq")).as("nq"), sum(col("dq")).as("sq"),
+      sum(expr("CAST(dq AS DECIMAL(38,0)) * dq")).as("qq"))
+    def cD(nm: String) = col(nm).cast("double")
+    val var1 = (cD("n1") * cD("q1") - cD("s1") * cD("s1")) /
+      (cD("n1") * cD("n1"))
+    val varq = (cD("nq") * cD("qq") - cD("sq") * cD("sq")) /
+      (cD("nq") * cD("nq"))
+    m.select(col("n1").as("n_diffs1"), col("nq").as(s"n_diffs$q"),
+      round(varq / (lit(q.toDouble) * var1), 9).as("vr5"))
+  }, Some(s"""
+    WITH ser AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+        CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    diffs AS (
+      SELECT x - lag(x, 1) OVER (ORDER BY day) AS d1,
+             x - lag(x, $vrQ) OVER (ORDER BY day) AS dq
+      FROM ser),
+    m AS (
+      SELECT CAST(count(d1) AS BIGINT) AS n1, CAST(sum(d1) AS BIGINT) AS s1,
+        CAST(sum(CAST(d1 AS HUGEINT) * d1) AS HUGEINT) AS q1,
+        CAST(count(dq) AS BIGINT) AS nq, CAST(sum(dq) AS BIGINT) AS sq,
+        CAST(sum(CAST(dq AS HUGEINT) * dq) AS HUGEINT) AS qq
+      FROM diffs)
+    SELECT n1 AS n_diffs1, nq AS n_diffs$vrQ,
+      round(((CAST(nq AS DOUBLE)*CAST(qq AS DOUBLE)
+              - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE))
+             / (CAST(nq AS DOUBLE)*CAST(nq AS DOUBLE)))
+        / ($vrQ.0 * ((CAST(n1 AS DOUBLE)*CAST(q1 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
+                   / (CAST(n1 AS DOUBLE)*CAST(n1 AS DOUBLE)))), 9) AS vr5
+    FROM m
+  """))
+
+  /** MASE of the seasonal-naive week-ago forecast per event type
+    * (Hyndman & Koehler 2006): mean |y_t − y_{t−7}| over mean
+    * |y_t − y_{t−1}| — both absolute-error sums are EXACT integers
+    * (daily revenue cents), so MASE is one integral-cleared ratio:
+    * mase_ppm = 10⁶·n₁·Σ|e₇| div (n₇·Σ|e₁|). < 10⁶ means beating
+    * the naive one-step baseline. The scale-free forecast metric
+    * beside q_pinball (quantile loss) and q_theil_u (RMSE ratio). */
+  private val qMase = BoundQuery("q_mase", (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sumCents(col("value")).as("y"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("e1", abs(col("y") - lag(col("y"), 1).over(w)))
+      .withColumn("e7", abs(col("y") - lag(col("y"), 7).over(w)))
+      .groupBy("event_type")
+      .agg(count(col("e1")).as("n1"), sum(col("e1")).as("se1"),
+        count(col("e7")).as("n7"), sum(col("e7")).as("se7"))
+      .select(col("event_type"), col("n1"), col("n7"),
+        expr("""CASE WHEN n7 > 0 AND se1 > 0 THEN
+                  CAST((1000000 * CAST(n1 AS DECIMAL(38,0)) * se7)
+                       div (CAST(n7 AS DECIMAL(38,0)) * se1) AS BIGINT)
+                END""").as("mase_ppm"))
+      .orderBy("event_type")
+  }, Some("""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    e AS (
+      SELECT event_type,
+        abs(y - lag(y, 1) OVER (PARTITION BY event_type ORDER BY day)) AS e1,
+        abs(y - lag(y, 7) OVER (PARTITION BY event_type ORDER BY day)) AS e7
+      FROM daily),
+    m AS (
+      SELECT event_type, CAST(count(e1) AS BIGINT) AS n1,
+        CAST(sum(e1) AS BIGINT) AS se1,
+        CAST(count(e7) AS BIGINT) AS n7, CAST(sum(e7) AS BIGINT) AS se7
+      FROM e GROUP BY 1)
+    SELECT event_type, n1, n7,
+      CASE WHEN n7 > 0 AND se1 > 0 THEN
+        CAST((1000000 * CAST(n1 AS HUGEINT) * se7)
+             // (CAST(n7 AS HUGEINT) * se1) AS BIGINT)
+      END AS mase_ppm
+    FROM m ORDER BY event_type
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qLjungBox, qVarianceRatio, qMase)
+}

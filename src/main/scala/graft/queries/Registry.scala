@@ -665,7 +665,7 @@ object Registry {
       TreeQueries.all ++ AgreementQueries.all ++ EconQueries.all ++
       StatsQueries5.all ++ MetricsQueries.all ++ SeriesQueries2.all ++
       DistributionQueries.all ++ CorpusQueries4.all ++ StatsQueries6.all ++
-      ExplainQueries.all ++ LmStatsQueries.all
+      ExplainQueries.all ++ LmStatsQueries.all ++ DiagnosticsQueries.all
       // (q_kcore / q_neighbor_jaccard ride in GraphQueries.all above)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -42,7 +42,8 @@ class WindowLintSpec extends AnyFunSuite {
     "q_engle_granger" -> "Dickey-Fuller recurrence over the DAILY revenue series (calendar-bounded)",
     "q_mixture_rates" -> "cap feasibility scan over the k-row source-size table",
     "q_quantile_norm" -> "rank mapping over DISTINCT values (~1e3 domain rows, q_decile rule)",
-    "q_youden"      -> "ROC walk over DISTINCT SCORES (<= 5 priority-grain rows, q_auc contract)")
+    "q_youden"      -> "ROC walk over DISTINCT SCORES (<= 5 priority-grain rows, q_auc contract)",
+    "q_variance_ratio" -> "lag differences over the DAILY revenue series (calendar-bounded, q_engle_granger shape)")
 
   test("every unpartitioned window sits on a documented bounded input") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
