@@ -20,6 +20,11 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // dump timestamps as us (never INT96) so pyarrow/DuckDB agree
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // Lint promotion (r4 verdict item 8): a whole-stage method
+      // janino rejects (>64 KB) must FAIL that query's dump — the
+      // driver's correctness compare then flags it — instead of
+      // silently running interpreted (a 5–20× regression at 100 TB).
+      .config("spark.sql.codegen.fallback", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -39,7 +44,13 @@ object Verify {
         // its dump finishes — ~125 queries in one session would
         // otherwise accumulate every intermediate cache block
         try graft.util.CacheScope.withScope {
-          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          val df = fn(spark, sfDir)
+          // Window lint rides the gate too: an unpartitioned window
+          // outside WindowLint's bounded-input whitelist fails the
+          // dump (pre-AQE sparkPlan — partitionSpec is plan-static).
+          graft.plans.WindowLint.check(name, df.queryExecution.sparkPlan)
+            .foreach(msg => sys.error(msg))
+          df.coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
         }
         catch { case e: Throwable =>

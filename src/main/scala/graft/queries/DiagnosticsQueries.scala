@@ -186,5 +186,168 @@ object DiagnosticsQueries {
     FROM m ORDER BY event_type
   """))
 
-  val all: Seq[BoundQuery] = Seq(qLjungBox, qVarianceRatio, qMase)
+  /** Bartlett's test of equal order-value variances across the five
+    * order priorities (Bartlett 1937) — the parametric sibling of
+    * q_brown_forsythe (median-Levene) for normal-ish data: per-group
+    * exact integer moments (n, Σcents, Σcents²), then the k-sized
+    * statistic as one pinned fold over the priority-sorted group list
+    * (Spark aggregate() HOF == DuckDB list_reduce over list_sort) —
+    * identical double trees because every ln/÷ sees identical
+    * integer operands in identical order on both engines. */
+  private val qBartlett = BoundQuery("q_bartlett", (s, d) => {
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("o_totalprice")).cast("decimal(38,0)")).as("sx"),
+        sum(expr("""CAST(CAST(round(o_totalprice*100, 0) AS BIGINT) AS DECIMAL(38,0))
+                    * CAST(round(o_totalprice*100, 0) AS BIGINT)""")).as("qx"))
+      .agg(sort_array(collect_list(struct(
+        col("o_orderpriority").as("p"), col("n"), col("sx"), col("qx")))).as("gs"))
+      .select(
+        size(col("gs")).cast("long").as("k"),
+        expr("aggregate(gs, 0L, (a, v) -> a + v.n)").as("n_total"),
+        expr("""aggregate(gs, CAST(0.0 AS DOUBLE), (a, v) ->
+            a + (CAST(v.n AS DOUBLE) - 1.0) *
+                ((CAST(v.n AS DOUBLE) * CAST(v.qx AS DOUBLE)
+                  - CAST(v.sx AS DOUBLE) * CAST(v.sx AS DOUBLE))
+                 / (CAST(v.n AS DOUBLE) * (CAST(v.n AS DOUBLE) - 1.0))))""")
+          .as("pooled_num"),
+        expr("""aggregate(gs, CAST(0.0 AS DOUBLE), (a, v) ->
+            a + (CAST(v.n AS DOUBLE) - 1.0) *
+                ln((CAST(v.n AS DOUBLE) * CAST(v.qx AS DOUBLE)
+                    - CAST(v.sx AS DOUBLE) * CAST(v.sx AS DOUBLE))
+                   / (CAST(v.n AS DOUBLE) * (CAST(v.n AS DOUBLE) - 1.0))))""")
+          .as("sum_ln"),
+        expr("""aggregate(gs, CAST(0.0 AS DOUBLE), (a, v) ->
+            a + 1.0 / (CAST(v.n AS DOUBLE) - 1.0))""").as("sum_inv"))
+      .select(col("k"), col("n_total"),
+        round((
+          (col("n_total").cast("double") - col("k").cast("double")) *
+            log(col("pooled_num") /
+              (col("n_total").cast("double") - col("k").cast("double"))) -
+            col("sum_ln")) /
+          (lit(1.0) + (col("sum_inv") - lit(1.0) /
+            (col("n_total").cast("double") - col("k").cast("double"))) /
+            (lit(3.0) * (col("k").cast("double") - lit(1.0)))), 6)
+          .as("bartlett_t"))
+        // pooled variance itself is ~1e14 cents² — beyond the 1e-4
+        // round grain of a double ulp, so it is not emitted
+  }, Some("""
+    WITH g AS (
+      SELECT o_orderpriority AS p, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS HUGEINT) AS sx,
+        CAST(sum(CAST(CAST(round(o_totalprice*100, 0) AS BIGINT) AS HUGEINT)
+                 * CAST(round(o_totalprice*100, 0) AS BIGINT)) AS HUGEINT) AS qx
+      FROM orders GROUP BY 1),
+    packed AS (
+      SELECT list_sort(list(struct_pack(p := p, n := n, sx := sx, qx := qx))) AS gs
+      FROM g),
+    folds AS (
+      SELECT CAST(len(gs) AS BIGINT) AS k,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(gs, v -> v.n)), (a, x) -> a + x) AS n_total,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(gs, v ->
+          (CAST(v.n AS DOUBLE) - 1.0) *
+          ((CAST(v.n AS DOUBLE) * CAST(v.qx AS DOUBLE)
+            - CAST(v.sx AS DOUBLE) * CAST(v.sx AS DOUBLE))
+           / (CAST(v.n AS DOUBLE) * (CAST(v.n AS DOUBLE) - 1.0))))),
+          (a, x) -> a + x) AS pooled_num,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(gs, v ->
+          (CAST(v.n AS DOUBLE) - 1.0) *
+          ln((CAST(v.n AS DOUBLE) * CAST(v.qx AS DOUBLE)
+              - CAST(v.sx AS DOUBLE) * CAST(v.sx AS DOUBLE))
+             / (CAST(v.n AS DOUBLE) * (CAST(v.n AS DOUBLE) - 1.0))))),
+          (a, x) -> a + x) AS sum_ln,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(gs, v ->
+          1.0 / (CAST(v.n AS DOUBLE) - 1.0))), (a, x) -> a + x) AS sum_inv
+      FROM packed)
+    SELECT k, n_total,
+      round(((CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE)) *
+               ln(pooled_num / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE)))
+             - sum_ln)
+            / (1.0 + (sum_inv - 1.0 / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE)))
+                     / (3.0 * (CAST(k AS DOUBLE) - 1.0))), 6) AS bartlett_t
+    FROM folds
+  """))
+
+  /** Cook's distance + leverage for every day of the daily-revenue-
+    * on-time OLS (Cook 1977) — which days bend the trend line: the
+    * regression moments are exact decimals, the residual is CLEARED
+    * to integers (E_i = n·D·y_i − D·Sy + Nb·Sx − n·Nb·x_i with
+    * D = n·Sxx − Sx², Nb = n·Sxy − Sx·Sy) and read back to cents by
+    * one truncating division — both engines truncate toward zero, so
+    * e_cents is bit-identical; leverage h_i = (D + (n·x_i − Sx)²)/(n·D)
+    * is an exact ppm. Cook's D then = e²·h/(p·s²·(1−h)²) as an
+    * identical double tree over (e_cents, lev_ppm, SSE, n). The day
+    * index comes from datediff against the broadcast min-day — no
+    * global window anywhere. */
+  private val qCooks = BoundQuery("q_cooks_distance", (s, d) => {
+    val ser = graft.util.CacheScope.persist(
+      Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents(col("o_totalprice"))).as("y")))
+    val d0 = ser.agg(min(col("day")).as("d0"))
+    val xy = graft.util.CacheScope.persist(
+      ser.crossJoin(broadcast(d0))
+        .select(col("day"),
+          datediff(col("day"), col("d0")).cast("decimal(38,0)").as("x"),
+          col("y").cast("decimal(38,0)").as("yy")))
+    val m = xy.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("x")).as("sx"), sum(col("yy")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("yy")).as("sxy"))
+    val rows = graft.util.CacheScope.persist(
+      xy.crossJoin(broadcast(m))
+        .withColumn("dd", expr("n*sxx - sx*sx"))
+        .withColumn("nb", expr("n*sxy - sx*sy"))
+        .select(col("day"), col("n"),
+          expr("(n*dd*yy - dd*sy + nb*sx - n*nb*x) div (n*dd)").as("e_cents"),
+          expr("(1000000 * (dd + (n*x - sx)*(n*x - sx))) div (n*dd)")
+            .as("lev_ppm")))
+    val sse = rows.agg(
+      sum(expr("CAST(e_cents AS DECIMAL(38,0)) * e_cents")).as("sse"))
+    rows.crossJoin(broadcast(sse))
+      .select(col("day"), col("e_cents"), col("lev_ppm"),
+        round(expr("""
+          (CAST(e_cents AS DOUBLE) * CAST(e_cents AS DOUBLE)
+           * (CAST(lev_ppm AS DOUBLE) / 1e6))
+          / (2.0 * (CAST(sse AS DOUBLE) / (CAST(n AS DOUBLE) - 2.0))
+             * (1.0 - CAST(lev_ppm AS DOUBLE) / 1e6)
+             * (1.0 - CAST(lev_ppm AS DOUBLE) / 1e6))"""), 9).as("cooks_d"))
+      .orderBy("day")
+  }, Some("""
+    WITH ser AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+        CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    d0 AS (SELECT min(day) AS d0 FROM ser),
+    xy AS (
+      SELECT day, CAST(datediff('day', d0, day) AS HUGEINT) AS x,
+             CAST(y AS HUGEINT) AS yy
+      FROM ser, d0),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(yy) AS sy,
+        sum(x*x) AS sxx, sum(x*yy) AS sxy
+      FROM xy),
+    rows_ AS (
+      SELECT day, n,
+        (n*dd*yy - dd*sy + nb*sx - n*nb*x) // (n*dd) AS e_cents,
+        (1000000 * (dd + (n*x - sx)*(n*x - sx))) // (n*dd) AS lev_ppm
+      FROM (SELECT xy.*, m.n, m.sx, m.sy,
+              m.n*m.sxx - m.sx*m.sx AS dd,
+              m.n*m.sxy - m.sx*m.sy AS nb
+            FROM xy, m)),
+    sse AS (SELECT sum(e_cents * e_cents) AS sse FROM rows_)
+    SELECT day, CAST(e_cents AS BIGINT) AS e_cents,
+      CAST(lev_ppm AS BIGINT) AS lev_ppm,
+      round((CAST(e_cents AS DOUBLE) * CAST(e_cents AS DOUBLE)
+             * (CAST(lev_ppm AS DOUBLE) / 1e6))
+            / (2.0 * (CAST(sse AS DOUBLE) / (CAST(n AS DOUBLE) - 2.0))
+               * (1.0 - CAST(lev_ppm AS DOUBLE) / 1e6)
+               * (1.0 - CAST(lev_ppm AS DOUBLE) / 1e6)), 9) AS cooks_d
+    FROM rows_, sse ORDER BY day
+  """))
+
+  val all: Seq[BoundQuery] =
+    Seq(qLjungBox, qVarianceRatio, qMase, qBartlett, qCooks)
 }

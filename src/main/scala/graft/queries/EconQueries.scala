@@ -413,6 +413,138 @@ object EconQueries {
     FROM agg ORDER BY event_type
   """))
 
+  /** Maximum drawdown of the cumulative daily value series per event
+    * type — the risk readout every monitoring dashboard wants beside
+    * the trend: running cumulative cents, running peak, drawdown =
+    * peak − cum (all EXACT integers under type-partitioned windows —
+    * no global window), then one argmax per type. Tie convention
+    * pinned on both engines: deepest drawdown, tie → latest day
+    * (Spark max(struct(dd, day, peak)) == DuckDB arg_max over the
+    * zero-padded printf key). dd_ppm is the depth relative to the
+    * peak it fell from, one truncating division. */
+  private val qMaxdrawdown = BoundQuery("q_maxdrawdown", (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sumCents(col("value")).as("y"))
+    val dd = daily
+      .withColumn("cum", sum(col("y")).over(w))
+      .withColumn("peak", max(col("cum")).over(w))
+      .withColumn("dd", col("peak") - col("cum"))
+    dd.groupBy("event_type")
+      .agg(max(struct(col("dd"), col("day"), col("peak"))).as("m"),
+        count(lit(1)).as("n_days"))
+      .select(col("event_type"), col("n_days"),
+        col("m.dd").as("max_dd_cents"),
+        col("m.day").as("trough_day"),
+        col("m.peak").as("peak_cents"),
+        expr("""CASE WHEN m.peak > 0 THEN
+                  (1000000 * CAST(m.dd AS DECIMAL(38,0))) div m.peak
+                END""").cast("long").as("dd_ppm"))
+      .orderBy("event_type")
+  }, Some("""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    dd AS (
+      SELECT event_type, day,
+        CAST(max(cum) OVER (PARTITION BY event_type ORDER BY day) - cum
+             AS BIGINT) AS dd,
+        CAST(max(cum) OVER (PARTITION BY event_type ORDER BY day)
+             AS BIGINT) AS peak
+      FROM (SELECT event_type, day,
+              CAST(sum(y) OVER (PARTITION BY event_type ORDER BY day)
+                   AS BIGINT) AS cum
+            FROM daily)),
+    am AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        max(dd) AS max_dd_cents,
+        arg_max(day,  printf('%020d|%s', dd, CAST(day AS VARCHAR))) AS trough_day,
+        arg_max(peak, printf('%020d|%s', dd, CAST(day AS VARCHAR))) AS peak_cents
+      FROM dd GROUP BY 1)
+    SELECT event_type, n_days, max_dd_cents, trough_day, peak_cents,
+      CASE WHEN peak_cents > 0 THEN
+        CAST((1000000 * CAST(max_dd_cents AS HUGEINT)) // peak_cents AS BIGINT)
+      END AS dd_ppm
+    FROM am ORDER BY event_type
+  """))
+
+  /** Theil T inequality of customer order revenue with the
+    * between-nation / within-nation decomposition (Theil 1967;
+    * Shorrocks 1980 on additive decomposability) — the curation
+    * twin of q_gini that says WHERE the concentration lives.
+    * Float discipline: each customer's ln(x_i·N/X) is rounded ONCE
+    * to micro-nats (identical double op over identical integers on
+    * both engines), then Σ x_i·l_i is an EXACT decimal sum —
+    * order-independent, partition-invariant; same for the nation
+    * grain. T = Σx·l / (X·10⁶) is one final double division, and
+    * within = (W − B)/(X·10⁶) rides the exact-integer identity
+    * T_total = T_between + Σ s_g·T_g. */
+  private val qTheilIndex = BoundQuery("q_theil_index", (s, d) => {
+    val rev = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sumCents(col("o_totalprice")).as("x"))
+    val cust = graft.util.CacheScope.persist(
+      rev.join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+        .select(col("x"), col("c_nationkey")))
+    val g = cust.agg(count(lit(1)).as("nn"),
+      sum(col("x").cast("decimal(38,0)")).as("xx"))
+    val w = cust.crossJoin(broadcast(g))
+      .select((col("x").cast("decimal(38,0)") *
+        round(log(col("x").cast("double") * col("nn").cast("double") /
+          col("xx").cast("double")) * lit(1e6), 0).cast("decimal(38,0)"))
+        .as("term"))
+      .agg(sum(col("term")).as("w"))
+    val b = cust.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("ng"), sum(col("x").cast("decimal(38,0)")).as("xg"))
+      .crossJoin(broadcast(g))
+      .select((col("xg") *
+        round(log(col("xg").cast("double") * col("nn").cast("double") /
+          (col("xx").cast("double") * col("ng").cast("double"))) * lit(1e6), 0)
+          .cast("decimal(38,0)")).as("term"),
+        lit(1).as("one"))
+      .agg(sum(col("term")).as("b"), count(lit(1)).as("k"))
+    g.crossJoin(broadcast(w)).crossJoin(broadcast(b))
+      .select(col("nn").cast("long").as("n_cust"), col("k").as("n_nations"),
+        round(col("w").cast("double") / (col("xx").cast("double") * lit(1e6)), 9)
+          .as("theil_total"),
+        round(col("b").cast("double") / (col("xx").cast("double") * lit(1e6)), 9)
+          .as("theil_between"),
+        round((col("w") - col("b")).cast("double") /
+          (col("xx").cast("double") * lit(1e6)), 9).as("theil_within"))
+  }, Some("""
+    WITH rev AS (
+      SELECT o_custkey,
+        CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    cust AS (
+      SELECT x, c_nationkey FROM rev JOIN customer ON o_custkey = c_custkey),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+                 CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS xx FROM cust),
+    w AS (
+      SELECT sum(CAST(x AS HUGEINT) *
+        CAST(round(ln(CAST(x AS DOUBLE) * CAST(nn AS DOUBLE)
+                      / CAST(xx AS DOUBLE)) * 1e6, 0) AS HUGEINT)) AS w
+      FROM cust, g),
+    b AS (
+      SELECT sum(CAST(xg AS HUGEINT) *
+        CAST(round(ln(CAST(xg AS DOUBLE) * CAST(nn AS DOUBLE)
+                      / (CAST(xx AS DOUBLE) * CAST(ng AS DOUBLE))) * 1e6, 0)
+             AS HUGEINT)) AS b,
+        CAST(count(*) AS BIGINT) AS k
+      FROM (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS ng,
+              CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS xg
+            FROM cust GROUP BY 1), g)
+    SELECT nn AS n_cust, k AS n_nations,
+      round(CAST(w AS DOUBLE) / (CAST(xx AS DOUBLE) * 1e6), 9) AS theil_total,
+      round(CAST(b AS DOUBLE) / (CAST(xx AS DOUBLE) * 1e6), 9) AS theil_between,
+      round(CAST(w - b AS DOUBLE) / (CAST(xx AS DOUBLE) * 1e6), 9) AS theil_within
+    FROM g, w, b
+  """))
+
   val all: Seq[BoundQuery] = Seq(qFunnelSig, qElasticity, qXyzClass,
-    qFisherIndex, qCroston, qWilsonCi)
+    qFisherIndex, qCroston, qWilsonCi, qMaxdrawdown, qTheilIndex)
 }

@@ -5,6 +5,13 @@ Usage: python3 tools/selfcheck.py [sfDir] [verifyOut]
 Loads each <verifyOut>/<query> parquet (Spark result), runs the
 matching oracle SQL from oracle_sql.json in DuckDB over the sfDir
 tables, sorts columns by name + rows by all values, and compares.
+
+Lint promotion (round-4 verdict item 8): graft.Verify itself runs
+with spark.sql.codegen.fallback=false and walks each query's plan
+through graft.plans.WindowLint before dumping — a janino-rejected
+whole-stage method or an unwhitelisted unpartitioned window fails
+that query's dump, which this compare then reports as MISS. The
+driver gate therefore catches both classes without log reading.
 """
 import sys, json, glob, os
 import duckdb
