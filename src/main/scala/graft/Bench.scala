@@ -14,6 +14,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // sf1 knob study (BASELINE.md round-5 appendix): at tens-of-MB
+      // shuffle sizes AQE's default 64 MB advisory coalesces post-
+      // shuffle stages below the core count, and the 10 MB broadcast
+      // default shuffle-joins dimension tables that fit in memory
+      // 6× over. 2 MB/64 MB measured: tpch10 sf1 11.7→10.5 s, sf0.1
+      // headliners 8.5→8.0 (tpch10 sf0.1 unchanged within noise).
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.ui.enabled", "false")
     // SPARK_GRAFT_CONF="k=v;k2=v2" — ad-hoc config overrides for local
     // tuning experiments (the driver never sets it)
@@ -47,15 +55,17 @@ object Bench {
         want.toSeq.map(byName)
       case None => queries.Registry.headlines
     }
-    // Untimed warm-up pass first: materializes every table's cache and
-    // JITs each query's generated code, so the timed pass measures the
-    // steady-state service latency (the reference's serving shape), not
-    // first-hit compilation noise.
-    hs.foreach { q =>
-      try q.run(spark, sfDir).count()
-      catch { case _: Throwable => () }
-    }
-    def timeAll(qs: Seq[queries.BoundQuery]): Seq[(String, Double)] = qs.map { q =>
+    // Best-of-2 timed passes per query, mirroring the DuckDB baseline's
+    // best-of-3 (tools/bench_baseline.py): both engines report their
+    // best observed steady-state latency, so one GC pause or scheduler
+    // hiccup doesn't masquerade as a plan regression (r4's three
+    // "doubled" headliners were exactly that — see BASELINE.md round-5
+    // re-measurement). Timed runs execute with warm plan-matched
+    // operator caches, the SERVING semantics every committed round has
+    // measured (the r1 warm-up pass already primed them for the timed
+    // pass); the scope closing each SECTION (not each run) is what
+    // bounds the memory.
+    def timeOnce(q: queries.BoundQuery): Double = {
       val t0 = System.nanoTime()
       try {
         val n = q.run(spark, sfDir).count()
@@ -63,9 +73,26 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val results = timeAll(hs)
+    def timeAll(qs: Seq[queries.BoundQuery]): Seq[(String, Double)] =
+      qs.map(q => q.name -> math.min(timeOnce(q), timeOnce(q)))
+    // Untimed warm-up pass first: materializes every table's cache and
+    // JITs each query's generated code, so the timed passes measure the
+    // steady-state service latency (the reference's serving shape —
+    // main.py:147 serves from a warm cache), not first-hit compilation
+    // noise. Warm-up and timed passes share one SECTION scope: internal
+    // caches stay warm across a query's runs, but are all dropped
+    // before the next section (measured: tpch10 queries read ~1 s
+    // higher after the 12 headliners' LSH/shingle caches than
+    // isolated).
+    val results = graft.util.CacheScope.withScope {
+      hs.foreach { q =>
+        try q.run(spark, sfDir).count()
+        catch { case _: Throwable => () }
+      }
+      timeAll(hs)
+    }
     // the ten TPC-H completions ride along as a TRACKED, non-headline
     // subtotal (r3 verdict item 2): "value" stays the 12-headliner
     // total BASELINE.md's cross-round ratio is defined on; "tpch10"
@@ -82,9 +109,11 @@ object Bench {
         require(missing.isEmpty,
           s"tpch10 subtotal lost queries (renamed/removed?): ${missing.mkString(", ")}")
         val qs = tpchTen.map(byName)
-        qs.foreach(q => try q.run(spark, sfDir).count()
-          catch { case _: Throwable => () }) // same untimed warm-up
-        timeAll(qs)
+        graft.util.CacheScope.withScope {
+          qs.foreach(q => try q.run(spark, sfDir).count()
+            catch { case _: Throwable => () }) // same untimed warm-up
+          timeAll(qs)
+        }
       }
     val qs = (results ++ tpchResults).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -177,13 +177,20 @@ object TpchQueries {
     * count-aggs: per-customer (shuffles on custkey — the big one, but
     * count is map-side partial) then per-count (tiny). */
   private val q13 = BoundQuery("q13_order_distribution", (s, d) => {
-    val ord = Tables.orders(s, d)
+    // agg-BEFORE-join: counting per custkey on the orders side first
+    // shrinks the join's probe input from |orders| rows to |custkeys
+    // with orders| — the left join then attaches a ready count (0 via
+    // coalesce for order-less customers) instead of fanning customer
+    // rows out to order grain and re-aggregating the join output.
+    // Same result (count(o_orderkey) counts only matched rows), one
+    // fact-grain shuffle fewer.
+    val per = Tables.orders(s, d)
       .where(col("o_orderpriority") =!= "1-URGENT")
-      .select("o_custkey", "o_orderkey")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("oc"))
     Tables.customer(s, d).select("c_custkey")
-      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
-      .groupBy(col("c_custkey"))
-      .agg(count(col("o_orderkey")).as("c_count"))
+      .join(per, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("oc"), lit(0L)).as("c_count"))
       .groupBy(col("c_count"))
       .agg(count(lit(1)).as("custdist"))
       .orderBy(col("custdist").desc, col("c_count").desc)
@@ -240,12 +247,16 @@ object TpchQueries {
     * (a window over an empty partition would drag every row through
     * one task). Ties all surface (spec of the original). */
   private val q15 = BoundQuery("q15_top_supplier", (s, d) => {
-    val rev = Tables.lineitem(s, d)
+    // the supplier-grain rev relation feeds BOTH the scalar max and
+    // the filter join — persist it so the quarter's fact aggregation
+    // runs once, not once per consumer (the CREATE VIEW reuse Q15's
+    // original formulation expresses)
+    val rev = graft.util.CacheScope.persist(Tables.lineitem(s, d)
       .where(ship >= lit("1996-01-01").cast("timestamp") &&
         ship < lit("1996-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
       .agg(sumCents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .as("rc"))
+        .as("rc")))
     val top = rev.agg(max(col("rc")).as("mx"))
     rev.join(broadcast(top), col("rc") === col("mx"))
       .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
@@ -278,10 +289,13 @@ object TpchQueries {
     val brandParts = Tables.part(s, d)
       .where(col("p_brand") === "Brand#23" && col("p_size") <= 10)
       .select("p_partkey")
-    val li = Tables.lineitem(s, d)
+    // li feeds both the per-part threshold agg and the final probe —
+    // persist the brand-pruned slice (~1/25 of lineitem) so the
+    // broadcast join against the fact table runs once
+    val li = graft.util.CacheScope.persist(Tables.lineitem(s, d)
       .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), cents(col("l_quantity")).as("qc"),
-        cents(col("l_extendedprice")).as("ec"))
+        cents(col("l_extendedprice")).as("ec")))
     val perPart = li.groupBy(col("l_partkey").as("pk"))
       .agg(sum(col("qc")).as("sq"), count(lit(1)).as("nq"))
     li.join(perPart, col("l_partkey") === col("pk"))

@@ -61,14 +61,32 @@ object Tables {
     *
     * Measured note (sf0.1, local[32]): the testdata ships one
     * single-row-group file per table, so the cache holds ONE partition
-    * per table. A repartition-before-persist variant was tried and
-    * REGRESSED the bench ~35% — at tens of MB the extra exchange and
-    * 32-way task overhead cost more than the scan parallelism wins.
-    * At real multi-GB-per-file scale the scan splits by row groups and
-    * this is moot. */
+    * per table. An unconditional repartition-before-persist was tried
+    * and REGRESSED the bench ~35% — at tens of MB the extra exchange
+    * and 32-way task overhead cost more than the scan parallelism
+    * wins. But the SAME single-file shape above ~100 MB is the
+    * file-bound starvation util.Spread guards against: sf1's 113 MB
+    * lineitem.parquet is one input split, so every downstream scan
+    * stage ran ONE core of 32 (measured: tpch10 at sf1 16.8 s → see
+    * BASELINE.md round-5 appendix). So the spread is SIZE-GATED:
+    * tables whose scan is ≥ 16 MB yet still under defaultParallelism
+    * partitions are repartitioned before persisting (and the memoized
+    * registry entry swapped so every query reads the spread cache).
+    * Tiny sf0.1 tables stay exactly as before; real multi-file
+    * inputs already exceed the parallelism and are untouched. */
   def warm(spark: SparkSession, dir: String): Unit =
-    all.foreach(n =>
-      load(spark, dir, n).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    all.foreach { n =>
+      val df = load(spark, dir, n)
+      val p = spark.sparkContext.defaultParallelism
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val spread =
+        if (bytes >= (16L << 20) && df.rdd.getNumPartitions < p)
+          df.repartition(p)
+        else df
+      if (spread ne df)
+        registry.put((System.identityHashCode(spark).toString, dir, n), spread)
+      spread.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Schema-ful JSON reader — the reference's ingest shape
     * (main.py:144 `spark.read.schema(schema).json(path)`): an explicit
