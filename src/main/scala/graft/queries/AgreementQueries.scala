@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.TextFunctions._
+import graft.functions.Num.cents
 
 /** SURVEY §2.6 survey-statistics wave: iterative proportional fitting
   * (raking) of sample weights to target margins, and Fleiss' κ
@@ -160,5 +161,69 @@ object AgreementQueries {
     FROM sp CROSS JOIN c2
   """))
 
-  val all: Seq[BoundQuery] = Seq(qIpfRaking, qFleissKappa)
+  /** Cronbach's α internal-consistency over the five event-type
+    * daily-value "items" (Cronbach 1951): cases are days, items are
+    * the per-type daily cents (0 for a type silent that day — the
+    * conditional-sum pivot makes the day×type grid complete without a
+    * join). α = k/(k−1) · (1 − Σᵢvarᵢ / var_total) collapses to ONE
+    * double over exact integers: with population variances,
+    * Σᵢ(n·Σxᵢ² − Sᵢ²) and n·Σtot² − S_tot² share the n² denominator.
+    * One scan, one day-grain aggregate, one 30-row fold. */
+  private val qCronbach = BoundQuery("q_cronbach_alpha", (s, d) => {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val itemCols = types.map(t =>
+      sum(when(col("event_type") === t, cents(col("value")))
+        .otherwise(lit(0L))).cast("decimal(38,0)").as(s"x_$t"))
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(itemCols.head, itemCols.tail: _*)
+    val tot = daily.withColumn("xt",
+      types.map(t => col(s"x_$t")).reduce(_ + _))
+    val momentCols =
+      count(lit(1)).cast("decimal(38,0)").as("n") +:
+        (types.flatMap(t => Seq(
+          sum(col(s"x_$t")).as(s"s_$t"),
+          sum(col(s"x_$t") * col(s"x_$t")).as(s"q_$t"))) ++
+          Seq(sum(col("xt")).as("st"),
+            sum(col("xt") * col("xt")).as("qt")))
+    val m = tot.agg(momentCols.head, momentCols.tail: _*)
+    val itemVarNum = types.map(t =>
+      expr(s"n*q_$t - s_$t*s_$t")).reduce(_ + _)
+    m.select(lit(types.size).cast("long").as("k"),
+      col("n").cast("long").as("n_days"),
+      round(lit(types.size.toDouble / (types.size - 1)) *
+        (lit(1.0) - itemVarNum.cast("double") /
+          expr("CAST(n*qt - st*st AS DOUBLE)")), 9).as("alpha"))
+  }, Some("""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+        CAST(sum(CASE WHEN event_type = 'click'    THEN CAST(round(value*100,0) AS BIGINT) ELSE 0 END) AS HUGEINT) AS x_click,
+        CAST(sum(CASE WHEN event_type = 'error'    THEN CAST(round(value*100,0) AS BIGINT) ELSE 0 END) AS HUGEINT) AS x_error,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value*100,0) AS BIGINT) ELSE 0 END) AS HUGEINT) AS x_purchase,
+        CAST(sum(CASE WHEN event_type = 'signup'   THEN CAST(round(value*100,0) AS BIGINT) ELSE 0 END) AS HUGEINT) AS x_signup,
+        CAST(sum(CASE WHEN event_type = 'view'     THEN CAST(round(value*100,0) AS BIGINT) ELSE 0 END) AS HUGEINT) AS x_view
+      FROM events GROUP BY 1),
+    tot AS (
+      SELECT *, x_click + x_error + x_purchase + x_signup + x_view AS xt
+      FROM daily),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+        sum(x_click) AS s_click, sum(x_click*x_click) AS q_click,
+        sum(x_error) AS s_error, sum(x_error*x_error) AS q_error,
+        sum(x_purchase) AS s_purchase, sum(x_purchase*x_purchase) AS q_purchase,
+        sum(x_signup) AS s_signup, sum(x_signup*x_signup) AS q_signup,
+        sum(x_view) AS s_view, sum(x_view*x_view) AS q_view,
+        sum(xt) AS st, sum(xt*xt) AS qt
+      FROM tot)
+    SELECT CAST(5 AS BIGINT) AS k, CAST(n AS BIGINT) AS n_days,
+      round((5.0/4.0) * (1.0 -
+        CAST((n*q_click - s_click*s_click) + (n*q_error - s_error*s_error)
+           + (n*q_purchase - s_purchase*s_purchase)
+           + (n*q_signup - s_signup*s_signup)
+           + (n*q_view - s_view*s_view) AS DOUBLE)
+        / CAST(n*qt - st*st AS DOUBLE)), 9) AS alpha
+    FROM m
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qIpfRaking, qFleissKappa, qCronbach)
 }

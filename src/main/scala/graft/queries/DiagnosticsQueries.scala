@@ -348,6 +348,124 @@ object DiagnosticsQueries {
     FROM rows_, sse ORDER BY day
   """))
 
-  val all: Seq[BoundQuery] =
-    Seq(qLjungBox, qVarianceRatio, qMase, qBartlett, qCooks)
+  /** Breusch–Pagan heteroskedasticity LM test on the daily-revenue-
+    * on-time OLS (Breusch & Pagan 1979, Koenker's studentized form
+    * via the R² of e² on x): residuals come CLEARED to exact integer
+    * cents (the q_cooks_distance identity — truncating div on both
+    * engines), are down-scaled to exact kilo-cents (another truncating
+    * div, so the squares fit decimal(38)), and the auxiliary
+    * regression's R² is one double over six exact integer moments.
+    * LM = n·R² ~ χ²(1) under homoskedasticity. */
+  private val qBreuschPagan = BoundQuery("q_breusch_pagan", (s, d) => {
+    val ser = graft.util.CacheScope.persist(
+      Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents(col("o_totalprice"))).as("y")))
+    val d0 = ser.agg(min(col("day")).as("d0"))
+    val xy = graft.util.CacheScope.persist(
+      ser.crossJoin(broadcast(d0))
+        .select(datediff(col("day"), col("d0")).cast("decimal(38,0)").as("x"),
+          col("y").cast("decimal(38,0)").as("yy")))
+    val m = xy.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("x")).as("sx"), sum(col("yy")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("yy")).as("sxy"))
+    val aux = xy.crossJoin(broadcast(m))
+      .withColumn("dd", expr("n*sxx - sx*sx"))
+      .withColumn("nb", expr("n*sxy - sx*sy"))
+      .select(col("x"),
+        expr("((n*dd*yy - dd*sy + nb*sx - n*nb*x) div (n*dd)) div 1000")
+          .as("ek"))
+      .select(col("x"), (col("ek") * col("ek")).cast("decimal(38,0)").as("u"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("u")).as("su"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("u")).as("sxu"),
+        sum(col("u") * col("u")).as("suu"))
+    aux.select(col("n").cast("long").as("n_days"),
+      round(expr("""
+        CAST(n AS DOUBLE) *
+        (CAST(n*sxu - sx*su AS DOUBLE) * CAST(n*sxu - sx*su AS DOUBLE))
+        / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*suu - su*su AS DOUBLE))
+      """), 6).as("bp_lm"))
+  }, Some("""
+    WITH ser AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+        CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    d0 AS (SELECT min(day) AS d0 FROM ser),
+    xy AS (
+      SELECT CAST(datediff('day', d0, day) AS HUGEINT) AS x,
+             CAST(y AS HUGEINT) AS yy
+      FROM ser, d0),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(yy) AS sy,
+        sum(x*x) AS sxx, sum(x*yy) AS sxy
+      FROM xy),
+    aux AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(u) AS su,
+        sum(x*x) AS sxx, sum(x*u) AS sxu, sum(u*u) AS suu
+      FROM (
+        SELECT x, ek*ek AS u FROM (
+          SELECT x,
+            ((n*dd*yy - dd*sy + nb*sx - n*nb*x) // (n*dd)) // 1000 AS ek
+          FROM (SELECT xy.*, m.n, m.sx, m.sy,
+                  m.n*m.sxx - m.sx*m.sx AS dd,
+                  m.n*m.sxy - m.sx*m.sy AS nb
+                FROM xy, m))))
+    SELECT CAST(n AS BIGINT) AS n_days,
+      round(CAST(n AS DOUBLE) *
+        (CAST(n*sxu - sx*su AS DOUBLE) * CAST(n*sxu - sx*su AS DOUBLE))
+        / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*suu - su*su AS DOUBLE)), 6)
+        AS bp_lm
+    FROM aux
+  """))
+
+  /** sMAPE + WAPE of the week-ago seasonal-naive per event type —
+    * the two percentage-error readouts MASE (q_mase) doesn't give.
+    * FULLY integer: each day's sMAPE term is (2·10⁶·|y−f|) div
+    * (|y|+|f|) (truncating, identical both engines), the mean is an
+    * integer div of the exact term sum, and WAPE is one integral-
+    * cleared ppm ratio — no double appears anywhere. Forecast = lag-7
+    * under a type-partitioned window (never global). */
+  private val qSmape = BoundQuery("q_smape", (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sumCents(col("value")).as("y"))
+    daily.withColumn("f", lag(col("y"), 7).over(w))
+      .where(col("f").isNotNull && (abs(col("y")) + abs(col("f"))) > 0L)
+      .select(col("event_type"),
+        expr("(2000000 * CAST(abs(y - f) AS DECIMAL(38,0))) div (abs(y) + abs(f))")
+          .as("term"),
+        abs(col("y") - col("f")).as("ae"), abs(col("y")).as("ay"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        expr("CAST(sum(term) div count(1) AS BIGINT)").as("smape_ppm"),
+        expr("""CAST((1000000 * CAST(sum(ae) AS DECIMAL(38,0)))
+                div sum(ay) AS BIGINT)""").as("wape_ppm"))
+      .orderBy("event_type")
+  }, Some("""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    lagd AS (
+      SELECT event_type, y,
+        lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS f
+      FROM daily),
+    terms AS (
+      SELECT event_type,
+        (2000000 * CAST(abs(y - f) AS HUGEINT)) // (abs(y) + abs(f)) AS term,
+        abs(y - f) AS ae, abs(y) AS ay
+      FROM lagd WHERE f IS NOT NULL AND abs(y) + abs(f) > 0)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      CAST(sum(term) // count(*) AS BIGINT) AS smape_ppm,
+      CAST((1000000 * CAST(sum(ae) AS HUGEINT)) // sum(ay) AS BIGINT) AS wape_ppm
+    FROM terms GROUP BY 1 ORDER BY 1
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qLjungBox, qVarianceRatio, qMase,
+    qBartlett, qCooks, qBreuschPagan, qSmape)
 }

@@ -361,6 +361,54 @@ object DistributionQueries {
     GROUP BY catalog
   """))
 
+  /** Hellinger distance between 1998's and 1999's order-value
+    * distributions per priority — the bounded [0,1] companion to
+    * q_wasserstein on the same $1000 bins: H = √(1 − BC) with the
+    * Bhattacharyya coefficient BC = Σ√(pᵢqᵢ). Float discipline:
+    * IEEE-754 requires sqrt be CORRECTLY rounded (unlike ln/exp), so
+    * each bin term √(aᵢ·bᵢ) is bit-identical across engines; it is
+    * rounded ONCE to micro units, summed as an EXACT integer
+    * (order-independent), and the finish is one identical double
+    * tree over (S, na, nb). */
+  private val qHellinger = BoundQuery("q_hellinger", (s, d) => {
+    val o = Tables.orders(s, d)
+      .where(year(col("o_orderdate")).isin(1998, 1999))
+      .select(col("o_orderpriority").as("pri"),
+        (year(col("o_orderdate")) === 1998).cast("long").as("isA"),
+        expr("CAST(round(o_totalprice*100, 0) AS LONG) div 100000").as("bin"))
+    o.groupBy("pri", "bin")
+      .agg(sum(col("isA")).as("a"), sum(lit(1L) - col("isA")).as("b"))
+      .groupBy("pri")
+      .agg(sum(col("a")).as("na"), sum(col("b")).as("nb"),
+        sum(expr("""CAST(round(sqrt(CAST(a AS DOUBLE) * CAST(b AS DOUBLE))
+                    * 1000000, 0) AS DECIMAL(38,0))""")).as("sm"))
+      .select(col("pri"), col("na").as("n_1998"), col("nb").as("n_1999"),
+        round(expr("""sqrt(greatest(0.0, 1.0 -
+          CAST(sm AS DOUBLE) / (sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                                * 1000000.0)))"""), 9).as("hellinger"))
+      .orderBy("pri")
+  }, Some("""
+    WITH o AS (
+      SELECT o_orderpriority AS pri,
+        CASE WHEN year(o_orderdate) = 1998 THEN 1 ELSE 0 END AS isA,
+        CAST(round(o_totalprice*100, 0) AS BIGINT) // 100000 AS bin
+      FROM orders WHERE year(o_orderdate) IN (1998, 1999)),
+    binned AS (
+      SELECT pri, bin, CAST(sum(isA) AS BIGINT) AS a,
+        CAST(sum(1 - isA) AS BIGINT) AS b
+      FROM o GROUP BY 1, 2),
+    agg AS (
+      SELECT pri, CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb,
+        CAST(sum(CAST(round(sqrt(CAST(a AS DOUBLE) * CAST(b AS DOUBLE))
+                 * 1000000, 0) AS HUGEINT)) AS HUGEINT) AS sm
+      FROM binned GROUP BY 1)
+    SELECT pri, na AS n_1998, nb AS n_1999,
+      round(sqrt(greatest(0.0, 1.0 -
+        CAST(sm AS DOUBLE) / (sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                              * 1000000.0))), 9) AS hellinger
+    FROM agg ORDER BY pri
+  """))
+
   val all: Seq[BoundQuery] =
-    Seq(qSprt, qWasserstein, qGumbel, qTukeyFences, qRecCoverage)
+    Seq(qSprt, qWasserstein, qGumbel, qTukeyFences, qRecCoverage, qHellinger)
 }

@@ -545,6 +545,55 @@ object EconQueries {
     FROM g, w, b
   """))
 
+  /** Peaks-over-threshold GPD tail fit of order values (Pickands
+    * 1975; method-of-moments estimators per Hosking & Wallis 1987):
+    * threshold = 1.5× the mean in EXACT cents (one truncating
+    * division — no quantile, whose interpolation semantics differ
+    * between engines), excesses z = value − thr, and the
+    * moment estimators collapse to integer-ratio forms
+    * ξ = ½·(1 − Sz²/(n·Szz − Sz²)), σ = ½·(Sz/n)·(1 + Sz²/(n·Szz −
+    * Sz²)) — exact decimal sums, two double finishes. The tail
+    * report every risk/outlier monitor wants from a value column. */
+  private val qGpdTail = BoundQuery("q_gpd_tail", (s, d) => {
+    val vals = graft.util.CacheScope.persist(
+      Tables.orders(s, d).select(cents(col("o_totalprice")).as("bc")))
+    val thr = vals.agg(
+      expr("(3 * CAST(sum(bc) AS DECIMAL(38,0))) div (2 * count(1))")
+        .cast("long").as("thr"))
+    vals.crossJoin(broadcast(thr))
+      .where(col("bc") > col("thr"))
+      .select(col("thr"), (col("bc") - col("thr")).cast("decimal(38,0)").as("z"))
+      .groupBy(col("thr"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("nz"),
+        sum(col("z")).as("sz"), sum(col("z") * col("z")).as("szz"))
+      .select(col("thr").as("thr_cents"), col("nz").cast("long").as("n_exceed"),
+        round(expr("""0.5 * (1.0 -
+          CAST(sz*sz AS DOUBLE) / CAST(nz*szz - sz*sz AS DOUBLE))"""), 9)
+          .as("xi"),
+        round(expr("""0.5 * (CAST(sz AS DOUBLE) / CAST(nz AS DOUBLE)) *
+          (1.0 + CAST(sz*sz AS DOUBLE) / CAST(nz*szz - sz*sz AS DOUBLE))"""), 4)
+          .as("sigma_cents"))
+  }, Some("""
+    WITH vals AS (
+      SELECT CAST(round(o_totalprice*100, 0) AS BIGINT) AS bc FROM orders),
+    thr AS (
+      SELECT CAST((3 * CAST(sum(bc) AS HUGEINT)) // (2 * count(*)) AS BIGINT)
+        AS thr FROM vals),
+    ex AS (
+      SELECT thr, CAST(count(*) AS HUGEINT) AS nz,
+        CAST(sum(CAST(bc - thr AS HUGEINT)) AS HUGEINT) AS sz,
+        CAST(sum(CAST(bc - thr AS HUGEINT) * CAST(bc - thr AS HUGEINT))
+             AS HUGEINT) AS szz
+      FROM vals, thr WHERE bc > thr GROUP BY thr)
+    SELECT thr AS thr_cents, CAST(nz AS BIGINT) AS n_exceed,
+      round(0.5 * (1.0 - CAST(sz*sz AS DOUBLE)
+                   / CAST(nz*szz - sz*sz AS DOUBLE)), 9) AS xi,
+      round(0.5 * (CAST(sz AS DOUBLE) / CAST(nz AS DOUBLE)) *
+            (1.0 + CAST(sz*sz AS DOUBLE)
+                   / CAST(nz*szz - sz*sz AS DOUBLE)), 4) AS sigma_cents
+    FROM ex
+  """))
+
   val all: Seq[BoundQuery] = Seq(qFunnelSig, qElasticity, qXyzClass,
-    qFisherIndex, qCroston, qWilsonCi, qMaxdrawdown, qTheilIndex)
+    qFisherIndex, qCroston, qWilsonCi, qMaxdrawdown, qTheilIndex, qGpdTail)
 }

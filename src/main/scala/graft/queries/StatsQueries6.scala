@@ -187,5 +187,120 @@ object StatsQueries6 {
     ORDER BY feature
   """))
 
-  val all: Seq[BoundQuery] = Seq(qPacf, qVif)
+  /** Odds ratio with Woolf logit CI (Woolf 1955) on the 2×2 of
+    * URGENT-priority × above-global-mean order value: the four cell
+    * counts and the mean threshold are exact integers; ln(OR) is one
+    * double over the exact cross-product ratio, Woolf's
+    * SE = √(1/a+1/b+1/c+1/d) is a FIXED-ORDER four-term double sum
+    * under an IEEE-exact sqrt, and the CI finishes through exp with
+    * the 1.959964 literal written on both sides. */
+  private val qOddsRatio = BoundQuery("q_odds_ratio", (s, d) => {
+    val o = graft.util.CacheScope.persist(
+      Tables.orders(s, d).select(
+        (col("o_orderpriority") === "1-URGENT").cast("long").as("u"),
+        cents(col("o_totalprice")).as("bc")))
+    val thr = o.agg(
+      expr("CAST(sum(bc) AS DECIMAL(38,0)) div count(1)").as("thr"))
+    o.crossJoin(broadcast(thr))
+      .select(col("u"), (col("bc") > col("thr")).cast("long").as("hi"))
+      .agg(sum(expr("u * hi")).as("a"),
+        sum(expr("u * (1 - hi)")).as("b"),
+        sum(expr("(1 - u) * hi")).as("c"),
+        sum(expr("(1 - u) * (1 - hi)")).as("dd"))
+      .select(col("a"), col("b"), col("c"), col("dd").as("d"),
+        round(expr("""(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE))
+                    / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))"""), 6)
+          .as("odds_ratio"),
+        round(expr("""exp(ln((CAST(a AS DOUBLE) * CAST(dd AS DOUBLE))
+                           / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+          - 1.959964 * sqrt(1.0/CAST(a AS DOUBLE) + 1.0/CAST(b AS DOUBLE)
+                          + 1.0/CAST(c AS DOUBLE) + 1.0/CAST(dd AS DOUBLE)))"""), 6)
+          .as("ci_lo"),
+        round(expr("""exp(ln((CAST(a AS DOUBLE) * CAST(dd AS DOUBLE))
+                           / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+          + 1.959964 * sqrt(1.0/CAST(a AS DOUBLE) + 1.0/CAST(b AS DOUBLE)
+                          + 1.0/CAST(c AS DOUBLE) + 1.0/CAST(dd AS DOUBLE)))"""), 6)
+          .as("ci_hi"))
+  }, Some("""
+    WITH o AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS u,
+             CAST(round(o_totalprice*100, 0) AS BIGINT) AS bc
+      FROM orders),
+    thr AS (SELECT CAST(sum(bc) AS HUGEINT) // count(*) AS thr FROM o),
+    cells AS (
+      SELECT
+        CAST(sum(u * hi) AS BIGINT) AS a,
+        CAST(sum(u * (1 - hi)) AS BIGINT) AS b,
+        CAST(sum((1 - u) * hi) AS BIGINT) AS c,
+        CAST(sum((1 - u) * (1 - hi)) AS BIGINT) AS dd
+      FROM (SELECT u, CASE WHEN bc > thr THEN 1 ELSE 0 END AS hi FROM o, thr))
+    SELECT a, b, c, dd AS d,
+      round((CAST(a AS DOUBLE) * CAST(dd AS DOUBLE))
+          / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)), 6) AS odds_ratio,
+      round(exp(ln((CAST(a AS DOUBLE) * CAST(dd AS DOUBLE))
+                 / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+        - 1.959964 * sqrt(1.0/CAST(a AS DOUBLE) + 1.0/CAST(b AS DOUBLE)
+                        + 1.0/CAST(c AS DOUBLE) + 1.0/CAST(dd AS DOUBLE))), 6)
+        AS ci_lo,
+      round(exp(ln((CAST(a AS DOUBLE) * CAST(dd AS DOUBLE))
+                 / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+        + 1.959964 * sqrt(1.0/CAST(a AS DOUBLE) + 1.0/CAST(b AS DOUBLE)
+                        + 1.0/CAST(c AS DOUBLE) + 1.0/CAST(dd AS DOUBLE))), 6)
+        AS ci_hi
+    FROM cells
+  """))
+
+  /** Cochran–Armitage trend test (Cochran 1954; Armitage 1955) for a
+    * monotone share of above-mean order values across the FIVE
+    * ordered priorities (scores 1..5 from the priority label's
+    * leading digit): with rᵢ successes of nᵢ at score sᵢ, the
+    * statistic clears to Z² = U²·N / (R(N−R)·(N·Σnᵢsᵢ² − (Σnᵢsᵢ)²))
+    * with U = N·Σsᵢrᵢ − R·Σsᵢnᵢ — every term an exact integer, one
+    * double division at the end. One scan, one 5-row aggregate. */
+  private val qCochranArmitage = BoundQuery("q_cochran_armitage", (s, d) => {
+    val o = graft.util.CacheScope.persist(
+      Tables.orders(s, d).select(
+        expr("CAST(substring(o_orderpriority, 1, 1) AS LONG)").as("sc"),
+        cents(col("o_totalprice")).as("bc")))
+    val thr = o.agg(
+      expr("CAST(sum(bc) AS DECIMAL(38,0)) div count(1)").as("thr"))
+    o.crossJoin(broadcast(thr))
+      .select(col("sc"), (col("bc") > col("thr")).cast("long").as("hi"))
+      .groupBy("sc").agg(count(lit(1)).as("n"), sum(col("hi")).as("r"))
+      .agg(sum(expr("CAST(n AS DECIMAL(38,0))")).as("nn"),
+        sum(expr("CAST(r AS DECIMAL(38,0))")).as("rr"),
+        sum(expr("CAST(sc AS DECIMAL(38,0)) * r")).as("sr"),
+        sum(expr("CAST(sc AS DECIMAL(38,0)) * n")).as("sn"),
+        sum(expr("CAST(sc AS DECIMAL(38,0)) * sc * n")).as("ssn"),
+        count(lit(1)).as("k"))
+      .select(col("k"), col("nn").cast("long").as("n_total"),
+        col("rr").cast("long").as("n_success"),
+        round(expr("""
+          (CAST(nn*sr - rr*sn AS DOUBLE) * CAST(nn*sr - rr*sn AS DOUBLE)
+           * CAST(nn AS DOUBLE))
+          / (CAST(rr AS DOUBLE) * CAST(nn - rr AS DOUBLE)
+             * CAST(nn*ssn - sn*sn AS DOUBLE))"""), 6).as("ca_z2"))
+  }, Some("""
+    WITH o AS (
+      SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS sc,
+             CAST(round(o_totalprice*100, 0) AS BIGINT) AS bc
+      FROM orders),
+    thr AS (SELECT CAST(sum(bc) AS HUGEINT) // count(*) AS thr FROM o),
+    g AS (
+      SELECT sc, CAST(count(*) AS HUGEINT) AS n,
+        CAST(sum(CASE WHEN bc > thr THEN 1 ELSE 0 END) AS HUGEINT) AS r
+      FROM o, thr GROUP BY 1),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, sum(n) AS nn, sum(r) AS rr,
+        sum(sc * r) AS sr, sum(sc * n) AS sn, sum(sc * sc * n) AS ssn
+      FROM g)
+    SELECT k, CAST(nn AS BIGINT) AS n_total, CAST(rr AS BIGINT) AS n_success,
+      round((CAST(nn*sr - rr*sn AS DOUBLE) * CAST(nn*sr - rr*sn AS DOUBLE)
+             * CAST(nn AS DOUBLE))
+            / (CAST(rr AS DOUBLE) * CAST(nn - rr AS DOUBLE)
+               * CAST(nn*ssn - sn*sn AS DOUBLE)), 6) AS ca_z2
+    FROM m
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qPacf, qVif, qOddsRatio, qCochranArmitage)
 }

@@ -1,10 +1,12 @@
 package graft.util
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.storage.StorageLevel
+import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
 
-/** Scoped lifetime for operator-internal `persist`s.
+/** Scoped, REFCOUNTED lifetime for operator-internal `persist`s.
   *
   * Several operators persist an intermediate (LSH signatures, range-
   * partitioned rank input, shingle tables) because the plan forks
@@ -13,50 +15,104 @@ import scala.collection.mutable.ArrayBuffer
   * (repartitionByRange RESAMPLES its boundaries per branch when
   * unpinned, see Ranking). Those caches must outlive the operator
   * call (the returned DataFrame is lazy) but NOT the query: a
-  * long-lived session running the whole registry (Verify runs ~125
+  * long-lived session running the whole registry (Verify runs ~395
   * queries in one SparkSession) would otherwise accumulate every
   * intermediate cache block for the life of the process.
   *
-  * The registry is THREAD-local, matching how a query is driven: the
-  * DataFrame is built and its action launched from one caller thread,
-  * so `withScope { build; action }` unpersists exactly the blocks
-  * that query pinned, after its action finished — never another
-  * in-flight query's (Verify dumps 4 queries concurrently; a global
-  * clear could drop a cache another query's fork is mid-way through,
-  * re-triggering the boundary-resample hazard the persist pins).
-  * Outside any scope, `persist` degrades to a plain `df.persist`, so
-  * direct operator use (tests, notebooks) is unchanged.
+  * Refcounting (round-5 fix): concurrent queries may persist
+  * LOGICALLY IDENTICAL intermediates — q_ljung_box, q_cooks_distance
+  * and q_breusch_pagan all persist the same daily-revenue series.
+  * Spark's CacheManager plan-matches them onto ONE cache entry
+  * (sameResult ignores alias names), so a naive per-thread unpersist
+  * drops the shared entry while a sibling query is mid-flight
+  * (measured: a concurrent Verify dump returned an EMPTY
+  * q_cooks_distance whenever its scope raced q_breusch_pagan's).
+  * Entries are therefore keyed by the session + the analyzed plan's
+  * canonicalized form — EXACTLY CacheManager's match granularity —
+  * and refcounted across threads: a scope close decrements, and only
+  * the LAST scope out unpersists. A caller persisting an equal plan
+  * with the SAME column names adopts the stored DataFrame; one whose
+  * aliases differ keeps its own (un-persisted) DataFrame, which
+  * Spark's plan-matching serves from the shared cache anyway.
+  *
+  * Already-persisted EXTERNAL inputs (e.g. a warmed service-mode
+  * table passed straight into an operator) still pass through
+  * untouched — re-persisting them only emits "already cached" WARNs,
+  * and registering them would wrongly unpersist the long-lived warm
+  * cache when a scope closes.
   */
 object CacheScope {
 
-  private val reg = new ThreadLocal[ArrayBuffer[DataFrame]] {
-    override def initialValue(): ArrayBuffer[DataFrame] = ArrayBuffer.empty
+  private type Key = (Int, LogicalPlan)
+
+  private final class Entry(val owner: DataFrame) {
+    var refs: Int = 0
+    /** one representative DataFrame per output-name vector, so
+      * same-named callers share an object and differently-aliased
+      * callers are never handed columns they cannot resolve */
+    val byNames: mutable.Map[Seq[String], DataFrame] = mutable.Map.empty
   }
 
-  /** Persist `df` and register it with the current thread's scope.
-    * Already-persisted inputs (e.g. a warmed service-mode table
-    * passed straight into an operator) pass through untouched —
-    * re-persisting them only emits "already cached" WARNs, and
-    * registering them would wrongly unpersist the long-lived warm
-    * cache when this scope closes. */
+  private val entries = new java.util.HashMap[Key, Entry]()
+
+  private val reg = new ThreadLocal[ArrayBuffer[Key]] {
+    override def initialValue(): ArrayBuffer[Key] = ArrayBuffer.empty
+  }
+
+  private def keyOf(df: DataFrame): Key =
+    (System.identityHashCode(df.sparkSession),
+      df.queryExecution.analyzed.canonicalized)
+
+  /** Persist `df` (or adopt the live cache of a plan-equal DataFrame
+    * another scope persisted) and register it with the current
+    * thread's scope. */
   def persist(df: DataFrame,
               level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    if (df.storageLevel == StorageLevel.NONE) {
-      df.persist(level)
-      reg.get() += df
+    val key = keyOf(df)
+    val names = df.schema.fieldNames.toSeq
+    entries.synchronized {
+      val existing = entries.get(key)
+      if (existing != null) {
+        existing.refs += 1
+        reg.get() += key
+        existing.byNames.getOrElseUpdate(names, df)
+      } else if (df.storageLevel != StorageLevel.NONE) {
+        df // externally cached (warm table / caller-managed): hands off
+      } else {
+        df.persist(level)
+        val e = new Entry(df)
+        e.refs = 1
+        e.byNames(names) = df
+        entries.put(key, e)
+        reg.get() += key
+        df
+      }
     }
-    df
   }
 
   /** Run `body` (build a DataFrame AND execute its action), then
-    * unpersist every DataFrame `body` registered on this thread. */
+    * release every cache `body` registered on this thread; an entry is
+    * actually unpersisted only when no other in-flight scope still
+    * holds it. */
   def withScope[T](body: => T): T = {
     val buf = reg.get()
     val before = buf.length
     try body
     finally {
-      buf.drop(before).foreach(_.unpersist(false))
+      val mine = buf.slice(before, buf.length)
       buf.remove(before, buf.length - before)
+      entries.synchronized {
+        mine.foreach { key =>
+          val e = entries.get(key)
+          if (e != null) {
+            e.refs -= 1
+            if (e.refs <= 0) {
+              entries.remove(key)
+              e.owner.unpersist(false)
+            }
+          }
+        }
+      }
     }
   }
 }

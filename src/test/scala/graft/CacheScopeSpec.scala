@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.storage.StorageLevel
+import graft.util.CacheScope
+
+/** CacheScope refcounting invariants (round-5 fix): two concurrent
+  * scopes persisting LOGICALLY IDENTICAL plans share one cache entry,
+  * and the entry survives until the LAST holder's scope closes —
+  * the unpersist race that emptied q_cooks_distance whenever its
+  * Verify dump overlapped q_breusch_pagan's (both persist the same
+  * daily-revenue series; Spark's CacheManager plan-matches them onto
+  * one entry, so the old per-thread unconditional unpersist dropped
+  * it under a sibling mid-flight query).
+  */
+class CacheScopeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan() = {
+    import spark.implicits._
+    Seq(1, 2, 3, 4, 5).toDF("v").groupBy($"v" % 2 as "k")
+      .count().filter($"k" >= 0)
+  }
+
+  test("plan-equal persists share one refcounted entry; last scope out unpersists") {
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val aHeld = new java.util.concurrent.CountDownLatch(1)
+    @volatile var cachedWhileBHolds = false
+    @volatile var bDf: org.apache.spark.sql.DataFrame = null
+
+    val b = new Thread(() => {
+      CacheScope.withScope {
+        aHeld.await()
+        bDf = CacheScope.persist(plan()) // adopts A's entry
+        bDf.count()
+        gate.countDown() // let A's scope close while B still holds
+        Thread.sleep(200)
+        cachedWhileBHolds = bDf.storageLevel != StorageLevel.NONE
+      }
+    })
+    b.start()
+    CacheScope.withScope {
+      val a = CacheScope.persist(plan())
+      a.count()
+      aHeld.countDown()
+      gate.await() // close A's scope only after B registered
+    }
+    b.join()
+    assert(cachedWhileBHolds,
+      "A's scope close must NOT unpersist the shared entry while B holds it")
+    assert(bDf.storageLevel == StorageLevel.NONE,
+      "the last scope out must unpersist the shared entry")
+  }
+
+  test("externally cached inputs pass through unregistered") {
+    val ext = plan()
+    ext.persist(StorageLevel.MEMORY_AND_DISK)
+    ext.count()
+    try {
+      CacheScope.withScope {
+        CacheScope.persist(ext).count()
+      }
+      assert(ext.storageLevel != StorageLevel.NONE,
+        "a caller-managed cache must survive scope close")
+    } finally ext.unpersist(true)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark._
+import org.apache.spark.sql.functions._
+
+/** Invariants for the wave-12 distribution/association stats
+  * (q_hellinger in queries.DistributionQueries; q_odds_ratio +
+  * q_cochran_armitage in queries.StatsQueries6): exact local replays
+  * plus each statistic's structural bounds (H ∈ [0,1], CI brackets
+  * the point estimate, Z² ≥ 0).
+  */
+class DistanceStatsSpec extends AnyFunSuite {
+
+  private def run(name: String) =
+    graft.queries.Registry.queries(name)(spark, sfTiny).collect()
+
+  test("hellinger: micro-rounded sqrt-term replay, bounded in [0,1]") {
+    val rows = run("q_hellinger")
+    assert(rows.nonEmpty)
+    val binned = graft.sources.Tables.orders(spark, sfTiny)
+      .where(year(col("o_orderdate")).isin(1998, 1999))
+      .groupBy(col("o_orderpriority").as("pri"),
+        expr("CAST(round(o_totalprice*100,0) AS LONG) div 100000").as("bin"))
+      .agg(sum((year(col("o_orderdate")) === 1998).cast("long")).as("a"),
+        sum((year(col("o_orderdate")) === 1999).cast("long")).as("b"))
+      .collect()
+      .groupBy(_.getString(0))
+    for (r <- rows) {
+      val cells = binned(r.getString(0))
+        .map(x => (x.getAs[Long]("a"), x.getAs[Long]("b")))
+      val (na, nb) = (cells.map(_._1).sum, cells.map(_._2).sum)
+      assert(r.getAs[Long]("n_1998") == na && r.getAs[Long]("n_1999") == nb)
+      val sm = cells.map { case (a, b) =>
+        BigDecimal(math.sqrt(a.toDouble * b.toDouble) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
+      }.sum
+      val h = math.sqrt(math.max(0.0,
+        1.0 - sm.toDouble / (math.sqrt(na.toDouble * nb.toDouble) * 1e6)))
+      val want = BigDecimal(h).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      assert((BigDecimal(r.getAs[Double]("hellinger")) - want).abs < 1e-9,
+        r.getString(0))
+      assert(r.getAs[Double]("hellinger") >= 0.0 &&
+        r.getAs[Double]("hellinger") <= 1.0)
+    }
+  }
+
+  test("odds_ratio: exact 2x2 replay; CI brackets the point estimate") {
+    val vals = graft.sources.Tables.orders(spark, sfTiny)
+      .select((col("o_orderpriority") === "1-URGENT").cast("long"),
+        round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect().map(r => (r.getLong(0), BigInt(r.getLong(1))))
+    val thr = vals.map(_._2).sum / vals.length
+    val a = vals.count(v => v._1 == 1 && v._2 > thr)
+    val b = vals.count(v => v._1 == 1 && v._2 <= thr)
+    val c = vals.count(v => v._1 == 0 && v._2 > thr)
+    val dd = vals.count(v => v._1 == 0 && v._2 <= thr)
+    val r = run("q_odds_ratio").head
+    assert(r.getAs[Long]("a") == a && r.getAs[Long]("b") == b &&
+      r.getAs[Long]("c") == c && r.getAs[Long]("d") == dd)
+    val or = r.getAs[Double]("odds_ratio")
+    assert(math.abs(or - a.toDouble * dd / (b.toDouble * c)) < 1e-5)
+    assert(r.getAs[Double]("ci_lo") <= or && or <= r.getAs[Double]("ci_hi"))
+  }
+
+  test("cochran_armitage: cleared-integer trend statistic replay") {
+    val vals = graft.sources.Tables.orders(spark, sfTiny)
+      .select(expr("CAST(substring(o_orderpriority,1,1) AS LONG)"),
+        round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect().map(r => (r.getLong(0), BigInt(r.getLong(1))))
+    val thr = vals.map(_._2).sum / vals.length
+    val g = vals.groupBy(_._1).view.mapValues(xs =>
+      (BigInt(xs.length), BigInt(xs.count(_._2 > thr)))).toMap
+    val nn = g.values.map(_._1).sum
+    val rr = g.values.map(_._2).sum
+    val sr = g.map { case (s, (_, r0)) => BigInt(s) * r0 }.sum
+    val sn = g.map { case (s, (n0, _)) => BigInt(s) * n0 }.sum
+    val ssn = g.map { case (s, (n0, _)) => BigInt(s) * BigInt(s) * n0 }.sum
+    val u = nn * sr - rr * sn
+    val z2 = (u * u * nn).toDouble /
+      (rr * (nn - rr) * (nn * ssn - sn * sn)).toDouble
+    val r = run("q_cochran_armitage").head
+    assert(r.getAs[Long]("k") == g.size.toLong)
+    assert(r.getAs[Long]("n_total") == nn.toLong &&
+      r.getAs[Long]("n_success") == rr.toLong)
+    assert(math.abs(r.getAs[Double]("ca_z2") - z2) < 1e-5)
+    assert(r.getAs[Double]("ca_z2") >= 0.0)
+  }
+
+}
