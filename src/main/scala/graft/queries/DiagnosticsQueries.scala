@@ -466,6 +466,50 @@ object DiagnosticsQueries {
     FROM terms GROUP BY 1 ORDER BY 1
   """))
 
+  /** Turning-point randomness test of the daily-revenue series
+    * (Kendall 1973; Brockwell & Davis §1.6): count strict local
+    * extrema T (sign change between consecutive diffs), compare to
+    * the i.i.d. expectation E[T] = 2(n−2)/3 with
+    * Var[T] = (16n−29)/90. The count is a FULLY integer pipeline
+    * (lag/lead over the calendar-bounded daily series — the
+    * q_engle_granger bounded-window contract); z is one double.
+    * Flat spots (zero diff) are not turning points on either side —
+    * the strict-product convention both engines share. */
+  private val qTurningPoints = BoundQuery("q_turning_points", (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+    val ser = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(cents(col("o_totalprice"))).as("y"))
+    ser.withColumn("dp", col("y") - lag(col("y"), 1).over(w))
+      .withColumn("dn", lead(col("y"), 1).over(w) - col("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dp").isNotNull && col("dn").isNotNull &&
+          expr("CAST(dp AS DECIMAL(38,0)) * dn") < 0L, 1L).otherwise(0L))
+          .as("t"))
+      .select(col("n").as("n_days"), col("t").as("turning_points"),
+        round(expr("""(CAST(t AS DOUBLE) - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)
+          / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0)"""), 6).as("z"))
+  }, Some("""
+    WITH ser AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+        CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    diffs AS (
+      SELECT y - lag(y, 1) OVER (ORDER BY day) AS dp,
+             lead(y, 1) OVER (ORDER BY day) - y AS dn
+      FROM ser),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN dp IS NOT NULL AND dn IS NOT NULL
+                       AND CAST(dp AS HUGEINT) * dn < 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS t
+      FROM diffs)
+    SELECT n AS n_days, t AS turning_points,
+      round((CAST(t AS DOUBLE) - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)
+        / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0), 6) AS z
+    FROM agg
+  """))
+
   val all: Seq[BoundQuery] = Seq(qLjungBox, qVarianceRatio, qMase,
-    qBartlett, qCooks, qBreuschPagan, qSmape)
+    qBartlett, qCooks, qBreuschPagan, qSmape, qTurningPoints)
 }

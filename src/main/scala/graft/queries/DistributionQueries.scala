@@ -409,6 +409,65 @@ object DistributionQueries {
     FROM agg ORDER BY pri
   """))
 
-  val all: Seq[BoundQuery] =
-    Seq(qSprt, qWasserstein, qGumbel, qTukeyFences, qRecCoverage, qHellinger)
+  /** Poisson dispersion index of daily event counts per type
+    * (Fisher's index of dispersion / variance-to-mean ratio;
+    * Cox & Lewis 1966): D = s²/c̄ over the COMPLETE day grid
+    * (conditional-count pivot + stack fills silent days with 0 —
+    * without it a bursty type looks calm), cleared to
+    * D = (n·Σc² − (Σc)²) / ((n−1)·Σc) — exact integers, one double.
+    * D ≈ 1 ⇒ Poisson arrivals; D ≫ 1 ⇒ burst/incident clustering;
+    * χ² = (n−1)·D gates it. The arrival-process health check beside
+    * q_interarrival's gap view. */
+  private val qDispersion = BoundQuery("q_dispersion", (s, d) => {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val cntCols = types.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c_$t"))
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(cntCols.head, cntCols.tail: _*)
+    daily.select(
+      expr("stack(5, " + types.map(t => s"'$t', c_$t").mkString(", ") +
+        ") AS (event_type, c)"))
+      .select(col("event_type"), col("c").cast("decimal(38,0)").as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("c")).as("sc"), sum(col("c") * col("c")).as("qc"))
+      .select(col("event_type"), col("n").cast("long").as("n_days"),
+        col("sc").cast("long").as("n_events"),
+        round(expr("""CAST(n*qc - sc*sc AS DOUBLE)
+          / (CAST(n - 1 AS DOUBLE) * CAST(sc AS DOUBLE))"""), 6)
+          .as("dispersion"),
+        round(expr("CAST(n*qc - sc*sc AS DOUBLE) / CAST(sc AS DOUBLE)"), 6)
+          .as("chi2"))
+      .orderBy("event_type")
+  }, Some("""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+        CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS c_click,
+        CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS c_error,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c_purchase,
+        CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS c_signup,
+        CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS c_view
+      FROM events GROUP BY 1),
+    stacked AS (
+      SELECT t.event_type,
+        CAST(CASE t.event_type
+          WHEN 'click' THEN c_click WHEN 'error' THEN c_error
+          WHEN 'purchase' THEN c_purchase WHEN 'signup' THEN c_signup
+          ELSE c_view END AS HUGEINT) AS c
+      FROM daily CROSS JOIN (
+        SELECT unnest(['click','error','purchase','signup','view']) AS event_type) t),
+    m AS (
+      SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        sum(c) AS sc, sum(c*c) AS qc
+      FROM stacked GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days, CAST(sc AS BIGINT) AS n_events,
+      round(CAST(n*qc - sc*sc AS DOUBLE)
+        / (CAST(n - 1 AS DOUBLE) * CAST(sc AS DOUBLE)), 6) AS dispersion,
+      round(CAST(n*qc - sc*sc AS DOUBLE) / CAST(sc AS DOUBLE), 6) AS chi2
+    FROM m ORDER BY event_type
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qSprt, qWasserstein, qGumbel,
+    qTukeyFences, qRecCoverage, qHellinger, qDispersion)
 }

@@ -161,5 +161,78 @@ object SeriesQueries2 {
   """
   })
 
-  val all: Seq[BoundQuery] = Seq(qXiCorr, qDtw)
+  /** Market-model beta of each event type's daily revenue against the
+    * all-types total (the single-index model, Sharpe 1963): β =
+    * (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) per type, plus the intercept α
+    * and R² — which streams amplify the aggregate swing (β > 1),
+    * which dampen it. The day×type grid completes by conditional-sum
+    * pivot + stack (no join, one scan); x (the daily total) rides
+    * each stacked row, moments are exact decimals per type, and β, α,
+    * R² are identical double trees. */
+  private val qBeta = BoundQuery("q_beta", (s, d) => {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val itemCols = types.map(t =>
+      sum(when(col("event_type") === t, cents(col("value")))
+        .otherwise(lit(0L))).as(s"y_$t"))
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(itemCols.head, itemCols.tail: _*)
+      .withColumn("x", types.map(t => col(s"y_$t")).reduce(_ + _))
+    val stacked = daily.select(col("x").cast("decimal(38,0)").as("x"),
+      expr("stack(5, " + types.map(t => s"'$t', y_$t").mkString(", ") +
+        ") AS (event_type, y0)"))
+      .select(col("event_type"), col("x"),
+        col("y0").cast("decimal(38,0)").as("y"))
+    stacked.groupBy("event_type")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("n").cast("long").as("n_days"),
+        round(expr("CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)"), 9)
+          .as("beta"),
+        round(expr("""(CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE)
+            * (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)))
+          / CAST(n AS DOUBLE) / 100.0"""), 4).as("alpha_dollars"),
+        round(expr("""(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE))
+          / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))"""), 9)
+          .as("r2"))
+      .orderBy("event_type")
+  }, Some("""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+        CAST(sum(CASE WHEN event_type = 'click'    THEN CAST(round(value*100,0) AS BIGINT) ELSE 0 END) AS BIGINT) AS y_click,
+        CAST(sum(CASE WHEN event_type = 'error'    THEN CAST(round(value*100,0) AS BIGINT) ELSE 0 END) AS BIGINT) AS y_error,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value*100,0) AS BIGINT) ELSE 0 END) AS BIGINT) AS y_purchase,
+        CAST(sum(CASE WHEN event_type = 'signup'   THEN CAST(round(value*100,0) AS BIGINT) ELSE 0 END) AS BIGINT) AS y_signup,
+        CAST(sum(CASE WHEN event_type = 'view'     THEN CAST(round(value*100,0) AS BIGINT) ELSE 0 END) AS BIGINT) AS y_view
+      FROM events GROUP BY 1),
+    stacked AS (
+      SELECT CAST(y_click + y_error + y_purchase + y_signup + y_view AS HUGEINT) AS x,
+             t.event_type,
+             CAST(CASE t.event_type
+               WHEN 'click' THEN y_click WHEN 'error' THEN y_error
+               WHEN 'purchase' THEN y_purchase WHEN 'signup' THEN y_signup
+               ELSE y_view END AS HUGEINT) AS y
+      FROM daily CROSS JOIN (
+        SELECT unnest(['click','error','purchase','signup','view']) AS event_type) t),
+    m AS (
+      SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+        sum(x*y) AS sxy, sum(y*y) AS syy
+      FROM stacked GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+      round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 9)
+        AS beta,
+      round((CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE)
+          * (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)))
+        / CAST(n AS DOUBLE) / 100.0, 4) AS alpha_dollars,
+      round((CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE))
+        / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 9)
+        AS r2
+    FROM m ORDER BY event_type
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qXiCorr, qDtw, qBeta)
 }

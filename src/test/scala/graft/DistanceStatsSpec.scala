@@ -4,11 +4,13 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark._
 import org.apache.spark.sql.functions._
 
-/** Invariants for the wave-12 distribution/association stats
-  * (q_hellinger in queries.DistributionQueries; q_odds_ratio +
-  * q_cochran_armitage in queries.StatsQueries6): exact local replays
-  * plus each statistic's structural bounds (H ∈ [0,1], CI brackets
-  * the point estimate, Z² ≥ 0).
+/** Invariants for the wave-12/13 distribution/association stats
+  * (q_hellinger + q_dispersion in queries.DistributionQueries;
+  * q_odds_ratio + q_cochran_armitage in queries.StatsQueries6;
+  * q_beta in queries.SeriesQueries2; q_turning_points in
+  * queries.DiagnosticsQueries): exact local replays plus each
+  * statistic's structural bounds (H ∈ [0,1], CI brackets the point
+  * estimate, Z² ≥ 0, Σᵢβᵢ = 1).
   */
 class DistanceStatsSpec extends AnyFunSuite {
 
@@ -87,4 +89,47 @@ class DistanceStatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("ca_z2") >= 0.0)
   }
 
+
+  test("dispersion: cleared variance-to-mean replay over the full day grid") {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val byDay = graft.sources.Tables.events(spark, sfTiny)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c")).collect()
+      .groupBy(_.getAs[java.sql.Date]("day").toString).view
+      .mapValues(_.map(r => r.getString(1) -> r.getAs[Long]("c")).toMap).toMap
+    val rows = run("q_dispersion")
+    assert(rows.map(_.getString(0)).toSeq == types)
+    for (r <- rows) {
+      val cs = byDay.values.map(m => BigInt(m.getOrElse(r.getString(0), 0L))).toSeq
+      val (n, sc, qc) = (BigInt(cs.length), cs.sum, cs.map(c => c * c).sum)
+      assert(r.getAs[Long]("n_days") == cs.length.toLong)
+      assert(r.getAs[Long]("n_events") == sc.toLong)
+      val d0 = (n * qc - sc * sc).toDouble / ((n - 1).toDouble * sc.toDouble)
+      assert(math.abs(r.getAs[Double]("dispersion") - d0) < 1e-5, r.getString(0))
+      assert(r.getAs[Double]("chi2") >= 0.0)
+    }
+  }
+
+  test("beta: component betas against their own total sum to 1") {
+    val rows = run("q_beta")
+    assert(rows.length == 5)
+    // x = Σ_i y_i  ⇒  Σ_i cov(y_i, x) = var(x)  ⇒  Σ_i β_i = 1,
+    // up to the per-row output rounding (5 × 0.5e-9)
+    val bsum = rows.map(_.getAs[Double]("beta")).sum
+    assert(math.abs(bsum - 1.0) < 1e-8, s"beta sum $bsum")
+    for (r <- rows) assert(r.getAs[Double]("r2") >= 0.0 && r.getAs[Double]("r2") <= 1.0 + 1e-9)
+  }
+
+  test("turning_points: exact extremum count replay") {
+    val ser = graft.sources.Tables.orders(spark, sfTiny)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("y"))
+      .collect().map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("y")))
+      .sortBy(_._1).map(_._2)
+    val t = (1 until ser.length - 1).count(i =>
+      (BigInt(ser(i)) - BigInt(ser(i - 1))) * (BigInt(ser(i + 1)) - BigInt(ser(i))) < 0)
+    val r = run("q_turning_points").head
+    assert(r.getAs[Long]("n_days") == ser.length.toLong)
+    assert(r.getAs[Long]("turning_points") == t.toLong)
+  }
 }
