@@ -468,6 +468,52 @@ object DistributionQueries {
     FROM m ORDER BY event_type
   """))
 
+  /** Log-normal fit of order values (the canonical heavy-tail model
+    * for spend/duration columns): per-row ln(cents) micro-rounded
+    * ONCE, exact integer moment sums, then
+    * μ̂ = S/n (micronats, truncating), σ̂² = (nΣl² − S²)/(n(n−1)),
+    * and the implied median e^μ̂ / mean e^{μ̂+σ̂²/2} in cents as the
+    * readout a capacity planner actually uses. sqrt is IEEE-exact;
+    * exp finishes are identical double trees. */
+  private val qLognormalFit = BoundQuery("q_lognormal_fit", (s, d) => {
+    Tables.orders(s, d)
+      .select(expr("""CAST(round(ln(CAST(round(o_totalprice*100, 0) AS DOUBLE))
+        * 1000000, 0) AS DECIMAL(38,0))""").as("l"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("l")).as("sl"), sum(col("l") * col("l")).as("ql"))
+      .select(col("n").cast("long").as("n_orders"),
+        expr("CAST(sl div n AS BIGINT)").as("mu_micronats"),
+        round(expr("""sqrt(CAST(n*ql - sl*sl AS DOUBLE)
+          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 1000000.0"""), 9)
+          .as("sigma_nats"),
+        round(expr("exp(CAST(sl AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)"), 2)
+          .as("median_cents"),
+        round(expr("""exp(CAST(sl AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+          + (CAST(n*ql - sl*sl AS DOUBLE)
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+            / 2.0e12)"""), 2).as("mean_cents"))
+  }, Some("""
+    WITH terms AS (
+      SELECT CAST(round(ln(CAST(CAST(round(o_totalprice*100, 0) AS BIGINT)
+        AS DOUBLE)) * 1000000, 0) AS HUGEINT) AS l
+      FROM orders),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n, sum(l) AS sl, sum(l*l) AS ql
+      FROM terms)
+    SELECT CAST(n AS BIGINT) AS n_orders,
+      CAST(sl // n AS BIGINT) AS mu_micronats,
+      round(sqrt(CAST(n*ql - sl*sl AS DOUBLE)
+        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 1000000.0, 9)
+        AS sigma_nats,
+      round(exp(CAST(sl AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0), 2)
+        AS median_cents,
+      round(exp(CAST(sl AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+        + (CAST(n*ql - sl*sl AS DOUBLE)
+           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 2.0e12), 2)
+        AS mean_cents
+    FROM m
+  """))
+
   val all: Seq[BoundQuery] = Seq(qSprt, qWasserstein, qGumbel,
-    qTukeyFences, qRecCoverage, qHellinger, qDispersion)
+    qTukeyFences, qRecCoverage, qHellinger, qDispersion, qLognormalFit)
 }

@@ -594,6 +594,55 @@ object EconQueries {
     FROM ex
   """))
 
+  /** Generalized-entropy inequality companions to q_theil_index
+    * (GE(1)): the mean log deviation GE(0) = (1/N)Σ ln(μ/xᵢ) —
+    * bottom-sensitive where Theil is top-sensitive — and GE(2) =
+    * ((1/N)Σ(xᵢ/μ)² − 1)/2, which clears COMPLETELY to
+    * (N·Σx² − (Σx)²) / (2·(Σx)²): exact integers, one double. GE(0)
+    * follows the micro-nat discipline: each ln(Σx) − ln(N·xᵢ) is
+    * rounded once, summed exactly, one truncating division. */
+  private val qMld = BoundQuery("q_mld", (s, d) => {
+    val rev = graft.util.CacheScope.persist(
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sumCents(col("o_totalprice")).as("x")))
+    val g = rev.agg(count(lit(1)).cast("decimal(38,0)").as("nn"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).as("qx"))
+    rev.crossJoin(broadcast(g))
+      .select(col("nn"), col("sx"), col("qx"),
+        expr("""CAST(round((ln(CAST(sx AS DOUBLE))
+          - ln(CAST(nn AS DOUBLE) * CAST(x AS DOUBLE))) * 1000000, 0)
+          AS DECIMAL(38,0))""").as("l"))
+      .groupBy("nn", "sx", "qx")
+      .agg(sum(col("l")).as("sl"))
+      .select(col("nn").cast("long").as("n_cust"),
+        expr("CAST(sl div nn AS BIGINT)").as("mld_micronats"),
+        round(expr("""CAST(nn*qx - sx*sx AS DOUBLE)
+          / (2.0 * CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"""), 9).as("ge2"))
+  }, Some("""
+    WITH rev AS (
+      SELECT o_custkey,
+        CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    g AS (SELECT CAST(count(*) AS HUGEINT) AS nn,
+                 CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS qx
+          FROM rev),
+    terms AS (
+      SELECT nn, sx, qx,
+        CAST(round((ln(CAST(sx AS DOUBLE))
+          - ln(CAST(nn AS DOUBLE) * CAST(x AS DOUBLE))) * 1000000, 0)
+          AS HUGEINT) AS l
+      FROM rev, g)
+    SELECT CAST(nn AS BIGINT) AS n_cust,
+      CAST(sum(l) // nn AS BIGINT) AS mld_micronats,
+      round(CAST(nn*qx - sx*sx AS DOUBLE)
+        / (2.0 * CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS ge2
+    FROM terms GROUP BY nn, sx, qx
+  """))
+
   val all: Seq[BoundQuery] = Seq(qFunnelSig, qElasticity, qXyzClass,
-    qFisherIndex, qCroston, qWilsonCi, qMaxdrawdown, qTheilIndex, qGpdTail)
+    qFisherIndex, qCroston, qWilsonCi, qMaxdrawdown, qTheilIndex, qGpdTail,
+    qMld)
 }

@@ -744,6 +744,62 @@ object EvalQueries {
     GROUP BY e.label ORDER BY label
   """))
 
+  /** Expected Reciprocal Rank @10 (Chapelle 2009) of the exact-cosine
+    * ranking — the cascade-model complement to q_ndcg's positional
+    * one: ERR = Σ_r (1/r)·R_r·Π_{i<r}(1−R_i). With binary relevance
+    * R ∈ {0, ½} (label agreement, the q_ndcg grading) every term is
+    * the RATIONAL 1/(r·2^{k_r+1}) with k_r = relevant ranks before r,
+    * so each is ONE truncating integer division to micro units —
+    * fully exact end-to-end, no float. The stop-probability window
+    * partitions per query over ≤10 rows. */
+  private val qErr = BoundQuery("q_err", (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val top = Similarity.bruteForceTopK(
+      e, col("vec_id"), col("embedding"),
+      e.where(col("vec_id") < 5), col("vec_id"), col("embedding"), k = 10)
+    val labels = e.select(col("vec_id").as("id"), col("label"))
+    val qlab = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+    val w = Window.partitionBy("query_id").orderBy("rnk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    top.join(labels, "id").join(broadcast(qlab), "query_id")
+      .withColumn("rel", (col("label") === col("qlabel")).cast("long"))
+      .withColumn("kb", coalesce(sum(col("rel")).over(w), lit(0L)))
+      .select(col("query_id"), col("rel"),
+        expr("""CASE WHEN rel = 1 THEN
+            1000000 div (rnk * shiftleft(1L, cast(kb + 1 as int)))
+          ELSE 0L END""").as("term"))
+      .groupBy("query_id")
+      .agg(sum(col("term")).as("err_uppm"), sum(col("rel")).as("n_rel_at_10"))
+      .orderBy("query_id")
+  }, Some(s"""
+    WITH e AS (SELECT vec_id, label, embedding, ${VectorQueries.duckNorm} AS nrm
+               FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS qlabel,
+             a.vec_id AS id, a.label AS alabel,
+             round(${VectorQueries.duckCosine("a", "q")}, 6) AS cosine
+      FROM e a JOIN e q ON q.vec_id < 5 AND a.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT query_id,
+        CASE WHEN alabel = qlabel THEN 1 ELSE 0 END AS rel,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, id) AS BIGINT) AS rnk
+      FROM scored),
+    walk AS (
+      SELECT query_id, rel, rnk,
+        COALESCE(CAST(sum(rel) OVER (PARTITION BY query_id ORDER BY rnk
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+          AS kb
+      FROM ranked WHERE rnk <= 10)
+    SELECT query_id,
+      CAST(sum(CASE WHEN rel = 1 THEN
+          1000000 // (rnk * (CAST(1 AS BIGINT) << CAST(kb + 1 AS INT)))
+        ELSE 0 END) AS BIGINT) AS err_uppm,
+      CAST(sum(rel) AS BIGINT) AS n_rel_at_10
+    FROM walk GROUP BY query_id ORDER BY query_id
+  """))
+
   val all: Seq[BoundQuery] = Seq(qNdcg, qCalibration, qAuc, qDecisionStump,
-    qMrr, qKnnClassify, qConformal, qPrf1, qRbo, qPrCurve, qLabelNoise)
+    qMrr, qKnnClassify, qConformal, qPrf1, qRbo, qPrCurve, qLabelNoise, qErr)
 }

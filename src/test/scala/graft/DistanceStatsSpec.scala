@@ -132,4 +132,51 @@ class DistanceStatsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_days") == ser.length.toLong)
     assert(r.getAs[Long]("turning_points") == t.toLong)
   }
+
+  test("err: cascade bounds and zero-relevance queries score zero") {
+    val rows = run("q_err")
+    assert(rows.length == 5)
+    for (r <- rows) {
+      val err = r.getAs[Long]("err_uppm")
+      // first-position max: (1/1)·(1/2) = 0.5 → 500000 µ
+      assert(err >= 0L && err <= 500000L)
+      if (r.getAs[Long]("n_rel_at_10") == 0L) assert(err == 0L)
+      else assert(err > 0L)
+    }
+  }
+
+  test("mld: micro-nat replay + GE(2) cleared-form replay") {
+    val xs = graft.sources.Tables.orders(spark, sfTiny)
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("x"))
+      .collect().map(r => BigInt(r.getAs[Long]("x"))).toSeq
+    val (n, sx, qx) = (BigInt(xs.length), xs.sum, xs.map(x => x * x).sum)
+    val sl = xs.map { x =>
+      BigDecimal((math.log(sx.toDouble) - math.log(n.toDouble * x.toDouble)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
+    }.sum
+    val r = run("q_mld").head
+    assert(r.getAs[Long]("n_cust") == n.toLong)
+    assert(BigInt(r.getAs[Long]("mld_micronats")) == sl / n)
+    val ge2 = (n * qx - sx * sx).toDouble / (2.0 * sx.toDouble * sx.toDouble)
+    assert(math.abs(r.getAs[Double]("ge2") - ge2) < 1e-8)
+    // GE(0) ≥ 0 by Jensen
+    assert(r.getAs[Long]("mld_micronats") >= -1L)
+  }
+
+  test("lognormal_fit: exact ln-moment replay; mean >= median") {
+    val ls = graft.sources.Tables.orders(spark, sfTiny)
+      .select(round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect().map(r =>
+        BigDecimal(math.log(r.getLong(0).toDouble) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt).toSeq
+    val (n, sl, ql) = (BigInt(ls.length), ls.sum, ls.map(l => l * l).sum)
+    val r = run("q_lognormal_fit").head
+    assert(r.getAs[Long]("n_orders") == n.toLong)
+    assert(BigInt(r.getAs[Long]("mu_micronats")) == sl / n)
+    val sig = math.sqrt((n * ql - sl * sl).toDouble /
+      (n.toDouble * (n.toDouble - 1.0))) / 1e6
+    assert(math.abs(r.getAs[Double]("sigma_nats") - sig) < 1e-8)
+    assert(r.getAs[Double]("mean_cents") >= r.getAs[Double]("median_cents"))
+  }
 }
