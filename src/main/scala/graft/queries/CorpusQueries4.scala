@@ -191,5 +191,139 @@ object CorpusQueries4 {
   """
   })
 
-  val all: Seq[BoundQuery] = Seq(qTextrank, qCentroidDrift, qMinhashBandStats)
+  /** Chapman capture–recapture estimate of the true distinct-content
+    * population (Chapman 1951; the mark-recapture corpus-size audit:
+    * "given what even- and odd-numbered sources share, how much
+    * unique content exists that NO source has captured yet?").
+    * Capture A = 8-token prefixes seen in even sources, capture B =
+    * odd sources, marks = prefixes seen in BOTH.
+    * N̂ = (nA+1)(nB+1)/(m+1) − 1 with the Seber variance; both are
+    * double finishes over four exact integers. One token scan, one
+    * prefix-grain aggregate — the q_prefix_dedup shape. */
+  private val qCaptureRecapture = BoundQuery("q_capture_recapture", (s, d) => {
+    val marks = Tables.documents(s, d)
+      .select(array_join(slice(tokens(col("text")), 1, 8), " ").as("h"),
+        expr("CAST(substring(source, 4) AS LONG) % 2").as("par"))
+      .groupBy("h")
+      .agg(max(when(col("par") === 0L, 1L).otherwise(0L)).as("inA"),
+        max(when(col("par") === 1L, 1L).otherwise(0L)).as("inB"))
+    marks.agg(sum(col("inA")).as("na"), sum(col("inB")).as("nb"),
+        sum(col("inA") * col("inB")).as("m"))
+      .select(col("na"), col("nb"), col("m"),
+        round(expr("""(CAST(na + 1 AS DOUBLE) * CAST(nb + 1 AS DOUBLE))
+          / CAST(m + 1 AS DOUBLE) - 1.0"""), 4).as("n_hat"),
+        round(expr("""sqrt((CAST(na + 1 AS DOUBLE) * CAST(nb + 1 AS DOUBLE)
+            * CAST(na - m AS DOUBLE) * CAST(nb - m AS DOUBLE))
+          / (CAST(m + 1 AS DOUBLE) * CAST(m + 1 AS DOUBLE)
+             * CAST(m + 2 AS DOUBLE)))"""), 4).as("se_hat"))
+  }, Some("""
+    WITH docs AS (
+      SELECT array_to_string(
+          (list_filter(string_split(text,' '), x -> x <> ''))[1:8], ' ') AS h,
+        CAST(substring(source, 4) AS BIGINT) % 2 AS par
+      FROM documents),
+    marks AS (
+      SELECT h,
+        CAST(max(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS BIGINT) AS inA,
+        CAST(max(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS BIGINT) AS inB
+      FROM docs GROUP BY h),
+    m AS (
+      SELECT CAST(sum(inA) AS BIGINT) AS na, CAST(sum(inB) AS BIGINT) AS nb,
+        CAST(sum(inA * inB) AS BIGINT) AS m
+      FROM marks)
+    SELECT na, nb, m,
+      round((CAST(na + 1 AS DOUBLE) * CAST(nb + 1 AS DOUBLE))
+        / CAST(m + 1 AS DOUBLE) - 1.0, 4) AS n_hat,
+      round(sqrt((CAST(na + 1 AS DOUBLE) * CAST(nb + 1 AS DOUBLE)
+          * CAST(na - m AS DOUBLE) * CAST(nb - m AS DOUBLE))
+        / (CAST(m + 1 AS DOUBLE) * CAST(m + 1 AS DOUBLE)
+           * CAST(m + 2 AS DOUBLE))), 4) AS se_hat
+    FROM m
+  """))
+
+  /** Burrows' Delta authorship distance between sources (Burrows
+    * 2002; Evert 2017 review): z-score each source's usage rate of
+    * the corpus's top-20 tokens against the across-source
+    * distribution, then Δ(a,b) = mean_t |z_a − z_b|. The stylometric
+    * "which slices write alike" audit — duplicated/near-templated
+    * sources sit at tiny Δ. Exactness: per-source token rates are
+    * truncating ppm; z = (k·r − S)/√(kQ − S²) is one IEEE-exact-sqrt
+    * double per cell over exact integers; each |z_a − z_b| is
+    * micro-rounded ONCE and summed exactly, Δ finishing with one
+    * truncating division. The (source × token) grid completes by a
+    * bounded 20×20 cross join; pairs are k(k−1)/2 rows. */
+  private val qBurrowsDelta = BoundQuery("q_burrows_delta", (s, d) => {
+    val tok = graft.util.CacheScope.persist(
+      Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("t")))
+    val top = tok.groupBy("t").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("t")).limit(20)
+      .select(col("t"))
+    val srcTotals = tok.groupBy("source").agg(count(lit(1)).as("tot"))
+    val grid = srcTotals.crossJoin(broadcast(top))
+    val counts = tok.join(broadcast(top), "t")
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+    val rates = grid.join(counts, Seq("source", "t"), "left_outer")
+      .select(col("source"), col("t"),
+        expr("(1000000 * coalesce(c, 0L)) div tot").as("r"))
+    val z = graft.util.CacheScope.persist(
+      rates.groupBy("t")
+        .agg(count(lit(1)).as("k"),
+          sum(col("r")).as("sr"),
+          sum(expr("CAST(r AS DECIMAL(38,0)) * r")).as("qr"))
+        .join(rates, "t")
+        .select(col("source"), col("t"),
+          expr("""CAST(k AS DOUBLE) * CAST(r AS DOUBLE) - CAST(sr AS DOUBLE)""")
+            .divide(expr("""sqrt(CAST(k AS DOUBLE) * CAST(qr AS DOUBLE)
+              - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))""")).as("z")))
+    z.as("a").join(z.as("b"),
+        col("a.t") === col("b.t") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        expr("CAST(round(abs(a.z - b.z) * 1000000, 0) AS DECIMAL(38,0))")
+          .as("zd"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("zd")).as("szd"))
+      .select(col("src_a"), col("src_b"),
+        expr("CAST(szd div n_tokens AS BIGINT)").as("delta_micro"))
+      .orderBy(col("delta_micro"), col("src_a"), col("src_b"))
+      .limit(10)
+  }, Some("""
+    WITH tok AS (
+      SELECT source, unnest(list_filter(string_split(text,' '), x -> x <> ''))
+        AS t
+      FROM documents),
+    top AS (
+      SELECT t FROM (SELECT t, count(*) AS n FROM tok GROUP BY t
+                     ORDER BY n DESC, t LIMIT 20)),
+    st AS (SELECT source, CAST(count(*) AS BIGINT) AS tot FROM tok GROUP BY 1),
+    grid AS (SELECT source, tot, t FROM st CROSS JOIN top),
+    counts AS (
+      SELECT source, t, CAST(count(*) AS BIGINT) AS c
+      FROM tok JOIN top USING (t) GROUP BY 1, 2),
+    rates AS (
+      SELECT g.source, g.t,
+        (1000000 * COALESCE(c.c, 0)) // g.tot AS r
+      FROM grid g LEFT JOIN counts c ON g.source = c.source AND g.t = c.t),
+    mom AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS k, CAST(sum(r) AS BIGINT) AS sr,
+        CAST(sum(CAST(r AS HUGEINT) * r) AS HUGEINT) AS qr
+      FROM rates GROUP BY 1),
+    z AS (
+      SELECT source, rates.t,
+        (CAST(k AS DOUBLE) * CAST(r AS DOUBLE) - CAST(sr AS DOUBLE))
+          / sqrt(CAST(k AS DOUBLE) * CAST(qr AS DOUBLE)
+                 - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)) AS z
+      FROM rates JOIN mom ON rates.t = mom.t),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+        CAST(round(abs(a.z - b.z) * 1000000, 0) AS HUGEINT) AS zd
+      FROM z a JOIN z b ON a.t = b.t AND a.source < b.source)
+    SELECT src_a, src_b,
+      CAST(sum(zd) // count(*) AS BIGINT) AS delta_micro
+    FROM pairs GROUP BY 1, 2
+    ORDER BY delta_micro, src_a, src_b LIMIT 10
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qTextrank, qCentroidDrift,
+    qMinhashBandStats, qCaptureRecapture, qBurrowsDelta)
 }

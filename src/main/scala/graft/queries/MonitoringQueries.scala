@@ -462,7 +462,75 @@ object MonitoringQueries {
 
   private def ms3 = Seq(8, 16, 32)
 
+  /** Poisson rate-ratio test per event type between the first and
+    * second half of the observed window (split at the exact integer
+    * midpoint of the day range — data-derived, no hardcoded date):
+    * RR = (a/T_A)/(b/T_B) with exposures = distinct days per half,
+    * Wald CI on ln RR with SE = √(1/a + 1/b) (the standard two-sample
+    * Poisson comparison). Counts and exposures are exact integers;
+    * ln/exp finishes are identical double trees with the 1.959964
+    * literal shared. The "did the arrival rate actually change"
+    * readout behind every incident review. */
+  private val qRateRatio = BoundQuery("q_rate_ratio", (s, d) => {
+    val ev = graft.util.CacheScope.persist(
+      Tables.events(s, d)
+        .select(col("event_type"), expr("unix_date(to_date(ts))").as("ud")))
+    val mid = ev.agg(
+      expr("(min(ud) + max(ud)) div 2").as("mid"))
+    val marked = graft.util.CacheScope.persist(
+      ev.crossJoin(broadcast(mid))
+        .select(col("event_type"), col("ud"),
+          (col("ud") <= col("mid")).cast("long").as("inA")))
+    val expo = marked.groupBy("ud").agg(max(col("inA")).as("inA"))
+      .agg(sum(col("inA")).as("ta"), sum(lit(1L) - col("inA")).as("tb"))
+    marked.groupBy("event_type")
+      .agg(sum(col("inA")).as("a"), sum(lit(1L) - col("inA")).as("b"))
+      .crossJoin(broadcast(expo))
+      .select(col("event_type"), col("a"), col("b"), col("ta"), col("tb"),
+        round(expr("""(CAST(a AS DOUBLE) / CAST(ta AS DOUBLE))
+          / (CAST(b AS DOUBLE) / CAST(tb AS DOUBLE))"""), 6).as("rate_ratio"),
+        round(expr("""exp(ln((CAST(a AS DOUBLE) / CAST(ta AS DOUBLE))
+            / (CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)))
+          - 1.959964 * sqrt(1.0/CAST(a AS DOUBLE) + 1.0/CAST(b AS DOUBLE)))"""), 6)
+          .as("ci_lo"),
+        round(expr("""exp(ln((CAST(a AS DOUBLE) / CAST(ta AS DOUBLE))
+            / (CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)))
+          + 1.959964 * sqrt(1.0/CAST(a AS DOUBLE) + 1.0/CAST(b AS DOUBLE)))"""), 6)
+          .as("ci_hi"))
+      .orderBy("event_type")
+  }, Some("""
+    WITH ev AS (
+      SELECT event_type,
+        CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS ud
+      FROM events),
+    mid AS (SELECT (min(ud) + max(ud)) // 2 AS mid FROM ev),
+    marked AS (
+      SELECT event_type, ud,
+        CASE WHEN ud <= mid THEN 1 ELSE 0 END AS inA
+      FROM ev, mid),
+    expo AS (
+      SELECT CAST(sum(inA) AS BIGINT) AS ta,
+        CAST(sum(1 - inA) AS BIGINT) AS tb
+      FROM (SELECT ud, max(inA) AS inA FROM marked GROUP BY ud)),
+    g AS (
+      SELECT event_type, CAST(sum(inA) AS BIGINT) AS a,
+        CAST(sum(1 - inA) AS BIGINT) AS b
+      FROM marked GROUP BY 1)
+    SELECT event_type, a, b, ta, tb,
+      round((CAST(a AS DOUBLE) / CAST(ta AS DOUBLE))
+        / (CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)), 6) AS rate_ratio,
+      round(exp(ln((CAST(a AS DOUBLE) / CAST(ta AS DOUBLE))
+          / (CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)))
+        - 1.959964 * sqrt(1.0/CAST(a AS DOUBLE) + 1.0/CAST(b AS DOUBLE))), 6)
+        AS ci_lo,
+      round(exp(ln((CAST(a AS DOUBLE) / CAST(ta AS DOUBLE))
+          / (CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)))
+        + 1.959964 * sqrt(1.0/CAST(a AS DOUBLE) + 1.0/CAST(b AS DOUBLE))), 6)
+        AS ci_hi
+    FROM g, expo ORDER BY event_type
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qControlChart, qPageHinkley, qEngleGranger, qTheilU, qSeasonalEsd,
-      qHurst)
+      qHurst, qRateRatio)
 }

@@ -179,4 +179,50 @@ class DistanceStatsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("sigma_nats") - sig) < 1e-8)
     assert(r.getAs[Double]("mean_cents") >= r.getAs[Double]("median_cents"))
   }
+
+  test("capture_recapture: Chapman replay over even/odd prefix sets") {
+    val pre = graft.sources.Tables.documents(spark, sfTiny)
+      .select(expr("array_join(slice(filter(split(text, ' '), x -> x != ''), 1, 8), ' ')").as("h"),
+        expr("CAST(substring(source, 4) AS LONG) % 2").as("par"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val inA = pre.filter(_._2 == 0L).map(_._1).toSet
+    val inB = pre.filter(_._2 == 1L).map(_._1).toSet
+    val (na, nb, m) = (inA.size, inB.size, (inA & inB).size)
+    val r = run("q_capture_recapture").head
+    assert(r.getAs[Long]("na") == na.toLong && r.getAs[Long]("nb") == nb.toLong
+      && r.getAs[Long]("m") == m.toLong)
+    val nhat = (na + 1.0) * (nb + 1.0) / (m + 1.0) - 1.0
+    assert(math.abs(r.getAs[Double]("n_hat") - nhat) < 1e-3)
+    // the estimate can never fall below what was directly observed
+    assert(r.getAs[Double]("n_hat") >= (na + nb - m).toDouble - 1e-9 || m == 0)
+  }
+
+  test("rate_ratio: exact half-split counts; CI brackets the ratio") {
+    val rows = run("q_rate_ratio")
+    assert(rows.length == 5)
+    for (r <- rows) {
+      val (a, b) = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      val (ta, tb) = (r.getAs[Long]("ta"), r.getAs[Long]("tb"))
+      val rr = (a.toDouble / ta) / (b.toDouble / tb)
+      assert(math.abs(r.getAs[Double]("rate_ratio") - rr) < 1e-5)
+      assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("rate_ratio") + 1e-9)
+      assert(r.getAs[Double]("rate_ratio") <= r.getAs[Double]("ci_hi") + 1e-9)
+    }
+    // exposures partition the observed day count
+    val nDays = graft.sources.Tables.events(spark, sfTiny)
+      .select(to_date(col("ts"))).distinct().count()
+    assert(rows.head.getAs[Long]("ta") + rows.head.getAs[Long]("tb") == nDays)
+  }
+
+  test("burrows_delta: symmetric bounded distances, no self-pairs") {
+    val rows = run("q_burrows_delta")
+    assert(rows.nonEmpty && rows.length <= 10)
+    for (r <- rows) {
+      assert(r.getString(0) < r.getString(1)) // canonical pair order
+      assert(r.getAs[Long]("delta_micro") >= 0L)
+    }
+    // sorted ascending by delta (the "most-alike first" contract)
+    val ds = rows.map(_.getAs[Long]("delta_micro")).toSeq
+    assert(ds == ds.sorted)
+  }
 }
