@@ -43,7 +43,8 @@ object WindowLint {
     "q_quantile_norm" -> "rank mapping over DISTINCT values (~1e3 domain rows, q_decile rule)",
     "q_youden"      -> "ROC walk over DISTINCT SCORES (<= 5 priority-grain rows, q_auc contract)",
     "q_variance_ratio" -> "lag differences over the DAILY revenue series (calendar-bounded, q_engle_granger shape)",
-    "q_turning_points" -> "lag/lead diffs over the DAILY revenue series (calendar-bounded, q_engle_granger shape)")
+    "q_turning_points" -> "lag/lead diffs over the DAILY revenue series (calendar-bounded, q_engle_granger shape)",
+    "q_vocab_coverage" -> "rank over the TakeOrdered top-10k token slice (exactly <= 10000 rows, q_zipf contract)")
 
   /** Bare (unpartitioned) window operators in a physical plan. Walk
     * the pre-AQE `sparkPlan` when AQE is on — partitionSpec is

@@ -719,7 +719,99 @@ object CorpusQueries3 {
     GROUP BY 1, 2 ORDER BY 1, 2
   """))
 
+  /** Context-length truncation waste: for candidate context sizes
+    * L ∈ {128, 512, 2048} tokens, how many documents exceed L and
+    * what share of the corpus's TOKENS a hard-truncate-at-L policy
+    * discards — the capacity-planning table behind every
+    * max_seq_len choice (the chunk/pack alternative is priced by
+    * q_chunk_docs/q_seq_pack; this prices NOT chunking). FULLY
+    * integer: Σmin(n,L) and Σn per L, ppm by truncating division.
+    * One token-count scan, three conditional aggregates. */
+  private val qTruncationWaste = BoundQuery("q_truncation_waste", (s, d) => {
+    val lens = graft.util.CacheScope.persist(
+      Tables.documents(s, d)
+        .select(size(tokens(col("text"))).cast("long").as("n")))
+    val ls = Seq(128L, 512L, 2048L)
+    val grid = lens.crossJoin(
+      broadcast(s.createDataFrame(ls.map(Tuple1(_))).toDF("l")))
+    grid.groupBy("l")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n") > col("l"), 1L).otherwise(0L)).as("docs_truncated"),
+        sum(col("n")).as("tokens_total"),
+        sum(least(col("n"), col("l"))).as("tokens_kept"))
+      .select(col("l").as("context_len"), col("n_docs"),
+        col("docs_truncated"), col("tokens_total"),
+        expr("""(1000000 * (tokens_total - tokens_kept))
+          div tokens_total""").as("lost_ppm"))
+      .orderBy("context_len")
+  }, Some("""
+    WITH lens AS (
+      SELECT CAST(len(list_filter(string_split(text,' '), x -> x <> ''))
+        AS BIGINT) AS n
+      FROM documents),
+    grid AS (
+      SELECT n, l FROM lens CROSS JOIN
+        (SELECT unnest([CAST(128 AS BIGINT), 512, 2048]) AS l))
+    SELECT l AS context_len, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN n > l THEN 1 ELSE 0 END) AS BIGINT) AS docs_truncated,
+      CAST(sum(n) AS BIGINT) AS tokens_total,
+      CAST((1000000 * (sum(n) - sum(least(n, l)))) // sum(n) AS BIGINT)
+        AS lost_ppm
+    FROM grid GROUP BY l ORDER BY l
+  """))
+
+  /** Vocabulary coverage curve: the share of token OCCURRENCES the
+    * top-k types cover, k ∈ {100, 1000, 10000} — the vocab-size
+    * sizing readout beside q_vocab's frequency table and q_oov's
+    * fixed-vocab rate. The rank lives on the TakeOrdered top-10k
+    * slice (bounded; whitelisted), never the full vocabulary; the
+    * corpus total rides in one broadcast scalar; coverage is exact
+    * ppm. */
+  private val qVocabCoverage = BoundQuery("q_vocab_coverage", (s, d) => {
+    val counts = graft.util.CacheScope.persist(
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("n")))
+    val tot = counts.agg(sum(col("n")).as("tot"),
+      count(lit(1)).as("n_types"))
+    val top = counts.orderBy(desc("n"), col("t")).limit(10000)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("n"), col("t"))))
+    val ks = Seq(100L, 1000L, 10000L)
+    top.crossJoin(
+        broadcast(s.createDataFrame(ks.map(Tuple1(_))).toDF("k")))
+      .where(col("rnk") <= col("k"))
+      .groupBy("k").agg(sum(col("n")).as("covered"))
+      .crossJoin(broadcast(tot))
+      .select(col("k").as("vocab_k"), col("n_types"),
+        expr("(1000000 * covered) div tot").as("covered_ppm"),
+        expr("(1000000 * (tot - covered)) div tot").as("oov_ppm"))
+      .orderBy("vocab_k")
+  }, Some("""
+    WITH counts AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(list_filter(string_split(text,' '), x -> x <> ''))
+              AS t FROM documents)
+      GROUP BY t),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+                   CAST(count(*) AS BIGINT) AS n_types FROM counts),
+    top AS (
+      SELECT n, CAST(row_number() OVER (ORDER BY n DESC, t) AS BIGINT) AS rnk
+      FROM counts ORDER BY n DESC, t LIMIT 10000),
+    cov AS (
+      SELECT k, CAST(sum(n) AS BIGINT) AS covered
+      FROM top CROSS JOIN
+        (SELECT unnest([CAST(100 AS BIGINT), 1000, 10000]) AS k)
+      WHERE rnk <= k GROUP BY k)
+    SELECT k AS vocab_k, n_types,
+      (1000000 * covered) // tot AS covered_ppm,
+      (1000000 * (tot - covered)) // tot AS oov_ppm
+    FROM cov, tot ORDER BY vocab_k
+  """))
+
   val all: Seq[BoundQuery] = Seq(qJsDivergence, qQuantileNorm, qReadability,
     qNgramNovelty, qHeapsLaw, qFertility, qShingleDfProfile, qPplBuckets,
-    qMixtureRates, qChao1, qBlocklist, qEffectiveN, qCharNgramXent)
+    qMixtureRates, qChao1, qBlocklist, qEffectiveN, qCharNgramXent,
+    qTruncationWaste, qVocabCoverage)
 }

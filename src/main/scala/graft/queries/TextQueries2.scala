@@ -670,9 +670,57 @@ object TextQueries2 {
     ORDER BY id_a, id_b
   """))
 
+  /** Dedup threshold sweep: how many near-dup pairs — and how many
+    * documents a keep-first policy would drop — at jaccard cuts
+    * 0.5…0.9, all from ONE pass of the shingle-blocked exact-jaccard
+    * join (Dedup.ngramJaccardPairs at the lowest cut; higher cuts are
+    * conditional aggregates over the same pair table). The knob curve
+    * a curator reads before fixing the production threshold: the
+    * elbow is where boilerplate stops and true dups start. */
+  private val qDupThresholdSweep = BoundQuery("q_dup_threshold_sweep", (s, d) => {
+    val pairs = graft.util.CacheScope.persist(
+      graft.operators.Dedup.ngramJaccardPairs(
+        Tables.documents(s, d), col("doc_id"), col("text"),
+        shingleSize = 5, minJaccard = 0.5, maxShingleDf = Some(1000)))
+    val cuts = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+    pairs.crossJoin(
+        broadcast(s.createDataFrame(cuts.map(Tuple1(_))).toDF("cut")))
+      .where(col("jaccard") >= col("cut"))
+      .groupBy("cut")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id_b")).as("docs_dropped"))
+      .orderBy("cut")
+  }, Some("""
+    WITH docs AS (
+      SELECT doc_id,
+        list_distinct(list_transform(range(1, greatest(len(w)-3, 1)),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS sh
+      FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents)
+      WHERE len(w) >= 5),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b,
+        CAST(shared AS DOUBLE)/CAST(sa.n + sb.n - shared AS DOUBLE) AS jaccard
+      FROM shared JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(shared AS DOUBLE)/CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.5)
+    SELECT cut, CAST(count(*) AS BIGINT) AS n_pairs,
+      CAST(count(DISTINCT id_b) AS BIGINT) AS docs_dropped
+    FROM pairs CROSS JOIN (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS cut)
+    WHERE jaccard >= cut
+    GROUP BY cut ORDER BY cut
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qTfidf, qLevenshteinPairs, qDedupClusters, qCapPerSource,
       qDedupKeepBest, qNormalize, qTrainSplit, qVocab, qCmsWords,
       qBigramLm, qBpeMerges, qPackSequences, qChunkDocs, qContainmentPairs,
-      qDedupReport, qSourceDupMatrix, qDupInflation, qSplitLeakage)
+      qDedupReport, qSourceDupMatrix, qDupInflation, qSplitLeakage,
+      qDupThresholdSweep)
 }

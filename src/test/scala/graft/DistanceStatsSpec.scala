@@ -225,4 +225,40 @@ class DistanceStatsSpec extends AnyFunSuite {
     val ds = rows.map(_.getAs[Long]("delta_micro")).toSeq
     assert(ds == ds.sorted)
   }
+
+  test("truncation_waste: integer min-sum replay; waste shrinks with L") {
+    val ns = graft.sources.Tables.documents(spark, sfTiny)
+      .select(size(expr("filter(split(text, ' '), x -> x != '')")).cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    val rows = run("q_truncation_waste")
+    assert(rows.map(_.getAs[Long]("context_len")).toSeq == Seq(128L, 512L, 2048L))
+    for (r <- rows) {
+      val l = r.getAs[Long]("context_len")
+      assert(r.getAs[Long]("docs_truncated") == ns.count(_ > l).toLong)
+      val tot = ns.sum; val kept = ns.map(n => math.min(n, l)).sum
+      assert(r.getAs[Long]("tokens_total") == tot)
+      assert(r.getAs[Long]("lost_ppm") == BigInt(1000000) * (tot - kept) / tot)
+    }
+    val losses = rows.map(_.getAs[Long]("lost_ppm")).toSeq
+    assert(losses == losses.sorted.reverse) // monotone non-increasing in L
+  }
+
+  test("vocab_coverage: coverage is monotone in k and covered+oov = 1e6") {
+    val rows = run("q_vocab_coverage")
+    assert(rows.map(_.getAs[Long]("vocab_k")).toSeq == Seq(100L, 1000L, 10000L))
+    val cov = rows.map(_.getAs[Long]("covered_ppm")).toSeq
+    assert(cov == cov.sorted)
+    for (r <- rows)
+      assert(r.getAs[Long]("covered_ppm") + r.getAs[Long]("oov_ppm") <= 1000000L)
+  }
+
+  test("dup_threshold_sweep: pair counts are monotone non-increasing in the cut") {
+    val rows = run("q_dup_threshold_sweep")
+    assert(rows.length == 5)
+    val ps = rows.map(_.getAs[Long]("n_pairs")).toSeq
+    assert(ps == ps.sorted.reverse)
+    val ds = rows.map(_.getAs[Long]("docs_dropped")).toSeq
+    assert(ds == ds.sorted.reverse)
+    for (r <- rows) assert(r.getAs[Long]("docs_dropped") <= r.getAs[Long]("n_pairs"))
+  }
 }
