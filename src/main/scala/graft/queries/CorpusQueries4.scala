@@ -324,6 +324,47 @@ object CorpusQueries4 {
     ORDER BY delta_micro, src_a, src_b LIMIT 10
   """))
 
+  /** Hapax/dis legomena profile per source: the share of token TYPES
+    * seen exactly once/twice — the classic productivity readout
+    * (Baayen 2001) that separates template-stamped sources (tiny
+    * hapax share) from genuinely productive text, and the direct
+    * input to Good–Turing mass estimates (q_chao1's richness cousin
+    * at the source grain). Fully integer: two cascaded counts and
+    * truncating ppm divisions. */
+  private val qHapax = BoundQuery("q_hapax", (s, d) => {
+    Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1L, 1L).otherwise(0L)).as("hapax"),
+        sum(when(col("n") === 2L, 1L).otherwise(0L)).as("dis"),
+        sum(col("n")).as("n_tokens"))
+      .select(col("source"), col("n_types"), col("hapax"), col("dis"),
+        col("n_tokens"),
+        expr("(1000000 * hapax) div n_types").as("hapax_type_ppm"),
+        expr("(1000000 * hapax) div n_tokens").as("hapax_token_ppm"))
+      .orderBy("source")
+  }, Some("""
+    WITH tok AS (
+      SELECT source, unnest(list_filter(string_split(text,' '), x -> x <> ''))
+        AS t
+      FROM documents),
+    tc AS (
+      SELECT source, t, CAST(count(*) AS BIGINT) AS n
+      FROM tok GROUP BY 1, 2),
+    g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+        CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+        CAST(sum(n) AS BIGINT) AS n_tokens
+      FROM tc GROUP BY 1)
+    SELECT source, n_types, hapax, dis, n_tokens,
+      (1000000 * hapax) // n_types AS hapax_type_ppm,
+      (1000000 * hapax) // n_tokens AS hapax_token_ppm
+    FROM g ORDER BY source
+  """))
+
   val all: Seq[BoundQuery] = Seq(qTextrank, qCentroidDrift,
-    qMinhashBandStats, qCaptureRecapture, qBurrowsDelta)
+    qMinhashBandStats, qCaptureRecapture, qBurrowsDelta, qHapax)
 }

@@ -510,6 +510,96 @@ object DiagnosticsQueries {
     FROM agg
   """))
 
+  /** Welch's unequal-variance one-way ANOVA of order value across the
+    * five priorities (Welch 1951) — the F test q_anova should have
+    * been when q_bartlett says the variances differ: weights
+    * wᵢ = nᵢ/sᵢ² from exact group moments, F* = Σwᵢ(mᵢ−m̄w)²/(k−1)
+    * over the Welch correction term, plus its Satterthwaite df₂.
+    * Same k-sized pinned sorted-group fold as q_bartlett (identical
+    * double trees over identical integer operands in identical
+    * order on both engines). */
+  private val qWelchAnova = BoundQuery("q_welch_anova", (s, d) => {
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(cents(col("o_totalprice")).cast("decimal(38,0)")).as("sx"),
+        sum(expr("""CAST(CAST(round(o_totalprice*100, 0) AS BIGINT) AS DECIMAL(38,0))
+                    * CAST(round(o_totalprice*100, 0) AS BIGINT)""")).as("qx"))
+      .agg(sort_array(collect_list(struct(
+        col("o_orderpriority").as("p"), col("n"), col("sx"), col("qx")))).as("gs"))
+      .withColumn("k", size(col("gs")).cast("long"))
+      .withColumn("ww", expr("""aggregate(gs, CAST(0.0 AS DOUBLE), (a, v) ->
+        a + CAST(v.n AS DOUBLE) * CAST(v.n AS DOUBLE) * (CAST(v.n AS DOUBLE) - 1.0)
+            / CAST(v.n * v.qx - v.sx * v.sx AS DOUBLE))"""))
+      .withColumn("mw", expr("""aggregate(gs, CAST(0.0 AS DOUBLE), (a, v) ->
+        a + CAST(v.n AS DOUBLE) * CAST(v.n AS DOUBLE) * (CAST(v.n AS DOUBLE) - 1.0)
+            / CAST(v.n * v.qx - v.sx * v.sx AS DOUBLE)
+            * (CAST(v.sx AS DOUBLE) / CAST(v.n AS DOUBLE))) / ww"""))
+      .withColumn("num", expr("""aggregate(gs, CAST(0.0 AS DOUBLE), (a, v) ->
+        a + CAST(v.n AS DOUBLE) * CAST(v.n AS DOUBLE) * (CAST(v.n AS DOUBLE) - 1.0)
+            / CAST(v.n * v.qx - v.sx * v.sx AS DOUBLE)
+            * (CAST(v.sx AS DOUBLE) / CAST(v.n AS DOUBLE) - mw)
+            * (CAST(v.sx AS DOUBLE) / CAST(v.n AS DOUBLE) - mw))
+        / (CAST(k AS DOUBLE) - 1.0)"""))
+      .withColumn("lam", expr("""aggregate(gs, CAST(0.0 AS DOUBLE), (a, v) ->
+        a + (1.0 - CAST(v.n AS DOUBLE) * CAST(v.n AS DOUBLE) * (CAST(v.n AS DOUBLE) - 1.0)
+                   / CAST(v.n * v.qx - v.sx * v.sx AS DOUBLE) / ww)
+            * (1.0 - CAST(v.n AS DOUBLE) * CAST(v.n AS DOUBLE) * (CAST(v.n AS DOUBLE) - 1.0)
+                     / CAST(v.n * v.qx - v.sx * v.sx AS DOUBLE) / ww)
+            / (CAST(v.n AS DOUBLE) - 1.0))"""))
+      .select(col("k"),
+        round(expr("""num / (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2.0)
+          / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0) * lam)"""), 6)
+          .as("welch_f"),
+        round(expr("""(CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+          / (3.0 * lam)"""), 4).as("df2"))
+  }, Some("""
+    WITH g AS (
+      SELECT o_orderpriority AS p, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS HUGEINT) AS sx,
+        CAST(sum(CAST(CAST(round(o_totalprice*100, 0) AS BIGINT) AS HUGEINT)
+                 * CAST(round(o_totalprice*100, 0) AS BIGINT)) AS HUGEINT) AS qx
+      FROM orders GROUP BY 1),
+    packed AS (
+      SELECT list_sort(list(struct_pack(p := p, n := n, sx := sx, qx := qx))) AS gs
+      FROM g),
+    s1 AS (
+      SELECT gs, CAST(len(gs) AS BIGINT) AS k,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(gs, v ->
+          CAST(v.n AS DOUBLE) * CAST(v.n AS DOUBLE) * (CAST(v.n AS DOUBLE) - 1.0)
+            / CAST(v.n * v.qx - v.sx * v.sx AS DOUBLE))), (a, x) -> a + x) AS ww
+      FROM packed),
+    s2 AS (
+      SELECT gs, k, ww,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(gs, v ->
+          CAST(v.n AS DOUBLE) * CAST(v.n AS DOUBLE) * (CAST(v.n AS DOUBLE) - 1.0)
+            / CAST(v.n * v.qx - v.sx * v.sx AS DOUBLE)
+            * (CAST(v.sx AS DOUBLE) / CAST(v.n AS DOUBLE)))), (a, x) -> a + x)
+          / ww AS mw
+      FROM s1),
+    s3 AS (
+      SELECT k,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(gs, v ->
+          CAST(v.n AS DOUBLE) * CAST(v.n AS DOUBLE) * (CAST(v.n AS DOUBLE) - 1.0)
+            / CAST(v.n * v.qx - v.sx * v.sx AS DOUBLE)
+            * (CAST(v.sx AS DOUBLE) / CAST(v.n AS DOUBLE) - mw)
+            * (CAST(v.sx AS DOUBLE) / CAST(v.n AS DOUBLE) - mw))), (a, x) -> a + x)
+          / (CAST(k AS DOUBLE) - 1.0) AS num,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(gs, v ->
+          (1.0 - CAST(v.n AS DOUBLE) * CAST(v.n AS DOUBLE) * (CAST(v.n AS DOUBLE) - 1.0)
+                 / CAST(v.n * v.qx - v.sx * v.sx AS DOUBLE) / ww)
+          * (1.0 - CAST(v.n AS DOUBLE) * CAST(v.n AS DOUBLE) * (CAST(v.n AS DOUBLE) - 1.0)
+                   / CAST(v.n * v.qx - v.sx * v.sx AS DOUBLE) / ww)
+          / (CAST(v.n AS DOUBLE) - 1.0))), (a, x) -> a + x) AS lam
+      FROM s2)
+    SELECT k,
+      round(num / (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2.0)
+        / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0) * lam), 6) AS welch_f,
+      round((CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0) / (3.0 * lam), 4)
+        AS df2
+    FROM s3
+  """))
+
   val all: Seq[BoundQuery] = Seq(qLjungBox, qVarianceRatio, qMase,
-    qBartlett, qCooks, qBreuschPagan, qSmape, qTurningPoints)
+    qBartlett, qCooks, qBreuschPagan, qSmape, qTurningPoints, qWelchAnova)
 }

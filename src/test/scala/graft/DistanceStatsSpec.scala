@@ -261,4 +261,21 @@ class DistanceStatsSpec extends AnyFunSuite {
     assert(ds == ds.sorted.reverse)
     for (r <- rows) assert(r.getAs[Long]("docs_dropped") <= r.getAs[Long]("n_pairs"))
   }
+
+  test("hapax: per-source type-count replay; bounds hold") {
+    val rows = run("q_hapax")
+    assert(rows.length == 20)
+    val counts = graft.sources.Tables.documents(spark, sfTiny)
+      .select(col("source"), explode(expr("filter(split(text, ' '), x -> x != '')")).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("n")).collect()
+      .groupBy(_.getString(0))
+    for (r <- rows) {
+      val cs = counts(r.getString(0)).map(_.getAs[Long]("n"))
+      assert(r.getAs[Long]("n_types") == cs.length.toLong)
+      assert(r.getAs[Long]("hapax") == cs.count(_ == 1L).toLong)
+      assert(r.getAs[Long]("dis") == cs.count(_ == 2L).toLong)
+      assert(r.getAs[Long]("hapax") + r.getAs[Long]("dis") <= r.getAs[Long]("n_types"))
+      assert(r.getAs[Long]("hapax_type_ppm") <= 1000000L)
+    }
+  }
 }

@@ -100,4 +100,30 @@ class ForecastDiagSpec extends AnyFunSuite {
     // LM = n·R² with R² ∈ [0,1]
     assert(lm >= 0.0 && lm <= nDays.toDouble)
   }
+
+  test("welch_anova: F and df2 replay from exact group moments") {
+    val g = graft.sources.Tables.orders(spark, sfTiny)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("sx"),
+        sum(expr("CAST(round(o_totalprice*100,0) AS LONG) * CAST(round(o_totalprice*100,0) AS LONG)")).as("qx"))
+      .collect().map(r => (r.getString(0), BigInt(r.getAs[Long]("n")),
+        BigInt(r.getAs[Long]("sx")), BigInt(r.getAs[Long]("qx"))))
+      .sortBy(_._1)
+    val k = g.length
+    def wof(t: (String, BigInt, BigInt, BigInt)) =
+      t._2.toDouble * t._2.toDouble * (t._2.toDouble - 1.0) /
+        (t._2 * t._4 - t._3 * t._3).toDouble
+    val ww = g.map(wof).sum
+    val mw = g.map(t => wof(t) * (t._3.toDouble / t._2.toDouble)).sum / ww
+    val num = g.map(t => wof(t) * math.pow(t._3.toDouble / t._2.toDouble - mw, 2)).sum / (k - 1)
+    val lam = g.map(t => math.pow(1.0 - wof(t) / ww, 2) / (t._2.toDouble - 1.0)).sum
+    val f = num / (1.0 + 2.0 * (k - 2.0) / (k.toDouble * k - 1.0) * lam)
+    val df2 = (k.toDouble * k - 1.0) / (3.0 * lam)
+    val r = run("q_welch_anova").head
+    assert(r.getAs[Long]("k") == k.toLong)
+    assert(math.abs(r.getAs[Double]("welch_f") - f) < 1e-4)
+    assert(math.abs(r.getAs[Double]("df2") - df2) < 1e-2)
+    assert(r.getAs[Double]("welch_f") >= 0.0)
+  }
 }
