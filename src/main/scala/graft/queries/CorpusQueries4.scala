@@ -365,6 +365,61 @@ object CorpusQueries4 {
     FROM g ORDER BY source
   """))
 
+  /** Document-level term co-occurrence lift among the corpus's top-10
+    * tokens: observed co-document count vs the independence
+    * expectation n_a·n_b/N, as exact-ppm lift plus the micro-rounded
+    * PMI — which vocabulary actually travels together at DOCUMENT
+    * grain (q_pmi_collocations reads adjacency; this reads topics).
+    * Presence sets are doc-distinct; the 45-pair join is top-k × top-k
+    * bounded, never vocabulary-sized. */
+  private val qTermCooccurrence = BoundQuery("q_term_cooccurrence", (s, d) => {
+    val docTok = graft.util.CacheScope.persist(
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .distinct())
+    val top = docTok.groupBy("t").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("t")).limit(10)
+    val pres = graft.util.CacheScope.persist(docTok.join(broadcast(top), "t"))
+    val tot = Tables.documents(s, d).agg(count(lit(1)).as("nn"))
+    pres.as("a").join(pres.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("t_a"), col("b.t").as("t_b"))
+      .agg(count(lit(1)).as("n_both"),
+        max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
+      .crossJoin(broadcast(tot))
+      .select(col("t_a"), col("t_b"), col("n_both"),
+        expr("(1000000 * n_both * nn) div (na * CAST(nb AS DECIMAL(38,0)))")
+          .cast("long").as("lift_ppm"),
+        expr("""CAST(round(ln(CAST(n_both AS DOUBLE) * CAST(nn AS DOUBLE)
+          / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) * 1000000, 0) AS LONG)""")
+          .as("pmi_micronats"))
+      .orderBy(desc("lift_ppm"), col("t_a"), col("t_b"))
+  }, Some("""
+    WITH docTok AS (
+      SELECT DISTINCT doc_id, t FROM (
+        SELECT doc_id,
+          unnest(list_filter(string_split(text,' '), x -> x <> '')) AS t
+        FROM documents)),
+    top AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n
+      FROM docTok GROUP BY t ORDER BY n DESC, t LIMIT 10),
+    pres AS (SELECT doc_id, docTok.t, n FROM docTok JOIN top USING (t)),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+    pairs AS (
+      SELECT a.t AS t_a, b.t AS t_b, CAST(count(*) AS BIGINT) AS n_both,
+        CAST(max(a.n) AS BIGINT) AS na, CAST(max(b.n) AS BIGINT) AS nb
+      FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.t < b.t
+      GROUP BY 1, 2)
+    SELECT t_a, t_b, n_both,
+      CAST((1000000 * n_both * nn) // (na * CAST(nb AS HUGEINT)) AS BIGINT)
+        AS lift_ppm,
+      CAST(round(ln(CAST(n_both AS DOUBLE) * CAST(nn AS DOUBLE)
+        / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) * 1000000, 0) AS BIGINT)
+        AS pmi_micronats
+    FROM pairs, tot ORDER BY lift_ppm DESC, t_a, t_b
+  """))
+
   val all: Seq[BoundQuery] = Seq(qTextrank, qCentroidDrift,
-    qMinhashBandStats, qCaptureRecapture, qBurrowsDelta, qHapax)
+    qMinhashBandStats, qCaptureRecapture, qBurrowsDelta, qHapax,
+    qTermCooccurrence)
 }

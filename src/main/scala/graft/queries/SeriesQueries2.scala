@@ -234,5 +234,59 @@ object SeriesQueries2 {
     FROM m ORDER BY event_type
   """))
 
-  val all: Seq[BoundQuery] = Seq(qXiCorr, qDtw, qBeta)
+  /** Cross-correlation function between the 'view' and 'purchase'
+    * daily-revenue series at lags −5..+5 (does browsing LEAD buying,
+    * and by how many days?) — the lead/lag discovery readout Granger
+    * (q_granger) assumes you already did. Each lag's Pearson r comes
+    * from exact integer moments over the date-key join (the q_acf lag
+    * idiom — no window at all), one IEEE-sqrt double per lag. */
+  private val qCcf = BoundQuery("q_ccf", (s, d) => {
+    val daily = graft.util.CacheScope.persist(
+      Tables.events(s, d)
+        .where(col("event_type").isin("view", "purchase"))
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(sumCents(col("value")).as("y")))
+    val x = daily.where(col("event_type") === "view")
+      .select(col("day"), col("y").cast("decimal(38,0)").as("x"))
+    val y = daily.where(col("event_type") === "purchase")
+      .select(col("day").as("yday"), col("y").cast("decimal(38,0)").as("yy"))
+    val lags = s.range(-5, 6).select(col("id").as("lag"))
+    x.crossJoin(broadcast(lags))
+      .join(y, col("yday") === expr("date_add(day, cast(lag as int))"))
+      .groupBy("lag")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("yy")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("yy") * col("yy")).as("syy"),
+        sum(col("x") * col("yy")).as("sxy"))
+      .select(col("lag").cast("long").as("lag"), col("n").cast("long").as("n_days"),
+        round(expr("""CAST(n*sxy - sx*sy AS DOUBLE)
+          / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))"""), 9)
+          .as("r"))
+      .orderBy("lag")
+  }, Some("""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+        CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS y
+      FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2),
+    x AS (SELECT day, CAST(y AS HUGEINT) AS x FROM daily
+          WHERE event_type = 'view'),
+    yv AS (SELECT day AS yday, CAST(y AS HUGEINT) AS yy FROM daily
+           WHERE event_type = 'purchase'),
+    lags AS (SELECT unnest(range(-5, 6)) AS lag),
+    m AS (
+      SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+        sum(x) AS sx, sum(yy) AS sy, sum(x*x) AS sxx,
+        sum(yy*yy) AS syy, sum(x*yy) AS sxy
+      FROM x CROSS JOIN lags
+      JOIN yv ON yday = day + CAST(lag AS INT)
+      GROUP BY lag)
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_days,
+      round(CAST(n*sxy - sx*sy AS DOUBLE)
+        / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 9)
+        AS r
+    FROM m ORDER BY lag
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qXiCorr, qDtw, qBeta, qCcf)
 }

@@ -278,4 +278,41 @@ class DistanceStatsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("hapax_type_ppm") <= 1000000L)
     }
   }
+
+  test("ccf: lag-0 equals the direct Pearson of the two aligned series") {
+    val rows = run("q_ccf")
+    assert(rows.map(_.getAs[Long]("lag")).toSeq == (-5L to 5L))
+    for (r <- rows) assert(math.abs(r.getAs[Double]("r")) <= 1.0 + 1e-9)
+    val daily = graft.sources.Tables.events(spark, sfTiny)
+      .where(col("event_type").isin("view", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("y")).collect()
+    val v = daily.filter(_.getString(1) == "view")
+      .map(r => r.getAs[java.sql.Date]("day").toString -> BigInt(r.getAs[Long]("y"))).toMap
+    val p = daily.filter(_.getString(1) == "purchase")
+      .map(r => r.getAs[java.sql.Date]("day").toString -> BigInt(r.getAs[Long]("y"))).toMap
+    val common = (v.keySet & p.keySet).toSeq
+    val xs = common.map(v); val ys = common.map(p)
+    val n = BigInt(common.length)
+    val (sx, sy) = (xs.sum, ys.sum)
+    val (sxx, syy) = (xs.map(x => x * x).sum, ys.map(y => y * y).sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val want = (n * sxy - sx * sy).toDouble /
+      math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+    val lag0 = rows.find(_.getAs[Long]("lag") == 0L).get
+    assert(lag0.getAs[Long]("n_days") == common.length.toLong)
+    assert(math.abs(lag0.getAs[Double]("r") - want) < 1e-8)
+  }
+
+  test("term_cooccurrence: full top-10 pair grid with consistent counts") {
+    val rows = run("q_term_cooccurrence")
+    assert(rows.length == 45) // C(10, 2): every pair co-occurs in this corpus
+    for (r <- rows) {
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getAs[Long]("n_both") >= 1L)
+      // lift and PMI agree in sign: lift > 1e6 <=> pmi > 0
+      val lift = r.getAs[Long]("lift_ppm"); val pmi = r.getAs[Long]("pmi_micronats")
+      assert((lift >= 1000000L && pmi >= 0L) || (lift <= 1000000L && pmi <= 1L))
+    }
+  }
 }
