@@ -44,7 +44,8 @@ object WindowLint {
     "q_youden"      -> "ROC walk over DISTINCT SCORES (<= 5 priority-grain rows, q_auc contract)",
     "q_variance_ratio" -> "lag differences over the DAILY revenue series (calendar-bounded, q_engle_granger shape)",
     "q_turning_points" -> "lag/lead diffs over the DAILY revenue series (calendar-bounded, q_engle_granger shape)",
-    "q_vocab_coverage" -> "rank over the TakeOrdered top-10k token slice (exactly <= 10000 rows, q_zipf contract)")
+    "q_vocab_coverage" -> "rank over the TakeOrdered top-10k token slice (exactly <= 10000 rows, q_zipf contract)",
+    "q_lorenz" -> "ntile + cumsum over the customer-grain AGGREGATE / 10-row decile table (q_rfm contract)")
 
   /** Bare (unpartitioned) window operators in a physical plan. Walk
     * the pre-AQE `sparkPlan` when AQE is on — partitionSpec is

@@ -419,7 +419,85 @@ object CorpusQueries4 {
     FROM pairs, tot ORDER BY lift_ppm DESC, t_a, t_b
   """))
 
+  /** UMass topic coherence of each source's top-5 tokens (Mimno et
+    * al. 2011): treating a source's characteristic vocabulary as a
+    * "topic", coherence = Σ_{i>j} ln((D(wᵢ,wⱼ)+1)/D(wⱼ)) over corpus
+    * doc-frequencies — the standard "is this a coherent topic or
+    * noise" gate, here auditing whether sources are topically tight.
+    * Top-5 per source by in-source doc frequency (WindowGroupLimit,
+    * token tie-break); pair doc-counts come from presence-set joins
+    * restricted to the ≤100 selected tokens; each ln term is
+    * micro-rounded once and summed exactly. */
+  private val qTopicCoherence = BoundQuery("q_topic_coherence", (s, d) => {
+    val docTok = graft.util.CacheScope.persist(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("t"))
+        .distinct())
+    val topPerSource = docTok.groupBy("source", "t")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(desc("n"), col("t"))))
+      .where(col("rnk") <= 5)
+      .select(col("source"), col("t"), col("rnk"))
+    val sel = topPerSource.select("t").distinct()
+    val pres = graft.util.CacheScope.persist(
+      docTok.select("doc_id", "t").distinct().join(broadcast(sel), "t"))
+    val dfT = pres.groupBy("t").agg(count(lit(1)).as("dfj"))
+    val dPair = pres.as("a").join(pres.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.t") =!= col("b.t"))
+      .groupBy(col("a.t").as("ti"), col("b.t").as("tj"))
+      .agg(count(lit(1)).as("dij"))
+    topPerSource.as("hi")
+      .join(topPerSource.as("lo"),
+        col("hi.source") === col("lo.source") && col("hi.rnk") > col("lo.rnk"))
+      .select(col("hi.source").as("source"),
+        col("hi.t").as("ti"), col("lo.t").as("tj"))
+      .join(broadcast(dfT.select(col("t").as("tj"), col("dfj"))), Seq("tj"))
+      .join(broadcast(dPair), Seq("ti", "tj"), "left_outer")
+      .select(col("source"),
+        expr("""CAST(round(ln((CAST(coalesce(dij, 0L) AS DOUBLE) + 1.0)
+          / CAST(dfj AS DOUBLE)) * 1000000, 0) AS DECIMAL(38,0))""").as("term"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("CAST(sum(term) AS BIGINT)").as("coherence_micronats"))
+      .orderBy("source")
+  }, Some("""
+    WITH docTok AS (
+      SELECT DISTINCT doc_id, source, t FROM (
+        SELECT doc_id, source,
+          unnest(list_filter(string_split(text,' '), x -> x <> '')) AS t
+        FROM documents)),
+    tops AS (
+      SELECT source, t, rnk FROM (
+        SELECT source, t,
+          row_number() OVER (PARTITION BY source
+            ORDER BY count(*) DESC, t) AS rnk
+        FROM docTok GROUP BY source, t)
+      WHERE rnk <= 5),
+    sel AS (SELECT DISTINCT t FROM tops),
+    pres AS (
+      SELECT DISTINCT doc_id, docTok.t
+      FROM docTok JOIN sel ON docTok.t = sel.t),
+    dfT AS (SELECT t, CAST(count(*) AS BIGINT) AS dfj FROM pres GROUP BY t),
+    dPair AS (
+      SELECT a.t AS ti, b.t AS tj, CAST(count(*) AS BIGINT) AS dij
+      FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.t <> b.t
+      GROUP BY 1, 2),
+    terms AS (
+      SELECT hi.source,
+        CAST(round(ln((CAST(COALESCE(dij, 0) AS DOUBLE) + 1.0)
+          / CAST(dfj AS DOUBLE)) * 1000000, 0) AS HUGEINT) AS term
+      FROM tops hi JOIN tops lo
+        ON hi.source = lo.source AND hi.rnk > lo.rnk
+      JOIN dfT ON dfT.t = lo.t
+      LEFT JOIN dPair ON dPair.ti = hi.t AND dPair.tj = lo.t)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+      CAST(sum(term) AS BIGINT) AS coherence_micronats
+    FROM terms GROUP BY source ORDER BY source
+  """))
+
   val all: Seq[BoundQuery] = Seq(qTextrank, qCentroidDrift,
     qMinhashBandStats, qCaptureRecapture, qBurrowsDelta, qHapax,
-    qTermCooccurrence)
+    qTermCooccurrence, qTopicCoherence)
 }

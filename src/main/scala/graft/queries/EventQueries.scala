@@ -763,11 +763,81 @@ object EventQueries {
     FROM ranked GROUP BY event_type ORDER BY event_type
   """))
 
+  /** Growth accounting (the Social Capital "DAU accounting"
+    * identity): every active day of every user is classified NEW
+    * (first-ever day), RETAINED (also active the previous calendar
+    * day) or RESURRECTED (seen before, silent yesterday); CHURNED
+    * counts yesterday's actives who are silent today. The books must
+    * balance: active(d) = new + retained + resurrected and
+    * active(d) − active(d−1) = new + resurrected − churned — both
+    * identities spec-pinned. FULLY integer; the lag/min windows
+    * partition PER USER; the day-grain roll-up joins on the date key
+    * (never a global window). */
+  private val qGrowthAccounting = BoundQuery("q_growth_accounting", (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ud")
+    val days = graft.util.CacheScope.persist(
+      Tables.events(s, d)
+        .select(col("user_id"), expr("unix_date(to_date(ts))").as("ud"))
+        .distinct()
+        .withColumn("prev", lag(col("ud"), 1).over(w)))
+    val classified = days.select(col("ud"),
+      when(col("prev").isNull, lit("new"))
+        .when(col("prev") === col("ud") - 1, lit("retained"))
+        .otherwise(lit("resurrected")).as("cls"))
+    val churn = days.select((col("ud") + 1).as("ud"),
+        col("user_id"), lit(1L).as("one"))
+      .join(days.select(col("ud"), col("user_id"), lit(1L).as("active")),
+        Seq("ud", "user_id"), "left_anti")
+      .groupBy("ud").agg(count(lit(1)).as("churned"))
+    classified.groupBy("ud")
+      .agg(count(lit(1)).as("active"),
+        sum(when(col("cls") === "new", 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("cls") === "retained", 1L).otherwise(0L)).as("retained"),
+        sum(when(col("cls") === "resurrected", 1L).otherwise(0L)).as("resurrected"))
+      .join(churn, Seq("ud"), "left_outer")
+      .select(expr("date_add(DATE '1970-01-01', cast(ud as int))").as("day"),
+        col("active"), col("new_users"), col("retained"),
+        col("resurrected"), coalesce(col("churned"), lit(0L)).as("churned"))
+      .orderBy("day")
+  }, Some("""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+        CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS ud
+      FROM events),
+    lagd AS (
+      SELECT user_id, ud,
+        lag(ud) OVER (PARTITION BY user_id ORDER BY ud) AS prev
+      FROM days),
+    classified AS (
+      SELECT ud, CASE WHEN prev IS NULL THEN 'new'
+                      WHEN prev = ud - 1 THEN 'retained'
+                      ELSE 'resurrected' END AS cls
+      FROM lagd),
+    churn AS (
+      SELECT a.ud + 1 AS ud, CAST(count(*) AS BIGINT) AS churned
+      FROM days a LEFT JOIN days b
+        ON b.ud = a.ud + 1 AND b.user_id = a.user_id
+      WHERE b.user_id IS NULL
+      GROUP BY a.ud + 1),
+    g AS (
+      SELECT ud, CAST(count(*) AS BIGINT) AS active,
+        CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        CAST(sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+        CAST(sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+          AS resurrected
+      FROM classified GROUP BY ud)
+    SELECT DATE '1970-01-01' + CAST(g.ud AS INT) AS day,
+      active, new_users, retained, resurrected,
+      COALESCE(churned, 0) AS churned
+    FROM g LEFT JOIN churn ON g.ud = churn.ud
+    ORDER BY day
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qFunnel, qGapFill, qRetention, qSlidingWindow, qSqlSurface, qEwma,
       qIncremental, qGroupingSets, qOhlcBars, qTwap, qIntervalCoverage,
       qAttribution, qAbsorption, qStickiness, qTimeToConvert, qInterarrival,
-      qRetentionDecay, qDecayedCounts, qTailLatency)
+      qRetentionDecay, qDecayedCounts, qTailLatency, qGrowthAccounting)
 
   /** Exponential-decay fit of the retention curve: pooled over
     * cohorts, ln(retention at week w) regressed on w — the one-number

@@ -169,5 +169,53 @@ object ExtraQueries3 {
     ORDER BY t.yr, t.rnk
   """))
 
-  val all: Seq[BoundQuery] = Seq(qRollingSlope, qIntervalJoin, qTopkMigration)
+  /** Decile Lorenz curve of customer revenue — the curve q_gini is
+    * the area of: customers ntile into revenue deciles (over the
+    * CUSTOMER-GRAIN aggregate, |customers| ≪ |orders| — the q_rfm
+    * bounded-window contract), each decile reports its exact-ppm
+    * share of customers and of revenue, plus the running cumulative
+    * share (the Lorenz ordinate). Fully integer. */
+  private val qLorenz = BoundQuery("q_lorenz", (s, d) => {
+    val rev = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sumCents(col("o_totalprice")).as("x"))
+    val dec = rev.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("x"), col("o_custkey"))).cast("long"))
+    val tot = dec.agg(sum(col("x").cast("decimal(38,0)")).as("tx"),
+      count(lit(1)).as("tn"))
+    val byDec = dec.groupBy("decile")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDec.crossJoin(broadcast(tot))
+      .withColumn("cum_sx", sum(col("sx")).over(w))
+      .select(col("decile"), col("n_cust"),
+        expr("CAST((1000000 * sx) div tx AS BIGINT)").as("rev_share_ppm"),
+        expr("CAST((1000000 * cum_sx) div tx AS BIGINT)").as("lorenz_ppm"))
+      .orderBy("decile")
+  }, Some("""
+    WITH rev AS (
+      SELECT o_custkey,
+        CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    dec AS (
+      SELECT x, CAST(ntile(10) OVER (ORDER BY x, o_custkey) AS BIGINT)
+        AS decile
+      FROM rev),
+    tot AS (SELECT CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS tx FROM dec),
+    byDec AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+        CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx
+      FROM dec GROUP BY 1)
+    SELECT decile, n_cust,
+      CAST((1000000 * sx) // tx AS BIGINT) AS rev_share_ppm,
+      CAST((1000000 * sum(sx) OVER (ORDER BY decile
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) // tx AS BIGINT)
+        AS lorenz_ppm
+    FROM byDec, tot ORDER BY decile
+  """))
+
+  val all: Seq[BoundQuery] =
+    Seq(qRollingSlope, qIntervalJoin, qTopkMigration, qLorenz)
 }

@@ -315,4 +315,44 @@ class DistanceStatsSpec extends AnyFunSuite {
       assert((lift >= 1000000L && pmi >= 0L) || (lift <= 1000000L && pmi <= 1L))
     }
   }
+
+  test("growth_accounting: the DAU books balance day over day") {
+    val rows = run("q_growth_accounting").sortBy(_.getAs[java.sql.Date]("day").toString)
+    assert(rows.nonEmpty)
+    for (r <- rows)
+      assert(r.getAs[Long]("active") ==
+        r.getAs[Long]("new_users") + r.getAs[Long]("retained") + r.getAs[Long]("resurrected"))
+    for (Seq(prev, cur) <- rows.sliding(2).map(_.toSeq).toSeq
+         if cur.getAs[java.sql.Date]("day").toLocalDate ==
+            prev.getAs[java.sql.Date]("day").toLocalDate.plusDays(1)) {
+      assert(cur.getAs[Long]("active") - prev.getAs[Long]("active") ==
+        cur.getAs[Long]("new_users") + cur.getAs[Long]("resurrected")
+          - cur.getAs[Long]("churned"),
+        s"accounting identity broke on ${cur.getAs[java.sql.Date]("day")}")
+    }
+    // day 1: everyone is new
+    assert(rows.head.getAs[Long]("new_users") == rows.head.getAs[Long]("active"))
+  }
+
+  test("lorenz: curve is convex, ends at 1e6, shares sum to the total") {
+    val rows = run("q_lorenz")
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    val lor = rows.map(_.getAs[Long]("lorenz_ppm")).toSeq
+    assert(lor == lor.sorted)
+    assert(lor.last >= 999999L) // cumulative share ends at ~100% (ppm truncation)
+    val shares = rows.map(_.getAs[Long]("rev_share_ppm")).toSeq
+    assert(shares == shares.sorted) // deciles ordered by revenue -> monotone shares
+    assert(math.abs(shares.sum - 1000000L) <= 10L)
+  }
+
+  test("topic_coherence: 10 ordered pairs per source, terms non-positive-ish") {
+    val rows = run("q_topic_coherence")
+    assert(rows.length == 20)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_pairs") == 10L) // C(5,2) ordered pairs
+      // UMass terms are ln((D_ij+1)/D_j) <= ln((D_j+1)/D_j): near or below 0;
+      // a coherence far above 0 would mean D_ij > D_j, impossible
+      assert(r.getAs[Long]("coherence_micronats") <= 10L * 700000L)
+    }
+  }
 }
