@@ -225,5 +225,59 @@ object AgreementQueries {
     FROM m
   """))
 
-  val all: Seq[BoundQuery] = Seq(qIpfRaking, qFleissKappa, qCronbach)
+  /** Kendall's coefficient of concordance W (Kendall & Babington
+    * Smith 1939): do the days AGREE on how the five event types rank
+    * by revenue? Each day ranks the types (row_number over exact
+    * cents, type tie-break — a 5-row window per day), rank sums Rⱼ
+    * feed the fully-cleared form W = 3·Σ(2Rⱼ − m(k+1))² /
+    * (m²·k·(k²−1)) — exact integers, one double division. W ≈ 1 ⇒ a
+    * stable type hierarchy; W ≈ 0 ⇒ daily shuffle. The m-rater
+    * generalization of q_kendall_tau, complementing q_fleiss_kappa's
+    * categorical agreement. */
+  private val qKendallW = BoundQuery("q_kendall_w", (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("day").orderBy(desc("y"), col("event_type"))
+    val ranked = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(sum(cents(col("value"))).as("y"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+    val k = 5L
+    ranked.groupBy("event_type")
+      .agg(sum(col("rnk")).as("rj"), count(lit(1)).as("m0"))
+      .agg(max(col("m0")).as("m"), count(lit(1)).as("k"),
+        sum(expr(s"""CAST((2*rj - m0*(${k}+1)) AS DECIMAL(38,0))
+          * (2*rj - m0*(${k}+1))""")).as("s4"))
+      .select(col("m"), col("k"),
+        round(expr("""3.0 * CAST(s4 AS DOUBLE)
+          / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE) * CAST(k AS DOUBLE)
+             * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0))"""), 9)
+          .as("kendall_w"))
+  }, Some("""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+        CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT event_type,
+        CAST(row_number() OVER (PARTITION BY day ORDER BY y DESC, event_type)
+          AS BIGINT) AS rnk
+      FROM daily),
+    rs AS (
+      SELECT event_type, CAST(sum(rnk) AS BIGINT) AS rj,
+        CAST(count(*) AS BIGINT) AS m0
+      FROM ranked GROUP BY 1),
+    agg AS (
+      SELECT max(m0) AS m, CAST(count(*) AS BIGINT) AS k,
+        CAST(sum(CAST(2*rj - m0*6 AS HUGEINT) * (2*rj - m0*6)) AS HUGEINT)
+          AS s4
+      FROM rs)
+    SELECT m, k,
+      round(3.0 * CAST(s4 AS DOUBLE)
+        / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE) * CAST(k AS DOUBLE)
+           * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)), 9) AS kendall_w
+    FROM agg
+  """))
+
+  val all: Seq[BoundQuery] =
+    Seq(qIpfRaking, qFleissKappa, qCronbach, qKendallW)
 }

@@ -717,10 +717,58 @@ object TextQueries2 {
     GROUP BY cut ORDER BY cut
   """))
 
+  /** Duplication growth curve: the exact-duplicate ratio on the
+    * first 25/50/75/100% of the corpus (doc_id order — ingestion
+    * order in this fixture). Deduplication is superlinear in corpus
+    * size on real crawls (every new shard collides with everything
+    * before it); this measures that growth so capacity planning can
+    * extrapolate. Quartile id thresholds are exact integers from
+    * min/max; each prefix reports docs, distinct digests, and the
+    * dup ratio in ppm — fully integer, one digest-grain aggregate
+    * per prefix over a shared broadcast threshold table. */
+  private val qDupGrowth = BoundQuery("q_dup_growth", (s, d) => {
+    val docs = graft.util.CacheScope.persist(
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("h")))
+    val bounds = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    val qs = s.range(1, 5).select(col("id").as("q"))
+    val thr = broadcast(bounds.crossJoin(qs)
+      .select(col("q"), expr("lo + ((hi - lo + 1) * q) div 4").as("cut")))
+    docs.crossJoin(thr)
+      .where(col("doc_id") < col("cut"))
+      .groupBy(col("q"), col("h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("q")
+      .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_distinct"),
+        sum(col("c") - 1).as("n_dups"))
+      .select((col("q") * 25).cast("long").as("prefix_pct"),
+        col("n_docs"), col("n_distinct"),
+        expr("(1000000 * n_dups) div n_docs").as("dup_ppm"))
+      .orderBy("prefix_pct")
+  }, Some("""
+    WITH docs AS (SELECT doc_id, md5(text) AS h FROM documents),
+    bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM docs),
+    thr AS (
+      SELECT q, lo + ((hi - lo + 1) * q) // 4 AS cut
+      FROM bounds CROSS JOIN (SELECT unnest(range(1, 5)) AS q)),
+    pre AS (
+      SELECT q, h, CAST(count(*) AS BIGINT) AS c
+      FROM docs JOIN thr ON doc_id < cut
+      GROUP BY 1, 2),
+    g AS (
+      SELECT q, CAST(sum(c) AS BIGINT) AS n_docs,
+        CAST(count(*) AS BIGINT) AS n_distinct,
+        CAST(sum(c - 1) AS BIGINT) AS n_dups
+      FROM pre GROUP BY 1)
+    SELECT CAST(q * 25 AS BIGINT) AS prefix_pct, n_docs, n_distinct,
+      (1000000 * n_dups) // n_docs AS dup_ppm
+    FROM g ORDER BY prefix_pct
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qTfidf, qLevenshteinPairs, qDedupClusters, qCapPerSource,
       qDedupKeepBest, qNormalize, qTrainSplit, qVocab, qCmsWords,
       qBigramLm, qBpeMerges, qPackSequences, qChunkDocs, qContainmentPairs,
       qDedupReport, qSourceDupMatrix, qDupInflation, qSplitLeakage,
-      qDupThresholdSweep)
+      qDupThresholdSweep, qDupGrowth)
 }

@@ -355,4 +355,34 @@ class DistanceStatsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("coherence_micronats") <= 10L * 700000L)
     }
   }
+
+  test("kendall_w: cleared-form replay from per-day ranks") {
+    val daily = graft.sources.Tables.events(spark, sfTiny)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("y")).collect()
+    val ranks = daily.groupBy(_.getAs[java.sql.Date]("day").toString).values.flatMap { rows =>
+      rows.sortBy(r => (-r.getAs[Long]("y"), r.getString(1)))
+        .zipWithIndex.map { case (r, i) => r.getString(1) -> BigInt(i + 1) }
+    }.toSeq
+    val rj = ranks.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val m = BigInt(ranks.size / rj.size); val k = rj.size
+    val s4 = rj.values.map(r => { val t = 2 * r - m * (k + 1); t * t }).sum
+    val w = 3.0 * s4.toDouble / (m.toDouble * m.toDouble * k * (k * k - 1.0))
+    val r = run("q_kendall_w").head
+    assert(r.getAs[Long]("m") == m.toLong && r.getAs[Long]("k") == k.toLong)
+    assert(math.abs(r.getAs[Double]("kendall_w") - w) < 1e-8)
+    assert(r.getAs[Double]("kendall_w") >= 0.0 && r.getAs[Double]("kendall_w") <= 1.0 + 1e-9)
+  }
+
+  test("dup_growth: prefixes nest and the full-corpus row matches a direct count") {
+    val rows = run("q_dup_growth")
+    assert(rows.map(_.getAs[Long]("prefix_pct")).toSeq == Seq(25L, 50L, 75L, 100L))
+    val ns = rows.map(_.getAs[Long]("n_docs")).toSeq
+    assert(ns == ns.sorted) // prefixes nest
+    val full = rows.last
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+      .select(md5(col("text"))).collect().map(_.getString(0)).toSeq
+    assert(full.getAs[Long]("n_docs") == docs.length.toLong)
+    assert(full.getAs[Long]("n_distinct") == docs.distinct.length.toLong)
+  }
 }
