@@ -697,6 +697,81 @@ object StatsQueries {
     FROM terms GROUP BY rlev, clev, t
   """))
 
+  /** Seasonal strength per event type (Wang, Smith & Hyndman 2006;
+    * the `feasts` F_s feature): F_s = max(0, 1 − Var(remainder) /
+    * Var(detrended)) over q_decompose's EXACT ppm components — the
+    * one number that says whether the day-of-week pattern is signal
+    * (F_s → 1) or noise (F_s → 0), and therefore whether
+    * q_seasonal's index is worth applying. Same full-window/
+    * calendar-gap guards as q_decompose; both variances are exact
+    * integer quadratic forms sharing n, so F_s is one double. */
+  private val qSeasonalStrength = BoundQuery("q_seasonal_strength", (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("di", unix_date(col("day")).cast("long"))
+    val w7 = Window.partitionBy("event_type").orderBy("di").rowsBetween(-3, 3)
+    val ratios = daily
+      .withColumn("sum7", sum(col("x")).over(w7))
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("span", max(col("di")).over(w7) - min(col("di")).over(w7))
+      .where(col("n7") === 7 && col("span") === 6)
+      .withColumn("ratio_ppm", expr("(7000000 * x) div sum7"))
+      .withColumn("dow", dayofweek(col("day")).cast("long"))
+    val seas = ratios.groupBy("event_type", "dow")
+      .agg(expr("sum(ratio_ppm) div count(1)").as("seas_ppm"))
+    ratios.join(seas, Seq("event_type", "dow"))
+      .select(col("event_type"),
+        col("ratio_ppm").cast("decimal(38,0)").as("r"),
+        (col("ratio_ppm") - col("seas_ppm")).cast("decimal(38,0)").as("e"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("r")).as("sr"), sum(col("r") * col("r")).as("qr"),
+        sum(col("e")).as("se"), sum(col("e") * col("e")).as("qe"))
+      .select(col("event_type"), col("n").cast("long").as("n_days"),
+        round(greatest(lit(0.0), lit(1.0) -
+          expr("CAST(n*qe - se*se AS DOUBLE) / CAST(n*qr - sr*sr AS DOUBLE)")), 9)
+          .as("seasonal_strength"))
+      .orderBy("event_type")
+  }, Some("""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        CAST(count(*) AS BIGINT) AS x,
+        CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS di
+      FROM events GROUP BY 1, 2, 4),
+    win AS (
+      SELECT event_type, day, x, di,
+        CAST(sum(x) OVER w AS BIGINT) AS sum7,
+        CAST(count(*) OVER w AS BIGINT) AS n7,
+        CAST(max(di) OVER w - min(di) OVER w AS BIGINT) AS span
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY di
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    ratios AS (
+      SELECT event_type, (7000000 * x) // sum7 AS ratio_ppm,
+        CAST(dayofweek(day) + 1 AS BIGINT) AS dow
+      FROM win WHERE n7 = 7 AND span = 6),
+    seas AS (
+      SELECT event_type, dow,
+        CAST(sum(ratio_ppm) AS BIGINT) // count(*) AS seas_ppm
+      FROM ratios GROUP BY 1, 2),
+    comp AS (
+      SELECT r.event_type, CAST(r.ratio_ppm AS HUGEINT) AS rr,
+        CAST(r.ratio_ppm - s.seas_ppm AS HUGEINT) AS e
+      FROM ratios r JOIN seas s
+        ON r.event_type = s.event_type AND r.dow = s.dow),
+    m AS (
+      SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        sum(rr) AS sr, sum(rr*rr) AS qr, sum(e) AS se, sum(e*e) AS qe
+      FROM comp GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+      round(greatest(0.0, 1.0 -
+        CAST(n*qe - se*se AS DOUBLE) / CAST(n*qr - sr*sr AS DOUBLE)), 9)
+        AS seasonal_strength
+    FROM m ORDER BY event_type
+  """))
+
   val all: Seq[BoundQuery] = Seq(qSpearman, qAnova, qTheilSen, qCuped,
-    qDecompose, qIpw, qDid, qAbcClass, qHill, qKendall, qCramersV)
+    qDecompose, qIpw, qDid, qAbcClass, qHill, qKendall, qCramersV,
+    qSeasonalStrength)
 }

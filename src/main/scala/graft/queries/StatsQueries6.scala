@@ -302,5 +302,136 @@ object StatsQueries6 {
     FROM m
   """))
 
-  val all: Seq[BoundQuery] = Seq(qPacf, qVif, qOddsRatio, qCochranArmitage)
+  /** Likelihood-ratio G-test of independence on the segment ×
+    * priority contingency (Sokal & Rohlf; the χ² twin that stays
+    * calibrated at small expected counts): G = 2·Σ O·ln(O·N/(R·C)).
+    * Cell/margin counts are exact; each cell's ln is micro-rounded
+    * once and weighted by the exact O, so the sum is
+    * order-independent; G finishes with one division by 10⁶. */
+  private val qGTest = BoundQuery("q_g_test", (s, d) => {
+    val cells = graft.util.CacheScope.persist(
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"),
+          col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("o")))
+    val rows = cells.groupBy("seg").agg(sum(col("o")).as("r"))
+    val cols = cells.groupBy("pri").agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("nn"), count(lit(1)).as("n_cells"))
+    cells.join(broadcast(rows), "seg").join(broadcast(cols), "pri")
+      .crossJoin(broadcast(tot))
+      .select(col("n_cells"), col("nn"),
+        (col("o").cast("decimal(38,0)") *
+          expr("""CAST(round(ln(CAST(o AS DOUBLE) * CAST(nn AS DOUBLE)
+            / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))) * 1000000, 0)
+            AS DECIMAL(38,0))""")).as("term"))
+      .groupBy("n_cells", "nn")
+      .agg(sum(col("term")).as("st"))
+      .select(col("n_cells"), col("nn").as("n_obs"),
+        round(expr("2.0 * CAST(st AS DOUBLE) / 1000000.0"), 6).as("g_stat"))
+  }, Some("""
+    WITH cells AS (
+      SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+        CAST(count(*) AS BIGINT) AS o
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    r AS (SELECT seg, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+    c AS (SELECT pri, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn,
+                   CAST(count(*) AS BIGINT) AS n_cells FROM cells),
+    terms AS (
+      SELECT n_cells, nn,
+        CAST(o AS HUGEINT) *
+          CAST(round(ln(CAST(o AS DOUBLE) * CAST(nn AS DOUBLE)
+            / (CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE))) * 1000000, 0)
+            AS HUGEINT) AS term
+      FROM cells JOIN r USING (seg) JOIN c USING (pri) CROSS JOIN tot)
+    SELECT n_cells, nn AS n_obs,
+      round(2.0 * CAST(sum(term) AS DOUBLE) / 1000000.0, 6) AS g_stat
+    FROM terms GROUP BY n_cells, nn
+  """))
+
+  /** Fisher z test for a CHANGE in correlation: is the view↔purchase
+    * daily-revenue correlation different in the second half of the
+    * window than the first? Each half's Pearson r comes from exact
+    * integer moments over aligned days (the q_ccf lag-0 machinery
+    * split at the q_rate_ratio integer midpoint); z = atanh(r) as the
+    * written-out ½·ln((1+r)/(1−r)) tree, and the difference is scored
+    * against √(1/(n₁−3) + 1/(n₂−3)). */
+  private val qFisherZ = BoundQuery("q_fisher_z", (s, d) => {
+    val daily = graft.util.CacheScope.persist(
+      Tables.events(s, d)
+        .where(col("event_type").isin("view", "purchase"))
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(sum(cents(col("value"))).as("y"))
+        .withColumn("ud", expr("unix_date(day)")))
+    val mid = daily.agg(expr("(min(ud) + max(ud)) div 2").as("mid"))
+    val x = daily.where(col("event_type") === "view")
+      .select(col("day"), col("ud"), col("y").cast("decimal(38,0)").as("x"))
+    val yv = daily.where(col("event_type") === "purchase")
+      .select(col("day").as("d2"), col("y").cast("decimal(38,0)").as("yy"))
+    val m = x.join(yv, col("day") === col("d2"))
+      .crossJoin(broadcast(mid))
+      .groupBy((col("ud") <= col("mid")).cast("long").as("h"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("yy")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("yy") * col("yy")).as("syy"),
+        sum(col("x") * col("yy")).as("sxy"))
+      .withColumn("r", expr("""CAST(n*sxy - sx*sy AS DOUBLE)
+        / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))"""))
+      .select(col("h"), col("n").cast("long").as("n"), col("r"))
+    m.groupBy()
+      .agg(sum(when(col("h") === 1L, col("n"))).as("n1"),
+        sum(when(col("h") === 0L, col("n"))).as("n2"),
+        sum(when(col("h") === 1L, col("r"))).as("r1"),
+        sum(when(col("h") === 0L, col("r"))).as("r2"))
+      .select(col("n1"), col("n2"), round(col("r1"), 9).as("r_first"),
+        round(col("r2"), 9).as("r_second"),
+        round(expr("""(0.5 * ln((1.0 + r1) / (1.0 - r1))
+            - 0.5 * ln((1.0 + r2) / (1.0 - r2)))
+          / sqrt(1.0 / (CAST(n1 AS DOUBLE) - 3.0)
+               + 1.0 / (CAST(n2 AS DOUBLE) - 3.0))"""), 6).as("z"))
+  }, Some("""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+        CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS y,
+        CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS ud
+      FROM events WHERE event_type IN ('view', 'purchase')
+      GROUP BY 1, 2, 4),
+    mid AS (SELECT (min(ud) + max(ud)) // 2 AS mid FROM daily),
+    x AS (SELECT day, ud, CAST(y AS HUGEINT) AS x FROM daily
+          WHERE event_type = 'view'),
+    yv AS (SELECT day AS d2, CAST(y AS HUGEINT) AS yy FROM daily
+           WHERE event_type = 'purchase'),
+    halves AS (
+      SELECT CASE WHEN ud <= mid THEN 1 ELSE 0 END AS h,
+        CAST(count(*) AS HUGEINT) AS n,
+        sum(x) AS sx, sum(yy) AS sy, sum(x*x) AS sxx,
+        sum(yy*yy) AS syy, sum(x*yy) AS sxy
+      FROM x JOIN yv ON day = d2 CROSS JOIN mid
+      GROUP BY 1),
+    rs AS (
+      SELECT h, CAST(n AS BIGINT) AS n,
+        CAST(n*sxy - sx*sy AS DOUBLE)
+          / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+          AS r
+      FROM halves)
+    SELECT
+      CAST(sum(CASE WHEN h = 1 THEN n END) AS BIGINT) AS n1,
+      CAST(sum(CASE WHEN h = 0 THEN n END) AS BIGINT) AS n2,
+      round(sum(CASE WHEN h = 1 THEN r END), 9) AS r_first,
+      round(sum(CASE WHEN h = 0 THEN r END), 9) AS r_second,
+      round((0.5 * ln((1.0 + sum(CASE WHEN h = 1 THEN r END))
+                    / (1.0 - sum(CASE WHEN h = 1 THEN r END)))
+           - 0.5 * ln((1.0 + sum(CASE WHEN h = 0 THEN r END))
+                    / (1.0 - sum(CASE WHEN h = 0 THEN r END))))
+        / sqrt(1.0 / (CAST(sum(CASE WHEN h = 1 THEN n END) AS DOUBLE) - 3.0)
+             + 1.0 / (CAST(sum(CASE WHEN h = 0 THEN n END) AS DOUBLE) - 3.0)), 6)
+        AS z
+    FROM rs
+  """))
+
+  val all: Seq[BoundQuery] = Seq(qPacf, qVif, qOddsRatio, qCochranArmitage,
+    qGTest, qFisherZ)
 }

@@ -385,4 +385,47 @@ class DistanceStatsSpec extends AnyFunSuite {
     assert(full.getAs[Long]("n_docs") == docs.length.toLong)
     assert(full.getAs[Long]("n_distinct") == docs.distinct.length.toLong)
   }
+
+  test("seasonal_strength: bounded in [0,1]; residual variance never exceeds detrended") {
+    val rows = run("q_seasonal_strength")
+    assert(rows.length == 5)
+    for (r <- rows) {
+      val fs = r.getAs[Double]("seasonal_strength")
+      assert(fs >= 0.0 && fs <= 1.0 + 1e-9, r.getString(0))
+      assert(r.getAs[Long]("n_days") >= 7L)
+    }
+  }
+
+  test("g_test: replay from exact contingency counts") {
+    val cells = graft.sources.Tables.orders(spark, sfTiny)
+      .join(graft.sources.Tables.customer(spark, sfTiny),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority").agg(count(lit(1)).as("o"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), BigInt(r.getAs[Long]("o"))))
+    val rowsM = cells.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val colsM = cells.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
+    val nn = cells.map(_._2).sum
+    val st = cells.map { case ((sg, pr), o) =>
+      o * BigDecimal(math.log(o.toDouble * nn.toDouble /
+        (rowsM(sg).toDouble * colsM(pr).toDouble)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
+    }.sum
+    val r = run("q_g_test").head
+    assert(r.getAs[Long]("n_cells") == cells.length.toLong)
+    assert(r.getAs[Long]("n_obs") == nn.toLong)
+    assert(math.abs(r.getAs[Double]("g_stat") - 2.0 * st.toDouble / 1e6) < 1e-4)
+    assert(r.getAs[Double]("g_stat") >= 0.0)
+  }
+
+  test("fisher_z: halves partition the aligned days; |r| <= 1") {
+    val r = run("q_fisher_z").head
+    assert(math.abs(r.getAs[Double]("r_first")) <= 1.0)
+    assert(math.abs(r.getAs[Double]("r_second")) <= 1.0)
+    assert(r.getAs[Long]("n1") + r.getAs[Long]("n2") >= 2L)
+    // the z statistic has the sign of (z(r1) - z(r2))
+    val z1 = 0.5 * math.log((1 + r.getAs[Double]("r_first")) / (1 - r.getAs[Double]("r_first")))
+    val z2 = 0.5 * math.log((1 + r.getAs[Double]("r_second")) / (1 - r.getAs[Double]("r_second")))
+    assert(math.signum(r.getAs[Double]("z")) == math.signum(z1 - z2) ||
+      math.abs(r.getAs[Double]("z")) < 1e-9)
+  }
 }
