@@ -635,7 +635,52 @@ object QualityQueries {
     GROUP BY l ORDER BY l
   """))
 
+  /** Calendar completeness per event type — the DQ readout every
+    * pipeline SLA dashboard leads with: observed days vs the
+    * min–max span, the missing-day count, the LONGEST silent gap
+    * (consecutive-day lag under a per-type window), and completeness
+    * in exact ppm. A feed whose longest gap grows is failing
+    * upstream even while its row counts look healthy. Fully
+    * integer. */
+  private val qCalendarGaps = BoundQuery("q_calendar_gaps", (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("ud")
+    Tables.events(s, d)
+      .select(col("event_type"),
+        expr("CAST(unix_date(to_date(ts)) AS LONG)").as("ud"))
+      .distinct()
+      .withColumn("gap", col("ud") - lag(col("ud"), 1).over(w) - 1)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        (max(col("ud")) - min(col("ud")) + 1).as("span_days"),
+        coalesce(max(col("gap")), lit(0L)).as("longest_gap"))
+      .select(col("event_type"), col("n_days"), col("span_days"),
+        (col("span_days") - col("n_days")).as("missing_days"),
+        col("longest_gap"),
+        expr("(1000000 * n_days) div span_days").as("complete_ppm"))
+      .orderBy("event_type")
+  }, Some("""
+    WITH days AS (
+      SELECT DISTINCT event_type,
+        CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS ud
+      FROM events),
+    lagd AS (
+      SELECT event_type, ud,
+        ud - lag(ud) OVER (PARTITION BY event_type ORDER BY ud) - 1 AS gap
+      FROM days),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        CAST(max(ud) - min(ud) + 1 AS BIGINT) AS span_days,
+        CAST(COALESCE(max(gap), 0) AS BIGINT) AS longest_gap
+      FROM lagd GROUP BY 1)
+    SELECT event_type, n_days, span_days,
+      span_days - n_days AS missing_days, longest_gap,
+      (1000000 * n_days) // span_days AS complete_ppm
+    FROM g ORDER BY event_type
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qDqChecks, qAnomaly, qSeqMining, qHllUnion, qHllSliding, qTrending,
-      qKmvJaccard, qWinsorize, qCusum, qSkewAudit, qKAnonymity, qLDiversity)
+      qKmvJaccard, qWinsorize, qCusum, qSkewAudit, qKAnonymity, qLDiversity,
+      qCalendarGaps)
 }

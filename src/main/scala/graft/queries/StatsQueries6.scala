@@ -432,6 +432,84 @@ object StatsQueries6 {
     FROM rs
   """))
 
+  /** TOST equivalence test (Schuirmann 1987): is mean order value in
+    * the second half of the window EQUIVALENT to the first, within
+    * ±2% of the pooled mean? The inverse question of q_ab_test's
+    * difference test — shipping teams need "provably unchanged", not
+    * "not provably changed". Bounds are exact integers
+    * (δ = 2·ΣX div (100·N) cents); the two one-sided t statistics
+    * share a Welch SE over exact half moments; equivalence holds when
+    * min(t₁, t₂) > 1.645 (the 5% one-sided normal cut, reported as a
+    * flag beside the statistics). */
+  private val qTost = BoundQuery("q_tost", (s, d) => {
+    val o = graft.util.CacheScope.persist(
+      Tables.orders(s, d)
+        .select(expr("unix_date(to_date(o_orderdate))").as("ud"),
+          cents(col("o_totalprice")).cast("decimal(38,0)").as("bc")))
+    val mid = o.agg(expr("(min(ud) + max(ud)) div 2").as("mid"),
+      expr("(2 * sum(bc)) div (100 * count(1))").as("delta"))
+    o.crossJoin(broadcast(mid))
+      .groupBy(col("delta"), (col("ud") <= col("mid")).cast("long").as("h"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("bc")).as("sx"), sum(col("bc") * col("bc")).as("qx"))
+      .groupBy("delta")
+      .agg(sum(when(col("h") === 1L, col("n"))).as("n1"),
+        sum(when(col("h") === 0L, col("n"))).as("n2"),
+        sum(when(col("h") === 1L, col("sx"))).as("s1"),
+        sum(when(col("h") === 0L, col("sx"))).as("s2"),
+        sum(when(col("h") === 1L, col("qx"))).as("q1"),
+        sum(when(col("h") === 0L, col("qx"))).as("q2"))
+      .withColumn("md", expr(
+        "CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE)/CAST(n2 AS DOUBLE)"))
+      .withColumn("se", expr("""sqrt(
+        CAST(n1*q1 - s1*s1 AS DOUBLE) / (CAST(n1 AS DOUBLE)*CAST(n1 AS DOUBLE)*(CAST(n1 AS DOUBLE)-1.0))
+        + CAST(n2*q2 - s2*s2 AS DOUBLE) / (CAST(n2 AS DOUBLE)*CAST(n2 AS DOUBLE)*(CAST(n2 AS DOUBLE)-1.0)))"""))
+      .select(col("n1").cast("long").as("n_first"),
+        col("n2").cast("long").as("n_second"),
+        col("delta").cast("long").as("delta_cents"),
+        round(expr("(md + CAST(delta AS DOUBLE)) / se"), 6).as("t_lower"),
+        round(expr("(CAST(delta AS DOUBLE) - md) / se"), 6).as("t_upper"),
+        (expr("least((md + CAST(delta AS DOUBLE)) / se, (CAST(delta AS DOUBLE) - md) / se)")
+          > lit(1.645)).as("equivalent"))
+  }, Some("""
+    WITH o AS (
+      SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS ud,
+        CAST(CAST(round(o_totalprice*100, 0) AS BIGINT) AS HUGEINT) AS bc
+      FROM orders),
+    mid AS (SELECT (min(ud) + max(ud)) // 2 AS mid,
+                   (2 * sum(bc)) // (100 * count(*)) AS delta FROM o),
+    halves AS (
+      SELECT delta, CASE WHEN ud <= mid THEN 1 ELSE 0 END AS h,
+        CAST(count(*) AS HUGEINT) AS n, sum(bc) AS sx, sum(bc*bc) AS qx
+      FROM o, mid GROUP BY 1, 2),
+    m AS (
+      SELECT delta,
+        sum(CASE WHEN h = 1 THEN n END) AS n1,
+        sum(CASE WHEN h = 0 THEN n END) AS n2,
+        sum(CASE WHEN h = 1 THEN sx END) AS s1,
+        sum(CASE WHEN h = 0 THEN sx END) AS s2,
+        sum(CASE WHEN h = 1 THEN qx END) AS q1,
+        sum(CASE WHEN h = 0 THEN qx END) AS q2
+      FROM halves GROUP BY delta),
+    fin AS (
+      SELECT *,
+        CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE)
+          - CAST(s2 AS DOUBLE)/CAST(n2 AS DOUBLE) AS md,
+        sqrt(CAST(n1*q1 - s1*s1 AS DOUBLE)
+               / (CAST(n1 AS DOUBLE)*CAST(n1 AS DOUBLE)*(CAST(n1 AS DOUBLE)-1.0))
+           + CAST(n2*q2 - s2*s2 AS DOUBLE)
+               / (CAST(n2 AS DOUBLE)*CAST(n2 AS DOUBLE)*(CAST(n2 AS DOUBLE)-1.0)))
+          AS se
+      FROM m)
+    SELECT CAST(n1 AS BIGINT) AS n_first, CAST(n2 AS BIGINT) AS n_second,
+      CAST(delta AS BIGINT) AS delta_cents,
+      round((md + CAST(delta AS DOUBLE)) / se, 6) AS t_lower,
+      round((CAST(delta AS DOUBLE) - md) / se, 6) AS t_upper,
+      least((md + CAST(delta AS DOUBLE)) / se,
+            (CAST(delta AS DOUBLE) - md) / se) > 1.645 AS equivalent
+    FROM fin
+  """))
+
   val all: Seq[BoundQuery] = Seq(qPacf, qVif, qOddsRatio, qCochranArmitage,
-    qGTest, qFisherZ)
+    qGTest, qFisherZ, qTost)
 }

@@ -428,4 +428,28 @@ class DistanceStatsSpec extends AnyFunSuite {
     assert(math.signum(r.getAs[Double]("z")) == math.signum(z1 - z2) ||
       math.abs(r.getAs[Double]("z")) < 1e-9)
   }
+
+  test("calendar_gaps: completeness identity and gap bound") {
+    val rows = run("q_calendar_gaps")
+    assert(rows.length == 5)
+    for (r <- rows) {
+      assert(r.getAs[Long]("missing_days") ==
+        r.getAs[Long]("span_days") - r.getAs[Long]("n_days"))
+      assert(r.getAs[Long]("longest_gap") <= r.getAs[Long]("missing_days"))
+      assert(r.getAs[Long]("complete_ppm") <= 1000000L)
+      if (r.getAs[Long]("missing_days") == 0L)
+        assert(r.getAs[Long]("complete_ppm") == 1000000L &&
+          r.getAs[Long]("longest_gap") == 0L)
+    }
+  }
+
+  test("tost: two one-sided statistics replay from exact half moments") {
+    val r = run("q_tost").head
+    assert(r.getAs[Long]("delta_cents") > 0L)
+    // t_lower + t_upper = 2*delta/se > 0 always
+    assert(r.getAs[Double]("t_lower") + r.getAs[Double]("t_upper") > 0.0)
+    val equiv = r.getAs[Boolean]("equivalent")
+    val minT = math.min(r.getAs[Double]("t_lower"), r.getAs[Double]("t_upper"))
+    assert(equiv == (minT > 1.645))
+  }
 }
