@@ -642,7 +642,62 @@ object EconQueries {
     FROM terms GROUP BY nn, sx, qx
   """))
 
+  /** Price–volume–mix decomposition of each brand's 1997→1998
+    * revenue change (the FP&A bridge: ΔR = price effect + volume
+    * effect + residual mix): with per-(brand, year) exact integer
+    * Q = Σ quantity-cents and R = Σ revenue-cents, unit prices stay
+    * RATIONAL (R/Q never materializes) —
+    * price = (R₁Q₀ − R₀Q₁) div Q₁, volume = (Q₁−Q₀)·R₀ div Q₀, and
+    * mix is the exact remainder ΔR − price − volume, so the bridge
+    * ADDS UP BY CONSTRUCTION. One fact scan, one broadcast part
+    * join, one brand-grain pivot. */
+  private val qPriceVolumeMix = BoundQuery("q_price_volume_mix", (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .where(year(col("l_shipdate")).isin(1997, 1998))
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"),
+        year(col("l_shipdate")).as("yr"))
+      .agg(sum(cents(col("l_quantity")).cast("decimal(38,0)")).as("q"),
+        sum(cents(col("l_extendedprice")).cast("decimal(38,0)")).as("r"))
+    li.groupBy("brand")
+      .agg(sum(when(col("yr") === 1997, col("q"))).as("q0"),
+        sum(when(col("yr") === 1998, col("q"))).as("q1"),
+        sum(when(col("yr") === 1997, col("r"))).as("r0"),
+        sum(when(col("yr") === 1998, col("r"))).as("r1"))
+      .where(col("q0").isNotNull && col("q1").isNotNull)
+      .select(col("brand"),
+        (col("r1") - col("r0")).cast("long").as("delta_cents"),
+        expr("CAST((r1*q0 - r0*q1) div q1 AS BIGINT)").as("price_effect_cents"),
+        expr("CAST(((q1 - q0) * r0) div q0 AS BIGINT)").as("volume_effect_cents"),
+        expr("""CAST((r1 - r0) - ((r1*q0 - r0*q1) div q1)
+          - (((q1 - q0) * r0) div q0) AS BIGINT)""").as("mix_effect_cents"))
+      .orderBy("brand")
+  }, Some("""
+    WITH li AS (
+      SELECT p_brand AS brand, year(l_shipdate) AS yr,
+        CAST(sum(CAST(round(l_quantity*100, 0) AS BIGINT)) AS HUGEINT) AS q,
+        CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS HUGEINT) AS r
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE year(l_shipdate) IN (1997, 1998)
+      GROUP BY 1, 2),
+    p AS (
+      SELECT brand,
+        sum(CASE WHEN yr = 1997 THEN q END) AS q0,
+        sum(CASE WHEN yr = 1998 THEN q END) AS q1,
+        sum(CASE WHEN yr = 1997 THEN r END) AS r0,
+        sum(CASE WHEN yr = 1998 THEN r END) AS r1
+      FROM li GROUP BY 1)
+    SELECT brand, CAST(r1 - r0 AS BIGINT) AS delta_cents,
+      CAST((r1*q0 - r0*q1) // q1 AS BIGINT) AS price_effect_cents,
+      CAST(((q1 - q0) * r0) // q0 AS BIGINT) AS volume_effect_cents,
+      CAST((r1 - r0) - ((r1*q0 - r0*q1) // q1) - (((q1 - q0) * r0) // q0)
+        AS BIGINT) AS mix_effect_cents
+    FROM p WHERE q0 IS NOT NULL AND q1 IS NOT NULL
+    ORDER BY brand
+  """))
+
   val all: Seq[BoundQuery] = Seq(qFunnelSig, qElasticity, qXyzClass,
     qFisherIndex, qCroston, qWilsonCi, qMaxdrawdown, qTheilIndex, qGpdTail,
-    qMld)
+    qMld, qPriceVolumeMix)
 }

@@ -452,4 +452,14 @@ class DistanceStatsSpec extends AnyFunSuite {
     val minT = math.min(r.getAs[Double]("t_lower"), r.getAs[Double]("t_upper"))
     assert(equiv == (minT > 1.645))
   }
+
+  test("price_volume_mix: the bridge adds up exactly by construction") {
+    val rows = run("q_price_volume_mix")
+    assert(rows.nonEmpty)
+    for (r <- rows)
+      assert(r.getAs[Long]("delta_cents") ==
+        r.getAs[Long]("price_effect_cents") + r.getAs[Long]("volume_effect_cents")
+          + r.getAs[Long]("mix_effect_cents"),
+        r.getString(0))
+  }
 }
