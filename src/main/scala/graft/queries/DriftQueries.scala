@@ -320,6 +320,65 @@ object DriftQueries {
     GROUP BY h_source_u, h_lang_u
   """))
 
+  /** Behavioral-mix entropy trend: each day's Shannon entropy of the
+    * event-type mix via the count identity H = ln(n) − (Σc·ln c)/n —
+    * micro-rounded ln per distinct count, exact weighted sums, one
+    * truncating division per day — then the OLS slope of entropy on
+    * the day index from exact moments. A negative slope means user
+    * behavior is CONCENTRATING into fewer event types (the drift
+    * q_psi_drift scores pairwise, read as one trend number). */
+  private val qMixEntropyTrend = BoundQuery("q_mix_entropy_trend", (s, d) => {
+    val counts = Tables.events(s, d)
+      .groupBy(expr("CAST(unix_date(to_date(ts)) AS LONG)").as("ud"),
+        col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val hDaily = graft.util.CacheScope.persist(counts
+      .groupBy("ud")
+      .agg(sum(col("c")).as("n"),
+        sum(col("c").cast("decimal(38,0)") *
+          expr("CAST(round(ln(CAST(c AS DOUBLE)) * 1000000, 0) AS DECIMAL(38,0))"))
+          .as("sterm"))
+      .select(col("ud"),
+        (expr("CAST(round(ln(CAST(n AS DOUBLE)) * 1000000, 0) AS LONG)") -
+          expr("CAST(sterm div n AS LONG)")).as("h")))
+    val d0 = hDaily.agg(min(col("ud")).as("d0"))
+    hDaily.crossJoin(broadcast(d0))
+      .select((col("ud") - col("d0")).cast("decimal(38,0)").as("x"),
+        col("h").cast("decimal(38,0)").as("y"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n").cast("long").as("n_days"),
+        expr("CAST(sy div n AS BIGINT)").as("mean_entropy_micronats"),
+        round(expr("CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)"), 6)
+          .as("slope_micronats_per_day"))
+  }, Some("""
+    WITH counts AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS ud,
+        event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    hd AS (
+      SELECT ud,
+        CAST(round(ln(CAST(sum(c) AS DOUBLE)) * 1000000, 0) AS BIGINT)
+          - CAST(sum(CAST(c AS HUGEINT) *
+              CAST(round(ln(CAST(c AS DOUBLE)) * 1000000, 0) AS HUGEINT))
+            // sum(c) AS BIGINT) AS h
+      FROM counts GROUP BY 1),
+    d0 AS (SELECT min(ud) AS d0 FROM hd),
+    xy AS (SELECT CAST(ud - d0 AS HUGEINT) AS x, CAST(h AS HUGEINT) AS y
+           FROM hd, d0),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+        sum(x*x) AS sxx, sum(x*y) AS sxy
+      FROM xy)
+    SELECT CAST(n AS BIGINT) AS n_days,
+      CAST(sy // n AS BIGINT) AS mean_entropy_micronats,
+      round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6)
+        AS slope_micronats_per_day
+    FROM m
+  """))
+
   val all: Seq[BoundQuery] = Seq(qPsiDrift, qDiversity, qEntropyFilter, qZipf,
-    qDpRelease, qMutualInfo)
+    qDpRelease, qMutualInfo, qMixEntropyTrend)
 }

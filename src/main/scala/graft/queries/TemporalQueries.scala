@@ -961,8 +961,77 @@ object TemporalQueries {
     GROUP BY event_type ORDER BY event_type
   """))
 
+  /** Seasonal Mann–Kendall trend test on the daily order-revenue
+    * series (Hirsch & Slack 1984): the q_mann_kendall S statistic
+    * computed WITHIN each day-of-week stratum and summed, so a strong
+    * weekly cycle can't masquerade as (or mask) a monotone trend.
+    * S, the tie-corrected 18·Var, and z² in ppm are all exact
+    * integers (the q_mann_kendall discipline); pairs join only within
+    * (dow) strata — 1/7th the comparisons of the unstratified test. */
+  private val qSeasonalMk = BoundQuery("q_seasonal_mk", (s, d) => {
+    val ser = graft.util.CacheScope.persist(
+      Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents(col("o_totalprice"))).as("x"))
+        .withColumn("dow", dayofweek(col("day")).cast("long"))
+        .withColumn("ud", expr("CAST(unix_date(day) AS LONG)")))
+    val perStratum = ser.groupBy("dow").agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1) * (2*n + 5)")).as("var_base"),
+        sum(col("n")).as("n_days"))
+    val ties = ser.groupBy(col("dow"), col("x")).agg(count(lit(1)).as("t"))
+      .agg(sum(expr("t * (t - 1) * (2*t + 5)")).as("tie18"))
+    val sStat = ser.as("a")
+      .join(ser.select(col("dow"), col("ud").as("bud"), col("x").as("xb")),
+        Seq("dow"))
+      .where(col("bud") > col("ud"))
+      .agg(sum(when(col("xb") > col("x"), 1L)
+        .when(col("xb") < col("x"), -1L).otherwise(0L)).as("s_stat"))
+    perStratum.crossJoin(broadcast(ties)).crossJoin(broadcast(sStat))
+      .select(col("n_days"), col("s_stat"),
+        (col("var_base") - coalesce(col("tie18"), lit(0L))).as("var18"))
+      .withColumn("s_adj", greatest(abs(col("s_stat")) - 1, lit(0L)))
+      .select(col("n_days"), col("s_stat"), col("var18"),
+        expr("""CASE WHEN var18 > 0
+                THEN (CAST(s_adj AS DECIMAL(19,0)) * s_adj * 18000000) div var18
+                ELSE 0L END""").as("z2_ppm"),
+        when(col("s_stat") > 0, "inc").when(col("s_stat") < 0, "dec")
+          .otherwise("none").as("trend"))
+  }, Some("""
+    WITH ser AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+        CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS x,
+        CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow,
+        CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS ud
+      FROM orders GROUP BY 1, 3, 4),
+    vb AS (
+      SELECT CAST(sum(n * (n - 1) * (2*n + 5)) AS BIGINT) AS var_base,
+        CAST(sum(n) AS BIGINT) AS n_days
+      FROM (SELECT dow, CAST(count(*) AS BIGINT) AS n FROM ser GROUP BY 1)),
+    ties AS (
+      SELECT CAST(sum(t * (t - 1) * (2*t + 5)) AS BIGINT) AS tie18
+      FROM (SELECT dow, x, CAST(count(*) AS BIGINT) AS t
+            FROM ser GROUP BY 1, 2)),
+    ss AS (
+      SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+        AS s_stat
+      FROM ser a JOIN ser b ON a.dow = b.dow AND b.ud > a.ud),
+    fin AS (
+      SELECT n_days, s_stat,
+        var_base - COALESCE(tie18, 0) AS var18,
+        greatest(abs(s_stat) - 1, 0) AS s_adj
+      FROM vb, ties, ss)
+    SELECT n_days, s_stat, var18,
+      CAST(CASE WHEN var18 > 0
+        THEN (CAST(s_adj AS HUGEINT) * s_adj * 18000000) // var18
+        ELSE 0 END AS BIGINT) AS z2_ppm,
+      CASE WHEN s_stat > 0 THEN 'inc' WHEN s_stat < 0 THEN 'dec'
+        ELSE 'none' END AS trend
+    FROM fin
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qScd2, qSeasonal, qBacktest, qTransitionMatrix, qGrainRollup,
       qSurvival, qHolt, qAcf, qMannKendall, qLogrank, qHoltWinters,
-      qDowBands, qPinball, qMarkovStationary)
+      qDowBands, qPinball, qMarkovStationary, qSeasonalMk)
 }

@@ -462,4 +462,35 @@ class DistanceStatsSpec extends AnyFunSuite {
           + r.getAs[Long]("mix_effect_cents"),
         r.getString(0))
   }
+
+  test("seasonal_mk: S bounded by within-stratum pair count; z2 defined") {
+    val r = run("q_seasonal_mk").head
+    val days = graft.sources.Tables.orders(spark, sfTiny)
+      .select(to_date(col("o_orderdate")).as("day")).distinct()
+      .select(dayofweek(col("day")).cast("long")).collect()
+      .map(_.getLong(0)).groupBy(identity).view.mapValues(_.length).toMap
+    val pairBound = days.values.map(n => n.toLong * (n - 1) / 2).sum
+    assert(r.getAs[Long]("n_days") == days.values.sum.toLong)
+    assert(math.abs(r.getAs[Long]("s_stat")) <= pairBound)
+    assert(r.getAs[Long]("z2_ppm") >= 0L)
+    assert(Seq("inc", "dec", "none").contains(r.getString(4)))
+  }
+
+  test("mix_entropy_trend: mean daily entropy replay, bounded by ln(5)") {
+    val counts = graft.sources.Tables.events(spark, sfTiny)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c")).collect()
+      .groupBy(_.getAs[java.sql.Date]("day").toString)
+    val hs = counts.values.map { rows =>
+      val cs = rows.map(r => BigInt(r.getAs[Long]("c")))
+      val n = cs.sum
+      def lnMicro(v: BigInt) = BigDecimal(math.log(v.toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
+      lnMicro(n) - cs.map(c => c * lnMicro(c)).sum / n
+    }.toSeq
+    val r = run("q_mix_entropy_trend").head
+    assert(r.getAs[Long]("n_days") == hs.length.toLong)
+    assert(BigInt(r.getAs[Long]("mean_entropy_micronats")) == hs.sum / hs.length)
+    assert(r.getAs[Long]("mean_entropy_micronats") <= math.round(math.log(5.0) * 1e6))
+  }
 }
