@@ -65,15 +65,24 @@ object Bench {
     // measured (the r1 warm-up pass already primed them for the timed
     // pass); the scope closing each SECTION (not each run) is what
     // bounds the memory.
+    // A failed run must NEVER read as a speedup (round-5 advice item:
+    // elapsed-until-exception used to be recorded as the latency, so a
+    // fast-failing query silently improved the totals). Failures are
+    // poisoned to a sentinel that regresses every subtotal AND listed
+    // in the emitted JSON so the driver/judge see the breakage.
+    val FailSentinel = 999.0
+    val failures = scala.collection.mutable.LinkedHashSet.empty[String]
     def timeOnce(q: queries.BoundQuery): Double = {
       val t0 = System.nanoTime()
       try {
         val n = q.run(spark, sfDir).count()
         require(n >= 0)
+        (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        failures += q.name
+        FailSentinel
       }
-      (System.nanoTime() - t0) / 1e9
     }
     def timeAll(qs: Seq[queries.BoundQuery]): Seq[(String, Double)] =
       qs.map(q => q.name -> math.min(timeOnce(q), timeOnce(q)))
@@ -115,13 +124,36 @@ object Bench {
           timeAll(qs)
         }
       }
-    val qs = (results ++ tpchResults).map { case (k, v) => "\"" + k + "\":" + v }
+    // bench30 (round-5 verdict item 3): frozen per-family regression
+    // set, timed exactly like the other sections (untimed warm-up +
+    // best-of-2 inside one section scope), reported as its own
+    // subtotal. SPARK_GRAFT_SKIP_BENCH30=1 skips it for quick local
+    // headline iterations.
+    val bench30Results =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY") ||
+          sys.env.contains("SPARK_GRAFT_SKIP_BENCH30")) Seq.empty
+      else {
+        val qs = queries.Registry.bench30
+        graft.util.CacheScope.withScope {
+          qs.foreach(q => try q.run(spark, sfDir).count()
+            catch { case _: Throwable => () }) // same untimed warm-up
+          timeAll(qs)
+        }
+      }
+    val qs = (results ++ tpchResults ++ bench30Results)
+      .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val tpchField =
       if (tpchResults.isEmpty) ""
       else s""""tpch10":${tpchResults.map(_._2).sum},"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec",$tpchField"queries":$qs,"sf":"$sfDir"}""")
+    val b30Field =
+      if (bench30Results.isEmpty) ""
+      else s""""bench30":${bench30Results.map(_._2).sum},"""
+    val failField =
+      if (failures.isEmpty) ""
+      else failures.map("\"" + _ + "\"").mkString(""""failures":[""", ",", "],")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$tpchField$b30Field$failField"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -75,6 +75,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-generated ledger counts (round-5 verdict item 7): commit
+    // messages and round summaries must quote THESE numbers, never a
+    // hand-typed count (the r5 "432 vs 429" prose drift). Printed to
+    // stdout and dumped beside the oracle SQL so the artifact travels
+    // with the round.
+    val counts = s"bound_queries=${SparkEntry.queries.size} " +
+      s"oracle_sql=${SparkEntry.oracleSql.size}"
+    println(s"[verify] $counts")
+    Files.writeString(Paths.get(s"$outDir/counts.txt"), counts + "\n")
     spark.stop()
   }
 }

@@ -287,6 +287,15 @@ object Dedup {
     * exact. Every step replays in DuckDB. */
   def simhashPairsArith(df: DataFrame, idCol: Column, textCol: Column,
                         maxHamming: Int = 3): DataFrame = {
+    // Band width 62/(maxHamming+1) must stay meaningful: radius 7 is
+    // already the outer edge of simhash near-dup practice (w = 7 bits
+    // → 128-way buckets), and beyond it the zero-/few-bit band keys
+    // collide everything — a quadratic join wearing an LSH costume
+    // (round-5 advice item: w hits 0 at maxHamming >= 31).
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"simhashPairsArith: maxHamming must be in [0, 7], got $maxHamming " +
+        "(band keys carry 62/(maxHamming+1) bits; wider radii need a " +
+        "multi-probe or exact pass, not thinner bands)")
     val bands = maxHamming + 1
     val w = 62 / bands
     val sigs = graft.util.CacheScope.persist(

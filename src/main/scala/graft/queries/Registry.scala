@@ -676,6 +676,33 @@ object Registry {
 
   def headlines: Seq[BoundQuery] = allQueries.filter(_.headline)
 
+  /** bench30 (round-5 verdict item 3): a FROZEN 30-query regression
+    * set covering one representative per operator family OUTSIDE the
+    * 12 cross-round headliners, so a performance regression in the
+    * graph / streaming-twin / stats / retrieval / governance surface
+    * shows up in BENCH_r{N}.json instead of hiding behind a green
+    * correctness gate. Graded against its own BASELINE.md row; the
+    * 12-headliner `value` metric is unchanged. Do not reorder or
+    * swap members across rounds — cross-round comparability is the
+    * whole point. */
+  val bench30Names: Seq[String] = Seq(
+    "q_dedup_incremental", "q_dedup_clusters", "q_semdedup",
+    "q_simhash_pairs", "q_minhash_pairs", "q_ivf_pq", "q_bq_topk",
+    "q_ann_eval", "q_tfidf", "q_bpe_encode", "q_contamination",
+    "q_seq_pack", "q_dsir", "q_bm25", "q_mmr", "q_pagerank",
+    "q_triangles", "q_kcore", "q_scd2", "q_holt_winters",
+    "q_changepoint", "q_psi_drift", "q_dq_checks", "q_k_anonymity",
+    "q_ndcg", "q_ewma", "q_naive_bayes", "q_kmeans",
+    "q_global_median", "q_retention")
+
+  def bench30: Seq[BoundQuery] = {
+    val byName = allQueries.map(q => q.name -> q).toMap
+    val missing = bench30Names.filterNot(byName.contains)
+    require(missing.isEmpty,
+      s"bench30 lost queries (renamed/removed?): ${missing.mkString(", ")}")
+    bench30Names.map(byName)
+  }
+
   /** Flagship for the driver smoke check. */
   def flagship(spark: SparkSession): DataFrame =
     qOwnerLeaderboard.run(spark, "/root/testdata/sf0.001")

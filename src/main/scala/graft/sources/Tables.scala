@@ -73,14 +73,23 @@ object Tables {
     * partitions are repartitioned before persisting (and the memoized
     * registry entry swapped so every query reads the spread cache).
     * Tiny sf0.1 tables stay exactly as before; real multi-file
-    * inputs already exceed the parallelism and are untouched. */
+    * inputs already exceed the parallelism and are untouched.
+    *
+    * ORDERING CONTRACT (round-5 advice item): warm() swaps the
+    * memoized registry entry to the spread DataFrame, so a DataFrame
+    * obtained via load() BEFORE warm() retains the unspread plan and
+    * silently misses the spread cache. Every entrypoint (Bench,
+    * Verify's table-first queries, service mode) therefore calls
+    * warm() before issuing queries; query code always goes through
+    * load()/the named accessors at run time (never caches a
+    * DataFrame across warm()), which this registry makes cheap. */
   def warm(spark: SparkSession, dir: String): Unit =
     all.foreach { n =>
       val df = load(spark, dir, n)
       val p = spark.sparkContext.defaultParallelism
       val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
       val spread =
-        if (bytes >= (16L << 20) && df.rdd.getNumPartitions < p)
+        if (bytes >= (16L << 20) && graft.util.Spread.estimatedPartitions(df) < p)
           df.repartition(p)
         else df
       if (spread ne df)

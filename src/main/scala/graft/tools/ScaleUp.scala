@@ -13,15 +13,32 @@ import org.apache.spark.sql.functions._
   * the driver's one-file-per-table layout so tools/selfcheck.py and
   * Bench run against it unchanged.
   *
-  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> <factor>
+  * CONSTANT-DUPLICATION-DENSITY mode (round-5 verdict item 2): the
+  * default replication makes every replica of a document a NEAR-dup of
+  * every other (texts differ by a prefix token only; embeddings are
+  * byte-identical), so near-dup answer size grows ~factor² and sf1→
+  * sf10 wall-time measures the output, not the join. With a 4th arg
+  * `dupGroup=g`, replicas are grouped into classes of g: within a
+  * class, texts differ by the member prefix only (still near-dups) and
+  * embeddings are identical; ACROSS classes, texts get a class salt
+  * token injected every 8 words (≥5/8 of 5-gram shingles change —
+  * Jaccard ≈ 0.2, below every bound threshold) and embeddings are
+  * circularly rotated by the class id (near-zero cosine between
+  * rotations of a random vector). Duplicates-per-class is then a
+  * CONSTANT g at every factor, so near-dup output — and honest plan
+  * grading — scales linearly with corpus size.
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> <factor> [dupGroup]
   * This is a local test utility — the driver's gates always run on
   * the pristine /root/testdata dirs.
   */
 object ScaleUp {
 
   def main(args: Array[String]): Unit = {
-    val Array(src, out, factorS) = args
+    val (src, out, factorS) = (args(0), args(1), args(2))
     val factor = factorS.toInt
+    // 0 = legacy all-replicas-one-class behavior
+    val dupGroup = args.lift(3).map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -79,11 +96,32 @@ object ScaleUp {
 
     val docs = read("documents")
     writeOne(replicate(docs, Map("doc_id" -> shiftOf(docs, "doc_id")),
-      (d, i) => if (i == 0) d
-                else d.withColumn("text", concat(lit(s"r$i "), col("text")))), "documents")
+      (d, i) => {
+        val cls = if (dupGroup > 0) i / dupGroup else 0
+        // cross-class dissimilarity: a salt token after every 8 words
+        // rewrites ≥5/8 of the 5-gram shingles (class 0 keeps the
+        // original text so the base corpus is always present verbatim)
+        val salted =
+          if (cls == 0) d
+          else d.withColumn("text",
+            regexp_replace(col("text"), "((?:\\S+\\s+){8})", s"$$1zc${cls}q "))
+        if (i == 0) salted
+        else salted.withColumn("text", concat(lit(s"r$i "), col("text")))
+      }), "documents")
 
     val emb = read("embeddings")
-    writeOne(replicate(emb, Map("vec_id" -> shiftOf(emb, "vec_id"))), "embeddings")
+    writeOne(replicate(emb, Map("vec_id" -> shiftOf(emb, "vec_id")),
+      (d, i) => {
+        val cls = if (dupGroup > 0) i / dupGroup else 0
+        // cross-class dissimilarity: circular rotation by the class id
+        // (rotations of a random-ish vector have near-zero cosine);
+        // within a class the vectors stay byte-identical near-dups
+        if (cls == 0) d
+        else d.withColumn("embedding", expr(
+          s"""transform(sequence(0, size(embedding) - 1),
+             |  j -> element_at(embedding, (cast(j + $cls as int) % size(embedding)) + 1))
+             |""".stripMargin))
+      }), "embeddings")
 
     println(s"[scaleup] wrote ${factor}x of $src to $out")
     spark.stop()

@@ -59,6 +59,12 @@ object CacheScope {
     override def initialValue(): ArrayBuffer[Key] = ArrayBuffer.empty
   }
 
+  /** Nesting depth of withScope on this thread — persist() outside any
+    * scope must NOT register (nothing would ever drain the record:
+    * round-5 advice item — direct operator/test/notebook use leaked a
+    * map entry and pinned the cache for session life). */
+  private val depth = new ThreadLocal[Int] { override def initialValue(): Int = 0 }
+
   private def keyOf(df: DataFrame): Key =
     (System.identityHashCode(df.sparkSession),
       df.queryExecution.analyzed.canonicalized)
@@ -68,10 +74,32 @@ object CacheScope {
     * thread's scope. */
   def persist(df: DataFrame,
               level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    // No scope active: persist for the caller but register NOTHING —
+    // the thread-local buffer is only drained by withScope, so a
+    // record here would leak and pin the cache for session life
+    // (round-5 advice item). Lifetime is the caller's to manage
+    // (df.unpersist()).
+    if (depth.get() == 0) {
+      if (df.storageLevel == StorageLevel.NONE) df.persist(level)
+      return df
+    }
     val key = keyOf(df)
     val names = df.schema.fieldNames.toSeq
     entries.synchronized {
       val existing = entries.get(key)
+      // ORDER MATTERS, and it is the reverse of what a naive external-
+      // cache guard would do: Spark's `df.storageLevel` is PLAN-KEYED
+      // (CacheManager lookup by canonicalized plan, not object), so
+      // while a scoped entry is live, a sibling's FRESH plan-equal
+      // DataFrame also reports a non-NONE storageLevel. Checking
+      // storageLevel before the entry map would therefore bounce every
+      // legitimate adoption (measured: the CacheScopeSpec refcount race
+      // re-appears). A genuinely caller-managed cache persisted BEFORE
+      // any scope entry exists still passes through untouched below —
+      // and one persisted AFTER a plan-equal scoped entry was already a
+      // CacheManager no-op ("already cached"), so the shared-entry
+      // lifetime hazard lives in Spark's plan-keyed cache itself, not
+      // in this refcount.
       if (existing != null) {
         existing.refs += 1
         reg.get() += key
@@ -97,8 +125,10 @@ object CacheScope {
   def withScope[T](body: => T): T = {
     val buf = reg.get()
     val before = buf.length
+    depth.set(depth.get() + 1)
     try body
     finally {
+      depth.set(depth.get() - 1)
       val mine = buf.slice(before, buf.length)
       buf.remove(before, buf.length - before)
       entries.synchronized {

@@ -52,6 +52,23 @@ class CacheScopeSpec extends AnyFunSuite {
       "the last scope out must unpersist the shared entry")
   }
 
+  test("persist outside any scope registers nothing (caller-managed lifetime)") {
+    // round-5 advice item: a scopeless persist used to create a global
+    // refcounted record nothing ever drained — pinning the cache for
+    // session life AND letting a later scope's close drop a cache the
+    // direct caller still relied on.
+    val df = CacheScope.persist(plan())
+    df.count()
+    assert(df.storageLevel != StorageLevel.NONE, "scopeless persist must still cache")
+    try {
+      // a subsequent scope persisting the SAME plan must not adopt-and-
+      // own the scopeless cache: its close must leave the cache alive
+      CacheScope.withScope { CacheScope.persist(plan()).count() }
+      assert(df.storageLevel != StorageLevel.NONE,
+        "a scope closing over a plan-equal frame must not drop the scopeless cache")
+    } finally df.unpersist(true)
+  }
+
   test("externally cached inputs pass through unregistered") {
     val ext = plan()
     ext.persist(StorageLevel.MEMORY_AND_DISK)

@@ -60,4 +60,16 @@ class RegistrySpec extends AnyFunSuite {
       assert(g.map(_.getAs[Long]("rnk")).sorted.toSeq == (1L to g.length))
     }
   }
+
+  test("bench30 is a frozen, resolvable, oracle-backed 30-query set") {
+    val b30 = Registry.bench30
+    assert(b30.length == 30)
+    assert(b30.map(_.name).distinct.length == 30)
+    // regression visibility needs a DuckDB twin for every member
+    val noOracle = b30.filter(_.oracle.isEmpty).map(_.name)
+    assert(noOracle.isEmpty, s"bench30 members without oracle: $noOracle")
+    // none of the 12 cross-round headliners may be double-counted here
+    val overlap = b30.map(_.name).toSet intersect Registry.headlines.map(_.name).toSet
+    assert(overlap.isEmpty, s"bench30 overlaps headliners: $overlap")
+  }
 }

@@ -14,9 +14,10 @@ first.)
 import sys, json, time
 import duckdb
 
-sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
-runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+sf = _pos[0] if len(_pos) > 0 else "/root/testdata/sf0.1"
+out = _pos[1] if len(_pos) > 1 else "/tmp/verify_out"
+runs = int(_pos[2]) if len(_pos) > 2 else 3
 
 # keep in sync with Registry.headlines (ExplainAudit prints the list)
 HEADLINERS = [
@@ -71,3 +72,43 @@ for q, src, sec in rows:
     label = src if src != q else "oracle"
     print(f"| {q} | {label} | {'n/a' if sec is None else f'{sec:.3f}'} |")
 print(f"| **total** | | **{total:.3f}** |")
+
+# bench30 (round-5 verdict item 3): DuckDB twins for the frozen
+# per-family regression set (Registry.bench30Names). These time each
+# query's ORACLE SQL — for most members that is DuckDB's natural
+# formulation of the task; for the sketch/LSH members the oracle is a
+# correctness replay of the engine's arithmetic, so treat those rows
+# as a parity reference, not DuckDB's best plan.
+BENCH30 = [
+    "q_dedup_incremental", "q_dedup_clusters", "q_semdedup",
+    "q_simhash_pairs", "q_minhash_pairs", "q_ivf_pq", "q_bq_topk",
+    "q_ann_eval", "q_tfidf", "q_bpe_encode", "q_contamination",
+    "q_seq_pack", "q_dsir", "q_bm25", "q_mmr", "q_pagerank",
+    "q_triangles", "q_kcore", "q_scd2", "q_holt_winters",
+    "q_changepoint", "q_psi_drift", "q_dq_checks", "q_k_anonymity",
+    "q_ndcg", "q_ewma", "q_naive_bayes", "q_kmeans",
+    "q_global_median", "q_retention",
+]
+
+if "--bench30" in sys.argv:
+    total30 = 0.0
+    rows30 = []
+    for q in BENCH30:
+        sql = oracles.get(q)
+        if sql is None:
+            rows30.append((q, None))
+            continue
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        total30 += best
+        rows30.append((q, best))
+    print()
+    print(f"| bench30 | duckdb best-of-{runs} sec |")
+    print("| --- | --- |")
+    for q, sec in rows30:
+        print(f"| {q} | {'n/a' if sec is None else f'{sec:.3f}'} |")
+    print(f"| **total** | **{total30:.3f}** |")
