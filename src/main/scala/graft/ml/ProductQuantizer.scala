@@ -27,17 +27,67 @@ object ProductQuantizer {
     aggregate(zip_with(sub, array(cent.map(lit): _*), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, z) => acc + z)
 
-  /** Train one codebook per subspace with deterministic k-means. */
+  /** Train one codebook per subspace with deterministic k-means —
+    * JOINTLY: all m subspaces ride one exploded (j, subvector) frame,
+    * so each training iteration is ONE Spark job instead of m
+    * (round-6: the per-subspace KMeansLite loop issued ~5 driver-
+    * coordinated jobs per subspace — m=8 × 5 ≈ 40 sequential jobs
+    * whose ~0.2 s scheduling floor, not compute, was 10 of
+    * q_ivf_pq's 12 s at sf0.1). Numerically IDENTICAL to the
+    * per-subspace loop: the init is the same lowest-k-id rows sliced
+    * per subspace, each (j, cluster, pos) mean averages exactly the
+    * same rows, and the same round-to-9 parity anchor applies — so
+    * the DuckDB oracle replay of train→encode→ADC is unchanged. */
   def train(df: DataFrame, idCol: Column, vecCol: Column,
             m: Int, k: Int, iters: Int): Codebooks = {
     val dim = df.select(size(toDouble(vecCol))).first().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
-    val cents = (0 until m).map { j =>
-      val sub = df.select(idCol.as("id"),
-        slice(toDouble(vecCol), j * subDim + 1, subDim).as("v"))
-      KMeansLite.fit(sub, col("id"), col("v"), k, iters).centroids
-    }.toArray
+    // init = lowest-id k rows, sliced per subspace (exactly the init
+    // each per-subspace KMeansLite.fit would have collected)
+    val initRows = df.select(idCol.as("id"), toDouble(vecCol).as("v"))
+      .orderBy("id").limit(k).collect().map(_.getSeq[Double](1).toArray)
+    var cents: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      initRows.map(_.slice(j * subDim, (j + 1) * subDim))
+    }
+    // one row per (vector, subspace): iterations replay the argmin
+    // over this cache — Spread first so a file-bound single partition
+    // can't serialize the whole loop through one core
+    val data = graft.util.CacheScope.persist(
+      graft.util.Spread(df.select(toDouble(vecCol).as("v")))
+        .select(explode(array((0 until m).map { j =>
+          struct(lit(j).as("j"), slice(col("v"), j * subDim + 1, subDim).as("sub"))
+        }: _*)).as("e"))
+        .select(col("e.j").as("j"), col("e.sub").as("sub")))
+    // per-row argmin against THIS subspace's centroids only: a when-
+    // chain on j, so codegen evaluates one subspace's k distances per
+    // row (same work per row as the per-subspace loop)
+    def assignCol: Column = {
+      def argminFor(j: Int): Column =
+        sort_array(array(cents(j).zipWithIndex.map { case (c, i) =>
+          struct(sqDistTo(col("sub"), c).as("d"), lit(i).as("c"))
+        }: _*))(0)("c")
+      (1 until m).foldLeft(when(col("j") === 0, argminFor(0))) {
+        case (acc, j) => acc.when(col("j") === j, argminFor(j))
+      }
+    }
+    var it = 0
+    while (it < iters) {
+      // same round-to-9 cross-engine parity anchor as KMeansLite
+      val means = data.withColumn("cluster", assignCol)
+        .select(col("j"), col("cluster"), posexplode(col("sub")).as(Seq("pos", "x")))
+        .groupBy("j", "cluster", "pos").agg(round(avg("x"), 9).as("mn"))
+        .collect() // m·k·subDim rows — the whole model, driver-tiny
+      val next = cents.map(_.clone())
+      means.groupBy(r => (r.getInt(0), r.getInt(1))).foreach {
+        case ((j, cl), rows) =>
+          val mean = next(j)(cl).clone()
+          rows.foreach(r => mean(r.getInt(2)) = r.getDouble(3))
+          next(j)(cl) = mean
+      }
+      cents = next
+      it += 1
+    }
     Codebooks(m, subDim, cents)
   }
 

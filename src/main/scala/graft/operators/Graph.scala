@@ -43,10 +43,16 @@ object Graph {
     *
     * Per iteration: one shuffle keyed by dst (the contribution agg,
     * map-side partial) + one left join back to the node set — both
-    * hash-partitioned on the node id, so AQE coalesces and reuses the
-    * partitioning. `localCheckpoint` each round truncates lineage
-    * (same discipline as ConnectedComponents). Edges and outdegrees
-    * are computed once and persisted through CacheScope.
+    * hash-partitioned on the node id. Unlike ConnectedComponents
+    * (which references its frame multiple times per round and MUST
+    * truncate lineage), each round here consumes `ranks` exactly
+    * once, so the unrolled plan grows LINEARLY in `iters` and the
+    * whole recurrence stays one lazy plan: no per-round driver
+    * barrier, one job end-to-end (round-6: the per-round eager
+    * localCheckpoint cost 8 blocking jobs ≈ 5 of q_pagerank's 7 s at
+    * sf0.1 and would serialize rounds on a real cluster too). Edges
+    * and outdegrees are computed once and persisted through
+    * CacheScope.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, scale: Long = DefaultScale): DataFrame = {
@@ -55,14 +61,26 @@ object Graph {
       edges.select(col(srcCol).cast("string").as("src"),
                    col(dstCol).cast("string").as("dst")).distinct())
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // Pregel-style PARTITIONING REUSE (round-6): the two loop-stable
+    // relations are persisted pre-hashed on their join keys with an
+    // EXPLICIT partition count (explicit N is exempt from AQE
+    // coalescing, so the layout stays join-compatible round after
+    // round), and localCheckpoint preserves outputPartitioning in its
+    // LogicalRDD — so each iteration's contribution join and node
+    // re-join reuse the standing layout instead of re-shuffling the
+    // edge list `iters` times. At 100 TB the edge relation is the big
+    // side; shuffling it once instead of once per round is the
+    // difference between 1 and `iters` full-data exchanges.
+    val P = edges.sparkSession.sessionState.conf.numShufflePartitions
     // src carries (deg) with it so the per-iteration contribution needs
     // no extra join against the degree table
-    val out = CacheScope.persist(e.join(deg, "src"))
+    val out = CacheScope.persist(e.join(deg, "src").repartition(P, col("src")))
     val nodes = CacheScope.persist(
-      e.select(col("src").as("node")).union(e.select(col("dst"))).distinct())
+      e.select(col("src").as("node")).union(e.select(col("dst"))).distinct()
+        .repartition(P, col("node")))
     val base = 15L * scale / 100L
 
-    var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint(true)
+    var ranks = nodes.withColumn("rank", lit(scale))
     var i = 0
     while (i < iters) {
       val contrib = out.join(ranks, out("src") === ranks("node"))
@@ -71,7 +89,6 @@ object Graph {
       ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
-        .localCheckpoint(true)
       i += 1
     }
     ranks
@@ -118,11 +135,14 @@ object Graph {
       .select(col("e1.lo").as("u"), col("e1.hi").as("v"), col("e2.hi").as("w"))
     val tri = paths.join(oriented.as("e3"),
       col("u") === col("e3.lo") && col("w") === col("e3.hi"))
-    val nNodes = deg.count()
-    val nEdges = canon.count()
+    // node/edge counts ride the same plan as broadcast 1-row
+    // aggregates (scalar-subquery pattern) instead of two separate
+    // driver-blocking count() jobs — one job end-to-end, and the two
+    // side aggregates read the persisted canon cache
     tri.agg(count(lit(1)).as("triangles"))
-      .select(lit(nNodes).as("nodes"), lit(nEdges).as("edges"),
-        col("triangles"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("nodes"))))
+      .crossJoin(broadcast(canon.agg(count(lit(1)).as("edges"))))
+      .select(col("nodes"), col("edges"), col("triangles"))
   }
 
   /** Minimum hop distance from a set of source nodes, breadth-first,
@@ -195,10 +215,17 @@ object Graph {
         .union(alive.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
       val keep = deg.where(col("deg") >= k).select("node")
+      // alive is referenced 3× per round (degree union + semi join),
+      // so lineage MUST truncate — but only the convergence-probing
+      // unbounded path needs the checkpoint EAGER (count() each
+      // round). Bounded runs checkpoint lazily: the LogicalRDD is
+      // shared by all three references and materializes once inside
+      // the single final job, instead of `maxRounds` blocking jobs
+      // each writing the surviving edge list to the block store.
       val next = alive
         .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-        .localCheckpoint(true)
+        .localCheckpoint(!bounded)
       if (!bounded) done = next.count() == alive.count()
       alive = next
       rounds += 1

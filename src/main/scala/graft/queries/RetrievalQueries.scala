@@ -208,8 +208,22 @@ object RetrievalQueries {
         candVecs, col("vec_id"), col("embedding"), k = 19)
         .select(col("query_id").as("id_a"), col("id").as("id_b"),
           round(col("cosine") * 1e6, 0).cast("long").as("sim_u")))
+    // Each stage references the previous `sel` THREE times (max-sim
+    // join, anti-join, union), so a lazy unroll compounds the logical
+    // plan 3^stages — and the cost is NOT execution (persisting the
+    // stages leaves it at ~7 s) but the DRIVER re-walking the ~3^5-
+    // copy analyzed tree on every action: caches substitute after
+    // analysis, so each count() still paid seconds of Catalyst time
+    // (round-6 PlanTime split: build 5.0 s / exec-on-warm-cache
+    // 6.4 s, all driver). localCheckpoint(eager) TRUNCATES the
+    // lineage to a LogicalRDD per stage — plan size is constant in
+    // the stage count, and the checkpointed frame is ≤5 rows so the
+    // checkpoint is LAZY, so the shared
+    // LogicalRDDs materialize inside the one final job (5 eager
+    // stages were 5 blocking driver jobs). Stages remain distributed
+    // DataFrames; the oracle's CTE unroll is untouched.
     var sel = cand.orderBy(desc("rel_u"), col("id")).limit(1)
-      .select(col("id"), lit(1L).as("pick"))
+      .select(col("id"), lit(1L).as("pick")).localCheckpoint(false)
     for (t <- 2 to 5) {
       val msim = sim.join(sel.select(col("id").as("id_b")), Seq("id_b"))
         .groupBy(col("id_a").as("id")).agg(max(col("sim_u")).as("msim"))
@@ -218,7 +232,7 @@ object RetrievalQueries {
         .withColumn("mmr_u", lit(7L) * col("rel_u") - lit(3L) * col("msim"))
         .orderBy(desc("mmr_u"), col("id")).limit(1)
         .select(col("id"), lit(t.toLong).as("pick"))
-      sel = sel.union(pick)
+      sel = sel.union(pick).localCheckpoint(false)
     }
     sel.join(cand, Seq("id"))
       .select(col("pick"), col("id"), col("rel_u"))

@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   * `dupGroup=g`, replicas are grouped into classes of g: within a
   * class, texts differ by the member prefix only (still near-dups) and
   * embeddings are identical; ACROSS classes, texts get a class salt
-  * token injected every 8 words (≥5/8 of 5-gram shingles change —
-  * Jaccard ≈ 0.2, below every bound threshold) and embeddings are
+  * token injected every 5 words (only ~1 in 5 of the 5-gram shingles
+  * survives unsalted — measured cross-class Jaccard ≈ 0.11, safely
+  * below the 0.3 clustering threshold, vs 0.31 at an every-8-words
+  * salt) and embeddings are
   * circularly rotated by the class id (near-zero cosine between
   * rotations of a random vector). Duplicates-per-class is then a
   * CONSTANT g at every factor, so near-dup output — and honest plan
@@ -98,13 +100,13 @@ object ScaleUp {
     writeOne(replicate(docs, Map("doc_id" -> shiftOf(docs, "doc_id")),
       (d, i) => {
         val cls = if (dupGroup > 0) i / dupGroup else 0
-        // cross-class dissimilarity: a salt token after every 8 words
-        // rewrites ≥5/8 of the 5-gram shingles (class 0 keeps the
+        // cross-class dissimilarity: a salt token after every 5 words
+        // leaves ~1 in 5 of the 5-gram shingles unsalted (class 0 keeps the
         // original text so the base corpus is always present verbatim)
         val salted =
           if (cls == 0) d
           else d.withColumn("text",
-            regexp_replace(col("text"), "((?:\\S+\\s+){8})", s"$$1zc${cls}q "))
+            regexp_replace(col("text"), "((?:\\S+\\s+){5})", s"$$1zc${cls}q "))
         if (i == 0) salted
         else salted.withColumn("text", concat(lit(s"r$i "), col("text")))
       }), "documents")

@@ -49,6 +49,29 @@ if ts_type.get("ts") == "BIGINT":
 
 oracles = json.load(open(f"{out}/oracle_sql.json"))
 
+# --only=q_a,q_b: time exactly those oracle keys (per-query scale
+# splits, e.g. the sf10 tpch10 table round-5 verdict item 4 asks for)
+# and skip the default headliner table.
+_only = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--only=")]
+if _only:
+    sel = [q for grp in _only for q in grp.split(",") if q]
+    total = 0.0
+    for q in sel:
+        sql = oracles.get(q)
+        if sql is None:
+            print(f"| {q} | n/a (no oracle) |")
+            continue
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        total += best
+        print(f"| {q} | {best:.3f} |")
+    print(f"| **total** | **{total:.3f}** |")
+    sys.exit(0)
+
 total = 0.0
 rows = []
 for q in HEADLINERS:
