@@ -215,13 +215,12 @@ object RetrievalQueries {
     // copy analyzed tree on every action: caches substitute after
     // analysis, so each count() still paid seconds of Catalyst time
     // (round-6 PlanTime split: build 5.0 s / exec-on-warm-cache
-    // 6.4 s, all driver). localCheckpoint(eager) TRUNCATES the
-    // lineage to a LogicalRDD per stage — plan size is constant in
-    // the stage count, and the checkpointed frame is ≤5 rows so the
-    // checkpoint is LAZY, so the shared
-    // LogicalRDDs materialize inside the one final job (5 eager
-    // stages were 5 blocking driver jobs). Stages remain distributed
-    // DataFrames; the oracle's CTE unroll is untouched.
+    // 6.4 s, all driver). localCheckpoint TRUNCATES the lineage to a
+    // LogicalRDD per stage — plan size is constant in the stage
+    // count — and the checkpoint is LAZY: the shared LogicalRDDs
+    // (≤5 rows each) materialize inside the one final job instead of
+    // 5 blocking driver jobs. Stages remain distributed DataFrames;
+    // the oracle's CTE unroll is untouched.
     var sel = cand.orderBy(desc("rel_u"), col("id")).limit(1)
       .select(col("id"), lit(1L).as("pick")).localCheckpoint(false)
     for (t <- 2 to 5) {

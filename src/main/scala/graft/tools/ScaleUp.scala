@@ -20,15 +20,23 @@ import org.apache.spark.sql.functions._
   * sf10 wall-time measures the output, not the join. With a 4th arg
   * `dupGroup=g`, replicas are grouped into classes of g: within a
   * class, texts differ by the member prefix only (still near-dups) and
-  * embeddings are identical; ACROSS classes, texts get a class salt
-  * token injected every 5 words (only ~1 in 5 of the 5-gram shingles
-  * survives unsalted — measured cross-class Jaccard ≈ 0.11, safely
-  * below the 0.3 clustering threshold, vs 0.31 at an every-8-words
-  * salt) and embeddings are
-  * circularly rotated by the class id (near-zero cosine between
-  * rotations of a random vector). Duplicates-per-class is then a
-  * CONSTANT g at every factor, so near-dup output — and honest plan
-  * grading — scales linearly with corpus size.
+  * embeddings are identical; ACROSS classes, every 5th WORD is
+  * REPLACED by a class salt token. Replacement (not injection) is
+  * load-bearing: every 5-gram window covers exactly one position
+  * ≡ 4 (mod 5), so EVERY shingle of a salted text carries its class
+  * salt and the cross-class shared-shingle count is exactly ZERO for
+  * every document length. (Both injection variants tried first
+  * failed at the tails: an every-8-words salt left Jaccard ≈ 0.31
+  * overall, and an every-5-words INJECTION left short docs
+  * untouched — a 5-word doc kept cross-class Jaccard 0.5, and those
+  * docs transitively bridged all classes back into the 2 giant
+  * components the mode exists to avoid.) Embeddings are circularly
+  * rotated by the class id (near-zero cosine between rotations of a
+  * random vector). Duplicates-per-class is then a CONSTANT g at
+  * every factor — each class slice inherits only the BASE corpus's
+  * intrinsic near-dup components — so near-dup output and component
+  * sizes stay bounded and honest plan grading scales linearly with
+  * corpus size.
   *
   * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> <factor> [dupGroup]
   * This is a local test utility — the driver's gates always run on
@@ -100,13 +108,15 @@ object ScaleUp {
     writeOne(replicate(docs, Map("doc_id" -> shiftOf(docs, "doc_id")),
       (d, i) => {
         val cls = if (dupGroup > 0) i / dupGroup else 0
-        // cross-class dissimilarity: a salt token after every 5 words
-        // leaves ~1 in 5 of the 5-gram shingles unsalted (class 0 keeps the
-        // original text so the base corpus is always present verbatim)
+        // cross-class dissimilarity: REPLACE every 5th word with the
+        // class salt — every 5-gram window contains exactly one
+        // replaced position, so cross-class docs share ZERO shingles
+        // at any doc length (class 0 keeps the original text so the
+        // base corpus is always present verbatim)
         val salted =
           if (cls == 0) d
           else d.withColumn("text",
-            regexp_replace(col("text"), "((?:\\S+\\s+){5})", s"$$1zc${cls}q "))
+            regexp_replace(col("text"), "((?:\\S+\\s+){4})\\S+", s"$$1zc${cls}q"))
         if (i == 0) salted
         else salted.withColumn("text", concat(lit(s"r$i "), col("text")))
       }), "documents")
