@@ -88,9 +88,17 @@ object TpchQueries {
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("supp_nation"))
     val vol = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    // ord is the two-year window already semi-filtered to ASIA
+    // customers — a slim (orderkey, year) relation around ~6% of
+    // orders. Broadcast it explicitly: statically its post-join size
+    // is unknown, so Catalyst shuffles the promo-filtered lineitem
+    // side for an SMJ and AQE's conversion arrives after that
+    // exchange wrote. With the hint the fact table never shuffles at
+    // all — scan → three BHJs → partial agg on o_year (a handful of
+    // groups) → 1-wave combine (sf10: 2.4→2.0 s; the remaining cost is the 60M-row scan+probe itself).
     Tables.lineitem(s, d)
       .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
-      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("o_year"))
       .agg(
@@ -139,8 +147,15 @@ object TpchQueries {
       .where(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
         col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
       .select("o_orderkey", "o_custkey")
+    // the quarter-filtered orders projection is ~4% of the table and
+    // two slim columns — broadcast it EXPLICITLY: statically Catalyst
+    // can't see the filter's selectivity, plans SMJ, and shuffles the
+    // R-flagged lineitem side (the BIG side) for the join; AQE's BHJ
+    // conversion lands after that exchange already wrote. The hint
+    // makes the fact table flow scan→BHJ→partial-agg with the only
+    // full exchange on the slim (custkey, cents) agg (sf10: 2.0→1.2 s)
     val rev = Tables.lineitem(s, d).where(col("l_returnflag") === "R")
-      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"))
       .agg(sumCents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("rc"))
@@ -329,8 +344,18 @@ object TpchQueries {
       .groupBy(col("l_orderkey"))
       .agg(sum(cents(col("l_quantity"))).as("sumq"))
       .where(col("sumq") > 300L * 100L)
+    // broadcast the HAVING survivors EXPLICITLY: statically the agg's
+    // size is unknown so Catalyst plans SMJ over a full orders
+    // exchange+sort, and AQE's BHJ conversion lands only AFTER that
+    // shuffle already wrote (it runs in the same stage wave as the
+    // agg). Local sf10 wall time is a wash (the 60M-row lineitem agg
+    // dominates), but the hint deletes an entire orders-table
+    // exchange from the plan — at cluster scale that is the orders
+    // table crossing the network once for nothing. >300-qty orders
+    // are a per-SF handful (TPC-H spec returns ~57/SF), so the
+    // broadcast stays KB-to-MB at any realistic scale.
     Tables.orders(s, d)
-      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"),
