@@ -21,6 +21,22 @@ object KMeansLite {
 
   final case class Model(centroids: Array[Array[Double]], assignments: DataFrame)
 
+  /** The deterministic argmin-distance assignment expression over a
+    * literal centroid table: min squared distance, ties → lowest
+    * cluster id. Exposed so fused trainers (ProductQuantizer
+    * .trainWithCoarse) assign with EXACTLY the expression fit() uses
+    * — numeric identity is what keeps the unrolled DuckDB oracles
+    * valid for any composition of these models. */
+  def assignExpr(cents: Array[Array[Double]], v: Column): Column = {
+    val dists = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        aggregate(zip_with(v, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, z) => acc + z).as("d"),
+        lit(i).as("cluster"))
+    }: _*)
+    sort_array(dists)(0)("cluster") // min distance, ties -> lowest cluster id
+  }
+
   def fit(df: DataFrame, idCol: Column, vecCol: Column, k: Int, iters: Int): Model = {
     // Spread before persisting: every iteration replays the k·d-term
     // assignment expression over this cache, so a file-bound single
@@ -28,20 +44,12 @@ object KMeansLite {
     // core (util.Spread doc — measured 1-core starvation at sf10)
     val data = graft.util.CacheScope.persist(graft.util.Spread(
       df.select(idCol.as("id"), toDouble(vecCol).as("v"))))
-    val dim = data.select(size(col("v"))).first().getInt(0)
 
     var cents: Array[Array[Double]] = data.orderBy("id").limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
+    require(cents.nonEmpty, "k-means needs a non-empty collection")
 
-    def assignCol: Column = {
-      val dists = array(cents.zipWithIndex.map { case (c, i) =>
-        struct(
-          aggregate(zip_with(col("v"), array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, z) => acc + z).as("d"),
-          lit(i).as("cluster"))
-      }: _*)
-      sort_array(dists)(0)("cluster") // min distance, ties -> lowest cluster id
-    }
+    def assignCol: Column = assignExpr(cents, col("v"))
 
     var it = 0
     while (it < iters) {

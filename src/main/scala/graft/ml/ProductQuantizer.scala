@@ -40,13 +40,15 @@ object ProductQuantizer {
     * the DuckDB oracle replay of train→encode→ADC is unchanged. */
   def train(df: DataFrame, idCol: Column, vecCol: Column,
             m: Int, k: Int, iters: Int): Codebooks = {
-    val dim = df.select(size(toDouble(vecCol))).first().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val subDim = dim / m
     // init = lowest-id k rows, sliced per subspace (exactly the init
-    // each per-subspace KMeansLite.fit would have collected)
+    // each per-subspace KMeansLite.fit would have collected); dim
+    // reads off the first init vector — no separate dimension job
     val initRows = df.select(idCol.as("id"), toDouble(vecCol).as("v"))
       .orderBy("id").limit(k).collect().map(_.getSeq[Double](1).toArray)
+    require(initRows.nonEmpty, "PQ training needs a non-empty collection")
+    val dim = initRows.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
     var cents: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
       initRows.map(_.slice(j * subDim, (j + 1) * subDim))
     }
@@ -89,6 +91,73 @@ object ProductQuantizer {
       it += 1
     }
     Codebooks(m, subDim, cents)
+  }
+
+  /** Train the PQ codebooks AND a full-vector coarse quantizer (the
+    * IVF half of IVF-PQ) in the SAME exploded frame: subspace rows
+    * j = 0..m-1 carry the PQ slices, j = m carries the whole vector,
+    * and every training iteration is ONE job for both models
+    * (round-6: ivfPqTopK ran two sequential trainer loops — ~8
+    * driver-blocking collects where 4 suffice). Numerically
+    * IDENTICAL to KMeansLite.fit + train run separately: same
+    * lowest-id inits, the same per-(j, cluster, pos) rounded means
+    * over the same rows, and the coarse argmin is KMeansLite's own
+    * assignExpr — so the unrolled DuckDB oracle of the composition
+    * is untouched. Returns (codebooks, coarse centroids). */
+  def trainWithCoarse(df: DataFrame, idCol: Column, vecCol: Column,
+                      m: Int, k: Int, iters: Int, coarseK: Int)
+      : (Codebooks, Array[Array[Double]]) = {
+    val initRows = df.select(idCol.as("id"), toDouble(vecCol).as("v"))
+      .orderBy("id").limit(math.max(k, coarseK)).collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(initRows.nonEmpty, "PQ training needs a non-empty collection")
+    val dim = initRows.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    var cents: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      initRows.take(k).map(_.slice(j * subDim, (j + 1) * subDim))
+    }
+    var coarse: Array[Array[Double]] = initRows.take(coarseK)
+    val data = graft.util.CacheScope.persist(
+      graft.util.Spread(df.select(toDouble(vecCol).as("v")))
+        .select(explode(array((0 until m).map { j =>
+          struct(lit(j).as("j"), slice(col("v"), j * subDim + 1, subDim).as("sub"))
+        } :+ struct(lit(m).as("j"), col("v").as("sub")): _*)).as("e"))
+        .select(col("e.j").as("j"), col("e.sub").as("sub")))
+    def assignCol: Column = {
+      def argminFor(j: Int): Column =
+        sort_array(array(cents(j).zipWithIndex.map { case (c, i) =>
+          struct(sqDistTo(col("sub"), c).as("d"), lit(i).as("c"))
+        }: _*))(0)("c")
+      (1 until m).foldLeft(when(col("j") === 0, argminFor(0))) {
+        case (acc, j) => acc.when(col("j") === j, argminFor(j))
+      }.when(col("j") === m, KMeansLite.assignExpr(coarse, col("sub")))
+    }
+    var it = 0
+    while (it < iters) {
+      val means = data.withColumn("cluster", assignCol)
+        .select(col("j"), col("cluster"), posexplode(col("sub")).as(Seq("pos", "x")))
+        .groupBy("j", "cluster", "pos").agg(round(avg("x"), 9).as("mn"))
+        .collect() // (m·k·subDim + coarseK·dim) rows — driver-tiny
+      val nextPq = cents.map(_.clone())
+      val nextCoarse = coarse.clone()
+      means.groupBy(r => (r.getInt(0), r.getInt(1))).foreach {
+        case ((j, cl), rows) =>
+          if (j == m) {
+            val mean = nextCoarse(cl).clone()
+            rows.foreach(r => mean(r.getInt(2)) = r.getDouble(3))
+            nextCoarse(cl) = mean
+          } else {
+            val mean = nextPq(j)(cl).clone()
+            rows.foreach(r => mean(r.getInt(2)) = r.getDouble(3))
+            nextPq(j)(cl) = mean
+          }
+      }
+      cents = nextPq
+      coarse = nextCoarse
+      it += 1
+    }
+    (Codebooks(m, subDim, cents), coarse)
   }
 
   /** Compress every vector to its m nearest-centroid codes. The

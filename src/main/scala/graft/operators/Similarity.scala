@@ -464,8 +464,16 @@ object Similarity {
                 m: Int = 8, kCodes: Int = 16, iters: Int = 3): DataFrame = {
     import graft.ml.{KMeansLite, ProductQuantizer}
     val c = CacheScope.persist(spread(normed(collection, colId, colVec)))
-    val model = KMeansLite.fit(c, col("id"), col("vn"), nCells, iters)
-    val cb = ProductQuantizer.train(c, col("id"), col("vn"), m, kCodes, iters)
+    // fused trainer: coarse quantizer + all m PQ codebooks learn on
+    // ONE exploded frame — 1 collect per iteration instead of 2
+    // sequential trainer loops, numerically identical to
+    // KMeansLite.fit + ProductQuantizer.train (same inits, same
+    // rounded means, same argmin expression), so the unrolled DuckDB
+    // oracle replay of the composition is unchanged
+    val (cb, coarseCents) = ProductQuantizer.trainWithCoarse(
+      c, col("id"), col("vn"), m, kCodes, iters, nCells)
+    val model = KMeansLite.Model(coarseCents,
+      c.select(col("id"), KMeansLite.assignExpr(coarseCents, col("vn")).as("cluster")))
     val encoded = ProductQuantizer.encode(c, col("id"), col("vn"), cb)
       .join(model.assignments.withColumnRenamed("cluster", "cell"), "id")
     // serving-side handful: query vectors + their probe cells, all

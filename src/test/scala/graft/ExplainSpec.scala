@@ -239,10 +239,22 @@ class ExplainSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
-  test("mmr's five greedy argmax stages stay TakeOrdered, never a global sort") {
+  test("mmr's greedy unroll is lineage-truncated and never cartesian") {
+    // Each stage references the previous selection 3×, so an
+    // untruncated unroll grows the analyzed tree 3^stages and the
+    // driver re-pays Catalyst analysis per action (round-6 finding:
+    // 6.4 s per count() on warm caches). The stages localCheckpoint
+    // lazily, so the VISIBLE plan must be a constant-size join over
+    // LogicalRDDs — each stage's own argmax ran as TakeOrdered inside
+    // its checkpointed sub-plan (orderBy+limit(1) cannot plan any
+    // other way), which the final explain no longer contains.
     val p = plan("q_mmr")
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("Scan ExistingRDD"), p) // truncated stage lineage
+    // 60 lines today (cand's InMemoryRelation dominates); the
+    // pre-truncation plan was several hundred — 150 is the tripwire
+    val lines = p.linesIterator.size
+    assert(lines < 150, s"q_mmr visible plan grew to $lines lines — lineage truncation lost?\n$p")
   }
 
   test("integer kmeans inlines centroids as literals: no join in the assignment") {
