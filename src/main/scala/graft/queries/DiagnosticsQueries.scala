@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -600,6 +601,125 @@ object DiagnosticsQueries {
     FROM s3
   """))
 
+  /** Mahalanobis outlier ranking over the 3-feature order profile
+    * (quantity cents, item count, totalprice cents — q_ols3's
+    * feature frame): d²(x) = (x−μ)ᵀ Σ⁻¹ (x−μ) with Σ the population
+    * covariance from the SAME exact decimal moment sums q_ols3
+    * accumulates and Σ⁻¹ the closed-form 3×3 adjugate — the
+    * multivariate companion to q_tukey_fences/q_grubbs that catches
+    * rows no per-column fence sees (unusual COMBINATIONS). Top-20 by
+    * d² with the ranking on the ROUNDED distance + orderkey
+    * tiebreak, so the emitted order is ulp-independent and the
+    * DuckDB oracle replays the identical double tree.
+    *
+    * Scale shape: one moment reduction (map-side partial to one
+    * row), the 1-row broadcast back, one codegen'd per-row quadratic
+    * form, TakeOrdered 20 — no window, no shuffle beyond the moment
+    * combine. */
+  private val qMahalanobis = BoundQuery("q_mahalanobis", (s, d) => {
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    val feats = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(cents(col("l_quantity"))).as("x1"),
+        count(lit(1)).as("x2"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"),
+          cents(col("o_totalprice")).as("x3")), Seq("l_orderkey"))
+    val m = feats.agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("x3")).as("s3"),
+      sum(d19(col("x1")) * col("x1")).as("s11"),
+      sum(d19(col("x1")) * col("x2")).as("s12"),
+      sum(d19(col("x1")) * col("x3")).as("s13"),
+      sum(d19(col("x2")) * col("x2")).as("s22"),
+      sum(d19(col("x2")) * col("x3")).as("s23"),
+      sum(d19(col("x3")) * col("x3")).as("s33"))
+    val n = col("n").cast("double")
+    def mu(i: Int) = col(s"s$i").cast("double") / n
+    def cov(i: Int, j: Int) = {
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      col(s"s$a$b").cast("double") / n - mu(a) * mu(b)
+    }
+    val (c11, c12, c13) = (cov(1, 1), cov(1, 2), cov(1, 3))
+    val (c22, c23, c33) = (cov(2, 2), cov(2, 3), cov(3, 3))
+    val det = c11 * (c22 * c33 - c23 * c23) - c12 * (c12 * c33 - c23 * c13) +
+      c13 * (c12 * c23 - c22 * c13)
+    // adjugate / det — symmetric inverse entries
+    val i11 = (c22 * c33 - c23 * c23) / det
+    val i12 = (c13 * c23 - c12 * c33) / det
+    val i13 = (c12 * c23 - c13 * c22) / det
+    val i22 = (c11 * c33 - c13 * c13) / det
+    val i23 = (c13 * c12 - c11 * c23) / det
+    val i33 = (c11 * c22 - c12 * c12) / det
+    val z1 = col("x1").cast("double") - mu(1)
+    val z2 = col("x2").cast("double") - mu(2)
+    val z3 = col("x3").cast("double") - mu(3)
+    val d2 = z1 * (z1 * i11 + z2 * i12 + z3 * i13) +
+      z2 * (z1 * i12 + z2 * i22 + z3 * i23) +
+      z3 * (z1 * i13 + z2 * i23 + z3 * i33)
+    feats.crossJoin(broadcast(m))
+      .select(col("l_orderkey").as("okey"), round(d2, 6).as("d2"))
+      .orderBy(desc("d2"), col("okey"))
+      .limit(20)
+  }, Some("""
+    WITH feats AS (
+      SELECT l_orderkey,
+        sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS x1,
+        CAST(count(*) AS BIGINT) AS x2,
+        any_value(x3) AS x3
+      FROM lineitem JOIN (
+        SELECT o_orderkey, CAST(round(o_totalprice*100,0) AS BIGINT) AS x3
+        FROM orders) o ON o.o_orderkey = l_orderkey
+      GROUP BY l_orderkey),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        sum(x1) AS s1, sum(x2) AS s2, sum(x3) AS s3,
+        sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x1*x3) AS s13,
+        sum(x2*x2) AS s22, sum(x2*x3) AS s23, sum(x3*x3) AS s33
+      FROM feats),
+    c AS (
+      SELECT CAST(n AS DOUBLE) AS n,
+        CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE) AS m1,
+        CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE) AS m2,
+        CAST(s3 AS DOUBLE)/CAST(n AS DOUBLE) AS m3,
+        CAST(s11 AS DOUBLE)/CAST(n AS DOUBLE)
+          - (CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE)) AS c11,
+        CAST(s12 AS DOUBLE)/CAST(n AS DOUBLE)
+          - (CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE)) AS c12,
+        CAST(s13 AS DOUBLE)/CAST(n AS DOUBLE)
+          - (CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(s3 AS DOUBLE)/CAST(n AS DOUBLE)) AS c13,
+        CAST(s22 AS DOUBLE)/CAST(n AS DOUBLE)
+          - (CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE)) AS c22,
+        CAST(s23 AS DOUBLE)/CAST(n AS DOUBLE)
+          - (CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(s3 AS DOUBLE)/CAST(n AS DOUBLE)) AS c23,
+        CAST(s33 AS DOUBLE)/CAST(n AS DOUBLE)
+          - (CAST(s3 AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(s3 AS DOUBLE)/CAST(n AS DOUBLE)) AS c33
+      FROM m),
+    inv AS (
+      SELECT m1, m2, m3,
+        (c22*c33 - c23*c23) / det AS i11,
+        (c13*c23 - c12*c33) / det AS i12,
+        (c12*c23 - c13*c22) / det AS i13,
+        (c11*c33 - c13*c13) / det AS i22,
+        (c13*c12 - c11*c23) / det AS i23,
+        (c11*c22 - c12*c12) / det AS i33
+      FROM (SELECT *,
+        c11*(c22*c33 - c23*c23) - c12*(c12*c33 - c23*c13)
+          + c13*(c12*c23 - c22*c13) AS det FROM c))
+    SELECT l_orderkey AS okey,
+      round(
+        (CAST(x1 AS DOUBLE)-m1) * ((CAST(x1 AS DOUBLE)-m1)*i11
+          + (CAST(x2 AS DOUBLE)-m2)*i12 + (CAST(x3 AS DOUBLE)-m3)*i13)
+        + (CAST(x2 AS DOUBLE)-m2) * ((CAST(x1 AS DOUBLE)-m1)*i12
+          + (CAST(x2 AS DOUBLE)-m2)*i22 + (CAST(x3 AS DOUBLE)-m3)*i23)
+        + (CAST(x3 AS DOUBLE)-m3) * ((CAST(x1 AS DOUBLE)-m1)*i13
+          + (CAST(x2 AS DOUBLE)-m2)*i23 + (CAST(x3 AS DOUBLE)-m3)*i33),
+        6) AS d2
+    FROM feats, inv
+    ORDER BY d2 DESC, okey LIMIT 20
+  """))
+
   val all: Seq[BoundQuery] = Seq(qLjungBox, qVarianceRatio, qMase,
-    qBartlett, qCooks, qBreuschPagan, qSmape, qTurningPoints, qWelchAnova)
+    qBartlett, qCooks, qBreuschPagan, qSmape, qTurningPoints, qWelchAnova,
+    qMahalanobis)
 }

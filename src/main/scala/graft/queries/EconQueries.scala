@@ -697,7 +697,122 @@ object EconQueries {
     ORDER BY brand
   """))
 
+  /** Atkinson inequality indices at ε = 1 and ε = 2 (Atkinson, JET
+    * 1970) over per-customer revenue — the welfare-weighted
+    * companions to q_gini/q_theil_index: A(1) = 1 − geomean/mean
+    * (log-utility), A(2) = 1 − harmean/mean (the inequality view
+    * most sensitive to the poorest tail). House parity rules: exact
+    * cents sums; ln(x) and 1/x rounded ONCE per row to fixed
+    * integer units (micro-nats / 1e-12 reciprocals) so every
+    * aggregate is an order-invariant integer sum; two double
+    * finishes replayed by the identical expression tree in DuckDB.
+    * One scan, one 4-sum aggregate — at 100 TB this is a map-side
+    * partial plus a 1-row combine. */
+  private val qAtkinson = BoundQuery("q_atkinson", (s, d) => {
+    val rev = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sumCents(col("o_totalprice")).as("x"))
+    val agg = rev.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("xx"),
+      sum(round(log(col("x").cast("double")) * 1e6, 0).cast("long")).as("sln"),
+      sum(round(lit(1e12) / col("x").cast("double"), 0).cast("long")).as("sinv"))
+    agg.select(
+      col("n").cast("long").as("n_cust"),
+      round(col("xx").cast("double") / col("n").cast("double") / 100.0, 6)
+        .as("mean_rev"),
+      round(lit(1.0) - exp(col("sln").cast("double") /
+          (col("n").cast("double") * 1e6)) /
+        (col("xx").cast("double") / col("n").cast("double")), 9)
+        .as("atkinson_1"),
+      round(lit(1.0) - (col("n").cast("double") * 1e12 /
+          col("sinv").cast("double")) /
+        (col("xx").cast("double") / col("n").cast("double")), 9)
+        .as("atkinson_2"))
+  }, Some("""
+    WITH rev AS (
+      SELECT o_custkey,
+        CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS xx,
+        CAST(sum(CAST(round(ln(CAST(x AS DOUBLE)) * 1e6, 0) AS BIGINT))
+             AS BIGINT) AS sln,
+        CAST(sum(CAST(round(1e12 / CAST(x AS DOUBLE), 0) AS BIGINT))
+             AS BIGINT) AS sinv
+      FROM rev)
+    SELECT n AS n_cust,
+      round(CAST(xx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mean_rev,
+      round(1.0 - exp(CAST(sln AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6))
+        / (CAST(xx AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS atkinson_1,
+      round(1.0 - (CAST(n AS DOUBLE) * 1e12 / CAST(sinv AS DOUBLE))
+        / (CAST(xx AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS atkinson_2
+    FROM a
+  """))
+
+  /** Palma ratio — top-10% revenue share over bottom-40% share
+    * (Palma 2011; Cobham & Sumner 2013), the inequality readout that
+    * ignores the stable middle. Cutoffs are EXACT integer counts
+    * (n div 10, 4·n div 10 — no quantile interpolation semantics to
+    * disagree on); membership comes from the two-phase
+    * Ranking.globalRowNumber (desc revenue, custkey tiebreak), so no
+    * single-partition window at any scale; shares are exact cents
+    * ratios finished as doubles. */
+  private val qPalma = BoundQuery("q_palma", (s, d) => {
+    val rev = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sumCents(col("o_totalprice")).as("x"))
+    val ranked = graft.operators.Ranking.globalRowNumber(
+      rev, "rn", col("x").desc, col("o_custkey"))
+    val g = ranked.agg(count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("xx"))
+    ranked.crossJoin(broadcast(g))
+      .select(col("x"), col("rn"), col("n"), col("xx"),
+        (col("rn") < expr("n div 10")).as("is_top"),
+        (col("rn") >= col("n") - expr("(4 * n) div 10")).as("is_bot"))
+      .agg(
+        max(col("n")).cast("long").as("n_cust"),
+        sum(when(col("is_top"), col("x")).otherwise(lit(0L))
+          .cast("decimal(38,0)")).as("top_c"),
+        sum(when(col("is_bot"), col("x")).otherwise(lit(0L))
+          .cast("decimal(38,0)")).as("bot_c"),
+        max(col("xx")).as("xx"))
+      .select(col("n_cust"),
+        round(col("top_c").cast("double") / col("xx").cast("double"), 9)
+          .as("top10_share"),
+        round(col("bot_c").cast("double") / col("xx").cast("double"), 9)
+          .as("bottom40_share"),
+        round(col("top_c").cast("double") / col("bot_c").cast("double"), 9)
+          .as("palma_ratio"))
+  }, Some("""
+    WITH rev AS (
+      SELECT o_custkey,
+        CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT x, CAST(row_number() OVER (ORDER BY x DESC, o_custkey) - 1
+                     AS BIGINT) AS rn
+      FROM rev),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS xx FROM ranked)
+    SELECT n AS n_cust,
+      round(CAST(sum(CASE WHEN rn < n // 10 THEN CAST(x AS HUGEINT)
+                          ELSE 0 END) AS DOUBLE)
+            / CAST(xx AS DOUBLE), 9) AS top10_share,
+      round(CAST(sum(CASE WHEN rn >= n - (4 * n) // 10
+                          THEN CAST(x AS HUGEINT) ELSE 0 END) AS DOUBLE)
+            / CAST(xx AS DOUBLE), 9) AS bottom40_share,
+      round(CAST(sum(CASE WHEN rn < n // 10 THEN CAST(x AS HUGEINT)
+                          ELSE 0 END) AS DOUBLE)
+            / CAST(sum(CASE WHEN rn >= n - (4 * n) // 10
+                            THEN CAST(x AS HUGEINT) ELSE 0 END) AS DOUBLE),
+            9) AS palma_ratio
+    FROM ranked, g
+    GROUP BY n, xx
+  """))
+
   val all: Seq[BoundQuery] = Seq(qFunnelSig, qElasticity, qXyzClass,
     qFisherIndex, qCroston, qWilsonCi, qMaxdrawdown, qTheilIndex, qGpdTail,
-    qMld, qPriceVolumeMix)
+    qMld, qPriceVolumeMix, qAtkinson, qPalma)
 }

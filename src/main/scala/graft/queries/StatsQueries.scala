@@ -771,7 +771,76 @@ object StatsQueries {
     FROM m ORDER BY event_type
   """))
 
+  /** Caliper nearest-neighbor matching ATT (Rosenbaum & Rubin 1985)
+    * — the matching companion to q_ipw's weighting estimator, same
+    * treatment/outcome convention (treated = URGENT/HIGH priority,
+    * y = order reached final status): each treated order matches its
+    * nearest control by order value within a ±$10 caliper (with
+    * replacement; ties → lower control value distance, then lower
+    * control key — fully deterministic), ATT = mean matched outcome
+    * difference. Binary outcome ⇒ the whole estimator is EXACT
+    * integer work: candidate generation is operators.RangeJoin's
+    * bucketed equi-join (never a BroadcastNestedLoop BETWEEN), the
+    * argmin is TopKPerGroup(1) (no single-partition window), and the
+    * two readouts are truncating ppm divisions.
+    *
+    * Scale shape: O(controls + treated·spans) bucket rows, one
+    * equi-join shuffle, one per-treated top-1, one reduction. */
+  private val qCaliperMatch = BoundQuery("q_caliper_match", (s, d) => {
+    val caliper = 1000L // cents: ±$10 on order value
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey").as("okey"),
+      cents(col("o_totalprice")).as("price"),
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long").as("t"),
+      (col("o_orderstatus") === "F").cast("long").as("y"))
+    val treated = o.where(col("t") === 1)
+      .select(col("okey").as("tk"), col("price").as("tp"), col("y").as("ty"))
+    val controls = o.where(col("t") === 0)
+      .select(col("okey").as("ck"), col("price").as("cp"), col("y").as("cy"))
+    val cands = graft.operators.RangeJoin.bucketed(
+      controls, col("cp"),
+      treated.withColumn("lo", col("tp") - caliper)
+        .withColumn("hi", col("tp") + caliper),
+      col("lo"), col("hi"), bucketWidth = caliper.toDouble)
+      .withColumn("ad", abs(col("cp") - col("tp")))
+    val matched = graft.operators.TopKPerGroup.topK(cands,
+      Seq(col("tk")), Seq(asc("ad"), col("ck")), 1, rankCol = "rnk")
+    val nt = treated.agg(count(lit(1)).as("n_treated"))
+    matched.agg(count(lit(1)).as("n_matched"),
+        sum(col("ty") - col("cy")).as("sd"))
+      .crossJoin(broadcast(nt))
+      .select(col("n_treated"), col("n_matched"),
+        expr("(1000000 * n_matched) div n_treated").as("match_rate_ppm"),
+        expr("(1000000 * sd) div n_matched").as("att_ppm"))
+  }, Some("""
+    WITH o AS (
+      SELECT o_orderkey AS okey,
+        CAST(round(o_totalprice*100, 0) AS BIGINT) AS price,
+        CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END AS t,
+        CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders),
+    tr AS (SELECT okey AS tk, price AS tp, CAST(y AS BIGINT) AS ty
+           FROM o WHERE t = 1),
+    ct AS (SELECT okey AS ck, price AS cp, CAST(y AS BIGINT) AS cy
+           FROM o WHERE t = 0),
+    cand AS (
+      SELECT tk, ty, cy, abs(cp - tp) AS ad, ck
+      FROM tr JOIN ct ON cp BETWEEN tp - 1000 AND tp + 1000),
+    m AS (
+      SELECT tk, ty, cy FROM (
+        SELECT *, row_number() OVER (PARTITION BY tk ORDER BY ad, ck) AS rn
+        FROM cand) WHERE rn = 1),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n_matched,
+                 CAST(sum(ty - cy) AS BIGINT) AS sd FROM m),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_treated FROM tr)
+    SELECT n_treated, n_matched,
+      (1000000 * n_matched) // n_treated AS match_rate_ppm,
+      (1000000 * sd) // n_matched AS att_ppm
+    FROM g, nt
+  """))
+
   val all: Seq[BoundQuery] = Seq(qSpearman, qAnova, qTheilSen, qCuped,
     qDecompose, qIpw, qDid, qAbcClass, qHill, qKendall, qCramersV,
-    qSeasonalStrength)
+    qSeasonalStrength, qCaliperMatch)
 }
