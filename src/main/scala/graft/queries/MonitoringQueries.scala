@@ -530,7 +530,59 @@ object MonitoringQueries {
     FROM g, expo ORDER BY event_type
   """))
 
+  /** Standardized morbidity/mortality-style ratio (indirect
+    * standardization): observed completions in the urgent-order
+    * cohort vs the count EXPECTED if each order-value stratum
+    * completed at the whole-book's stratum rate — q_rate_ratio's
+    * confounder-adjusted sibling (a cohort can look better purely by
+    * living in easier strata; SMR removes exactly that). Strata are
+    * q_ipw's $1000-capped value buckets; reference rates are exact
+    * ppm truncating divisions, the expected count is an exact long
+    * sum of n_s·rate_s ppm terms, and SMR = obs·10¹² div expected —
+    * every emitted value an integer. One scan, one stratum groupBy,
+    * one reduction. */
+  private val qSmr = BoundQuery("q_smr", (s, d) => {
+    val strata = Tables.orders(s, d)
+      .withColumn("st", least(floor(col("o_totalprice") / 100000).cast("long"), lit(4L)))
+      .withColumn("u", col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long"))
+      .withColumn("f", (col("o_orderstatus") === "F").cast("long"))
+      .groupBy("st")
+      .agg(count(lit(1)).as("n_s"), sum(col("f")).as("f_s"),
+        sum(col("u")).as("nu_s"), sum(col("u") * col("f")).as("fu_s"))
+      // rate_ppm = whole-book stratum completion rate; expected urgent
+      // completions in ppm-order units = nu_s * rate_ppm (exact long)
+      .withColumn("rate_ppm", expr("(1000000 * f_s) div n_s"))
+      .withColumn("exp_ppm", col("nu_s") * col("rate_ppm"))
+    strata.agg(count(lit(1)).as("n_strata"), sum(col("nu_s")).as("n_urgent"),
+        sum(col("fu_s")).as("observed"), sum(col("exp_ppm")).as("expected_ppm"))
+      .select(col("n_strata"), col("n_urgent"), col("observed"),
+        col("expected_ppm"),
+        expr("(observed * 1000000000000) div expected_ppm").as("smr_ppm"))
+  }, Some("""
+    WITH strata AS (
+      SELECT least(CAST(floor(o_totalprice / 100000) AS BIGINT), 4) AS st,
+        CAST(count(*) AS BIGINT) AS n_s,
+        CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+             AS BIGINT) AS f_s,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS nu_s,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS fu_s
+      FROM orders GROUP BY 1),
+    w AS (
+      SELECT n_s, nu_s, fu_s,
+        nu_s * ((1000000 * f_s) // n_s) AS exp_ppm
+      FROM strata)
+    SELECT CAST(count(*) AS BIGINT) AS n_strata,
+      CAST(sum(nu_s) AS BIGINT) AS n_urgent,
+      CAST(sum(fu_s) AS BIGINT) AS observed,
+      CAST(sum(exp_ppm) AS BIGINT) AS expected_ppm,
+      (CAST(sum(fu_s) AS BIGINT) * 1000000000000)
+        // CAST(sum(exp_ppm) AS BIGINT) AS smr_ppm
+    FROM w
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qControlChart, qPageHinkley, qEngleGranger, qTheilU, qSeasonalEsd,
-      qHurst, qRateRatio)
+      qHurst, qRateRatio, qSmr)
 }

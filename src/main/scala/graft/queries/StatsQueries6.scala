@@ -510,6 +510,153 @@ object StatsQueries6 {
     FROM fin
   """))
 
+  /** Wald instrumental-variable estimate (the 1-instrument 2SLS
+    * closed form): β_IV = (ȳ|z=1 − ȳ|z=0) / (x̄|z=1 − x̄|z=0), here
+    * instrumenting order size (x = line count) with the urgency flag
+    * on order value (y, cents) — the causal-inference third leg
+    * beside q_ipw (weighting) and q_caliper_match (matching). On a
+    * near-independent synthetic instrument the first stage is weak
+    * and the estimate is a placebo audit, exactly like q_did — the
+    * engine contract is the ESTIMATOR, exact conditional sums with
+    * one double finish per emitted value. One join, one 2-group
+    * reduction. */
+  private val qIvWald = BoundQuery("q_iv_wald", (s, d) => {
+    val feats = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("x"))
+      .join(Tables.orders(s, d).select(
+        col("o_orderkey").as("l_orderkey"),
+        graft.functions.Num.cents(col("o_totalprice")).as("y"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long").as("z")),
+        Seq("l_orderkey"))
+    feats.agg(
+      count(lit(1)).as("n"), sum(col("z")).as("nz"),
+      sum(col("z") * col("x")).as("x1"), sum(col("z") * col("y")).as("y1"),
+      sum((lit(1L) - col("z")) * col("x")).as("x0"),
+      sum((lit(1L) - col("z")) * col("y")).as("y0"))
+      .select(col("n").cast("long").as("n_orders"), col("nz").as("n_instrumented"),
+        round(col("x1").cast("double") / col("nz").cast("double")
+          - col("x0").cast("double") / (col("n") - col("nz")).cast("double"), 9)
+          .as("first_stage"),
+        round((col("y1").cast("double") / col("nz").cast("double")
+            - col("y0").cast("double") / (col("n") - col("nz")).cast("double"))
+          / (col("x1").cast("double") / col("nz").cast("double")
+            - col("x0").cast("double") / (col("n") - col("nz")).cast("double")),
+          6).as("beta_iv_cents"))
+  }, Some("""
+    WITH feats AS (
+      SELECT l.x, o.y, o.z FROM (
+        SELECT l_orderkey, CAST(count(*) AS BIGINT) AS x
+        FROM lineitem GROUP BY 1) l
+      JOIN (
+        SELECT o_orderkey,
+          CAST(round(o_totalprice*100, 0) AS BIGINT) AS y,
+          CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END AS z
+        FROM orders) o ON o.o_orderkey = l.l_orderkey),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(z) AS BIGINT) AS nz,
+        CAST(sum(z*x) AS BIGINT) AS x1, CAST(sum(z*y) AS BIGINT) AS y1,
+        CAST(sum((1-z)*x) AS BIGINT) AS x0,
+        CAST(sum((1-z)*y) AS BIGINT) AS y0
+      FROM feats)
+    SELECT n AS n_orders, nz AS n_instrumented,
+      round(CAST(x1 AS DOUBLE)/CAST(nz AS DOUBLE)
+        - CAST(x0 AS DOUBLE)/CAST(n - nz AS DOUBLE), 9) AS first_stage,
+      round((CAST(y1 AS DOUBLE)/CAST(nz AS DOUBLE)
+          - CAST(y0 AS DOUBLE)/CAST(n - nz AS DOUBLE))
+        / (CAST(x1 AS DOUBLE)/CAST(nz AS DOUBLE)
+          - CAST(x0 AS DOUBLE)/CAST(n - nz AS DOUBLE)), 6) AS beta_iv_cents
+    FROM m
+  """))
+
+  /** Oaxaca–Blinder decomposition of the A-vs-B mean order-value gap
+    * (md5-split cohorts, q_did's placebo convention) into the part
+    * explained by the order-size covariate and the unexplained
+    * (coefficient) part: gap = β_B·(x̄_A − x̄_B) + [unexplained].
+    * Per-group OLS slopes come from the exact count/cents moments
+    * (β = (n·Sxy − SxSy)/(n·Sxx − Sx²)); every emitted number is one
+    * double tree over those integers, replayed verbatim. One scan,
+    * one 2-group moment reduction. */
+  private val qOaxaca = BoundQuery("q_oaxaca", (s, d) => {
+    def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val feats = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("x"))
+      .join(Tables.orders(s, d).select(
+        col("o_orderkey").as("l_orderkey"),
+        graft.functions.Num.cents(col("o_totalprice")).as("y"),
+        when(substring(md5(col("o_custkey").cast("string")), 1, 2) < "80", "A")
+          .otherwise("B").as("grp")), Seq("l_orderkey"))
+    val m = feats.groupBy("grp").agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(d19(col("x")) * col("x")).as("sxx"),
+      sum(d19(col("x")) * col("y")).as("sxy"))
+    val a = m.where(col("grp") === "A").select(
+      col("n").as("na"), col("sx").as("sxa"), col("sy").as("sya"),
+      col("sxx").as("sxxa"), col("sxy").as("sxya"))
+    val b = m.where(col("grp") === "B").select(
+      col("n").as("nb"), col("sx").as("sxb"), col("sy").as("syb"),
+      col("sxx").as("sxxb"), col("sxy").as("sxyb"))
+    def beta(n: String, sx: String, sy: String, sxx: String, sxy: String) =
+      (col(n).cast("double") * col(sxy).cast("double")
+        - col(sx).cast("double") * col(sy).cast("double")) /
+      (col(n).cast("double") * col(sxx).cast("double")
+        - col(sx).cast("double") * col(sx).cast("double"))
+    a.crossJoin(broadcast(b)).select(
+      col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+      round(col("sya").cast("double") / col("na").cast("double")
+        - col("syb").cast("double") / col("nb").cast("double"), 6).as("gap_cents"),
+      round(beta("nb", "sxb", "syb", "sxxb", "sxyb")
+        * (col("sxa").cast("double") / col("na").cast("double")
+          - col("sxb").cast("double") / col("nb").cast("double")), 6)
+        .as("explained_cents"),
+      round((col("sya").cast("double") / col("na").cast("double")
+          - col("syb").cast("double") / col("nb").cast("double"))
+        - beta("nb", "sxb", "syb", "sxxb", "sxyb")
+          * (col("sxa").cast("double") / col("na").cast("double")
+            - col("sxb").cast("double") / col("nb").cast("double")), 6)
+        .as("unexplained_cents"))
+  }, Some("""
+    WITH feats AS (
+      SELECT l.x, o.y, o.grp FROM (
+        SELECT l_orderkey, CAST(count(*) AS BIGINT) AS x
+        FROM lineitem GROUP BY 1) l
+      JOIN (
+        SELECT o_orderkey,
+          CAST(round(o_totalprice*100, 0) AS BIGINT) AS y,
+          CASE WHEN substring(md5(CAST(o_custkey AS VARCHAR)), 1, 2) < '80'
+               THEN 'A' ELSE 'B' END AS grp
+        FROM orders) o ON o.o_orderkey = l.l_orderkey),
+    m AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+        sum(x*x) AS sxx, sum(x*y) AS sxy
+      FROM feats GROUP BY 1),
+    ab AS (
+      SELECT
+        (SELECT n FROM m WHERE grp='A') AS na,
+        (SELECT sx FROM m WHERE grp='A') AS sxa,
+        (SELECT sy FROM m WHERE grp='A') AS sya,
+        (SELECT n FROM m WHERE grp='B') AS nb,
+        (SELECT sx FROM m WHERE grp='B') AS sxb,
+        (SELECT sy FROM m WHERE grp='B') AS syb,
+        (SELECT sxx FROM m WHERE grp='B') AS sxxb,
+        (SELECT sxy FROM m WHERE grp='B') AS sxyb),
+    fin AS (
+      SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        CAST(sya AS DOUBLE)/CAST(na AS DOUBLE)
+          - CAST(syb AS DOUBLE)/CAST(nb AS DOUBLE) AS gap,
+        ((CAST(nb AS DOUBLE)*CAST(sxyb AS DOUBLE)
+          - CAST(sxb AS DOUBLE)*CAST(syb AS DOUBLE))
+         / (CAST(nb AS DOUBLE)*CAST(sxxb AS DOUBLE)
+          - CAST(sxb AS DOUBLE)*CAST(sxb AS DOUBLE)))
+        * (CAST(sxa AS DOUBLE)/CAST(na AS DOUBLE)
+          - CAST(sxb AS DOUBLE)/CAST(nb AS DOUBLE)) AS explained
+      FROM ab)
+    SELECT n_a, n_b, round(gap, 6) AS gap_cents,
+      round(explained, 6) AS explained_cents,
+      round(gap - explained, 6) AS unexplained_cents
+    FROM fin
+  """))
+
   val all: Seq[BoundQuery] = Seq(qPacf, qVif, qOddsRatio, qCochranArmitage,
-    qGTest, qFisherZ, qTost)
+    qGTest, qFisherZ, qTost, qIvWald, qOaxaca)
 }
