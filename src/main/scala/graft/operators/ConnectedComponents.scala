@@ -49,9 +49,16 @@ object ConnectedComponents {
                                  maxIter: Int = 25, requireConvergence: Boolean = false)
       : (DataFrame, Boolean) = {
     val e = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
-    // Undirected: propagate both ways.
+    // Undirected: propagate both ways. Persist PRE-HASHED on the join
+    // key (explicit partition count — exempt from AQE coalescing, so
+    // the layout stays join-compatible round after round): every
+    // round's neighbor-min joins adj on `b`, and an unhashed cache
+    // re-exchanges the EDGE LIST — the big side — once per round. At
+    // 100 TB that is `rounds` full-data shuffles for one.
+    val P = edges.sparkSession.sessionState.conf.numShufflePartitions
     val adj = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .distinct()
+      .repartition(P, col("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = adj.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
