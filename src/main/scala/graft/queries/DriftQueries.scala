@@ -379,6 +379,61 @@ object DriftQueries {
     FROM m
   """))
 
+  /** Directed KL drift of the brand revenue-share mix, 1997→1998 —
+    * the asymmetric companions to q_js_divergence/q_psi_drift: per
+    * brand the forward term p₉₈·ln(p₉₈/p₉₇) (surprise of the new mix
+    * under the old) and the reverse term p₉₇·ln(p₉₇/p₉₈), Laplace
+    * +1-smoothed over the brand count so a vanishing brand stays
+    * finite. Counts are exact lineitem tallies off one broadcast-dim
+    * scan pair; each term is ONE micro-nat rounding of an identical
+    * double tree. Column sums give KL(P₉₈‖P₉₇) / KL(P₉₇‖P₉₈). */
+  private val qKlDrift = BoundQuery("q_kl_drift", (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .where(year(col("l_shipdate")).isin(1997, 1998))
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(when(year(col("l_shipdate")) === 1997, 1L).otherwise(0L)).as("n97"),
+        sum(when(year(col("l_shipdate")) === 1998, 1L).otherwise(0L)).as("n98"))
+    val tot = li.agg(sum(col("n97")).as("t97"), sum(col("n98")).as("t98"),
+      count(lit(1)).as("nb"))
+    li.crossJoin(broadcast(tot))
+      .withColumn("p97",
+        (col("n97") + 1).cast("double") / (col("t97") + col("nb")).cast("double"))
+      .withColumn("p98",
+        (col("n98") + 1).cast("double") / (col("t98") + col("nb")).cast("double"))
+      .select(col("brand"), col("n97"), col("n98"),
+        round(round(col("p98") * log(col("p98") / col("p97")) * 1e6, 0) / 1e6, 6)
+          .as("kl_term"),
+        round(round(col("p97") * log(col("p97") / col("p98")) * 1e6, 0) / 1e6, 6)
+          .as("rkl_term"))
+      .orderBy("brand")
+  }, Some("""
+    WITH b AS (
+      SELECT p_brand AS brand,
+        CAST(sum(CASE WHEN year(l_shipdate) = 1997 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n97,
+        CAST(sum(CASE WHEN year(l_shipdate) = 1998 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n98
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE year(l_shipdate) IN (1997, 1998)
+      GROUP BY 1),
+    tot AS (SELECT CAST(sum(n97) AS BIGINT) AS t97,
+                   CAST(sum(n98) AS BIGINT) AS t98,
+                   CAST(count(*) AS BIGINT) AS nb FROM b),
+    p AS (
+      SELECT brand, n97, n98,
+        CAST(n97 + 1 AS DOUBLE) / CAST(t97 + nb AS DOUBLE) AS p97,
+        CAST(n98 + 1 AS DOUBLE) / CAST(t98 + nb AS DOUBLE) AS p98
+      FROM b, tot)
+    SELECT brand, n97, n98,
+      round(CAST(CAST(round(p98 * ln(p98 / p97) * 1e6, 0) AS BIGINT)
+            AS DOUBLE) / 1e6, 6) AS kl_term,
+      round(CAST(CAST(round(p97 * ln(p97 / p98) * 1e6, 0) AS BIGINT)
+            AS DOUBLE) / 1e6, 6) AS rkl_term
+    FROM p ORDER BY brand
+  """))
+
   val all: Seq[BoundQuery] = Seq(qPsiDrift, qDiversity, qEntropyFilter, qZipf,
-    qDpRelease, qMutualInfo, qMixEntropyTrend)
+    qDpRelease, qMutualInfo, qMixEntropyTrend, qKlDrift)
 }

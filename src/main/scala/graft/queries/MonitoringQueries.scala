@@ -582,7 +582,79 @@ object MonitoringQueries {
     FROM w
   """))
 
+  /** Hysteresis (Schmitt-trigger) burst flags over the daily event
+    * count: enter a burst when the day exceeds μ+2σ, stay in it
+    * until the count falls to μ+σ — the two-threshold memory that
+    * stops a rate hovering at one boundary from flapping the way
+    * q_control_chart's memoryless per-point rule does (Kleinberg's
+    * two-state burst model collapsed to its hysteresis core). The
+    * state recurrence is inherently sequential, so it runs as ONE
+    * codegen'd aggregate() fold over the sorted day array,
+    * accumulating a '0'/'1' flag string — the calendar is bounded at
+    * any corpus size, so the array is driver-safe by construction
+    * and the fold replays verbatim as DuckDB's list_reduce. Exact
+    * integer day counts; μ, σ and both thresholds are identical
+    * double trees on both engines. */
+  private val qBurstFlags = BoundQuery("q_burst_flags", (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(expr("unix_date(to_date(ts))").as("ud"))
+      .agg(count(lit(1)).as("c"))
+    val agg = daily.agg(
+      count(lit(1)).as("n"), sum(col("c")).as("sc"),
+      sum(col("c") * col("c")).as("sc2"),
+      sort_array(collect_list(struct(col("ud"), col("c")))).as("days"))
+    val mu = col("sc").cast("double") / col("n").cast("double")
+    val sg = sqrt(col("sc2").cast("double") / col("n").cast("double") - mu * mu)
+    val flags = aggregate(
+      transform(col("days"), x => x("c").cast("string")),
+      lit(""),
+      (acc, cs) => concat(acc,
+        when((substring(acc, -1, 1) === "1" &&
+            cs.cast("long").cast("double") > mu + sg)
+          || (substring(acc, -1, 1) =!= "1" &&
+            cs.cast("long").cast("double") > mu + lit(2.0) * sg),
+          lit("1")).otherwise(lit("0"))))
+    agg.withColumn("flags", flags)
+      .select(col("flags"), posexplode(col("days")).as(Seq("i", "day")))
+      .select(col("day.ud").cast("long").as("ud"), col("day.c").as("n_events"),
+        (expr("substring(flags, i + 1, 1)") === "1").as("burst"))
+      .orderBy("ud")
+  }, Some("""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS ud,
+        CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sc,
+        CAST(sum(c*c) AS BIGINT) AS sc2,
+        list_sort(list(struct_pack(ud := ud, c := c))) AS days
+      FROM daily),
+    f AS (
+      SELECT days,
+        list_reduce(
+          list_prepend('', list_transform(days, x -> CAST(x.c AS VARCHAR))),
+          (acc, cs) -> acc || CASE WHEN
+            (substr(acc, length(acc), 1) = '1' AND
+              CAST(CAST(cs AS BIGINT) AS DOUBLE) >
+                CAST(sc AS DOUBLE)/CAST(n AS DOUBLE)
+                + sqrt(CAST(sc2 AS DOUBLE)/CAST(n AS DOUBLE)
+                  - (CAST(sc AS DOUBLE)/CAST(n AS DOUBLE))
+                    *(CAST(sc AS DOUBLE)/CAST(n AS DOUBLE))))
+            OR (substr(acc, length(acc), 1) <> '1' AND
+              CAST(CAST(cs AS BIGINT) AS DOUBLE) >
+                CAST(sc AS DOUBLE)/CAST(n AS DOUBLE)
+                + 2.0 * sqrt(CAST(sc2 AS DOUBLE)/CAST(n AS DOUBLE)
+                  - (CAST(sc AS DOUBLE)/CAST(n AS DOUBLE))
+                    *(CAST(sc AS DOUBLE)/CAST(n AS DOUBLE))))
+            THEN '1' ELSE '0' END) AS flags
+      FROM agg),
+    ex AS (SELECT unnest(range(1, len(days)+1)) AS i, days, flags FROM f)
+    SELECT days[i].ud AS ud, days[i].c AS n_events,
+      substr(flags, i, 1) = '1' AS burst
+    FROM ex ORDER BY ud
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qControlChart, qPageHinkley, qEngleGranger, qTheilU, qSeasonalEsd,
-      qHurst, qRateRatio, qSmr)
+      qHurst, qRateRatio, qSmr, qBurstFlags)
 }
