@@ -513,6 +513,82 @@ object StatsQueries2 {
     ORDER BY split
   """))
 
+  /** Mann–Whitney U (Wilcoxon RANK-SUM — the independent-samples
+    * twin of q_wilcoxon's paired signed-rank): do BUILDING-segment
+    * and MACHINERY-segment customers draw order values from the same
+    * distribution? Midranks come from the DISTINCT-VALUE grain —
+    * 2·midrank = 2·F_before + c + 1 is integer by construction, and
+    * the cumulative count F rides Ranking.globalCumSum (two-phase,
+    * no single-partition window over millions of distinct cents
+    * values). With A = 2U − n_a·n_b and the tie-corrected
+    * 12σ² = n_a·n_b·((n+1)·n(n−1) − Σ(t³−t)) / (n(n−1)), the signed
+    * squared statistic clears to
+    *   z2_milli = sign(A) · (3000·n(n−1)·A²)
+    *              div (n_a·n_b·((n+1)·n(n−1) − T))
+    * — exact decimal products end to end, one truncating division.
+    * |z| ≥ 1.96 ⇔ |z2_milli| ≥ 3842. */
+  private val qMannWhitney = BoundQuery("q_mann_whitney", (s, d) => {
+    val vals = Tables.orders(s, d)
+      .join(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(graft.functions.Num.cents(col("o_totalprice")).as("v"),
+        (col("c_mktsegment") === "BUILDING").cast("long").as("ia"))
+    val perValue = vals.groupBy("v")
+      .agg(sum(col("ia")).as("ca"), sum(lit(1L) - col("ia")).as("cb"),
+        count(lit(1)).as("c"))
+    val cum = graft.operators.Ranking.globalCumSum(
+      perValue, col("c"), "cumc", col("v"))
+    val m = cum.agg(
+      sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      // 2R_A = Σ ca·(2F + c + 1) with F = inclusive cumsum − c
+      sum(col("ca").cast("decimal(38,0)")
+        * (lit(2) * (col("cumc") - col("c")) + col("c") + 1)).as("r2a"),
+      sum(col("c").cast("decimal(38,0)") * col("c") * col("c") - col("c"))
+        .as("t3t"))
+    m.select(col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        // 2U = 2R_A − n_a(n_a+1); A = 2U − n_a·n_b
+        (col("r2a") - col("na").cast("decimal(38,0)") * (col("na") + 1)
+          - col("na").cast("decimal(38,0)") * col("nb")).as("aa"),
+        col("t3t"), (col("na") + col("nb")).cast("decimal(38,0)").as("n"))
+      .select(col("n_a"), col("n_b"),
+        col("aa").cast("long").as("a_stat"),
+        expr("""CAST(CASE WHEN aa < 0 THEN -1 ELSE 1 END * (
+            (3000 * n * (n - 1) * aa * aa)
+            div (CAST(n_a AS DECIMAL(38,0)) * n_b
+                 * ((n + 1) * n * (n - 1) - t3t))) AS BIGINT)""")
+          .as("z2_milli"))
+  }, Some("""
+    WITH vals AS (
+      SELECT CAST(round(o_totalprice*100, 0) AS BIGINT) AS v,
+        CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS ia
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+    pv AS (
+      SELECT v, CAST(sum(ia) AS BIGINT) AS ca,
+        CAST(sum(1 - ia) AS BIGINT) AS cb,
+        CAST(count(*) AS BIGINT) AS c
+      FROM vals GROUP BY 1),
+    cum AS (
+      SELECT *, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cumc FROM pv),
+    m AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+        CAST(sum(CAST(ca AS HUGEINT) * (2*(cumc - c) + c + 1)) AS HUGEINT) AS r2a,
+        CAST(sum(CAST(c AS HUGEINT)*c*c - c) AS HUGEINT) AS t3t
+      FROM cum),
+    fin AS (
+      SELECT na AS n_a, nb AS n_b,
+        r2a - CAST(na AS HUGEINT)*(na + 1) - CAST(na AS HUGEINT)*nb AS aa,
+        t3t, CAST(na + nb AS HUGEINT) AS n
+      FROM m)
+    SELECT n_a, n_b, CAST(aa AS BIGINT) AS a_stat,
+      CAST(CASE WHEN aa < 0 THEN -1 ELSE 1 END * (
+        (3000 * n * (n - 1) * aa * aa)
+        // (CAST(n_a AS HUGEINT) * n_b * ((n + 1) * n * (n - 1) - t3t)))
+        AS BIGINT) AS z2_milli
+    FROM fin
+  """))
+
   val all: Seq[BoundQuery] = Seq(qAr1, qWilcoxon, qAqpEstimate, qBurstiness,
-    qCohenKappa, qPermutationTest, qMcNemar, qAbSrm)
+    qCohenKappa, qPermutationTest, qMcNemar, qAbSrm, qMannWhitney)
 }
