@@ -798,7 +798,129 @@ object StatsQueries4 {
     FROM ranked GROUP BY n_name ORDER BY n_name
   """))
 
+  /** Binary-segmentation changepoints, depth 2 (Scott & Knott 1974;
+    * the greedy recursion behind ruptures' BinSeg): q_changepoint's
+    * single best split, then the SAME between-segment-sum-of-squares
+    * argmax re-run inside each half — up to three changepoints per
+    * event type from two scoring passes. Each pass is the exact
+    * integer BSS score over (partition-keyed) cumsums — the level-2
+    * windows just gain the segment in their partition key, so nothing
+    * is ever single-partition. A one-day segment emits no candidate
+    * row (i < n filters it), exactly like the SQL replay. */
+  private val qBinseg = BoundQuery("q_binseg", (s, d) => {
+    val scoreSql = """
+      (CAST(s1 AS DECIMAL(38,0))*(n-i) - CAST(sy-s1 AS DECIMAL(38,0))*i)
+      * (CAST(s1 AS DECIMAL(38,0))*(n-i) - CAST(sy-s1 AS DECIMAL(38,0))*i)
+      div (i * (n-i) * 10000)"""
+    val w1 = Window.partitionBy("event_type").orderBy("day")
+    val tot1 = daily(s, d).groupBy(col("event_type").as("et"))
+      .agg(sum(col("y")).as("sy"), count(lit(1)).as("n"))
+    val best1 = daily(s, d)
+      .withColumn("i", row_number().over(w1).cast("long"))
+      .withColumn("s1", sum(col("y")).over(w1))
+      .join(broadcast(tot1), col("event_type") === col("et"))
+      .where(col("i") < col("n"))
+      .withColumn("score", expr(scoreSql))
+      .withColumn("rn", row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("score").desc, col("day"))))
+      .where(col("rn") === 1)
+      .select(col("event_type").as("et1"), col("day").as("split1"),
+        col("i").as("nl"), (col("n") - col("i")).as("nr"),
+        col("score").as("score1"))
+    val lvl1 = graft.util.CacheScope.persist(best1)
+    val seg = daily(s, d)
+      .join(broadcast(lvl1.select(col("et1"), col("split1"))),
+        col("event_type") === col("et1"))
+      .withColumn("seg", when(col("day") <= col("split1"), "left")
+        .otherwise("right"))
+    val w2 = Window.partitionBy("event_type", "seg").orderBy("day")
+    val tot2 = seg.groupBy(col("event_type").as("et"), col("seg").as("sg"))
+      .agg(sum(col("y")).as("sy"), count(lit(1)).as("n"))
+    val best2 = seg
+      .withColumn("i", row_number().over(w2).cast("long"))
+      .withColumn("s1", sum(col("y")).over(w2))
+      .join(broadcast(tot2),
+        col("event_type") === col("et") && col("seg") === col("sg"))
+      .where(col("i") < col("n"))
+      .withColumn("score", expr(scoreSql))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy("event_type", "seg")
+        .orderBy(col("score").desc, col("day"))))
+      .where(col("rn") === 1)
+      .select(col("event_type"), lit(2L).as("level"), col("seg").as("segment"),
+        col("day").as("split_day"), col("i").as("n_left"),
+        (col("n") - col("i")).as("n_right"), col("score").as("bss_d2"))
+    lvl1.select(col("et1").as("event_type"), lit(1L).as("level"),
+        lit("all").as("segment"), col("split1").as("split_day"),
+        col("nl").as("n_left"), col("nr").as("n_right"),
+        col("score1").as("bss_d2"))
+      .union(best2)
+      .orderBy("event_type", "level", "segment")
+  }, Some(s"""
+    WITH daily AS ($dailySql),
+    tot AS (
+      SELECT event_type AS et, CAST(sum(y) AS BIGINT) AS sy,
+        CAST(count(*) AS BIGINT) AS n
+      FROM daily GROUP BY 1),
+    pre AS (
+      SELECT event_type, day,
+        CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+          AS BIGINT) AS i,
+        CAST(sum(y) OVER (PARTITION BY event_type ORDER BY day
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s1
+      FROM daily),
+    sc AS (
+      SELECT p.event_type, p.day, p.i, p.s1, t.n, t.sy,
+        (CAST(p.s1 AS HUGEINT)*(t.n-p.i) - CAST(t.sy-p.s1 AS HUGEINT)*p.i)
+        * (CAST(p.s1 AS HUGEINT)*(t.n-p.i) - CAST(t.sy-p.s1 AS HUGEINT)*p.i)
+        // (p.i * (t.n-p.i) * 10000) AS score
+      FROM pre p JOIN tot t ON p.event_type = t.et
+      WHERE p.i < t.n),
+    best1 AS (
+      SELECT event_type AS et1, day AS split1, i AS nl, n - i AS nr,
+        score AS score1
+      FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+              ORDER BY score DESC, day) AS rn FROM sc)
+      WHERE rn = 1),
+    seg AS (
+      SELECT d.event_type, d.day, d.y,
+        CASE WHEN d.day <= b.split1 THEN 'left' ELSE 'right' END AS seg
+      FROM daily d JOIN best1 b ON d.event_type = b.et1),
+    tot2 AS (
+      SELECT event_type AS et, seg AS sg, CAST(sum(y) AS BIGINT) AS sy,
+        CAST(count(*) AS BIGINT) AS n
+      FROM seg GROUP BY 1, 2),
+    pre2 AS (
+      SELECT event_type, seg, day,
+        CAST(row_number() OVER (PARTITION BY event_type, seg ORDER BY day)
+          AS BIGINT) AS i,
+        CAST(sum(y) OVER (PARTITION BY event_type, seg ORDER BY day
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s1
+      FROM seg),
+    sc2 AS (
+      SELECT p.event_type, p.seg, p.day, p.i, p.s1, t.n, t.sy,
+        (CAST(p.s1 AS HUGEINT)*(t.n-p.i) - CAST(t.sy-p.s1 AS HUGEINT)*p.i)
+        * (CAST(p.s1 AS HUGEINT)*(t.n-p.i) - CAST(t.sy-p.s1 AS HUGEINT)*p.i)
+        // (p.i * (t.n-p.i) * 10000) AS score
+      FROM pre2 p JOIN tot2 t ON p.event_type = t.et AND p.seg = t.sg
+      WHERE p.i < t.n),
+    best2 AS (
+      SELECT event_type, CAST(2 AS BIGINT) AS level, seg AS segment,
+        day AS split_day, i AS n_left, n - i AS n_right,
+        CAST(score AS BIGINT) AS bss_d2
+      FROM (SELECT *, row_number() OVER (PARTITION BY event_type, seg
+              ORDER BY score DESC, day) AS rn FROM sc2)
+      WHERE rn = 1)
+    SELECT et1 AS event_type, CAST(1 AS BIGINT) AS level, 'all' AS segment,
+      split1 AS split_day, nl AS n_left, nr AS n_right,
+      CAST(score1 AS BIGINT) AS bss_d2
+    FROM best1
+    UNION ALL
+    SELECT * FROM best2
+    ORDER BY event_type, level, segment
+  """))
+
   val all: Seq[BoundQuery] = Seq(qJarqueBera, qRunsTest, qDurbinWatson,
     qChangepoint, qCohensD, qMcc, qTukeyHsd, qCochranQ, qPowerAnalysis,
-    qSimpsonCheck, qFdr, qGroupQuantiles)
+    qSimpsonCheck, qFdr, qGroupQuantiles, qBinseg)
 }
