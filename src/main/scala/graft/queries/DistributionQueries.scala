@@ -514,6 +514,80 @@ object DistributionQueries {
     FROM m
   """))
 
+  /** Sample L-moments λ₁..λ₄ and the L-ratios τ₃ (L-skew), τ₄
+    * (L-kurtosis) of order values (Hosking, JRSS-B 1990) — the
+    * order-statistics moment family that stays finite and robust
+    * where classical skew/kurtosis (q_jarque_bera's inputs) blow up
+    * on heavy tails. The probability-weighted moments b_r are EXACT:
+    * rank i comes from the two-phase globalRowNumber ((value, key)
+    * total order, identical on both engines), the weights
+    * (i−1)(i−2)…(i−r) are integer products, and each b_r numerator is
+    * one decimal(38,0) sum; λ's and τ's are identical double trees.
+    * One rank pass + one 5-sum reduction — no single-partition
+    * window at any scale. */
+  private val qLMoments = BoundQuery("q_l_moments", (s, d) => {
+    val vals = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"),
+        graft.functions.Num.cents(col("o_totalprice")).as("v"))
+    val ranked = graft.operators.Ranking
+      .globalRowNumber(vals, "rn0", col("v"), col("k"))
+      .withColumn("i", col("rn0") + 1)
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val m = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(d38(col("v"))).as("b0n"),
+      sum(d38(col("i") - 1) * col("v")).as("b1n"),
+      sum(d38(col("i") - 1) * (col("i") - 2) * col("v")).as("b2n"),
+      sum(d38(col("i") - 1) * (col("i") - 2) * (col("i") - 3) * col("v"))
+        .as("b3n"))
+    val n = col("n").cast("double")
+    val b0 = col("b0n").cast("double") / n
+    val b1 = col("b1n").cast("double") / (n * (n - 1))
+    val b2 = col("b2n").cast("double") / (n * (n - 1) * (n - 2))
+    val b3 = col("b3n").cast("double") / (n * (n - 1) * (n - 2) * (n - 3))
+    val l2 = lit(2.0) * b1 - b0
+    val l3 = lit(6.0) * b2 - lit(6.0) * b1 + b0
+    val l4 = lit(20.0) * b3 - lit(30.0) * b2 + lit(12.0) * b1 - b0
+    m.select(col("n").cast("long").as("n_orders"),
+      round(b0 / 100.0, 6).as("l1_mean"),
+      round(l2 / 100.0, 6).as("l2_scale"),
+      round(l3 / l2, 9).as("t3_lskew"),
+      round(l4 / l2, 9).as("t4_lkurt"))
+  }, Some("""
+    WITH vals AS (
+      SELECT o_orderkey AS k,
+        CAST(round(o_totalprice*100, 0) AS BIGINT) AS v
+      FROM orders),
+    ranked AS (
+      SELECT v, CAST(row_number() OVER (ORDER BY v, k) AS BIGINT) AS i
+      FROM vals),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS b0n,
+        CAST(sum(CAST(i - 1 AS HUGEINT) * v) AS HUGEINT) AS b1n,
+        CAST(sum(CAST(i - 1 AS HUGEINT) * (i - 2) * v) AS HUGEINT) AS b2n,
+        CAST(sum(CAST(i - 1 AS HUGEINT) * (i - 2) * (i - 3) * v) AS HUGEINT)
+          AS b3n
+      FROM ranked),
+    dbl AS (
+      SELECT n,
+        CAST(b0n AS DOUBLE) / CAST(n AS DOUBLE) AS b0,
+        CAST(b1n AS DOUBLE)
+          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) AS b1,
+        CAST(b2n AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+          * (CAST(n AS DOUBLE) - 2)) AS b2,
+        CAST(b3n AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+          * (CAST(n AS DOUBLE) - 2) * (CAST(n AS DOUBLE) - 3)) AS b3
+      FROM m)
+    SELECT n AS n_orders,
+      round(b0 / 100.0, 6) AS l1_mean,
+      round((2.0*b1 - b0) / 100.0, 6) AS l2_scale,
+      round((6.0*b2 - 6.0*b1 + b0) / (2.0*b1 - b0), 9) AS t3_lskew,
+      round((20.0*b3 - 30.0*b2 + 12.0*b1 - b0) / (2.0*b1 - b0), 9) AS t4_lkurt
+    FROM dbl
+  """))
+
   val all: Seq[BoundQuery] = Seq(qSprt, qWasserstein, qGumbel,
-    qTukeyFences, qRecCoverage, qHellinger, qDispersion, qLognormalFit)
+    qTukeyFences, qRecCoverage, qHellinger, qDispersion, qLognormalFit,
+    qLMoments)
 }
