@@ -587,7 +587,83 @@ object DistributionQueries {
     FROM dbl
   """))
 
+  /** Two-sample Cramér–von Mises test (Anderson 1962 ranks form) of
+    * AUTOMOBILE- vs HOUSEHOLD-segment order values — the
+    * whole-distribution EDF distance beside q_ks_test's supremum and
+    * q_wasserstein's transport cost: U = n·Σ(r_i − i)² + m·Σ(s_j − j)²
+    * over pooled vs within-group ranks, T = U/(nm(n+m)) −
+    * (4nm−1)/(6(n+m)). Ranks on the (value, key) total order make U
+    * an EXACT integer (pooled rank via two-phase globalRowNumber,
+    * within-group index via a group-partitioned window); T clears to
+    * two truncating ppm divisions, identical on both engines.
+    * T ≥ 0.461 rejects at 5%. */
+  private val qCvm = BoundQuery("q_cvm", (s, d) => {
+    val vals = Tables.orders(s, d)
+      .join(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .where(col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD"))
+      .select(col("o_orderkey").as("k"),
+        graft.functions.Num.cents(col("o_totalprice")).as("v"),
+        (col("c_mktsegment") === "AUTOMOBILE").cast("long").as("ia"))
+    // within-group index via globalRowNumber PER GROUP (a window
+    // partitioned by the 2-value group column would put half the
+    // data in one task at scale; two two-phase rank passes stay
+    // fully parallel), then the pooled rank over the union
+    val withI = Seq(1L, 0L).map { g =>
+      graft.operators.Ranking.globalRowNumber(
+        vals.where(col("ia") === g), "i0", col("v"), col("k"))
+    }.reduce(_ unionByName _)
+    val pooled = graft.operators.Ranking
+      .globalRowNumber(withI, "pr0", col("v"), col("k"))
+      .withColumn("r", col("pr0") + 1)
+      .withColumn("i", col("i0") + 1)
+      .withColumn("d2", (col("r") - col("i")) * (col("r") - col("i")))
+    val m = pooled.agg(
+      sum(col("ia")).as("n"), sum(lit(1L) - col("ia")).as("mm"),
+      sum(when(col("ia") === 1, col("d2")).otherwise(lit(0L))
+        .cast("decimal(38,0)")).as("da"),
+      sum(when(col("ia") === 0, col("d2")).otherwise(lit(0L))
+        .cast("decimal(38,0)")).as("db"))
+    m.select(col("n").cast("long").as("n_a"), col("mm").cast("long").as("n_b"),
+        (col("n").cast("decimal(38,0)") * col("da")
+          + col("mm").cast("decimal(38,0)") * col("db")).as("u"),
+        col("n").cast("decimal(38,0)").as("nn"),
+        col("mm").cast("decimal(38,0)").as("md"))
+      .select(col("n_a"), col("n_b"), col("u").cast("long").as("u_stat"),
+        expr("""CAST((1000000 * u) div (nn * md * (nn + md))
+            - (1000000 * (4 * nn * md - 1)) div (6 * (nn + md))
+            AS BIGINT)""").as("t_ppm"))
+  }, Some("""
+    WITH vals AS (
+      SELECT o_orderkey AS k,
+        CAST(round(o_totalprice*100, 0) AS BIGINT) AS v,
+        CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS ia
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD')),
+    pooled AS (
+      SELECT ia,
+        CAST(row_number() OVER (ORDER BY v, k) AS BIGINT) AS r,
+        CAST(row_number() OVER (PARTITION BY ia ORDER BY v, k) AS BIGINT) AS i
+      FROM vals),
+    m AS (
+      SELECT CAST(sum(ia) AS BIGINT) AS n,
+        CAST(sum(1 - ia) AS BIGINT) AS mm,
+        CAST(sum(CASE WHEN ia = 1 THEN CAST((r-i)*(r-i) AS HUGEINT)
+                 ELSE 0 END) AS HUGEINT) AS da,
+        CAST(sum(CASE WHEN ia = 0 THEN CAST((r-i)*(r-i) AS HUGEINT)
+                 ELSE 0 END) AS HUGEINT) AS db
+      FROM pooled)
+    SELECT n AS n_a, mm AS n_b,
+      CAST(CAST(n AS HUGEINT) * da + CAST(mm AS HUGEINT) * db AS BIGINT)
+        AS u_stat,
+      CAST((1000000 * (CAST(n AS HUGEINT) * da + CAST(mm AS HUGEINT) * db))
+            // (CAST(n AS HUGEINT) * mm * (n + mm))
+          - (1000000 * (4 * CAST(n AS HUGEINT) * mm - 1)) // (6 * (n + mm))
+          AS BIGINT) AS t_ppm
+    FROM m
+  """))
+
   val all: Seq[BoundQuery] = Seq(qSprt, qWasserstein, qGumbel,
     qTukeyFences, qRecCoverage, qHellinger, qDispersion, qLognormalFit,
-    qLMoments)
+    qLMoments, qCvm)
 }
