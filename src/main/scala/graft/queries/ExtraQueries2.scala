@@ -1029,11 +1029,88 @@ object ExtraQueries2 {
     FROM ranked, tot GROUP BY n
   """))
 
+  /** Huber M-estimator of location (Huber 1964) by two unrolled IRLS
+    * steps from the median, scale = 1.4826·MAD, tuning k = 1.345σ
+    * (95% efficiency) — the robust mean between q_robust_stats'
+    * median (too blunt) and the raw mean (outlier-dragged), the
+    * location every monitoring threshold should anchor on. Each step
+    * is ONE scan: the Huber weight min(1, k/|x−μ|) is rounded ONCE
+    * per row to ppm, so the weighted sums are exact decimal integer
+    * work and the step's μ is a single division — partial-sum-order
+    * invariant at any parallelism, replayed verbatim in DuckDB. */
+  private val qHuber = BoundQuery("q_huber", (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(cents(col("o_totalprice")).as("x"))
+    val base = o.agg(expr("percentile(x, 0.5D)").as("med"))
+      .crossJoin(broadcast(o.agg(count(lit(1)).as("n"))))
+    val scaled = o.crossJoin(broadcast(base))
+      .agg(first(col("med")).as("med"), first(col("n")).as("n"),
+        expr("percentile(abs(x - med), 0.5D)").as("mad"))
+      .withColumn("k", lit(1.345) * lit(1.4826) * col("mad"))
+    def wppm(mu: org.apache.spark.sql.Column) =
+      round(lit(1e6) * least(lit(1.0),
+        col("k") / abs(col("x").cast("double") - mu)), 0).cast("long")
+    def step(muCol: String, outCol: String)(df: org.apache.spark.sql.DataFrame) =
+      o.crossJoin(broadcast(df))
+        .withColumn("w", when(abs(col("x").cast("double") - col(muCol)) <= col("k"),
+          lit(1000000L)).otherwise(wppm(col(muCol))))
+        .groupBy()
+        .agg(first(col("med")).as("med"), first(col("n")).as("n"),
+          first(col("mad")).as("mad"), first(col("k")).as("k"),
+          (sum(col("w").cast("decimal(38,0)") * col("x")).cast("double")
+            / sum(col("w")).cast("double")).as(outCol))
+    val s1 = step("med", "mu1")(scaled)
+    val s2 = step("mu1", "mu2")(s1)
+    s2.select(col("n").cast("long").as("n_orders"),
+      round(col("med") / 100.0, 6).as("median"),
+      round(col("mad") / 100.0, 6).as("mad"),
+      round(col("mu1") / 100.0, 6).as("huber_mu1"),
+      round(col("mu2") / 100.0, 6).as("huber_mu2"))
+  }, Some("""
+    WITH o AS (SELECT CAST(round(o_totalprice*100, 0) AS BIGINT) AS x
+               FROM orders),
+    base AS (SELECT quantile_cont(x, 0.5) AS med,
+                    CAST(count(*) AS BIGINT) AS n FROM o),
+    scaled AS (
+      SELECT med, n,
+        (SELECT quantile_cont(abs(x - med), 0.5) FROM o) AS mad,
+        1.345 * 1.4826 * (SELECT quantile_cont(abs(x - med), 0.5) FROM o) AS k
+      FROM base),
+    s1 AS (
+      SELECT med, n, mad, k,
+        CAST(sum(CAST(w AS HUGEINT) * x) AS DOUBLE)
+          / CAST(sum(w) AS DOUBLE) AS mu1
+      FROM (
+        SELECT o.x, scaled.*,
+          CASE WHEN abs(CAST(o.x AS DOUBLE) - med) <= k THEN 1000000
+               ELSE CAST(round(1e6 * least(1.0,
+                 k / abs(CAST(o.x AS DOUBLE) - med)), 0) AS BIGINT) END AS w
+        FROM o, scaled)
+      GROUP BY med, n, mad, k),
+    s2 AS (
+      SELECT med, n, mad, k, mu1,
+        CAST(sum(CAST(w AS HUGEINT) * x) AS DOUBLE)
+          / CAST(sum(w) AS DOUBLE) AS mu2
+      FROM (
+        SELECT o.x, s1.*,
+          CASE WHEN abs(CAST(o.x AS DOUBLE) - mu1) <= k THEN 1000000
+               ELSE CAST(round(1e6 * least(1.0,
+                 k / abs(CAST(o.x AS DOUBLE) - mu1)), 0) AS BIGINT) END AS w
+        FROM o, s1)
+      GROUP BY med, n, mad, k, mu1)
+    SELECT n AS n_orders,
+      round(med / 100.0, 6) AS median,
+      round(mad / 100.0, 6) AS mad,
+      round(mu1 / 100.0, 6) AS huber_mu1,
+      round(mu2 / 100.0, 6) AS huber_mu2
+    FROM s2
+  """))
+
   val all: Seq[BoundQuery] = Seq(
     qPivot, qCube, qWindowSuite, qHashSample, qSemiPrune, qUpsert,
     qProfile, qRangeJoin, qApproxQuantiles, qKllQuantiles, qHistogram,
     qCorrelation, qDecile, qZorder, qPiiScrub, qBloomPrune, qEquiDepth,
     qChiSquare, qBottomkSample, qLinreg, qWeightedSample, qTableDiff,
     qRobustStats, qRfm, qBenford, qAbTest, qGini, qBootstrap, qKsTest,
-    qGlobalMedian)
+    qGlobalMedian, qHuber)
 }
