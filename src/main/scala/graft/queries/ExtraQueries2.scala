@@ -1050,15 +1050,18 @@ object ExtraQueries2 {
     def wppm(mu: org.apache.spark.sql.Column) =
       round(lit(1e6) * least(lit(1.0),
         col("k") / abs(col("x").cast("double") - mu)), 0).cast("long")
-    def step(muCol: String, outCol: String)(df: org.apache.spark.sql.DataFrame) =
+    // each step CARRIES every prior model column through its 1-row
+    // agg (first() of each) so step 2's readout still sees step 1's μ
+    def step(muCol: String, outCol: String)(df: org.apache.spark.sql.DataFrame) = {
+      val carried = df.columns.map(c => first(col(c)).as(c))
+      val mu = (sum(col("w").cast("decimal(38,0)") * col("x")).cast("double")
+        / sum(col("w")).cast("double")).as(outCol)
       o.crossJoin(broadcast(df))
         .withColumn("w", when(abs(col("x").cast("double") - col(muCol)) <= col("k"),
           lit(1000000L)).otherwise(wppm(col(muCol))))
         .groupBy()
-        .agg(first(col("med")).as("med"), first(col("n")).as("n"),
-          first(col("mad")).as("mad"), first(col("k")).as("k"),
-          (sum(col("w").cast("decimal(38,0)") * col("x")).cast("double")
-            / sum(col("w")).cast("double")).as(outCol))
+        .agg(carried.head, (carried.tail :+ mu): _*)
+    }
     val s1 = step("med", "mu1")(scaled)
     val s2 = step("mu1", "mu2")(s1)
     s2.select(col("n").cast("long").as("n_orders"),
