@@ -278,6 +278,67 @@ object AgreementQueries {
     FROM agg
   """))
 
+  /** Linear-weighted Cohen's kappa (Cohen 1968) between two ORDINAL
+    * "raters" of order importance — the stated priority class (1..5)
+    * and the exact order-value quintile — where plain kappa
+    * (q_cohen_kappa) treats a 1-step disagreement the same as a
+    * 4-step one. Quintiles come from the two-phase globalRowNumber
+    * (bucket = (5·rank) div n, integer cutoffs — no percentile
+    * interpolation semantics); with w_ij = |i−j| the estimator clears
+    * to κw_ppm = 10⁶·(ΣwE − n·ΣwO) div ΣwE over exact decimal
+    * products of the margin counts. One rank pass + a 25-cell
+    * contingency reduction. */
+  private val qKappaWeighted = BoundQuery("q_kappa_weighted", (s, d) => {
+    val dec = "decimal(38,0)"
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      graft.functions.Num.cents(col("o_totalprice")).as("v"),
+      substring(col("o_orderpriority"), 1, 1).cast("long").as("pri"))
+    val ranked = graft.operators.Ranking
+      .globalRowNumber(o, "rn", col("v"), col("k"))
+    val withN = ranked.crossJoin(broadcast(ranked.agg(count(lit(1)).as("n"))))
+      .withColumn("q", expr("(5 * rn) div n") + 1)
+    val cells = graft.util.CacheScope.persist(
+      withN.groupBy("pri", "q").agg(count(lit(1)).as("c")))
+    val wo = cells.agg(sum(col("c")).as("n"),
+      sum(abs(col("pri") - col("q")).cast(dec) * col("c")).as("swo"))
+    val margins = cells.groupBy("pri").agg(sum(col("c")).as("r"))
+      .crossJoin(broadcast(cells.groupBy("q").agg(sum(col("c")).as("cc"))))
+      .agg(sum(abs(col("pri") - col("q")).cast(dec)
+        * col("r") * col("cc")).as("swe"))
+    wo.crossJoin(broadcast(margins))
+      .select(col("n").cast("long").as("n_orders"),
+        col("swo").cast("long").as("w_observed"),
+        expr("CAST((1000000 * (swe - CAST(n AS DECIMAL(38,0)) * swo)) div swe AS BIGINT)")
+          .as("kappa_w_ppm"))
+  }, Some("""
+    WITH o AS (
+      SELECT o_orderkey AS k,
+        CAST(round(o_totalprice*100, 0) AS BIGINT) AS v,
+        CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS pri
+      FROM orders),
+    ranked AS (
+      SELECT pri,
+        CAST(row_number() OVER (ORDER BY v, k) - 1 AS BIGINT) AS rn
+      FROM o),
+    n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ranked),
+    withq AS (SELECT pri, (5 * rn) // n + 1 AS q FROM ranked, n0),
+    cells AS (SELECT pri, q, CAST(count(*) AS BIGINT) AS c
+              FROM withq GROUP BY 1, 2),
+    wo AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                  CAST(sum(CAST(abs(pri - q) AS HUGEINT) * c) AS HUGEINT) AS swo
+           FROM cells),
+    marg AS (
+      SELECT CAST(sum(CAST(abs(r.pri - c2.q) AS HUGEINT) * r.r * c2.cc)
+             AS HUGEINT) AS swe
+      FROM (SELECT pri, CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY 1) r
+      CROSS JOIN (SELECT q, CAST(sum(c) AS BIGINT) AS cc
+                  FROM cells GROUP BY 1) c2)
+    SELECT n AS n_orders, CAST(swo AS BIGINT) AS w_observed,
+      CAST((1000000 * (swe - CAST(n AS HUGEINT) * swo)) // swe AS BIGINT)
+        AS kappa_w_ppm
+    FROM wo, marg
+  """))
+
   val all: Seq[BoundQuery] =
-    Seq(qIpfRaking, qFleissKappa, qCronbach, qKendallW)
+    Seq(qIpfRaking, qFleissKappa, qCronbach, qKendallW, qKappaWeighted)
 }

@@ -589,6 +589,62 @@ object StatsQueries2 {
     FROM fin
   """))
 
+  /** Cliff's delta (Cliff 1993) — the ordinal effect size that pairs
+    * with q_mann_whitney the way q_cohens_d pairs with q_ab_test:
+    * "how big", where the rank-sum z answers "how sure".
+    * δ = P(x>y) − P(x<y) = (2U − n_a·n_b)/(n_a·n_b) with the SAME
+    * midrank machinery (2·midrank = 2F + c + 1 over distinct values,
+    * cumulative counts via globalCumSum), so δ is one exact integer
+    * A = 2U − n_a·n_b cleared to ppm by a single truncating division.
+    * |δ| ≥ 0.474 is Romano's "large". */
+  private val qCliffsDelta = BoundQuery("q_cliffs_delta", (s, d) => {
+    val vals = Tables.orders(s, d)
+      .join(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(graft.functions.Num.cents(col("o_totalprice")).as("v"),
+        (col("c_mktsegment") === "BUILDING").cast("long").as("ia"))
+    val perValue = vals.groupBy("v")
+      .agg(sum(col("ia")).as("ca"), sum(lit(1L) - col("ia")).as("cb"),
+        count(lit(1)).as("c"))
+    val cum = graft.operators.Ranking.globalCumSum(
+      perValue, col("c"), "cumc", col("v"))
+    cum.agg(
+        sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        sum(col("ca").cast("decimal(38,0)")
+          * (lit(2) * (col("cumc") - col("c")) + col("c") + 1)).as("r2a"))
+      .select(col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        (col("r2a") - col("na").cast("decimal(38,0)") * (col("na") + 1)
+          - col("na").cast("decimal(38,0)") * col("nb")).as("aa"),
+        col("na").cast("decimal(38,0)").as("nn"),
+        col("nb").cast("decimal(38,0)").as("md"))
+      .select(col("n_a"), col("n_b"),
+        expr("CAST((1000000 * aa) div (nn * md) AS BIGINT)").as("delta_ppm"))
+  }, Some("""
+    WITH vals AS (
+      SELECT CAST(round(o_totalprice*100, 0) AS BIGINT) AS v,
+        CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS ia
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+    pv AS (
+      SELECT v, CAST(sum(ia) AS BIGINT) AS ca,
+        CAST(sum(1 - ia) AS BIGINT) AS cb,
+        CAST(count(*) AS BIGINT) AS c
+      FROM vals GROUP BY 1),
+    cum AS (
+      SELECT *, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cumc FROM pv),
+    m AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+        CAST(sum(CAST(ca AS HUGEINT) * (2*(cumc - c) + c + 1)) AS HUGEINT) AS r2a
+      FROM cum)
+    SELECT na AS n_a, nb AS n_b,
+      CAST((1000000 * (r2a - CAST(na AS HUGEINT)*(na + 1)
+            - CAST(na AS HUGEINT)*nb))
+        // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS delta_ppm
+    FROM m
+  """))
+
   val all: Seq[BoundQuery] = Seq(qAr1, qWilcoxon, qAqpEstimate, qBurstiness,
-    qCohenKappa, qPermutationTest, qMcNemar, qAbSrm, qMannWhitney)
+    qCohenKappa, qPermutationTest, qMcNemar, qAbSrm, qMannWhitney,
+    qCliffsDelta)
 }
