@@ -339,6 +339,74 @@ object AgreementQueries {
     FROM wo, marg
   """))
 
+  /** Goodman–Kruskal γ and Stuart's τ_c over the same ordinal pair
+    * as q_kappa_weighted (priority class × exact value quintile) —
+    * the ASSOCIATION view where κw measures agreement: γ =
+    * (C−D)/(C+D) ignores ties entirely, τ_c = 2m(C−D)/(n²(m−1))
+    * corrects for the table shape. Concordant/discordant pair counts
+    * come from the 25-cell contingency table's self-join (cells are
+    * driver-tiny after the aggregation — the pair counting is exact
+    * decimal products, never a row-level pair join), and both
+    * readouts clear to one truncating ppm division. */
+  private val qOrdinalGamma = BoundQuery("q_ordinal_gamma", (s, d) => {
+    val dec = "decimal(38,0)"
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      graft.functions.Num.cents(col("o_totalprice")).as("v"),
+      substring(col("o_orderpriority"), 1, 1).cast("long").as("pri"))
+    val ranked = graft.operators.Ranking
+      .globalRowNumber(o, "rn", col("v"), col("k"))
+    val withN = ranked.crossJoin(broadcast(ranked.agg(count(lit(1)).as("n"))))
+      .withColumn("q", expr("(5 * rn) div n") + 1)
+    val cells = graft.util.CacheScope.persist(
+      withN.groupBy("pri", "q").agg(count(lit(1)).as("c")))
+    val pairs = cells.as("x").join(broadcast(cells.as("y")),
+        col("y.pri") > col("x.pri"))
+      .select(col("x.c").cast(dec).as("cx"), col("y.c").cast(dec).as("cy"),
+        (col("y.q") > col("x.q")).as("conc"),
+        (col("y.q") < col("x.q")).as("disc"))
+      .agg(sum(when(col("conc"), col("cx") * col("cy"))
+          .otherwise(lit(0).cast(dec))).as("cc"),
+        sum(when(col("disc"), col("cx") * col("cy"))
+          .otherwise(lit(0).cast(dec))).as("dd"))
+    cells.agg(sum(col("c")).cast(dec).as("n"))
+      .crossJoin(broadcast(pairs))
+      .select(col("n").cast("long").as("n_orders"),
+        col("cc").cast("long").as("concordant"),
+        col("dd").cast("long").as("discordant"),
+        expr("CAST((1000000 * (cc - dd)) div (cc + dd) AS BIGINT)")
+          .as("gamma_ppm"),
+        expr("CAST((1000000 * 10 * (cc - dd)) div (n * n * 4) AS BIGINT)")
+          .as("tau_c_ppm"))
+  }, Some("""
+    WITH o AS (
+      SELECT o_orderkey AS k,
+        CAST(round(o_totalprice*100, 0) AS BIGINT) AS v,
+        CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS pri
+      FROM orders),
+    ranked AS (
+      SELECT pri,
+        CAST(row_number() OVER (ORDER BY v, k) - 1 AS BIGINT) AS rn
+      FROM o),
+    n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ranked),
+    withq AS (SELECT pri, (5 * rn) // n + 1 AS q FROM ranked, n0),
+    cells AS (SELECT pri, q, CAST(count(*) AS BIGINT) AS c
+              FROM withq GROUP BY 1, 2),
+    pairs AS (
+      SELECT
+        CAST(sum(CASE WHEN y.q > x.q
+          THEN CAST(x.c AS HUGEINT) * y.c ELSE 0 END) AS HUGEINT) AS cc,
+        CAST(sum(CASE WHEN y.q < x.q
+          THEN CAST(x.c AS HUGEINT) * y.c ELSE 0 END) AS HUGEINT) AS dd
+      FROM cells x JOIN cells y ON y.pri > x.pri),
+    tot AS (SELECT CAST(sum(c) AS HUGEINT) AS n FROM cells)
+    SELECT CAST(n AS BIGINT) AS n_orders,
+      CAST(cc AS BIGINT) AS concordant, CAST(dd AS BIGINT) AS discordant,
+      CAST((1000000 * (cc - dd)) // (cc + dd) AS BIGINT) AS gamma_ppm,
+      CAST((1000000 * 10 * (cc - dd)) // (n * n * 4) AS BIGINT) AS tau_c_ppm
+    FROM tot, pairs
+  """))
+
   val all: Seq[BoundQuery] =
-    Seq(qIpfRaking, qFleissKappa, qCronbach, qKendallW, qKappaWeighted)
+    Seq(qIpfRaking, qFleissKappa, qCronbach, qKendallW, qKappaWeighted,
+      qOrdinalGamma)
 }
