@@ -60,21 +60,9 @@ object Verify {
     }
     Await.result(Future.sequence(dumps), Duration.Inf)
     pool.shutdown()
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // oracle dump + escape rules live in util.JsonOut (shared with
+    // Bench's same-session DuckDB co-reading since round 7)
+    graft.util.JsonOut.dumpOracleSql(outDir)
     // Machine-generated ledger counts (round-5 verdict item 7): commit
     // messages and round summaries must quote THESE numbers, never a
     // hand-typed count (the r5 "432 vs 429" prose drift). Printed to

@@ -343,7 +343,13 @@ object AgreementQueries {
     * as q_kappa_weighted (priority class × exact value quintile) —
     * the ASSOCIATION view where κw measures agreement: γ =
     * (C−D)/(C+D) ignores ties entirely, τ_c = 2m(C−D)/(n²(m−1))
-    * corrects for the table shape. Concordant/discordant pair counts
+    * corrects for the table shape — here with m = min(R,C) = 5
+    * HARDCODED in the final expression on BOTH engines (priority has
+    * 5 levels, the value axis is cut into quintiles, so 2m/(m−1) =
+    * 10/4 appears literally as `…*10 … div (n*n*4)`): changing the
+    * quantile count in the binding requires changing those constants
+    * in the Spark expression AND the oracle together (round-6 verdict
+    * item 7). Concordant/discordant pair counts
     * come from the 25-cell contingency table's self-join (cells are
     * driver-tiny after the aggregation — the pair counting is exact
     * decimal products, never a row-level pair join), and both

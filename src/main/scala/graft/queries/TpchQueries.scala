@@ -96,9 +96,18 @@ object TpchQueries {
     // exchange wrote. With the hint the fact table never shuffles at
     // all — scan → three BHJs → partial agg on o_year (a handful of
     // groups) → 1-wave combine (sf10: 2.4→2.0 s; the remaining cost is the 60M-row scan+probe itself).
+    // The hint is SIZE-GATED (round-6 advice item 1): ord is a fixed
+    // ~6% fraction of orders (2 of ~7 order years × 1 of 5 regions'
+    // customers), so it grows linearly with scale — the gate estimates
+    // the true build from the scan-rooted slim projection's file stats
+    // × that analytic selectivity and falls back to AQE's runtime
+    // conversion once the slice outgrows a safe broadcast.
+    val ordGated = graft.util.Hints.gatedBroadcast(ord,
+      scanProxy = Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+      selectivity = 0.06)
     Tables.lineitem(s, d)
       .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(ordGated, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("o_year"))
       .agg(
@@ -153,9 +162,17 @@ object TpchQueries {
     // R-flagged lineitem side (the BIG side) for the join; AQE's BHJ
     // conversion lands after that exchange already wrote. The hint
     // makes the fact table flow scan→BHJ→partial-agg with the only
-    // full exchange on the slim (custkey, cents) agg (sf10: 2.0→1.2 s)
+    // full exchange on the slim (custkey, cents) agg (sf10: 2.0→1.2 s).
+    // SIZE-GATED (round-6 advice item 1): one quarter of a ~7-year
+    // span is a fixed ~4% of orders — linear in scale — so the gate
+    // estimates the true build from the slim scan projection's file
+    // stats × 0.04 and disarms the hint (AQE fallback) once the slice
+    // would be a multi-hundred-MB build.
+    val ordGated = graft.util.Hints.gatedBroadcast(ord,
+      scanProxy = Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+      selectivity = 0.04)
     val rev = Tables.lineitem(s, d).where(col("l_returnflag") === "R")
-      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(ordGated, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"))
       .agg(sumCents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("rc"))

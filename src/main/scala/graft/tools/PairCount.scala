@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, count, lit, max}
 
 /** Output-volume meter for the near-dup family (round-5 verdict item
@@ -16,6 +16,23 @@ import org.apache.spark.sql.functions.{col, count, lit, max}
   * (legacy single-arg dir form still measures q_lsh_cosine_pairs)
   */
 object PairCount {
+
+  /** Grading quantities for a clustered result: (component count,
+    * largest component size), counted on the `cluster_id` column BY
+    * NAME. Unit-tested (round-6 verdict item 5): the original code
+    * read `columns.last` — q_dedup_clusters' last column is the
+    * boolean `is_canonical`, so it reported "clusters=2" at every
+    * scale and mis-grounded a round-5 BASELINE table. Grading tools
+    * meet the same correctness bar as graded code. */
+  def clusterStats(df: DataFrame): (Long, Long) = {
+    require(df.columns.contains("cluster_id"),
+      s"clusterStats wants a cluster_id column; got ${df.columns.mkString(",")}")
+    val byComp = df.groupBy("cluster_id").count()
+    val stats = byComp.agg(count(lit(1)).as("k"),
+      max(col("count")).as("mx")).first()
+    (stats.getLong(0), stats.getLong(1))
+  }
+
   def main(args: Array[String]): Unit = {
     val (names, dirs) =
       if (args.length >= 2 && args(0).startsWith("q"))
@@ -40,18 +57,13 @@ object PairCount {
       val (n, extra) = graft.util.CacheScope.withScope {
         val df = graft.queries.Registry.queries(q)(s, d)
         val n = df.count()
-        // count the component-id column BY NAME — `columns.last` was
-        // is_canonical (a boolean), which reported "clusters=2" at
-        // every scale and mis-grounded the round-5 "two giant
-        // components" reading; the real grading quantities are the
-        // component count and the LARGEST component (CC round cost is
-        // O(log max-component-diameter), not count)
+        // component count + LARGEST component (CC round cost is
+        // O(log max-component-diameter), not count), counted by NAME
+        // in the spec-covered clusterStats above
         val extra =
           if (q == "q_dedup_clusters") {
-            val byComp = df.groupBy("cluster_id").count()
-            val stats = byComp.agg(count(lit(1)).as("k"),
-              max(col("count")).as("mx")).first()
-            s" clusters=${stats.getLong(0)} largest=${stats.getLong(1)}"
+            val (k, mx) = clusterStats(df)
+            s" clusters=$k largest=$mx"
           } else ""
         (n, extra)
       }

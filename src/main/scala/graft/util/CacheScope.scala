@@ -79,7 +79,25 @@ object CacheScope {
     // record here would leak and pin the cache for session life
     // (round-5 advice item). Lifetime is the caller's to manage
     // (df.unpersist()).
+    //
+    // Ordering hazard (round-6 advice): if a LIVE SCOPED entry already
+    // caches this plan, `df.storageLevel` reads non-NONE (Spark's
+    // lookup is plan-keyed, not object-keyed), so a plain early-return
+    // would hand the scopeless caller a cache that silently vanishes
+    // when that scope closes. Taking a permanent reference on the
+    // entry instead gives the scopeless caller the session lifetime
+    // scopeless persist has always meant — the entry stays live after
+    // every scope closes, exactly as if the scopeless persist had won
+    // the race and run first (that order already pins for session
+    // life via the pass-through branch below).
     if (depth.get() == 0) {
+      entries.synchronized {
+        val existing = entries.get(keyOf(df))
+        if (existing != null) {
+          existing.refs += 1 // never decremented: session-lifetime pin
+          return existing.byNames.getOrElseUpdate(df.schema.fieldNames.toSeq, df)
+        }
+      }
       if (df.storageLevel == StorageLevel.NONE) df.persist(level)
       return df
     }

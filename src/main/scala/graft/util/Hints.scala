@@ -1,0 +1,52 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
+
+/** Size-gated broadcast hints (round-6 advice item 1).
+  *
+  * The tpch plan fixes hinge on broadcasting a FILTERED slice of a
+  * fact-adjacent table (q10's quarter of orders, q8's two-year ASIA
+  * window): statically Catalyst can't see the filter's selectivity,
+  * plans an SMJ, and AQE's broadcast conversion lands only after the
+  * big side's shuffle already wrote. An UNCONDITIONAL `broadcast()`
+  * hint fixes that — but the slice is a fixed FRACTION of its table,
+  * so the hint that wins at sf10 (~10 MB) would ship multi-GB builds
+  * at the 100 TB design point, bypassing every size check Spark has.
+  *
+  * `gatedBroadcast` applies the hint only while an ESTIMATE of the
+  * true build size stays under `capBytes`. The estimate can't come
+  * from the slice's own plan — without CBO, join stats multiply child
+  * sizes and filter stats pass through unchanged, so the slice reads
+  * as absurdly large at every scale and the hint would never fire.
+  * Instead the caller passes a `scanProxy` — a scan-rooted projection
+  * of the SAME slim columns, whose sizeInBytes is real file-level
+  * stats scaled by column pruning — plus the query's analytically
+  * known `selectivity` (e.g. one quarter of a seven-year date span).
+  * proxy_bytes × selectivity is then a faithful build-size estimate
+  * that grows linearly with the data, arming the hint at bench scales
+  * and disarming it automatically (falling back to AQE's runtime
+  * conversion) once the slice genuinely outgrows a safe broadcast.
+  */
+object Hints {
+
+  /** 256 MB: comfortably above every bench-scale build this gates
+    * (sf10 is ~10 MB) and comfortably below driver/executor trouble —
+    * the point is the ORDER of magnitude, not the exact knob. */
+  val DefaultCapBytes: Long = 256L << 20
+
+  def gatedBroadcast(slim: DataFrame, scanProxy: DataFrame,
+                     selectivity: Double,
+                     capBytes: Long = DefaultCapBytes): DataFrame = {
+    require(selectivity > 0.0 && selectivity <= 1.0,
+      s"selectivity must be in (0,1]: $selectivity")
+    val bytes = scanProxy.queryExecution.optimizedPlan.stats.sizeInBytes
+    val unknownAt = BigInt(
+      slim.sparkSession.conf.get("spark.sql.defaultSizeInBytes",
+        Long.MaxValue.toString))
+    val known = bytes < unknownAt
+    if (known && bytes.toDouble * selectivity < capBytes.toDouble)
+      broadcast(slim)
+    else slim
+  }
+}

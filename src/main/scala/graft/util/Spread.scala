@@ -41,10 +41,26 @@ object Spread {
     * logical-stats split estimate `sizeInBytes / maxPartitionBytes`,
     * which covers the scan case. Planning `sparkPlan` is pure query
     * planning — no job, no RDD lineage, no eager AQE stage
-    * materialization. */
+    * materialization.
+    *
+    * Stats can miss in BOTH directions (round-6 advice): a leaf that
+    * falls back to `spark.sql.defaultSizeInBytes` (= Long.MaxValue
+    * unless CBO overrides it) or a join whose size estimate is the
+    * PRODUCT of its inputs reports absurdly large bytes, which would
+    * read as "plenty of splits" and silently suppress the repartition
+    * Spread exists to add. Any estimate at or beyond
+    * defaultSizeInBytes is therefore treated as UNKNOWN — the stats
+    * term drops out and only the declared output partitioning counts,
+    * so a post-join single-partition plan still gets spread (the
+    * starvation-safe direction: Spread only wraps compute-dominant
+    * stages where one extra exchange is noise). */
   def estimatedPartitions(df: DataFrame): Long = {
     val declared = df.queryExecution.sparkPlan.outputPartitioning.numPartitions.toLong
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val rawBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val unknownAt = BigInt(
+      df.sparkSession.conf.get("spark.sql.defaultSizeInBytes",
+        Long.MaxValue.toString))
+    val bytes = if (rawBytes >= unknownAt) BigInt(0) else rawBytes
     val maxSplit = BigInt(
       df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
         .replaceAll("(?i)b$", "") match {

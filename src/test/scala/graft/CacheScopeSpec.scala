@@ -81,4 +81,30 @@ class CacheScopeSpec extends AnyFunSuite {
         "a caller-managed cache must survive scope close")
     } finally ext.unpersist(true)
   }
+
+  test("scopeless persist AFTER a live scoped entry survives that scope's close") {
+    // round-6 advice item: the reverse order of the test above —
+    // df.storageLevel is PLAN-keyed, so with a live scoped entry a
+    // scopeless persist used to read "already cached", register
+    // nothing, and silently lose its cache when the scope closed.
+    // Now it takes a permanent (session-lifetime) reference on the
+    // entry, the semantics scopeless persist has always promised.
+    import spark.implicits._
+    def p() = Seq(10, 20, 30, 40).toDF("v")
+      .groupBy($"v" % 3 as "k").count().filter($"k" >= 0)
+    @volatile var outside: org.apache.spark.sql.DataFrame = null
+    CacheScope.withScope {
+      val scoped = CacheScope.persist(p())
+      scoped.count()
+      // scopeless call must run with depth==0 → separate thread
+      val t = new Thread(() => {
+        outside = CacheScope.persist(p())
+        outside.count()
+      })
+      t.start(); t.join()
+    }
+    try assert(outside.storageLevel != StorageLevel.NONE,
+      "the scoped entry's close must not drop a cache a scopeless caller adopted")
+    finally outside.unpersist(true)
+  }
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Grading/measurement tooling meets the same correctness bar as the
+  * graded code (round-6 verdict items 4–5): PairCount's cluster
+  * metric (a column-selection bug here shipped a wrong BASELINE
+  * table in r5), Bench's best-of-2 pairing rule (a fast-fail/slow-
+  * pass split must void the pair, not record the passing time), and
+  * Hints.gatedBroadcast's arm/disarm behavior.
+  */
+class ToolsGradingSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("PairCount.clusterStats counts cluster_id BY NAME, not the last column") {
+    // the regression shape: boolean is_canonical is the LAST column —
+    // `columns.last` would read 2 distinct values at any scale
+    val df = Seq(
+      ("d1", "c_a", true), ("d2", "c_a", false), ("d3", "c_a", false),
+      ("d4", "c_b", true), ("d5", "c_b", false)
+    ).toDF("doc_id", "cluster_id", "is_canonical")
+    val (k, largest) = tools.PairCount.clusterStats(df)
+    assert(k == 2, "two components")
+    assert(largest == 3, "largest component has 3 members")
+  }
+
+  test("PairCount.clusterStats refuses a frame without cluster_id") {
+    val df = Seq(("d1", true)).toDF("doc_id", "is_canonical")
+    val e = intercept[IllegalArgumentException] {
+      tools.PairCount.clusterStats(df)
+    }
+    assert(e.getMessage.contains("cluster_id"))
+  }
+
+  test("Bench.pairedTime voids the pair when either run failed") {
+    assert(Bench.pairedTime(Some(2.0), Some(3.0)) == Some(2.0))
+    assert(Bench.pairedTime(Some(3.0), Some(2.0)) == Some(2.0))
+    assert(Bench.pairedTime(None, Some(0.001)) == None,
+      "fast-fail then pass must NOT record the passing time")
+    assert(Bench.pairedTime(Some(0.001), None) == None)
+    assert(Bench.pairedTime(None, None) == None)
+  }
+
+  test("Hints.gatedBroadcast arms under the cap and disarms over it") {
+    val slim = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    // proxy with KNOWN small stats: a local relation's size is exact
+    val proxy = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val armed = util.Hints.gatedBroadcast(slim, proxy, selectivity = 1.0)
+    val hinted = armed.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.nonEmpty, "under the cap the broadcast hint must be applied")
+    val disarmed = util.Hints.gatedBroadcast(slim, proxy,
+      selectivity = 1.0, capBytes = 1L)
+    assert(disarmed eq slim,
+      "over the cap the frame passes through unhinted (AQE fallback)")
+  }
+
+  test("Hints.gatedBroadcast disarms when the proxy's stats are unknown") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val slim = Seq((1L, "a")).toDF("k", "v")
+    // a LogicalRDD leaf reports spark.sql.defaultSizeInBytes
+    // (Long.MaxValue unless set) — the "unknown" sentinel
+    val rdd = spark.sparkContext.parallelize(Seq(Row(1L)), 1)
+    val proxy = spark.createDataFrame(rdd,
+      StructType(Seq(StructField("k", LongType))))
+    assert(proxy.queryExecution.optimizedPlan.stats.sizeInBytes >=
+      BigInt(Long.MaxValue), "fixture must actually be stats-unknown")
+    val out = util.Hints.gatedBroadcast(slim, proxy, selectivity = 1e-12)
+    assert(out eq slim, "unknown proxy stats must never arm the hint")
+  }
+}

@@ -72,6 +72,65 @@ if _only:
     print(f"| **total** | **{total:.3f}** |")
     sys.exit(0)
 
+# --json: one-line machine output for graft.Bench's same-session
+# co-reading (round-6 verdict item 3). Times the headliners (+ tpch10,
+# + bench30 when --bench30 is also passed) and prints a single JSON
+# object whose keys splice straight into BENCH_r{N}.json, making the
+# committed artifact self-calibrating against box load.
+TPCH10 = [
+    "q6_forecast_revenue", "q8_market_share", "q10_returned_items",
+    "q13_order_distribution", "q14_promo_effect", "q15_top_supplier",
+    "q17_small_qty_revenue", "q18_large_orders", "q19_discounted_revenue",
+    "q22_dormant_customers",
+]
+
+# bench30 (round-5 verdict item 3): DuckDB twins for the frozen
+# per-family regression set (Registry.bench30Names). These time each
+# query's ORACLE SQL — for most members that is DuckDB's natural
+# formulation of the task; for the sketch/LSH members the oracle is a
+# correctness replay of the engine's arithmetic, so treat those rows
+# as a parity reference, not DuckDB's best plan.
+BENCH30 = [
+    "q_dedup_incremental", "q_dedup_clusters", "q_semdedup",
+    "q_simhash_pairs", "q_minhash_pairs", "q_ivf_pq", "q_bq_topk",
+    "q_ann_eval", "q_tfidf", "q_bpe_encode", "q_contamination",
+    "q_seq_pack", "q_dsir", "q_bm25", "q_mmr", "q_pagerank",
+    "q_triangles", "q_kcore", "q_scd2", "q_holt_winters",
+    "q_changepoint", "q_psi_drift", "q_dq_checks", "q_k_anonymity",
+    "q_ndcg", "q_ewma", "q_naive_bayes", "q_kmeans",
+    "q_global_median", "q_retention",
+]
+
+def _best(sql, n):
+    best = None
+    for _ in range(n):
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+if "--json" in sys.argv:
+    per = {}
+    def _sect(qs, subs=None):
+        tot = 0.0
+        for q in qs:
+            sql = oracles.get((subs or {}).get(q, q))
+            if sql is None:
+                per[q] = None
+                continue
+            per[q] = _best(sql, runs)
+            tot += per[q]
+        return tot
+    obj = {"duckdb_total": _sect(HEADLINERS, SUBSTITUTES),
+           "duckdb_tpch10": _sect(TPCH10)}
+    if "--bench30" in sys.argv:
+        obj["duckdb_bench30"] = _sect(BENCH30)
+    obj["duckdb_runs"] = runs
+    obj["duckdb_queries"] = per
+    print(json.dumps(obj))
+    sys.exit(0)
+
 total = 0.0
 rows = []
 for q in HEADLINERS:
@@ -102,17 +161,6 @@ print(f"| **total** | | **{total:.3f}** |")
 # formulation of the task; for the sketch/LSH members the oracle is a
 # correctness replay of the engine's arithmetic, so treat those rows
 # as a parity reference, not DuckDB's best plan.
-BENCH30 = [
-    "q_dedup_incremental", "q_dedup_clusters", "q_semdedup",
-    "q_simhash_pairs", "q_minhash_pairs", "q_ivf_pq", "q_bq_topk",
-    "q_ann_eval", "q_tfidf", "q_bpe_encode", "q_contamination",
-    "q_seq_pack", "q_dsir", "q_bm25", "q_mmr", "q_pagerank",
-    "q_triangles", "q_kcore", "q_scd2", "q_holt_winters",
-    "q_changepoint", "q_psi_drift", "q_dq_checks", "q_k_anonymity",
-    "q_ndcg", "q_ewma", "q_naive_bayes", "q_kmeans",
-    "q_global_median", "q_retention",
-]
-
 if "--bench30" in sys.argv:
     total30 = 0.0
     rows30 = []
