@@ -33,6 +33,18 @@ object Bench {
       // 6× over. 2 MB/64 MB measured: tpch10 sf1 11.7→10.5 s, sf0.1
       // headliners 8.5→8.0 (tpch10 sf0.1 unchanged within noise).
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+      // Round-7 scale fix: AQE can COALESCE post-shuffle partitions but
+      // never split non-skewed ones, so a static width equal to the
+      // core count spills as soon as one shuffle outgrows executor
+      // memory — q_triangles ran 17× wall for 10× data at sf1 on 32
+      // static partitions. Start shuffles WIDE (8× cores) and let the
+      // 2 MB advisory coalesce small stages back down: sf1 graph wall
+      // fell 242→61 s (triangles) / 83→25 s (katz), and the sf0.1
+      // bench improved too (headline 3.94→3.41, bench30 27.9→23.1,
+      // same-session A/B). This is exactly the conf a 1000-executor
+      // deployment would run with (initialPartitionNum ≫ cores).
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.ui.enabled", "false")
     // SPARK_GRAFT_CONF="k=v;k2=v2" — ad-hoc config overrides for local

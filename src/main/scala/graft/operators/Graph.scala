@@ -108,10 +108,17 @@ object Graph {
     * bound is what makes this survive skewed web/co-occurrence graphs
     * where id-ordered orientation melts a single task.
     *
-    * Two shuffles (path join + closure join), both on node keys. */
+    * Two shuffles (path join + closure join), both on node keys.
+    *
+    * Node ids keep their INPUT type (no string normalization): the
+    * path intermediate is the operator's largest relation — Σ
+    * in·out over oriented degrees — and on integer-keyed graphs a
+    * 'p'||key string id would inflate every shuffled row ~4× and
+    * turn each join comparison into a byte-wise string compare. The
+    * count is type-agnostic anyway; callers with heterogeneous node
+    * sets cast before calling. */
   def triangleCount(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val raw = edges.select(col(aCol).cast("string").as("a"),
-                           col(bCol).cast("string").as("b"))
+    val raw = edges.select(col(aCol).as("a"), col(bCol).as("b"))
       .where(col("a") =!= col("b"))
     // canonicalize to a<b, dedupe, then attach degrees
     val canon = CacheScope.persist(

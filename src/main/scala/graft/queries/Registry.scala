@@ -118,9 +118,27 @@ object Registry {
       .select("o_orderkey", "o_custkey")
     val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(sup, col("l_suppkey") === col("s_suppkey"))
-      .join(cust, col("o_custkey") === col("c_custkey") &&
+    // Round-7 (q10's pattern, verdict item 2): every non-lineitem side
+    // of this star is a SLIM slice Catalyst can't statically size —
+    // the 1-of-7-years orders slice, the one-region supplier set, the
+    // 2-column customer projection — so the default plan sort-merges
+    // and the fact table shuffles three times. Size-gated broadcasts
+    // keep lineitem shuffle-free (single scan + 25-row agg); each gate
+    // estimates the true build from scan-rooted file stats × analytic
+    // selectivity and falls back to AQE conversion once a slice
+    // outgrows a safe build (customer: full dim, gate disarms first).
+    val ordGated = graft.util.Hints.gatedBroadcast(ord,
+      scanProxy = Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+      selectivity = 0.15)
+    val supGated = graft.util.Hints.gatedBroadcast(sup,
+      scanProxy = Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+      selectivity = 0.25)
+    val custGated = graft.util.Hints.gatedBroadcast(cust,
+      scanProxy = Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+      selectivity = 1.0)
+    li.join(ordGated, col("l_orderkey") === col("o_orderkey"))
+      .join(supGated, col("l_suppkey") === col("s_suppkey"))
+      .join(custGated, col("o_custkey") === col("c_custkey") &&
                   col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
       .agg(sumCents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rc"))

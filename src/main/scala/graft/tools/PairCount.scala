@@ -39,11 +39,26 @@ object PairCount {
         (args(0).split(',').toSeq, args.drop(1).toSeq)
       else (Seq("q_lsh_cosine_pairs"), args.toSeq)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val s = SparkSession.builder().master(s"local[$cpus]")
+    val builder = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      // wide initial shuffle + AQE coalesce — Bench's round-7 scale
+      // conf, so PairCount's scale grades measure the shipped setup
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
+      .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_CONF="k=v;k2=v2" — same ad-hoc override hook as Bench,
+    // for conf A/B during scale profiling
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v)                => builder.config(k.trim, v.trim)
+        case Array(x) if x.trim.isEmpty => ()
+        case _ => sys.error(s"bad SPARK_GRAFT_CONF segment (want k=v): '$kv'")
+      }
+    })
+    val s = builder.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     // warm the table registry per directory BEFORE timing, exactly
     // like Bench's service mode: ScaleUp fixtures are single-file
