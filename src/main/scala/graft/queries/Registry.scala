@@ -683,7 +683,8 @@ object Registry {
       TreeQueries.all ++ AgreementQueries.all ++ EconQueries.all ++
       StatsQueries5.all ++ MetricsQueries.all ++ SeriesQueries2.all ++
       DistributionQueries.all ++ CorpusQueries4.all ++ StatsQueries6.all ++
-      ExplainQueries.all ++ LmStatsQueries.all ++ DiagnosticsQueries.all
+      ExplainQueries.all ++ LmStatsQueries.all ++ DiagnosticsQueries.all ++
+      AuditQueries.all
       // (q_kcore / q_neighbor_jaccard ride in GraphQueries.all above)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
