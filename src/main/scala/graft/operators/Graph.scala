@@ -208,13 +208,16 @@ object Graph {
     * the fixpoint. Returns (node, deg) of the surviving subgraph.
     *
     * Input contract: (`a`, `b`) UNDIRECTED canonical edges
-    * (a < b, distinct). */
+    * (a < b, distinct). Node ids keep their input type (the
+    * triangleCount rule): every peel round shuffles the surviving
+    * edge list twice, and integer keys shuffle ~4× fewer bytes than
+    * their string renderings. */
   def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
             maxRounds: Int = Int.MaxValue): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val bounded = maxRounds != Int.MaxValue
-    var alive = edges.select(col(aCol).cast("string").as("a"),
-      col(bCol).cast("string").as("b")).localCheckpoint(true)
+    var alive = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint(true)
     var rounds = 0
     var done = false
     while (!done && rounds < maxRounds) {
