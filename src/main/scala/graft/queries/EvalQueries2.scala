@@ -413,7 +413,71 @@ object EvalQueries2 {
     FROM gaps
   """))
 
+  /** Spiegelhalter's calibration z-test (Spiegelhalter 1986) of the
+    * q_calibration model: z = Σ(y−p)(1−2p) / √Σ(1−2p)²p(1−p) over the
+    * held-out half — the sharper companion to ECE binning: a single
+    * standardized statistic whose sign says over- vs under-confident.
+    * Train/test split and per-priority rates reuse q_calibration's
+    * md5-hash halves, so p is constant within a priority and the
+    * per-row sums collapse to 5 group terms: Σ(y−p) = f − n·p exactly.
+    *
+    * Exact to the last step: numerator in ppm² longs, denominator²
+    * in ppm⁴ decimals; the single float finish (one sqrt + one
+    * division + one rounding to µ-units) is the identical expression
+    * on both engines. |z| < 1.96 surfaces as a boolean verdict. */
+  private val qSpiegelhalter = BoundQuery("q_spiegelhalter_z", (s, d) => {
+    val h = substring(md5(col("o_orderkey").cast("string")), 1, 2)
+    val g = Tables.orders(s, d)
+      .withColumn("is_train", (h < "80").cast("long"))
+      .withColumn("is_f", (col("o_orderstatus") === "F").cast("long"))
+      .groupBy("o_orderpriority")
+      .agg(sum(col("is_train")).as("n_train"),
+        sum(col("is_train") * col("is_f")).as("f_train"),
+        sum(lit(1L) - col("is_train")).as("n_test"),
+        sum((lit(1L) - col("is_train")) * col("is_f")).as("f_test"))
+      .withColumn("p", expr("(1000000 * f_train) div n_train"))
+    g.agg(
+        sum(col("n_test")).as("n_test"),
+        sum(expr("(1000000 - 2 * p) * (1000000 * f_test - n_test * p)"))
+          .as("num_pp2"),
+        sum(expr("""CAST(n_test AS DECIMAL(38,0)) * (1000000 - 2 * p)
+          * (1000000 - 2 * p) * p * (1000000 - p)""")).as("den_pp4"))
+      .select(col("n_test"), col("num_pp2"),
+        expr("""CAST(round(1000000.0 * CAST(num_pp2 AS DOUBLE)
+          / sqrt(CAST(den_pp4 AS DOUBLE)), 0) AS BIGINT)""").as("z_micro"))
+      .withColumn("well_calibrated", abs(col("z_micro")) < 1959964L)
+  }, Some("""
+    WITH g AS (
+      SELECT o_orderpriority,
+        CAST(sum(CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '80'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        CAST(sum(CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '80'
+                  AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+          AS f_train,
+        CAST(sum(CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) >= '80'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+        CAST(sum(CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) >= '80'
+                  AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+          AS f_test
+      FROM orders GROUP BY 1),
+    p AS (SELECT *, (1000000 * f_train) // n_train AS p FROM g),
+    agg AS (
+      SELECT CAST(sum(n_test) AS BIGINT) AS n_test,
+        CAST(sum((1000000 - 2 * p) * (1000000 * f_test - n_test * p))
+          AS BIGINT) AS num_pp2,
+        sum(CAST(n_test AS HUGEINT) * (1000000 - 2 * p)
+            * (1000000 - 2 * p) * p * (1000000 - p)) AS den_pp4
+      FROM p)
+    SELECT n_test, num_pp2,
+      CAST(round(1000000.0 * CAST(num_pp2 AS DOUBLE)
+        / sqrt(CAST(den_pp4 AS DOUBLE)), 0) AS BIGINT) AS z_micro,
+      abs(CAST(round(1000000.0 * CAST(num_pp2 AS DOUBLE)
+        / sqrt(CAST(den_pp4 AS DOUBLE)), 0) AS BIGINT)) < 1959964
+        AS well_calibrated
+    FROM agg
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qHardNegatives, qRougePairs, qLiftCurve, qBrierDecomp, qIsotonic,
-      qEce)
+      qEce, qSpiegelhalter)
 }

@@ -189,5 +189,120 @@ object RecsysQueries {
     FROM nov CROSS JOIN cat
   """))
 
-  val all: Seq[BoundQuery] = Seq(qItemCf, qAssocRulesExact, qRecEval)
+  /** Slope One collaborative filtering (Lemire & Maclachlan 2005):
+    * the average rating deviation dev(i,j) = Σ(r_i − r_j)/|co-raters|
+    * between every part pair, over customer-grain quantity "ratings".
+    * The per-customer item list is capped to the TOP 12 parts by
+    * (quantity, part id) — the same bounded-blocking-key discipline
+    * as maxShingleDf: pair fan-out is ≤ C(12,2) per customer, so
+    * candidates grow with customers, never parts². Deviations are
+    * exact integer sums cleared to milli-units by one truncating
+    * division; top-40 by (support, |dev|) with full tie-breaks.
+    *
+    * Scale shape: one fact join to customer grain, one partitioned
+    * window for the cap, one blocked self-join — no global window,
+    * no parts² anywhere. */
+  private val qSlopeOne = BoundQuery("q_slope_one", (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ck").orderBy(desc("r"), col("pk"))
+    val ratings = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("ck"), col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity").cast("long")).as("r"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 12)
+    ratings.as("a").join(ratings.as("b"),
+        col("a.ck") === col("b.ck") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("support"),
+        sum(col("a.r") - col("b.r")).as("sdiff"))
+      .where(col("support") >= 3)
+      .select(col("part_a"), col("part_b"), col("support"),
+        expr("(1000 * sdiff) div support").as("dev_milli"))
+      .orderBy(col("support").desc, abs(col("dev_milli")).desc,
+        col("part_a"), col("part_b"))
+      .limit(40)
+  }, Some("""
+    WITH ratings AS (
+      SELECT ck, pk, r FROM (
+        SELECT o_custkey AS ck, l_partkey AS pk,
+          sum(CAST(l_quantity AS BIGINT)) AS r,
+          row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY sum(CAST(l_quantity AS BIGINT)) DESC,
+                                      l_partkey) AS rn
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey, l_partkey)
+      WHERE rn <= 12)
+    SELECT a.pk AS part_a, b.pk AS part_b,
+      CAST(count(*) AS BIGINT) AS support,
+      (1000 * CAST(sum(a.r - b.r) AS BIGINT)) // CAST(count(*) AS BIGINT)
+        AS dev_milli
+    FROM ratings a JOIN ratings b ON a.ck = b.ck AND a.pk < b.pk
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    ORDER BY support DESC, abs(dev_milli) DESC, part_a, part_b LIMIT 40
+  """))
+
+  /** Recommendation novelty (self-information): each part's top-5
+    * co-purchase neighbors score novelty = mean(−log₂ popularity),
+    * popularity = orders-containing-the-neighbor / total orders —
+    * the audit that catches a recommender collapsed onto head items
+    * (Zhou et al. 2010's surprisal form). −log₂p is µ-bit-rounded
+    * ONCE per part (deterministic double off exact counts), the
+    * 5-neighbor mean is an integer division, top-30 most-novel seeds.
+    *
+    * Scale shape: co-occurrence pairs are order-blocked as ever;
+    * the neighbor cap is a part-partitioned window; popularity joins
+    * back broadcast at parts grain. */
+  private val qNovelty = BoundQuery("q_novelty", (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val tot = items.select(countDistinct(col("ok")).as("tot"))
+    val pop = items.groupBy(col("pk")).agg(count(lit(1)).as("nj"))
+    val co = items.as("a").join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .groupBy(col("a.pk").as("seed"), col("b.pk").as("nb"))
+      .agg(count(lit(1)).as("cooc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("seed").orderBy(desc("cooc"), col("nb"))
+    co.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+      .join(broadcast(pop.withColumnRenamed("pk", "nb")), "nb")
+      .crossJoin(broadcast(tot))
+      .withColumn("nl", expr("""CAST(round(1000000.0 *
+        (ln(CAST(tot AS DOUBLE)) - ln(CAST(nj AS DOUBLE))) / ln(2.0), 0)
+        AS BIGINT)"""))
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("k_nb"), sum(col("nl")).as("snl"))
+      .select(col("seed"), col("k_nb"),
+        expr("snl div k_nb").as("novelty_microbits"))
+      .orderBy(desc("novelty_microbits"), col("seed")).limit(30)
+  }, Some("""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS tot FROM items),
+    pop AS (SELECT pk, CAST(count(*) AS BIGINT) AS nj FROM items GROUP BY pk),
+    co AS (
+      SELECT a.pk AS seed, b.pk AS nb, CAST(count(*) AS BIGINT) AS cooc
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk <> b.pk
+      GROUP BY 1, 2),
+    top5 AS (
+      SELECT seed, nb FROM (
+        SELECT seed, nb,
+          row_number() OVER (PARTITION BY seed
+                             ORDER BY cooc DESC, nb) AS rn
+        FROM co) WHERE rn <= 5),
+    nl AS (
+      SELECT seed,
+        CAST(round(1000000.0 *
+          (ln(CAST(tot AS DOUBLE)) - ln(CAST(nj AS DOUBLE))) / ln(2.0), 0)
+          AS BIGINT) AS nl
+      FROM top5 JOIN pop ON pop.pk = top5.nb CROSS JOIN tot)
+    SELECT seed, CAST(count(*) AS BIGINT) AS k_nb,
+      CAST(sum(nl) AS BIGINT) // CAST(count(*) AS BIGINT)
+        AS novelty_microbits
+    FROM nl GROUP BY seed
+    ORDER BY novelty_microbits DESC, seed LIMIT 30
+  """))
+
+  val all: Seq[BoundQuery] =
+    Seq(qItemCf, qAssocRulesExact, qRecEval, qSlopeOne, qNovelty)
 }
