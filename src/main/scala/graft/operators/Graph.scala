@@ -137,10 +137,44 @@ object Graph {
       when(col("da") < col("db") ||
            (col("da") === col("db") && col("a") < col("b")), col("b"))
         .otherwise(col("a")).as("hi")))
+    // The wedge relation u→v→w is the operator's true cost: Σ in·out
+    // over oriented degrees — 41× the edge count on the co-purchase
+    // graph (sf1: 492M wedges from 12M edges), and the closure join
+    // forces ALL of it through a shuffle while a single-node engine
+    // streams it through a hash probe. A Bloom filter over
+    // xxhash64(lo,hi) of the edge set, probed INSIDE the wedge join's
+    // stage, drops non-closing wedges before the exchange: survivors
+    // = triangles + ~1% false positives that the exact closure join
+    // then removes (sf1: ~23M rows shuffled instead of 492M). The
+    // bloom ships as a LITERAL from a driver-side 1-row collect (the
+    // q_bloom_prune pattern, within the k-row model-table contract):
+    // plan literals become codegen reference objects — zero per-row
+    // copies — and stage task binaries are themselves broadcast once,
+    // so the bytes cross the wire once per executor. (The tempting
+    // crossJoin(broadcast(bloomDf)) alternative re-materializes the
+    // bit set through UnsafeRow.getBinary ON EVERY PROBE ROW — a
+    // 1.5 MB copy × 492M wedges; measured as a hang.) Size-gated like
+    // Hints.gatedBroadcast: armed while 10 bits/edge fits the 256 MB
+    // Int-indexable cap, disarmed beyond (~214M edges) where the
+    // plain two-shuffle plan and cluster spill bandwidth take over.
+    // The sizing count runs on the persisted canon the degree agg
+    // needs anyway.
+    val spark = edges.sparkSession
+    val eCount = canon.count()
     val paths = oriented.as("e1").join(oriented.as("e2"),
         col("e1.hi") === col("e2.lo"))
-      .select(col("e1.lo").as("u"), col("e1.hi").as("v"), col("e2.hi").as("w"))
-    val tri = paths.join(oriented.as("e3"),
+      .select(col("e1.lo").as("u"), col("e2.hi").as("w"))
+    val capBits = (1L << 31) - 64
+    val pruned =
+      if (eCount > 0 && eCount * 10L <= capBits) {
+        val nb = math.max(1L << 20, ((eCount * 10L + 63) / 64) * 64).toInt
+        val bloomBytes = oriented.agg(graft.expressions.BloomFilter
+          .bloomAgg(spark, xxhash64(col("lo"), col("hi")), nb, 5).as("bf"))
+          .first().getAs[Array[Byte]](0)
+        paths.where(graft.expressions.BloomFilter.mightContain(
+          spark, lit(bloomBytes), xxhash64(col("u"), col("w")), 5))
+      } else paths
+    val tri = pruned.join(oriented.as("e3"),
       col("u") === col("e3.lo") && col("w") === col("e3.hi"))
     // node/edge counts ride the same plan as broadcast 1-row
     // aggregates (scalar-subquery pattern) instead of two separate
@@ -167,10 +201,12 @@ object Graph {
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
               sources: DataFrame, sourceCol: String, maxHops: Int): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
+    // node ids keep their input type (the triangleCount rule): every
+    // relaxation round shuffles the frontier join — integer ids
+    // shuffle ~3× fewer bytes than string renderings
     val e = CacheScope.persist(
-      edges.select(col(srcCol).cast("string").as("src"),
-                   col(dstCol).cast("string").as("dst")).distinct())
-    var labels = sources.select(col(sourceCol).cast("string").as("node"))
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    var labels = sources.select(col(sourceCol).as("node"))
       .distinct().withColumn("hop", lit(0L)).localCheckpoint(true)
     var i = 0
     var converged = false
