@@ -57,9 +57,11 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, scale: Long = DefaultScale): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    // node ids keep their input type (the triangleCount rule): both
+    // per-round shuffles key on the node id, and integer ids shuffle
+    // ~3× fewer bytes than string renderings
     val e = CacheScope.persist(
-      edges.select(col(srcCol).cast("string").as("src"),
-                   col(dstCol).cast("string").as("dst")).distinct())
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // Pregel-style PARTITIONING REUSE (round-6): the two loop-stable
     // relations are persisted pre-hashed on their join keys with an
