@@ -684,7 +684,8 @@ object Registry {
       StatsQueries5.all ++ MetricsQueries.all ++ SeriesQueries2.all ++
       DistributionQueries.all ++ CorpusQueries4.all ++ StatsQueries6.all ++
       ExplainQueries.all ++ LmStatsQueries.all ++ DiagnosticsQueries.all ++
-      AuditQueries.all ++ CorpusQueries5.all ++ GraphQueries2.all
+      AuditQueries.all ++ CorpusQueries5.all ++ GraphQueries2.all ++
+      SeriesQueries3.all
       // (q_kcore / q_neighbor_jaccard ride in GraphQueries.all above)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
