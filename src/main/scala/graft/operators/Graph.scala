@@ -170,8 +170,14 @@ object Graph {
     val pruned =
       if (eCount > 0 && eCount * 10L <= capBits) {
         val nb = math.max(1L << 20, ((eCount * 10L + 63) / 64) * 64).toInt
-        val bloomBytes = oriented.agg(graft.expressions.BloomFilter
-          .bloomAgg(spark, xxhash64(col("lo"), col("hi")), nb, 5).as("bf"))
+        // coalesce(16) before the build: every map partition emits a
+        // FULL nb-bit partial and the final merge is single-threaded,
+        // so 256 partials × a 150 MB bloom is a ~38 GB one-task OR
+        // (measured: a 28 s single-task stage at sf1 before this).
+        // 16 partials keep the merge ~seconds at any armed size.
+        val bloomBytes = oriented.coalesce(16)
+          .agg(graft.expressions.BloomFilter
+            .bloomAgg(spark, xxhash64(col("lo"), col("hi")), nb, 5).as("bf"))
           .first().getAs[Array[Byte]](0)
         paths.where(graft.expressions.BloomFilter.mightContain(
           spark, lit(bloomBytes), xxhash64(col("u"), col("w")), 5))
