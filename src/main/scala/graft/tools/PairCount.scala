@@ -67,24 +67,37 @@ object PairCount {
     // core (the round-5 starvation bug — an unwarmed sf10 LSH read
     // 1306 s cold vs 365 s warm for this reason, not output volume)
     dirs.foreach(graft.sources.Tables.warm(s, _))
+    // SPARK_GRAFT_RUNS=k (default 1): time each (dir, query) k times
+    // and grade the BEST run, matching Bench's best-of-2 contract.
+    // The first query in a fresh JVM pays whole-stage-codegen javac +
+    // C2 JIT of the Spark internals (an 8-round unrolled PageRank
+    // read 143 s cold vs ~4 s warm at sf0.1) — a cost every scale
+    // table would mis-attribute to the smallest directory, which
+    // always runs first.
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(1)
     for (d <- dirs; q <- names) {
-      val t0 = System.nanoTime()
-      val (n, extra) = graft.util.CacheScope.withScope {
-        val df = graft.queries.Registry.queries(q)(s, d)
-        val n = df.count()
-        // component count + LARGEST component (CC round cost is
-        // O(log max-component-diameter), not count), counted by NAME
-        // in the spec-covered clusterStats above
-        val extra =
-          if (q == "q_dedup_clusters") {
-            val (k, mx) = clusterStats(df)
-            s" clusters=$k largest=$mx"
-          } else ""
-        (n, extra)
+      val timed = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val (n, extra) = graft.util.CacheScope.withScope {
+          val df = graft.queries.Registry.queries(q)(s, d)
+          val n = df.count()
+          // component count + LARGEST component (CC round cost is
+          // O(log max-component-diameter), not count), counted by NAME
+          // in the spec-covered clusterStats above
+          val extra =
+            if (q == "q_dedup_clusters") {
+              val (k, mx) = clusterStats(df)
+              s" clusters=$k largest=$mx"
+            } else ""
+          (n, extra)
+        }
+        ((System.nanoTime() - t0) / 1e9, n, extra)
       }
-      val sec = (System.nanoTime() - t0) / 1e9
+      val (sec, n, extra) = timed.minBy(_._1)
       val per1k = if (n > 0) sec * 1000.0 / n else Double.NaN
-      println(f"[paircount] $d $q rows=$n sec=$sec%.2f sec_per_1k_rows=$per1k%.4f$extra")
+      val allRuns = if (runs > 1)
+        timed.map(t => f"${t._1}%.2f").mkString(" runs=[", ",", "]") else ""
+      println(f"[paircount] $d $q rows=$n sec=$sec%.2f sec_per_1k_rows=$per1k%.4f$extra$allRuns")
     }
     s.stop()
   }
