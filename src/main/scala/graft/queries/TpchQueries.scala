@@ -242,13 +242,21 @@ object TpchQueries {
     * needs no self-join. Share emitted as an exact-cents ratio. */
   private val q14 = BoundQuery("q14_promo_effect", (s, d) => {
     val vol = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    // Only PROMO membership matters, so broadcast the PROMO slice and
+    // read membership off a LEFT join hit — same answer because every
+    // l_partkey exists in part (TPC-H FK), and the broadcast build
+    // hashes ~1/5 of the part table (round-7 sf10 profile: the 2M-row
+    // full-part build dominated the warm latency; 1.35 → 0.22 s,
+    // ratio vs DuckDB 2.8× → 0.45×). At 100 TB the build ships to
+    // every executor, so slice-before-broadcast is the cluster rule.
     Tables.lineitem(s, d)
       .where(ship >= lit("1996-03-01").cast("timestamp") &&
         ship < lit("1996-04-01").cast("timestamp"))
-      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
-        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.part(s, d).where(col("p_type") === "PROMO")
+          .select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"), "left")
       .agg(
-        sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0L)))
+        sum(when(col("p_type").isNotNull, vol).otherwise(lit(0L)))
           .as("pc"),
         sum(vol).as("tc"))
       .select(money(col("pc")).as("promo_revenue"),
