@@ -35,9 +35,13 @@ object MlQueries {
     * argmax is a per-doc top-1 (WindowGroupLimit), never global. */
   private val qNaiveBayes = BoundQuery("q_naive_bayes", (s, d) => {
     val docs = Tables.documents(s, d)
-    val dt = docs.select(col("doc_id"), col("lang"),
-        explode(tokens(col("text"))).as("t"))
-      .groupBy("doc_id", "lang", "t").agg(count(lit(1)).as("tf"))
+    // four consumers (vocab, tokc, model, scoring) read the exploded
+    // term-frequency relation — persist it once or the tokenize +
+    // shuffle-agg of the whole corpus runs four times
+    val dt = graft.util.CacheScope.persist(
+      docs.select(col("doc_id"), col("lang"),
+          explode(tokens(col("text"))).as("t"))
+        .groupBy("doc_id", "lang", "t").agg(count(lit(1)).as("tf")))
     val classes = docs.groupBy(col("lang").as("c")).agg(count(lit(1)).as("docs_c"))
     val nDocs = docs.agg(count(lit(1)).as("docs"))
     val vocab = dt.agg(countDistinct(col("t")).as("v"))
@@ -55,9 +59,21 @@ object MlQueries {
           .cast("long").as("floor_u"),
         round(log(col("docs_c").cast("double") / col("docs").cast("double")) * 1e6, 0)
           .cast("long").as("prior_u"))
+    // The (c,t) model is MODEL-sized, not data-sized — vocab × classes
+    // rows (the same contract as the broadcast centroid/codebook
+    // tables in the ANN family), so it rides a broadcast join and the
+    // token-grain relation reaches its (doc, c) partial aggregation
+    // with ZERO shuffles (round-7 sf1 profile: the unhinted plan
+    // shuffle-joined the classes×-multiplied token relation against
+    // the model, and dt recomputed 4× — 5.3 s, 6.1× DuckDB; broadcast
+    // model + persisted dt = 2.56 s. A refactor that avoided the
+    // class fan-out via floor algebra was tried and REJECTED by
+    // measurement: on dense models — every class sees most tokens,
+    // true of any shared-vocabulary corpus — it shuffled MORE,
+    // 12.0 s).
     val scored = dt.select(col("doc_id"), col("lang"), col("t"), col("tf"))
       .crossJoin(broadcast(floor))
-      .join(model, Seq("c", "t"), "left")
+      .join(broadcast(model), Seq("c", "t"), "left")
       .groupBy("doc_id", "lang", "c")
       .agg((sum(col("tf") * coalesce(col("lnp_u"), col("floor_u")))
         + first(col("prior_u"))).as("score_u"))
