@@ -40,15 +40,28 @@ object RetrievalQueries {
     * and partition-invariant; top-50 goes through TakeOrdered, never
     * a global sort. */
   private val qBm25 = BoundQuery("q_bm25", (s, d) => {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tokens"))
-    val tf = docs
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
-      .where(col("token").isin(qTerms: _*))
-      .groupBy(col("doc_id"), col("dl"), col("token"))
-      .agg(count(lit(1)).cast("long").as("tf"))
+    // ONE corpus pass: tokenize + explode once, then a per-doc
+    // aggregation carrying dl AND one conditional tf column per query
+    // term (the query is k terms, k tiny) — the earlier shape
+    // tokenized the corpus twice (once for the length stats, once for
+    // the term filter). Local sf1 wall is flat (the OS page cache
+    // makes the second scan free at GB scale) — the change is for the
+    // 100 TB shape, where two corpus passes are 2× the I/O bill.
+    // explode_outer so zero-token docs still count in the corpus
+    // stats, exactly like the oracle's len(toks).
+    val perDoc = graft.util.CacheScope.persist(
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode_outer(tokens(col("text"))).as("token"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("token").isNotNull, 1L).otherwise(0L)).as("dl"),
+          qTerms.map(t =>
+            sum(when(col("token") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*))
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tokens"))
+    val tf = perDoc
+      .select(col("doc_id"), col("dl"), explode(map_from_arrays(
+        array(qTerms.map(lit): _*),
+        array(qTerms.map(t => col(s"tf_$t")): _*))).as(Seq("token", "tf")))
+      .where(col("tf") > 0)
     val dfc = tf.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
     val scored = tf.join(broadcast(dfc), "token").crossJoin(broadcast(stats))
       .withColumn("s_u", round(
