@@ -673,7 +673,75 @@ object DistributionQueries {
     FROM m
   """))
 
+  /** Anderson–Darling uniformity test (Anderson & Darling 1954) on
+    * the CENT fraction of order prices — the tail-weighted EDF test
+    * completing the KS (q_ks_test) / Cramér–von Mises (q_cvm) family:
+    * AD up-weights the distribution's tails, which is where rounding
+    * fraud and price-template artifacts live (the q_benford
+    * companion). u_i = (cents mod 100 + 0.5)/100 maps each price to a
+    * strictly interior point of (0,1), so both log terms are finite.
+    *
+    * A² = −n − (1/n)·Σ_i (2i−1)[ln u_(i) + ln(1 − u_(n+1−i))],
+    * folded into the single-pass per-rank form
+    * (2j−1)·ln u_(j) + (2n−2j+1)·ln(1 − u_(j)).
+    *
+    * Exactness: the two ln terms take only 100 distinct values each,
+    * rounded to integer MICRO-nats per row (the q_psi_drift µ-nat
+    * rule); rank weights are exact longs, so every partial sum is
+    * order-invariant and the final A² is one double division of an
+    * exact decimal(38,0) scalar. Ties in u collapse to identical ln
+    * values, so any tie order yields the same sum. The global rank is
+    * operators.Ranking.globalRowNumber — two-phase range-partitioned,
+    * never a single-partition window. Scale ceiling: the weighted sum
+    * reaches ~2.4e21 around sf10 on orders, which is why it
+    * accumulates (and emits) decimal(38,0)-as-double rather than
+    * long. */
+  private val qAndersonDarling = BoundQuery("q_anderson_darling", (s, d) => {
+    val vals = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      (cents(col("o_totalprice")) % 100).as("c"))
+    val lns = vals
+      .withColumn("lnu",
+        round(log((col("c") + lit(0.5)) / 100.0) * 1e6, 0).cast("long"))
+      .withColumn("ln1",
+        round(log(lit(1.0) - (col("c") + lit(0.5)) / 100.0) * 1e6, 0)
+          .cast("long"))
+    val ranked = graft.operators.Ranking
+      .globalRowNumber(lns, "j0", col("c"), col("k"))
+      .withColumn("j", col("j0") + 1)
+      .crossJoin(broadcast(vals.agg(count(lit(1)).as("n"))))
+    ranked
+      .select(col("n"), ((lit(2) * col("j") - 1) * col("lnu")
+        + (lit(2) * col("n") - lit(2) * col("j") + 1) * col("ln1"))
+        .cast("decimal(38,0)").as("term"))
+      .groupBy(col("n")).agg(sum(col("term")).as("s"))
+      .select(col("n"),
+        round(col("s").cast("double") / 1e6, 2).as("s_nats"),
+        round(lit(-1.0) * col("n").cast("double")
+          - col("s").cast("double")
+            / (lit(1e6) * col("n").cast("double")), 6).as("a2"))
+  }, Some("""
+    WITH vals AS (
+      SELECT o_orderkey AS k,
+        CAST(round(o_totalprice * 100, 0) AS BIGINT) % 100 AS c
+      FROM orders),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vals),
+    t AS (
+      SELECT n, c,
+        CAST(round(ln((c + 0.5) / 100.0) * 1e6, 0) AS BIGINT) AS lnu,
+        CAST(round(ln(1.0 - (c + 0.5) / 100.0) * 1e6, 0) AS BIGINT) AS ln1,
+        CAST(row_number() OVER (ORDER BY c, k) AS BIGINT) AS j
+      FROM vals CROSS JOIN nn),
+    s AS (
+      SELECT n, sum(CAST((2*j - 1) * lnu + (2*n - 2*j + 1) * ln1
+                    AS HUGEINT)) AS s_h
+      FROM t GROUP BY n)
+    SELECT n, round(CAST(s_h AS DOUBLE) / 1e6, 2) AS s_nats,
+      round(-CAST(n AS DOUBLE)
+        - CAST(s_h AS DOUBLE) / (1e6 * CAST(n AS DOUBLE)), 6) AS a2
+    FROM s
+  """))
+
   val all: Seq[BoundQuery] = Seq(qSprt, qWasserstein, qGumbel,
     qTukeyFences, qRecCoverage, qHellinger, qDispersion, qLognormalFit,
-    qLMoments, qCvm)
+    qLMoments, qCvm, qAndersonDarling)
 }
