@@ -654,7 +654,67 @@ object MonitoringQueries {
     FROM ex ORDER BY ud
   """))
 
+  /** Process-capability indices Cp / Cpk per order priority class
+    * (Juran's quality handbook; the SPEC-limit companion to
+    * q_control_chart's control limits): Cp = (USL−LSL)/6s measures
+    * spread against the tolerance band, Cpk = min(USL−x̄, x̄−LSL)/3s
+    * penalizes off-center processes. Spec limits are frozen literals
+    * on both engines (0 .. $3000.00, the band the synthetic price
+    * generator targets).
+    *
+    * Exactness: per-class n, Σx, Σx² in exact cents (Σx² as
+    * decimal(38,0) — a 5e7-cent price squares to 2.5e15, long
+    * overflow by ~1e5 rows); the sample variance and both indices are
+    * identical double trees over those exact scalars, rounded to 4.
+    * One partial-aggregated groupBy — the cheapest possible shape at
+    * any scale. */
+  private val qCpk = BoundQuery("q_cpk", (s, d) => {
+    import graft.functions.Num.cents
+    val lsl = 0L; val usl = 300000L // cents
+    Tables.orders(s, d)
+      .select(col("o_orderpriority").as("priority"),
+        cents(col("o_totalprice")).as("v"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sx"),
+        sum(col("v").cast("decimal(38,0)") * col("v")).as("qx"))
+      .where(col("n") > 1)
+      .withColumn("mean_c", col("sx").cast("double") / col("n").cast("double"))
+      .withColumn("s_c", sqrt(
+        (col("qx").cast("double") - col("sx").cast("double")
+          * col("sx").cast("double") / col("n").cast("double"))
+          / (col("n").cast("double") - 1.0)))
+      .select(col("priority"), col("n"),
+        round(col("mean_c") / 100.0, 2).as("mean_usd"),
+        round(col("s_c") / 100.0, 2).as("sd_usd"),
+        round(lit((usl - lsl).toDouble) / (lit(6.0) * col("s_c")), 4)
+          .as("cp"),
+        round(least(lit(usl.toDouble) - col("mean_c"),
+          col("mean_c") - lit(lsl.toDouble)) / (lit(3.0) * col("s_c")), 4)
+          .as("cpk"))
+      .orderBy("priority")
+  }, Some("""
+    WITH g AS (
+      SELECT o_orderpriority AS priority,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sx,
+        sum(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS HUGEINT)
+            * CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS qx
+      FROM orders GROUP BY 1),
+    m AS (
+      SELECT priority, n,
+        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+        sqrt((CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+              / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS s_c
+      FROM g WHERE n > 1)
+    SELECT priority, n,
+      round(mean_c / 100.0, 2) AS mean_usd,
+      round(s_c / 100.0, 2) AS sd_usd,
+      round(300000.0 / (6.0 * s_c), 4) AS cp,
+      round(least(300000.0 - mean_c, mean_c - 0.0) / (3.0 * s_c), 4) AS cpk
+    FROM m ORDER BY priority
+  """))
+
   val all: Seq[BoundQuery] =
     Seq(qControlChart, qPageHinkley, qEngleGranger, qTheilU, qSeasonalEsd,
-      qHurst, qRateRatio, qSmr, qBurstFlags)
+      qHurst, qRateRatio, qSmr, qBurstFlags, qCpk)
 }
