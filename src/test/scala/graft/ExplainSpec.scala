@@ -600,4 +600,22 @@ class ExplainSpec extends AnyFunSuite {
       assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), q)
     }
   }
+
+  test("label_prop unrolls as ONE lazy plan: no per-round checkpoint barriers") {
+    // Each round's label table is consumed exactly once, so the 4
+    // rounds must stay a single linear lazy plan (the q_pagerank
+    // rule). The round-7 regression being pinned: per-round EAGER
+    // localCheckpoint(true) barriers — visible as Scan ExistingRDD
+    // leaves — cost 12.7× wall for 10× data at the sf1→sf10 step
+    // (fixed: 5.5×, sf10 63.9→29.6 s). The only allowed non-parquet
+    // leaf is the CacheScope-persisted edge relation's
+    // InMemoryRelation.
+    val p = plan("q_label_prop")
+    assert(!p.contains("Scan ExistingRDD"),
+      s"q_label_prop grew a checkpoint barrier (Scan ExistingRDD leaf):\n$p")
+    // linear unroll tripwire (today ~80 lines; 3-4× that means the
+    // plan is being duplicated per round)
+    val lines = p.linesIterator.size
+    assert(lines < 250, s"q_label_prop plan grew to $lines lines:\n$p")
+  }
 }
