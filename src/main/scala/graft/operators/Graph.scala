@@ -96,6 +96,31 @@ object Graph {
     ranks
   }
 
+  /** ONE additional PageRank round applied to an existing rank table —
+    * the exact recurrence body of [[pageRank]], exposed so convergence
+    * diagnostics (q_pagerank_converge) can compare consecutive rounds
+    * without re-running the whole unroll twice. Same standing-layout
+    * persists (plan-keyed, so a caller that already built them shares
+    * the cache). */
+  def pageRankStep(edges: DataFrame, srcCol: String, dstCol: String,
+                   ranks: DataFrame, scale: Long = DefaultScale): DataFrame = {
+    val e = CacheScope.persist(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val P = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val out = CacheScope.persist(e.join(deg, "src").repartition(P, col("src")))
+    val nodes = CacheScope.persist(
+      e.select(col("src").as("node")).union(e.select(col("dst"))).distinct()
+        .repartition(P, col("node")))
+    val base = 15L * scale / 100L
+    val contrib = out.join(ranks, out("src") === ranks("node"))
+      .select(col("dst").as("node"), expr("rank div deg").as("c"))
+      .groupBy("node").agg(sum(col("c")).as("s"))
+    nodes.join(contrib, Seq("node"), "left")
+      .select(col("node"),
+        (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
+  }
+
   /** Exact triangle count of an UNDIRECTED simple graph given as an
     * edge list (either or both orientations; self-loops dropped).
     *
