@@ -216,6 +216,54 @@ object ExtraQueries3 {
     FROM byDec, tot ORDER BY decile
   """))
 
+  /** Quantity-WEIGHTED price quartiles — the weighted companion to
+    * q_global_median (an unweighted median answers "the typical line
+    * item"; weighting by quantity answers "the typical UNIT sold",
+    * the number a pricing analyst actually wants). Lower-median
+    * convention at each quartile: the smallest price whose cumulative
+    * weight reaches k/4 of the total, evaluated as exact integer
+    * inequalities (4·cum ≥ k·W — no division, no ties ambiguity).
+    *
+    * Scale shape: one Ranking.globalCumSum (two-phase
+    * range-partitioned running sum, never a single-partition window)
+    * over (price, key)-sorted cents, then ONE conditional min
+    * aggregation picks all three quartiles in the same pass — the
+    * threshold scan never rescans per quantile. */
+  private val qWeightedQuantiles = BoundQuery("q_weighted_quantiles", (s, d) => {
+    val li = Tables.lineitem(s, d).select(
+      col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+      cents(col("l_extendedprice")).as("v"), col("l_quantity").cast("long").as("w"))
+    val cum = graft.operators.Ranking.globalCumSum(
+      li, col("w"), "cw", col("v"), col("ok"), col("ln"))
+      .crossJoin(broadcast(li.agg(sum(col("w")).as("tw"))))
+    cum.agg(max(col("tw")).as("total_qty"),
+        min(when(col("cw") * 4 >= col("tw"), col("v"))).as("p25_c"),
+        min(when(col("cw") * 2 >= col("tw"), col("v"))).as("p50_c"),
+        min(when(col("cw") * 4 >= col("tw") * 3, col("v"))).as("p75_c"))
+      .select(col("total_qty"),
+        money(col("p25_c")).as("w_p25"),
+        money(col("p50_c")).as("w_median"),
+        money(col("p75_c")).as("w_p75"))
+  }, Some("""
+    WITH li AS (
+      SELECT l_orderkey AS ok, l_linenumber AS ln,
+        CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v,
+        CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem),
+    c AS (
+      SELECT v, w,
+        CAST(sum(w) OVER (ORDER BY v, ok, ln
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+        CAST(sum(w) OVER () AS BIGINT) AS tw
+      FROM li)
+    SELECT max(tw) AS total_qty,
+      CAST(min(CASE WHEN cw * 4 >= tw THEN v END) AS DOUBLE) / 100.0 AS w_p25,
+      CAST(min(CASE WHEN cw * 2 >= tw THEN v END) AS DOUBLE) / 100.0 AS w_median,
+      CAST(min(CASE WHEN cw * 4 >= tw * 3 THEN v END) AS DOUBLE) / 100.0 AS w_p75
+    FROM c
+  """))
+
   val all: Seq[BoundQuery] =
-    Seq(qRollingSlope, qIntervalJoin, qTopkMigration, qLorenz)
+    Seq(qRollingSlope, qIntervalJoin, qTopkMigration, qLorenz,
+      qWeightedQuantiles)
 }
