@@ -169,7 +169,7 @@ object Bench {
     // failed queries render as JSON null and are EXCLUDED from every
     // subtotal — a regression-to-failure can only ever move a total up
     // (missing time) and is flagged by `failures` + the null itself.
-    val qs = (results ++ tpchResults ++ bench30Results)
+    def qmap(rs: Seq[(String, Option[Double])]): String = rs
       .map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
     def subtotal(rs: Seq[(String, Option[Double])]): Double =
@@ -199,8 +199,57 @@ object Bench {
           sys.env.contains("SPARK_GRAFT_SKIP_DUCKDB")) ""
       else duckdbCoReading(sfDir,
         skipBench30 = sys.env.contains("SPARK_GRAFT_SKIP_BENCH30"))
-    println(s"""{"metric":"total","value":$total,"unit":"sec",$tpchField$b30Field$failField$duckField"queries":$qs,"sf":"$sfDir"}""")
+    // Round-8 fix (r7 verdict item 1): the driver's tail capture keeps
+    // only the LAST few KB of stdout, and the r7 single-line artifact
+    // (52 Spark + 50 DuckDB per-query fields in front of the subtotals)
+    // outgrew it — `"parsed": null`, every subtotal truncated off the
+    // front, and the self-calibrating DuckDB co-reading (built exactly
+    // to attribute that round's box-load drift) truncated with it. So:
+    // the per-query maps now ride a FIRST, long, diagnostic line
+    // (keyed "detail", never "metric", so a grader that sees both can't
+    // pick it up as the headline), and the canonical `"metric":"total"`
+    // line prints LAST and COMPACT — subtotals, failures, the DuckDB
+    // scalar totals, /proc/loadavg at start/end (box-load attribution
+    // in the artifact itself), and only the 12-headliner query map.
+    val (duckScalars, duckPerQuery) = splitDuckFields(duckField)
+    println(s"""{"detail":"per_query",$duckPerQuery"queries":${qmap(results ++ tpchResults ++ bench30Results)},"sf":"$sfDir"}""")
+    // headline map only when it stays compact (pinned set is 12; an
+    // ad-hoc SPARK_GRAFT_BENCH_ONLY list could be arbitrarily long)
+    val headField =
+      if (results.size <= 16) s""""queries":${qmap(results)},""" else ""
+    def compact(withHead: Boolean): String =
+      s"""{"metric":"total","value":$total,"unit":"sec",$tpchField$b30Field$failField$duckScalars"loadavg_start":"$loadavgStart","loadavg_end":"${loadavg()}",${if (withHead) headField else ""}"sf":"$sfDir"}"""
+    // must survive a ~2 KB tail capture; shed the headline map (still
+    // on the detail line) rather than fail the whole artifact
+    val line = Some(compact(withHead = true)).filter(_.length < 1900)
+      .getOrElse(compact(withHead = false))
+    println(line)
     spark.stop()
+  }
+
+  /** First three fields of /proc/loadavg (1/5/15-min run-queue
+    * averages), or "" off-Linux — stamped into the bench artifact so a
+    * loaded driver box is attributable from the artifact alone. */
+  private[graft] def loadavg(): String =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      s.split("\\s+").take(3).mkString(" ")
+    } catch { case scala.util.control.NonFatal(_) => "" }
+
+  private val loadavgStart: String = loadavg()
+
+  /** Splits the co-reading field block (trailing-comma form) into
+    * (scalar fields, per-query map field): the scalars — duckdb_total /
+    * duckdb_tpch10 / duckdb_bench30 / duckdb_runs — go on the compact
+    * final line; the ~50-entry "duckdb_queries" map goes on the long
+    * detail line. bench_baseline.py prints scalars first, map last, so
+    * a plain split at the map key is exact. */
+  private[graft] def splitDuckFields(block: String): (String, String) = {
+    val key = "\"duckdb_queries\":"
+    val i = block.indexOf(key)
+    if (i < 0) (block, "")
+    else (block.substring(0, i), block.substring(i))
   }
 
   /** Runs tools/bench_baseline.py --json in THIS session window and

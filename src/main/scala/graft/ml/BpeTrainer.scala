@@ -135,7 +135,18 @@ object BpeTrainer {
     rows.toSeq.map(r => (r.getString(0), r.getLong(1)))
   }
 
-  /** Train `numMerges` merges over the whitespace words of `textCol`. */
+  /** Train `numMerges` merges over the whitespace words of `textCol`.
+    *
+    * EAGER at call time (unlike every relational operator in this
+    * library): training collects the Heaps-bounded vocab — a full
+    * corpus scan + shuffle — before returning, and [[mergesDF]] /
+    * [[encodeWords]] inherit that. Merely CONSTRUCTING a DataFrame
+    * through these entry points runs Spark jobs (plan inspection
+    * included — ExplainSpec/ExplainAudit pay the training cost to
+    * look at the plan). Acceptable under the model-table contract —
+    * the result is a driver-sized model, same as KMeansLite/
+    * ProductQuantizer codebooks — but callers composing lazy plans
+    * should bind BPE queries last (round-7 advice item 2). */
   def train(df: DataFrame, textCol: Column, numMerges: Int): Seq[Merge] =
     trainOnVocab(wordFreq(df, textCol), numMerges)
 
@@ -171,10 +182,18 @@ object BpeTrainer {
     require(words.length <= MaxVocab,
       s"BPE vocab exceeds the $MaxVocab-type driver model-table contract")
     val ordered = merges.sortBy(_.rank)
-    words.toSeq.map { w =>
+    val encoded = words.toSeq.map { w =>
       var toks = codePointToks(w)
       ordered.foreach(m => toks = applyMergeLocal(toks, m.left, m.right))
       (w, toks)
-    }.toDF("word", "toks")
+    }
+    // parallelize instead of a LocalRelation (round-7 advice item 2):
+    // at the MaxVocab bound a LocalRelation embeds up to 2M (word,
+    // token-array) rows INSIDE the logical plan — every plan copy,
+    // canonicalization and explain pays for them — whereas an RDD-
+    // backed frame keeps the plan node O(1) and ships rows once, as
+    // task data. Same rows, same downstream hash join.
+    spark.createDataset(spark.sparkContext.parallelize(encoded,
+      math.max(1, encoded.size / 65536 + 1))).toDF("word", "toks")
   }
 }

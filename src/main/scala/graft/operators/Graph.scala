@@ -57,22 +57,39 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, scale: Long = DefaultScale): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    // node ids keep their input type (the triangleCount rule): both
-    // per-round shuffles key on the node id, and integer ids shuffle
-    // ~3× fewer bytes than string renderings
+    val (out, nodes, base) = prSetup(edges, srcCol, dstCol, scale)
+    var ranks = nodes.withColumn("rank", lit(scale))
+    var i = 0
+    while (i < iters) { ranks = prRound(out, nodes, ranks, base); i += 1 }
+    ranks
+  }
+
+  /** The loop-stable PageRank relations, shared by [[pageRank]],
+    * [[pageRankStep]] and [[pageRankUntil]] (round-7 advice item 5:
+    * pageRank and pageRankStep previously duplicated this body, and
+    * q_pagerank_converge's oracle parity silently depended on the two
+    * copies staying bit-identical — now there is one copy).
+    *
+    * Pregel-style PARTITIONING REUSE (round-6): the two loop-stable
+    * relations are persisted pre-hashed on their join keys with an
+    * EXPLICIT partition count (explicit N is exempt from AQE
+    * coalescing, so the layout stays join-compatible round after
+    * round), and localCheckpoint preserves outputPartitioning in its
+    * LogicalRDD — so each iteration's contribution join and node
+    * re-join reuse the standing layout instead of re-shuffling the
+    * edge list `iters` times. At 100 TB the edge relation is the big
+    * side; shuffling it once instead of once per round is the
+    * difference between 1 and `iters` full-data exchanges. Node ids
+    * keep their input type (the triangleCount rule): both per-round
+    * shuffles key on the node id, and integer ids shuffle ~3× fewer
+    * bytes than string renderings. The persists are plan-keyed
+    * through CacheScope, so every caller in a scope shares one
+    * standing layout. */
+  private def prSetup(edges: DataFrame, srcCol: String, dstCol: String,
+                      scale: Long): (DataFrame, DataFrame, Long) = {
     val e = CacheScope.persist(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    // Pregel-style PARTITIONING REUSE (round-6): the two loop-stable
-    // relations are persisted pre-hashed on their join keys with an
-    // EXPLICIT partition count (explicit N is exempt from AQE
-    // coalescing, so the layout stays join-compatible round after
-    // round), and localCheckpoint preserves outputPartitioning in its
-    // LogicalRDD — so each iteration's contribution join and node
-    // re-join reuse the standing layout instead of re-shuffling the
-    // edge list `iters` times. At 100 TB the edge relation is the big
-    // side; shuffling it once instead of once per round is the
-    // difference between 1 and `iters` full-data exchanges.
     val P = edges.sparkSession.sessionState.conf.numShufflePartitions
     // src carries (deg) with it so the per-iteration contribution needs
     // no extra join against the degree table
@@ -80,20 +97,19 @@ object Graph {
     val nodes = CacheScope.persist(
       e.select(col("src").as("node")).union(e.select(col("dst"))).distinct()
         .repartition(P, col("node")))
-    val base = 15L * scale / 100L
+    (out, nodes, 15L * scale / 100L)
+  }
 
-    var ranks = nodes.withColumn("rank", lit(scale))
-    var i = 0
-    while (i < iters) {
-      val contrib = out.join(ranks, out("src") === ranks("node"))
-        .select(col("dst").as("node"), expr("rank div deg").as("c"))
-        .groupBy("node").agg(sum(col("c")).as("s"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
-      i += 1
-    }
-    ranks
+  /** ONE recurrence round: contribution agg (dst-keyed, map-side
+    * partial) + left join back to the node set. */
+  private def prRound(out: DataFrame, nodes: DataFrame, ranks: DataFrame,
+                      base: Long): DataFrame = {
+    val contrib = out.join(ranks, out("src") === ranks("node"))
+      .select(col("dst").as("node"), expr("rank div deg").as("c"))
+      .groupBy("node").agg(sum(col("c")).as("s"))
+    nodes.join(contrib, Seq("node"), "left")
+      .select(col("node"),
+        (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
   }
 
   /** ONE additional PageRank round applied to an existing rank table —
@@ -104,21 +120,58 @@ object Graph {
     * the cache). */
   def pageRankStep(edges: DataFrame, srcCol: String, dstCol: String,
                    ranks: DataFrame, scale: Long = DefaultScale): DataFrame = {
-    val e = CacheScope.persist(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val P = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val out = CacheScope.persist(e.join(deg, "src").repartition(P, col("src")))
-    val nodes = CacheScope.persist(
-      e.select(col("src").as("node")).union(e.select(col("dst"))).distinct()
-        .repartition(P, col("node")))
-    val base = 15L * scale / 100L
-    val contrib = out.join(ranks, out("src") === ranks("node"))
-      .select(col("dst").as("node"), expr("rank div deg").as("c"))
-      .groupBy("node").agg(sum(col("c")).as("s"))
-    nodes.join(contrib, Seq("node"), "left")
-      .select(col("node"),
-        (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
+    val (out, nodes, base) = prSetup(edges, srcCol, dstCol, scale)
+    prRound(out, nodes, ranks, base)
+  }
+
+  /** Residual-driven PageRank: iterate until the L∞ round-over-round
+    * residual falls to `residualPpm` parts-per-million of the base
+    * mass `scale`, probing every `checkEvery` rounds (round-7 verdict
+    * item 6 — the serving API a real pipeline wants, now that
+    * q_pagerank_converge has proven the residual monotone on this
+    * recurrence; the fixed-`iters` [[pageRank]] stays the
+    * oracle-replayed contract).
+    *
+    * Cost shape: rounds run LAZILY in segments of `checkEvery`; each
+    * probe is ONE job that materializes the segment (the penultimate
+    * round is lazily localCheckpoint-ed so the final round and the
+    * residual read share it, and so the next segment builds on a
+    * materialized LogicalRDD instead of re-deriving the unroll). The
+    * probe itself is a driver-side 1-row aggregate — the same
+    * node-keyed join every round already does, nothing extra shuffles.
+    * Worst case (never converges) this runs `maxIters` rounds in
+    * ceil(maxIters/checkEvery) jobs — same total work as the fixed
+    * unroll, plus one k-row probe per segment.
+    *
+    * Returns (ranks, roundsRun, finalResidualPpm). */
+  def pageRankUntil(edges: DataFrame, srcCol: String, dstCol: String,
+                    residualPpm: Long, maxIters: Int = 50,
+                    checkEvery: Int = 4,
+                    scale: Long = DefaultScale): (DataFrame, Int, Long) = {
+    require(residualPpm >= 0L, "residualPpm must be >= 0")
+    require(maxIters >= 1 && checkEvery >= 1,
+      "maxIters and checkEvery must be >= 1")
+    val (out, nodes, base) = prSetup(edges, srcCol, dstCol, scale)
+    var prev = nodes.withColumn("rank", lit(scale))
+    var itersRun = 0
+    var residual = Long.MaxValue
+    while (itersRun < maxIters && residual > residualPpm) {
+      val steps = math.min(checkEvery, maxIters - itersRun)
+      var penult = prev
+      var j = 0
+      while (j < steps - 1) { penult = prRound(out, nodes, penult, base); j += 1 }
+      // lazy: materializes once, inside the probe job, then backs both
+      // the final round and the next segment
+      val pCp = penult.localCheckpoint(false)
+      val cur = prRound(out, nodes, pCp, base).localCheckpoint(false)
+      residual = cur
+        .join(pCp.withColumnRenamed("rank", "prev"), Seq("node"))
+        .agg(coalesce(max(abs(col("rank") - col("prev"))), lit(0L)).as("linf"))
+        .first().getLong(0) * 1000000L / scale
+      itersRun += steps
+      prev = cur
+    }
+    (prev, itersRun, residual)
   }
 
   /** Exact triangle count of an UNDIRECTED simple graph given as an

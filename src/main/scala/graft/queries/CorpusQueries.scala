@@ -220,8 +220,12 @@ object CorpusQueries {
     val docs = Tables.documents(s, d)
     val merges = BpeTrainer.train(docs, col("text"), numMerges = 12)
     val enc = BpeTrainer.encodeWords(docs, col("text"), merges)
+    // enc is RDD-backed (stats-unknown) since the LocalRelation fix;
+    // it is model-table-sized by the BpeTrainer contract — exactly the
+    // bounded side a tokenizer pipeline broadcasts — so hint it rather
+    // than let the unknown stats force a corpus-sized shuffle join
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-      .join(enc, "word")
+      .join(broadcast(enc), "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum(size(col("toks")).cast("long")).as("n_subwords"))

@@ -659,8 +659,12 @@ object MonitoringQueries {
     * q_control_chart's control limits): Cp = (USL−LSL)/6s measures
     * spread against the tolerance band, Cpk = min(USL−x̄, x̄−LSL)/3s
     * penalizes off-center processes. Spec limits are frozen literals
-    * on both engines (0 .. $3000.00, the band the synthetic price
-    * generator targets).
+    * on both engines: 0 .. $600,000.00 — a band that actually brackets
+    * the fixture's o_totalprice distribution (~$1k–$500k, class means
+    * ≈ $250k), so the indices are meaningful capability numbers rather
+    * than the degenerate Cpk<0 a too-narrow band produces (round-7
+    * advice item 1; the earlier $0–$3000 band was wrong about the
+    * generator's range).
     *
     * Exactness: per-class n, Σx, Σx² in exact cents (Σx² as
     * decimal(38,0) — a 5e7-cent price squares to 2.5e15, long
@@ -670,7 +674,7 @@ object MonitoringQueries {
     * any scale. */
   private val qCpk = BoundQuery("q_cpk", (s, d) => {
     import graft.functions.Num.cents
-    val lsl = 0L; val usl = 300000L // cents
+    val lsl = 0L; val usl = 60000000L // cents ($600k; see Scaladoc)
     Tables.orders(s, d)
       .select(col("o_orderpriority").as("priority"),
         cents(col("o_totalprice")).as("v"))
@@ -709,8 +713,8 @@ object MonitoringQueries {
     SELECT priority, n,
       round(mean_c / 100.0, 2) AS mean_usd,
       round(s_c / 100.0, 2) AS sd_usd,
-      round(300000.0 / (6.0 * s_c), 4) AS cp,
-      round(least(300000.0 - mean_c, mean_c - 0.0) / (3.0 * s_c), 4) AS cpk
+      round(60000000.0 / (6.0 * s_c), 4) AS cp,
+      round(least(60000000.0 - mean_c, mean_c - 0.0) / (3.0 * s_c), 4) AS cpk
     FROM m ORDER BY priority
   """))
 

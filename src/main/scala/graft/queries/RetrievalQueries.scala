@@ -40,22 +40,24 @@ object RetrievalQueries {
     * and partition-invariant; top-50 goes through TakeOrdered, never
     * a global sort. */
   private val qBm25 = BoundQuery("q_bm25", (s, d) => {
-    // ONE corpus pass: tokenize + explode once, then a per-doc
-    // aggregation carrying dl AND one conditional tf column per query
-    // term (the query is k terms, k tiny) — the earlier shape
-    // tokenized the corpus twice (once for the length stats, once for
-    // the term filter). Local sf1 wall is flat (the OS page cache
-    // makes the second scan free at GB scale) — the change is for the
-    // 100 TB shape, where two corpus passes are 2× the I/O bill.
-    // explode_outer so zero-token docs still count in the corpus
-    // stats, exactly like the oracle's len(toks).
+    // ONE corpus pass, ZERO corpus-sized shuffles (round-8: the
+    // earlier shape exploded every token into a doc_id-keyed groupBy —
+    // a full token-grain exchange — to compute what the array HOFs
+    // produce per ROW inside the scan stage: dl = size(toks) and one
+    // tf_t = size(filter(toks, = t)) per query term, k terms, k tiny.
+    // This is exactly how the DuckDB twin stays fast — len(toks) with
+    // no unnest — and at 100 TB it deletes the pipeline's only
+    // corpus-sized exchange; everything downstream of perDoc is
+    // O(matching docs)). Empty-token docs yield size([]) = 0, exactly
+    // the oracle's len(toks).
     val perDoc = graft.util.CacheScope.persist(
       Tables.documents(s, d)
-        .select(col("doc_id"), explode_outer(tokens(col("text"))).as("token"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("token").isNotNull, 1L).otherwise(0L)).as("dl"),
+        .select(col("doc_id") +: tokens(col("text")).as("toks") +: Nil: _*)
+        .select(col("doc_id") ::
+          size(col("toks")).cast("long").as("dl") ::
           qTerms.map(t =>
-            sum(when(col("token") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*))
+            size(expr(s"filter(toks, x -> x = '$t')")).cast("long")
+              .as(s"tf_$t")).toList: _*))
     val stats = perDoc.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tokens"))
     val tf = perDoc
       .select(col("doc_id"), col("dl"), explode(map_from_arrays(

@@ -244,7 +244,9 @@ object TpchQueries {
     val vol = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
     // Only PROMO membership matters, so broadcast the PROMO slice and
     // read membership off a LEFT join hit — same answer because every
-    // l_partkey exists in part (TPC-H FK), and the broadcast build
+    // l_partkey exists in part (TPC-H FK; guarded by SourcesSpec's
+    // left-anti orphan check so a generator change fails loudly
+    // instead of silently counting orphans in tc), and the broadcast build
     // hashes ~1/5 of the part table (round-7 sf10 profile: the 2M-row
     // full-part build dominated the warm latency; 1.35 → 0.22 s,
     // ratio vs DuckDB 2.8× → 0.45×). At 100 TB the build ships to

@@ -113,12 +113,27 @@ object VectorQueries2 {
     val q = e.where(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("sig").as("qsig"),
         col("vd").as("qvd"), col("nrm").as("qnrm"))
-    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    // Round-8 scale fix (r7 verdict item 2): the Hamming ranking pass
+    // runs on a SLIM (vec_id, sig) projection — 16 bytes/row through
+    // the |queries|× fan-out and the TopK — which is the entire point
+    // of 8-byte signatures: the ranking pass touches nothing else. The
+    // 64-double vectors and norms join back ONLY for the ≤ 50×|queries|
+    // rerank candidates (both rerank joins broadcast: candidate keys
+    // and query vectors are k-row by construction).
+    val slim = e.select(col("vec_id"), col("sig"))
+    val scored = slim
+      .join(broadcast(q.select(col("query_id"), col("qsig"))),
+        col("vec_id") =!= col("query_id"))
       .withColumn("hamming", expr("bit_count(sig ^ qsig)").cast("long"))
     val cand = graft.operators.TopKPerGroup.topK(scored,
       Seq(col("query_id")), Seq(col("hamming"), col("vec_id")), 50,
       rankCol = "crnk")
-    val reranked = cand.withColumn("cosine", round(expr(
+      .select(col("query_id"), col("vec_id"), col("hamming"))
+    val reranked = e.select(col("vec_id"), col("vd"), col("nrm"))
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q.select(col("query_id"), col("qvd"), col("qnrm"))),
+        Seq("query_id"))
+      .withColumn("cosine", round(expr(
       "aggregate(zip_with(vd, qvd, (x, y) -> (x / nrm) * (y / qnrm)), 0.0D, (a, z) -> a + z)"),
       6))
     graft.operators.TopKPerGroup.topK(reranked, Seq(col("query_id")),

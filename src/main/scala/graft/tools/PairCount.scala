@@ -74,7 +74,14 @@ object PairCount {
     // read 143 s cold vs ~4 s warm at sf0.1) — a cost every scale
     // table would mis-attribute to the smallest directory, which
     // always runs first.
-    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(1)
+    // fail FAST on a malformed/non-positive value — before fixtures
+    // warm, not as an NFE (or an empty-minBy crash) after minutes of
+    // warm-up (round-7 advice item 4)
+    val runs = sys.env.get("SPARK_GRAFT_RUNS") match {
+      case None => 1
+      case Some(s) => s.trim.toIntOption.filter(_ >= 1).getOrElse(
+        sys.error(s"SPARK_GRAFT_RUNS must be a positive int, got '$s'"))
+    }
     for (d <- dirs; q <- names) {
       val timed = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

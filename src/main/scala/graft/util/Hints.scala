@@ -30,22 +30,55 @@ import org.apache.spark.sql.functions.broadcast
   */
 object Hints {
 
-  /** 256 MB: comfortably above every bench-scale build this gates
-    * (sf10 is ~10 MB) and comfortably below driver/executor trouble —
-    * the point is the ORDER of magnitude, not the exact knob. */
+  /** 256 MB ceiling: comfortably above every bench-scale build this
+    * gates (sf10 is ~10 MB) and comfortably below driver/executor
+    * trouble — the point is the ORDER of magnitude, not the exact
+    * knob. The EFFECTIVE default cap is derived from the session's own
+    * autoBroadcastJoinThreshold (round-7 verdict item: a fixed 256 MB
+    * was 4× the bench session's 64 MB threshold, so the manual-hint
+    * gate could arm a build the engine itself would refuse to
+    * auto-broadcast, and retuning the conf would silently widen the
+    * gap). min(4×threshold, 256 MB): a deliberate hint may exceed the
+    * AUTO threshold — that's what hints are for — but only by a fixed
+    * factor that tracks the conf, never an unbounded one. */
   val DefaultCapBytes: Long = 256L << 20
+
+  /** Effective default cap for `session`: min(4 × the session's
+    * autoBroadcastJoinThreshold, DefaultCapBytes); a disabled (-1/0)
+    * threshold falls back to the static ceiling. */
+  private[graft] def defaultCap(session: org.apache.spark.sql.SparkSession): Long = {
+    val t = session.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val bytes = parseBytes(t)
+    if (bytes <= 0L) DefaultCapBytes
+    else math.min(DefaultCapBytes, 4L * bytes)
+  }
+
+  /** "64m"/"10485760b"/"1g"-style conf values → bytes (the subset of
+    * Spark's byte-string grammar the broadcast threshold actually
+    * uses; a plain number is bytes). */
+  private[graft] def parseBytes(s: String): Long = {
+    val t = s.trim.toLowerCase
+    val (num, mult) =
+      if (t.endsWith("k")) (t.dropRight(1), 1L << 10)
+      else if (t.endsWith("m")) (t.dropRight(1), 1L << 20)
+      else if (t.endsWith("g")) (t.dropRight(1), 1L << 30)
+      else if (t.endsWith("b")) (t.dropRight(1), 1L)
+      else (t, 1L)
+    num.toLong * mult
+  }
 
   def gatedBroadcast(slim: DataFrame, scanProxy: DataFrame,
                      selectivity: Double,
-                     capBytes: Long = DefaultCapBytes): DataFrame = {
+                     capBytes: Long = -1L): DataFrame = {
     require(selectivity > 0.0 && selectivity <= 1.0,
       s"selectivity must be in (0,1]: $selectivity")
+    val cap = if (capBytes >= 0L) capBytes else defaultCap(slim.sparkSession)
     val bytes = scanProxy.queryExecution.optimizedPlan.stats.sizeInBytes
     val unknownAt = BigInt(
       slim.sparkSession.conf.get("spark.sql.defaultSizeInBytes",
         Long.MaxValue.toString))
     val known = bytes < unknownAt
-    if (known && bytes.toDouble * selectivity < capBytes.toDouble)
+    if (known && bytes.toDouble * selectivity < cap.toDouble)
       broadcast(slim)
     else slim
   }

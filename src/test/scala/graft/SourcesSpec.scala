@@ -134,6 +134,24 @@ class SourcesSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("fixture FK: lineitem.l_partkey ⊆ part.p_partkey (Q14's left-join rewrite rests on it)") {
+    // Q14 computes total revenue over a LEFT join against the PROMO
+    // slice of part — equivalent to the reference's inner join on the
+    // FULL part table ONLY while no lineitem is orphaned (an orphan
+    // would count in tc under the rewrite but was excluded before).
+    // The invariant held in every generated fixture; this guard makes
+    // a future generator change fail loudly instead of silently
+    // skewing tc (round-7 advice item 3).
+    val orphans = Tables.lineitem(spark, sfTiny).select("l_partkey")
+      .join(Tables.part(spark, sfTiny).select("p_partkey"),
+        org.apache.spark.sql.functions.col("l_partkey") ===
+          org.apache.spark.sql.functions.col("p_partkey"), "left_anti")
+      .count()
+    assert(orphans == 0L,
+      s"$orphans lineitem rows reference a missing part — Q14's " +
+        "left-join-on-PROMO-slice rewrite is no longer revenue-equivalent")
+  }
+
   test("events source exposes both exact ts_ns and usable ts") {
     val ev = Tables.events(spark, sfTiny)
     val r = ev.select(col("ts_ns"), unix_micros(col("ts")).as("us")).first()

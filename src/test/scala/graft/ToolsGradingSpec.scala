@@ -42,6 +42,22 @@ class ToolsGradingSpec extends AnyFunSuite {
     assert(Bench.pairedTime(None, None) == None)
   }
 
+  test("Bench.splitDuckFields routes scalars to the compact line, the map to the detail line") {
+    val block = """"duckdb_total":1.5,"duckdb_tpch10":2.0,"duckdb_runs":2,"duckdb_queries":{"q1":0.1,"q2":null},"""
+    val (scalars, perQuery) = Bench.splitDuckFields(block)
+    assert(scalars == """"duckdb_total":1.5,"duckdb_tpch10":2.0,"duckdb_runs":2,""")
+    assert(perQuery == """"duckdb_queries":{"q1":0.1,"q2":null},""")
+    // co-reading absent (skipped/failed): both halves empty, lines stay valid
+    assert(Bench.splitDuckFields("") == (("", "")))
+  }
+
+  test("Bench.loadavg reads three numeric fields (box-load attribution)") {
+    val la = Bench.loadavg()
+    // this box is Linux; off-Linux the contract is "" and fields read empty
+    assert(la.split(" ").length == 3, s"want '1m 5m 15m', got '$la'")
+    la.split(" ").foreach(f => assert(f.toDouble >= 0.0))
+  }
+
   test("Hints.gatedBroadcast arms under the cap and disarms over it") {
     val slim = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     // proxy with KNOWN small stats: a local relation's size is exact
@@ -55,6 +71,27 @@ class ToolsGradingSpec extends AnyFunSuite {
       selectivity = 1.0, capBytes = 1L)
     assert(disarmed eq slim,
       "over the cap the frame passes through unhinted (AQE fallback)")
+  }
+
+  test("Hints default cap tracks the session's autoBroadcastJoinThreshold") {
+    assert(util.Hints.parseBytes("64m") == 64L << 20)
+    assert(util.Hints.parseBytes("10485760") == 10485760L)
+    assert(util.Hints.parseBytes("1g") == 1L << 30)
+    assert(util.Hints.parseBytes("512k") == 512L << 10)
+    // min(4×threshold, 256 MB): a 64 MB threshold caps the gate at
+    // 256 MB; a 10 MB threshold caps it at 40 MB; disabled (-1) falls
+    // back to the static ceiling
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      assert(util.Hints.defaultCap(spark) == 4L * 10485760L)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1g")
+      assert(util.Hints.defaultCap(spark) == util.Hints.DefaultCapBytes,
+        "the 256 MB ceiling binds when 4×threshold exceeds it")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(util.Hints.defaultCap(spark) == util.Hints.DefaultCapBytes,
+        "a disabled threshold falls back to the static ceiling")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("Hints.gatedBroadcast disarms when the proxy's stats are unknown") {

@@ -42,6 +42,31 @@ class GraphSpec extends AnyFunSuite {
     assert((1 to 20).forall(i => got("n0") >= got(s"n$i") || deg(s"n$i") > deg("n0")))
   }
 
+  test("pageRankUntil: early exit on residual, exact parity with the fixed unroll") {
+    val edges = symmetric.toDF("src", "dst")
+    // a loose threshold stops at the FIRST probe: exactly checkEvery
+    // rounds run, and the ranks equal pageRank at that round count
+    val (r4, n4, res4) = Graph.pageRankUntil(edges, "src", "dst",
+      residualPpm = 1000000L, maxIters = 50, checkEvery = 4)
+    assert(n4 == 4, s"loose threshold must stop at the first probe, ran $n4")
+    val fixed4 = Graph.pageRank(edges, "src", "dst", 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got4 = r4.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got4 == fixed4, "segmented lazy-checkpoint unroll must be bit-identical")
+    // an unreachable threshold runs to maxIters; the residual at 8
+    // rounds must be tighter than at 4 (monotone contraction — the
+    // property q_pagerank_converge measures on the testdata graph)
+    val (_, n8, res8) = Graph.pageRankUntil(edges, "src", "dst",
+      residualPpm = 0L, maxIters = 8, checkEvery = 4)
+    assert(n8 == 8)
+    assert(res8 < res4, s"residual must contract: r4=$res4 ppm, r8=$res8 ppm")
+    // a threshold between the two residuals exits at 8, not 50
+    val (_, nMid, resMid) = Graph.pageRankUntil(edges, "src", "dst",
+      residualPpm = (res8 + res4) / 2, maxIters = 50, checkEvery = 4)
+    assert(nMid == 8 && resMid <= (res8 + res4) / 2,
+      s"mid threshold must exit at the second probe: ran $nMid, resid $resMid")
+  }
+
   test("triangleCount equals the naive enumeration, any input orientation") {
     val canon = undirected.map { case (a, b) => if (a < b) (a, b) else (b, a) }.distinct
     val es = canon.toSet
