@@ -100,27 +100,32 @@ object VectorQueries2 {
     * recall vs the exact top-k is pinned in VectorSpec's family
     * audits via q_ann_topk's truth. */
   private val qBqTopk = BoundQuery("q_bq_topk", (s, d) => {
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), expr(
-        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT))")
-        .as("vu"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vd"))
-      .withColumn("nrm", expr(
-        "sqrt(aggregate(zip_with(vd, vd, (x, y) -> x * y), 0.0D, (a, z) -> a + z))"))
-      .withColumn("sig", expr("""
-        aggregate(sequence(1, 63), 0L, (acc, i) ->
-          acc + shiftleft(BIGINT(IF(element_at(vu, i) > 0, 1, 0)), i - 1))"""))
-    val q = e.where(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("sig").as("qsig"),
-        col("vd").as("qvd"), col("nrm").as("qnrm"))
-    // Round-8 scale fix (r7 verdict item 2): the Hamming ranking pass
-    // runs on a SLIM (vec_id, sig) projection — 16 bytes/row through
-    // the |queries|× fan-out and the TopK — which is the entire point
-    // of 8-byte signatures: the ranking pass touches nothing else. The
-    // 64-double vectors and norms join back ONLY for the ≤ 50×|queries|
-    // rerank candidates (both rerank joins broadcast: candidate keys
-    // and query vectors are k-row by construction).
-    val slim = e.select(col("vec_id"), col("sig"))
+    // Round-8 scale fix (r7 verdict item 2), second iteration. The
+    // Hamming ranking pass runs on a SLIM (vec_id, sig) projection —
+    // 16 bytes/row through the |queries|× fan-out and the TopK — and
+    // the 64-double vectors and norms are computed ONLY for the
+    // ≤ 50×|queries| rerank candidates, ABOVE the candidate join (both
+    // rerank joins broadcast: candidate keys and query vectors are
+    // k-row by construction).
+    //
+    // The signature is a NATIVE codegen'd expression over the raw
+    // embedding array (expressions/SignSig.scala — same per-element
+    // round(x·1e6)>0 quantization, one primitive loop, zero allocs):
+    // the first slim attempt kept the quantized `vu` transform as an
+    // intermediate referenced only by `sig`, and CollapseProject
+    // INLINED the 64-element transform inside the 63-iteration
+    // aggregate lambda — rebuilding the whole array per bit, ~4k
+    // interpreted expression evals + 63 array allocs per row (HOFs
+    // don't codegen), 18× the whole query's old wall at sf1. The
+    // oracle replays the recurrence in SQL and hash-matches.
+    val sigE = graft.expressions.SignSig63.signSig63(s, col("embedding"))
+    val vdE = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    val raw = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val slim = raw.select(col("vec_id"), sigE.as("sig"))
+    val q = raw.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), sigE.as("qsig"), vdE.as("qvd"))
+      .withColumn("qnrm", expr(
+        "sqrt(aggregate(zip_with(qvd, qvd, (x, y) -> x * y), 0.0D, (a, z) -> a + z))"))
     val scored = slim
       .join(broadcast(q.select(col("query_id"), col("qsig"))),
         col("vec_id") =!= col("query_id"))
@@ -129,8 +134,13 @@ object VectorQueries2 {
       Seq(col("query_id")), Seq(col("hamming"), col("vec_id")), 50,
       rankCol = "crnk")
       .select(col("query_id"), col("vec_id"), col("hamming"))
-    val reranked = e.select(col("vec_id"), col("vd"), col("nrm"))
-      .join(broadcast(cand), Seq("vec_id"))
+    // vd/nrm materialize AFTER the ≤250-row candidate join — the big
+    // relation's rerank pass reads 8 raw bytes… nothing at all beyond
+    // the embedding bytes the join itself ships for survivors
+    val reranked = raw.join(broadcast(cand), Seq("vec_id"))
+      .withColumn("vd", vdE)
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(zip_with(vd, vd, (x, y) -> x * y), 0.0D, (a, z) -> a + z))"))
       .join(broadcast(q.select(col("query_id"), col("qvd"), col("qnrm"))),
         Seq("query_id"))
       .withColumn("cosine", round(expr(

@@ -579,6 +579,18 @@ class ExplainSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p)
     assert(p.contains("WindowGroupLimit"), p)
     assert(!p.contains("SortMergeJoin"), p)
+    // the signature must stay the NATIVE codegen'd expression: the HOF
+    // formulation regressed 18× when CollapseProject inlined the
+    // quantize transform inside the per-bit lambda (round-8; see
+    // expressions/SignSig.scala)
+    assert(p.toLowerCase.contains("signsig63"), p)
+    // the rerank's vd/nrm HOFs must materialize ABOVE the candidate
+    // join: a transform/aggregate under the big side's scan would put
+    // the 64-double work back on every row — the fan-out and ranking
+    // legs read only (vec_id, sig)
+    val fanoutLegHasVd = p.linesIterator.exists(l =>
+      l.contains("zip_with") && l.contains("bit_count"))
+    assert(!fanoutLegHasVd, "vector norm leaked into the hamming leg")
   }
 
   test("label prop rounds are equi joins + partial aggs, no cartesian") {

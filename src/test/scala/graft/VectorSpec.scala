@@ -17,6 +17,38 @@ class VectorSpec extends AnyFunSuite {
       .groupBy(_.getAs[Long]("query_id"))
       .map { case (q, rs) => q -> rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("id")).toSeq }
 
+  test("SignSig63 equals the HOF quantize-round-compare recurrence bit for bit") {
+    import spark.implicits._
+    // edge values around the round(x*1e6) > 0 boundary: exactly 5e-7
+    // rounds HALF_UP to 1 (bit set), just below rounds to 0; negatives
+    // never set a bit; element 64 (index 63) must be ignored
+    val edge = Seq(
+      (0L, Array.fill(64)(1.0f)),
+      (1L, Array.fill(64)(-1.0f)),
+      (2L, Array(5e-7f, 4.9e-7f, -5e-7f, 0.0f) ++ Array.fill(60)(2.0f)),
+      (3L, Array.fill(63)(0.0f) :+ 9.0f)
+    ).toDF("vec_id", "embedding")
+    val rnd = new scala.util.Random(7)
+    val rand = (10L until 60L).map(i =>
+      (i, Array.fill(64)((rnd.nextFloat() - 0.5f) * 2f))).toDF("vec_id", "embedding")
+    for (df <- Seq(edge, rand)) {
+      val both = df.select(col("vec_id"),
+        graft.expressions.SignSig63.signSig63(spark, col("embedding")).as("native"),
+        expr("""aggregate(sequence(1, 63), 0L, (acc, i) ->
+            acc + shiftleft(BIGINT(IF(
+              CAST(round(CAST(element_at(embedding, i) AS DOUBLE) * 1e6, 0)
+                AS BIGINT) > 0, 1, 0)), i - 1))""").as("hof"))
+        .collect()
+      both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+        s"vec ${r.getLong(0)}: native ${r.getLong(1)} != hof ${r.getLong(2)}"))
+    }
+    // the 64th element must not influence the signature (bit 63 clear)
+    val sigs = edge.where(col("vec_id") === 3L)
+      .select(graft.expressions.SignSig63.signSig63(spark, col("embedding")))
+      .collect()
+    assert(sigs.head.getLong(0) == 0L, "element 64 leaked into the signature")
+  }
+
   test("brute-force top-k: k rows per query, descending scores") {
     val rows = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
         emb.where(col("vec_id") < 5), col("vec_id"), col("embedding"), 10)
