@@ -61,8 +61,14 @@ object Bench {
     // Service mode, matching the reference's cached served DataFrame
     // (main.py:147 df.cache()): tables persist once, queries run
     // against the warm cache. Also absorbs JIT/codegen warm-up before
-    // the first timed query.
-    graft.sources.Tables.warm(spark, sfDir)
+    // the first timed query. SPARK_GRAFT_NO_WARM=1 (local scale
+    // studies only; the driver never sets it) skips the table cache
+    // for fixtures whose cached form outgrows the heap — queries then
+    // read parquet directly, the shape a 100 TB deployment runs
+    // anyway (the OS page cache still absorbs re-reads, exactly like
+    // the DuckDB side's repeated scans).
+    if (!sys.env.contains("SPARK_GRAFT_NO_WARM"))
+      graft.sources.Tables.warm(spark, sfDir)
     graft.sources.Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag").count().count()
     // Default: the pinned headline set graded against BASELINE.md.
