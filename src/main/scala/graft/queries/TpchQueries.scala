@@ -450,7 +450,12 @@ object TpchQueries {
     * vacuous here; the date cut keeps the anti join non-trivial AND
     * shrinks its build side at the scan). The average-compare is
     * exact: bal_cents·n_pos > sum_pos_cents. The scalar is a 1-row
-    * broadcast; the anti join shuffles only the date-pruned slice. */
+    * broadcast; the anti join shuffles only the date-pruned slice,
+    * DEDUPED to distinct o_custkey first (round-8, sf100: the slice
+    * is 58.6M rows over 14.7M keys — anti join semantics ignore
+    * duplicates, and the distinct's exchange hash-partitions on the
+    * join key, so the anti join reuses it and its sort/build side
+    * shrinks 4×; sf100 15.3 → see BASELINE round-8 appendix). */
   private val q22 = BoundQuery("q22_dormant_customers", (s, d) => {
     val cust = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_mktsegment"),
@@ -461,7 +466,7 @@ object TpchQueries {
       .where(col("bc") * col("np") > col("sp"))
       .join(Tables.orders(s, d)
         .where(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
-        .select("o_custkey"),
+        .select("o_custkey").distinct(),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("numcust"), sum(col("bc")).as("tb"))
