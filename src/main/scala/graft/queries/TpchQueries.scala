@@ -101,7 +101,11 @@ object TpchQueries {
     // customers), so it grows linearly with scale — the gate estimates
     // the true build from the scan-rooted slim projection's file stats
     // × that analytic selectivity and falls back to AQE's runtime
-    // conversion once the slice outgrows a safe broadcast.
+    // conversion once the slice outgrows a safe broadcast. Measured
+    // crossing (round-8): at sf10 the ~14 MB estimate arms and wins;
+    // at sf100 the ~141 MB / 8.6M-row build LOST to the sort-merge it
+    // replaced (23.2 s armed vs 13.4 s disarmed under bench confs) —
+    // which set the gate's 128 MB ceiling (Hints.DefaultCapBytes).
     val ordGated = graft.util.Hints.gatedBroadcast(ord,
       scanProxy = Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
       selectivity = 0.06)

