@@ -28,10 +28,12 @@ object KMeansLite {
     * — numeric identity is what keeps the unrolled DuckDB oracles
     * valid for any composition of these models. */
   def assignExpr(cents: Array[Array[Double]], v: Column): Column = {
+    // native codegen'd Σ(x−y)² (expressions/SqDist.scala — bit-identical
+    // left-to-right fold, so the unrolled oracles are unchanged): the
+    // HOF form ran interpreted k times per row per iteration
     val dists = array(cents.zipWithIndex.map { case (c, i) =>
       struct(
-        aggregate(zip_with(v, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, z) => acc + z).as("d"),
+        graft.expressions.SqDist.sqDist(v, array(c.map(lit): _*)).as("d"),
         lit(i).as("cluster"))
     }: _*)
     sort_array(dists)(0)("cluster") // min distance, ties -> lowest cluster id

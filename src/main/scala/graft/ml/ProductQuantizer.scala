@@ -24,8 +24,8 @@ object ProductQuantizer {
   final case class Codebooks(m: Int, subDim: Int, cents: Array[Array[Array[Double]]])
 
   private def sqDistTo(sub: Column, cent: Array[Double]): Column =
-    aggregate(zip_with(sub, array(cent.map(lit): _*), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, z) => acc + z)
+    // native codegen'd Σ(x−y)² — bit-identical fold (SqDist Scaladoc)
+    graft.expressions.SqDist.sqDist(sub, array(cent.map(lit): _*))
 
   /** Train one codebook per subspace with deterministic k-means —
     * JOINTLY: all m subspaces ride one exploded (j, subvector) frame,

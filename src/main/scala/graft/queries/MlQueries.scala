@@ -370,8 +370,7 @@ object MlQueries {
   private[queries] def kmeansAssign(cents: Array[Array[Long]]): Column = {
     val dists = array(cents.zipWithIndex.map { case (c, i) =>
       struct(
-        aggregate(zip_with(col("vu"), array(c.map(lit): _*),
-          (x, y) => (x - y) * (x - y)), lit(0L), (acc, z) => acc + z)
+        graft.expressions.SqDist.sqDist(col("vu"), array(c.map(lit): _*))
           .as("d"),
         lit(i.toLong).as("cluster"))
     }: _*)

@@ -189,8 +189,8 @@ object MlQueries2 {
   private def distArray(cents: Array[(Long, Array[Long])]) =
     array(cents.map { case (l, c) =>
       struct(
-        aggregate(zip_with(col("vu"), array(c.map(lit): _*),
-          (x, y) => (x - y) * (x - y)), lit(0L), (acc, z) => acc + z).as("d2"),
+        graft.expressions.SqDist.sqDist(col("vu"), array(c.map(lit): _*))
+          .as("d2"),
         lit(l).as("cl"))
     }: _*)
 
@@ -363,8 +363,7 @@ object MlQueries2 {
     val v = Tables.embeddings(s, d).select(col("vec_id"), expr(
       "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1e6, 0) AS BIGINT))")
       .as("vu"))
-    def sq = expr("""aggregate(zip_with(vu, c, (x, y) -> (x - y) * (x - y)),
-                               0L, (acc, z) -> acc + z)""")
+    def sq = graft.expressions.SqDist.sqDist(s, col("vu"), col("c"))
     val c1 = v.orderBy("vec_id").limit(1)
       .select(col("vec_id").as("cid"), col("vu").as("c"))
     var dmin = v.crossJoin(broadcast(c1)).select(col("vec_id"), col("vu"),

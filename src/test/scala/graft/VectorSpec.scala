@@ -49,6 +49,39 @@ class VectorSpec extends AnyFunSuite {
     assert(sigs.head.getLong(0) == 0L, "element 64 leaked into the signature")
   }
 
+  test("SqDist equals the HOF zip_with fold bit for bit, double and long") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val dd = (0L until 40L).map(i =>
+      (i, Array.fill(64)(rnd.nextDouble() * 10 - 5),
+        Array.fill(64)(rnd.nextDouble() * 10 - 5))).toDF("id", "a", "b")
+    val gotD = dd.select(
+      graft.expressions.SqDist.sqDist(spark, org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")).as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0.0D, (acc, z) -> acc + z)")
+        .as("hof")).collect()
+    gotD.foreach(r => assert(
+      java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+      s"double fold diverged: ${r.getDouble(0)} vs ${r.getDouble(1)}"))
+    val dl = (0L until 40L).map(i =>
+      (i, Array.fill(64)(rnd.nextLong() % 2000000L),
+        Array.fill(64)(rnd.nextLong() % 2000000L))).toDF("id", "a", "b")
+    val gotL = dl.select(
+      graft.expressions.SqDist.sqDist(spark, org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")).as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L, (acc, z) -> acc + z)")
+        .as("hof")).collect()
+    gotL.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // unequal lengths: the HOF null-pads and poisons the fold -> null;
+    // the native expression must agree
+    val uneq = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+    val r = uneq.select(graft.expressions.SqDist.sqDist(spark,
+      org.apache.spark.sql.functions.col("a"),
+      org.apache.spark.sql.functions.col("b"))).collect().head
+    assert(r.isNullAt(0), "unequal lengths must yield null like the HOF")
+  }
+
   test("brute-force top-k: k rows per query, descending scores") {
     val rows = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
         emb.where(col("vec_id") < 5), col("vec_id"), col("embedding"), 10)
