@@ -50,8 +50,11 @@ object Dedup {
     a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
               col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => (x === y).cast("int")),
-          v => v === 1)).cast("double") / lit(numHashes.toDouble)).as("jaccard_est"))
+        // native codegen'd agreement count (expressions/AgreeCount.scala
+        // — HOF-parity proven in spec): runs once per candidate pair,
+        // the near-dup relation that dominates at corpus scale
+        (graft.expressions.AgreeCount.agreeCount(col("a.sig"), col("b.sig"))
+          .cast("double") / lit(numHashes.toDouble)).as("jaccard_est"))
       .groupBy("id_a", "id_b").agg(max("jaccard_est").as("jaccard_est"))
   }
 
@@ -127,8 +130,8 @@ object Dedup {
       .join(sig.select(col("id").as("id_a"), col("sig").as("siga")), "id_a")
       .join(sig.select(col("id").as("id_b"), col("sig").as("sigb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("siga"), col("sigb"), (x, y) => (x === y).cast("int")),
-          v => v === 1)).cast("double") / lit(k.toDouble)).as("jaccard_est"))
+        (graft.expressions.AgreeCount.agreeCount(col("siga"), col("sigb"))
+          .cast("double") / lit(k.toDouble)).as("jaccard_est"))
   }
 
   /** Exact n-gram Jaccard similarity join: block by shared shingle,

@@ -82,6 +82,22 @@ class VectorSpec extends AnyFunSuite {
     assert(r.isNullAt(0), "unequal lengths must yield null like the HOF")
   }
 
+  test("AgreeCount equals the HOF size-filter-zip_with count, all length cases") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 50).map { i =>
+      val n = 16 + rnd.nextInt(4) // include unequal lengths
+      val m = 16 + rnd.nextInt(4)
+      (i.toLong, Array.fill(n)(rnd.nextLong() % 5), Array.fill(m)(rnd.nextLong() % 5))
+    }.toDF("id", "a", "b")
+    val got = rows.select(
+      graft.expressions.AgreeCount.agreeCount(spark, col("a"), col("b")).as("native"),
+      expr("size(filter(zip_with(a, b, (x, y) -> CAST(x = y AS INT)), v -> v = 1))")
+        .as("hof")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"agreement count diverged: ${r.getInt(0)} vs ${r.getInt(1)}"))
+  }
+
   test("brute-force top-k: k rows per query, descending scores") {
     val rows = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
         emb.where(col("vec_id") < 5), col("vec_id"), col("embedding"), 10)
