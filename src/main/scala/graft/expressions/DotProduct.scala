@@ -20,24 +20,39 @@ import org.apache.spark.sql.types._
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def dataType: DataType = DoubleType
+  private lazy val elemType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+
+  /** double in → double out; bigint in → bigint out (round-8: the
+    * LSH plane-sign bits fold long micro-unit vectors — same
+    * wrapping long arithmetic as the HOF it replaces). */
+  override def dataType: DataType = elemType
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case other =>
-        TypeCheckResult.TypeCheckFailure(s"dot_product needs two array<double>, got $other")
+        TypeCheckResult.TypeCheckFailure(
+          s"dot_product needs two array<double> or two array<bigint>, got $other")
     }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
-    java.lang.Double.valueOf(acc)
+    if (elemType == DoubleType) {
+      var acc = 0.0
+      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+      java.lang.Double.valueOf(acc)
+    } else {
+      var acc = 0L
+      while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+      java.lang.Long.valueOf(acc)
+    }
   }
 
   /** Participates in whole-stage codegen: the fold compiles into the
@@ -48,11 +63,14 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val (jt, get) =
+        if (elemType == DoubleType) ("double", "getDouble")
+        else ("long", "getLong")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
+         |$jt $acc = ($jt) 0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  $acc += $a.$get($i) * $b.$get($i);
          |}
          |${ev.value} = $acc;
        """.stripMargin

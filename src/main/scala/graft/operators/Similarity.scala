@@ -198,10 +198,14 @@ object Similarity {
         .withColumn("vn", transform(col("vd"), x => x / col("nrm")))
         .withColumn("vu", transform(col("vd"), x => round(x * 1e6, 0).cast("long")))
         .select(col("id"), col("vn"), col("vu")))
-    val coefLit = typedLit(coef)
-    val bits = transform(coefLit, cp =>
-      (aggregate(zip_with(col("vu"), cp, (a, b) => a * b), lit(0L), (acc, x) => acc + x)
-        > 0).cast("int"))
+    // plane signs via the native long DotProduct, one codegen'd loop
+    // per plane over literal coefficients (round-8): the transform-
+    // over-coefLit HOF ran every inner fold interpreted with a
+    // zip_with alloc per plane per row — identical wrapping long
+    // arithmetic, so the oracle-replayed signatures are unchanged
+    val bits = array(coef.map(cp =>
+      (graft.expressions.DotProduct.dotProduct(df.sparkSession, col("vu"),
+        typedLit(cp)) > 0).cast("int")): _*)
     val sigCols = (0 until tables).map { t =>
       val sig = (0 until planes).map { p =>
         element_at(col("__bits"), t * planes + p + 1) * lit(1 << p)
@@ -303,10 +307,14 @@ object Similarity {
         .withColumn("vn", transform(col("vd"), x => x / col("nrm")))
         .withColumn("vu", transform(col("vd"), x => round(x * 1e6, 0).cast("long")))
         .select(col("id"), col("vn"), col("vu")))
-    val coefLit = typedLit(coef)
-    val bits = transform(coefLit, cp =>
-      (aggregate(zip_with(col("vu"), cp, (a, b) => a * b), lit(0L), (acc, x) => acc + x)
-        > 0).cast("int"))
+    // plane signs via the native long DotProduct, one codegen'd loop
+    // per plane over literal coefficients (round-8): the transform-
+    // over-coefLit HOF ran every inner fold interpreted with a
+    // zip_with alloc per plane per row — identical wrapping long
+    // arithmetic, so the oracle-replayed signatures are unchanged
+    val bits = array(coef.map(cp =>
+      (graft.expressions.DotProduct.dotProduct(df.sparkSession, col("vu"),
+        typedLit(cp)) > 0).cast("int")): _*)
     val sigCols = (0 until tables).map { t =>
       val sig = (0 until planes).map { p =>
         element_at(col("__bits"), t * planes + p + 1) * lit(1 << p)

@@ -82,6 +82,28 @@ class VectorSpec extends AnyFunSuite {
     assert(r.isNullAt(0), "unequal lengths must yield null like the HOF")
   }
 
+  test("DotProduct equals the HOF fold bit for bit, double and long") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val dd = (0 until 30).map(i =>
+      (i, Array.fill(64)(rnd.nextDouble() * 4 - 2),
+        Array.fill(64)(rnd.nextDouble() * 4 - 2))).toDF("id", "a", "b")
+    dd.select(
+      graft.expressions.DotProduct.dotProduct(spark, col("a"), col("b")).as("n"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (acc, z) -> acc + z)").as("h"))
+      .collect().foreach(r => assert(
+        java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1))))
+    val dl = (0 until 30).map(i =>
+      (i, Array.fill(64)(rnd.nextLong() % 3000000L),
+        Array.fill(64)(rnd.nextLong() % 3L - 1L))).toDF("id", "a", "b")
+    dl.select(
+      graft.expressions.DotProduct.dotProduct(spark, col("a"), col("b")).as("n"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, z) -> acc + z)").as("h"))
+      .collect().foreach(r => assert(r.getLong(0) == r.getLong(1),
+        "long dot product must match the HOF's wrapping arithmetic"))
+  }
+
   test("AgreeCount equals the HOF size-filter-zip_with count, all length cases") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
