@@ -75,20 +75,13 @@ case class AgreeCount(left: Expression, right: Expression)
 }
 
 object AgreeCount {
-  import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+  private val face =
+    new FnRegistry("agree_count", exprs => AgreeCount(exprs(0), exprs(1)))
 
-  private val registered = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+  def register(spark: SparkSession): Unit = face.register(spark)
 
-  def register(spark: SparkSession): Unit =
-    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null)
-      castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
-        "agree_count", exprs => AgreeCount(exprs(0), exprs(1)), "scala_udf")
-
-  def agreeCount(spark: SparkSession, a: Column, b: Column): Column = {
-    register(spark)
-    org.apache.spark.sql.functions.call_function("agree_count", a, b)
-  }
+  def agreeCount(spark: SparkSession, a: Column, b: Column): Column =
+    face.column(spark, a, b)
 
   /** Session-less face for operator builders (the Dedup join
     * pipelines take no session parameter). */

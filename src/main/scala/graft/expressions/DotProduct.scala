@@ -39,18 +39,32 @@ case class DotProduct(left: Expression, right: Expression)
           s"dot_product needs two array<double> or two array<bigint>, got $other")
     }
 
+  override def nullable: Boolean = true
+
+  /** Null semantics match the HOF fold (review fix — the siblings
+    * AgreeCount/SqDist/SignSig63 already did): a null element
+    * null-poisons `acc + x*y`, and zip_with null-pads unequal
+    * lengths into the same poisoning, so both cases return null
+    * instead of silently reading 0 off an UnsafeArrayData slot. */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var i = 0
     if (elemType == DoubleType) {
       var acc = 0.0
-      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getDouble(i) * y.getDouble(i); i += 1
+      }
       java.lang.Double.valueOf(acc)
     } else {
       var acc = 0L
-      while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getLong(i) * y.getLong(i); i += 1
+      }
       java.lang.Long.valueOf(acc)
     }
   }
@@ -67,12 +81,15 @@ case class DotProduct(left: Expression, right: Expression)
         if (elemType == DoubleType) ("double", "getDouble")
         else ("long", "getLong")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |$jt $acc = ($jt) 0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.$get($i) * $b.$get($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
+         |  $jt $acc = ($jt) 0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.$get($i) * $b.$get($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -81,21 +98,11 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object DotProduct {
-  import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+  private val face =
+    new FnRegistry("dot_product", exprs => DotProduct(exprs(0), exprs(1)))
 
-  // once per session: re-registering on every query invocation both
-  // mutates the session mid-flight and floods the log with
-  // replaced-function WARNs that bury real warnings (r3 verdict)
-  private val registered = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+  def register(spark: SparkSession): Unit = face.register(spark)
 
-  def register(spark: SparkSession): Unit =
-    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null)
-      castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
-        "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
-
-  def dotProduct(spark: SparkSession, a: Column, b: Column): Column = {
-    register(spark)
-    org.apache.spark.sql.functions.call_function("dot_product", a, b)
-  }
+  def dotProduct(spark: SparkSession, a: Column, b: Column): Column =
+    face.column(spark, a, b)
 }

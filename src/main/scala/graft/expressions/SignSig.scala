@@ -42,7 +42,10 @@ case class SignSig63(child: Expression) extends UnaryExpression {
         s"sign_sig63 needs array<float> or array<double>, got $other")
   }
 
-  private val isFloat: Boolean =
+  // lazy: a strict val would ClassCastException on a wrong-typed
+  // argument during construction, before checkInputDataTypes can
+  // produce the curated error (the DotProduct/SqDist convention)
+  private lazy val isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(a: Any): Any = {
@@ -85,18 +88,10 @@ case class SignSig63(child: Expression) extends UnaryExpression {
 }
 
 object SignSig63 {
-  import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+  private val face =
+    new FnRegistry("sign_sig63", exprs => SignSig63(exprs.head))
 
-  private val registered = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+  def register(spark: SparkSession): Unit = face.register(spark)
 
-  def register(spark: SparkSession): Unit =
-    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null)
-      castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
-        "sign_sig63", exprs => SignSig63(exprs.head), "scala_udf")
-
-  def signSig63(spark: SparkSession, a: Column): Column = {
-    register(spark)
-    org.apache.spark.sql.functions.call_function("sign_sig63", a)
-  }
+  def signSig63(spark: SparkSession, a: Column): Column = face.column(spark, a)
 }

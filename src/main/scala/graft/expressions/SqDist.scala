@@ -100,21 +100,14 @@ case class SqDist(left: Expression, right: Expression)
 }
 
 object SqDist {
-  import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+  private val face =
+    new FnRegistry("sq_dist", exprs => SqDist(exprs(0), exprs(1)))
 
-  private val registered = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
-
-  def register(spark: SparkSession): Unit =
-    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null)
-      castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
-        "sq_dist", exprs => SqDist(exprs(0), exprs(1)), "scala_udf")
+  def register(spark: SparkSession): Unit = face.register(spark)
 
   /** Column face; registers on first use in the session. */
-  def sqDist(spark: SparkSession, a: Column, b: Column): Column = {
-    register(spark)
-    org.apache.spark.sql.functions.call_function("sq_dist", a, b)
-  }
+  def sqDist(spark: SparkSession, a: Column, b: Column): Column =
+    face.column(spark, a, b)
 
   /** Session-less face for expression builders (KMeansLite /
     * ProductQuantizer construct assignment Columns with no session

@@ -164,10 +164,16 @@ object Graph {
       // the final round and the next segment
       val pCp = penult.localCheckpoint(false)
       val cur = prRound(out, nodes, pCp, base).localCheckpoint(false)
-      residual = cur
+      // ppm via BigInt: an L∞ diff on a hub-heavy graph can exceed
+      // Long.MaxValue/1e6 ≈ 9.2×scale early in the iteration (a
+      // 1000-leaf star's round-1 hub diff is ~850×scale), and a long
+      // multiply would wrap negative and report false convergence
+      // (review fix)
+      val linf = cur
         .join(pCp.withColumnRenamed("rank", "prev"), Seq("node"))
         .agg(coalesce(max(abs(col("rank") - col("prev"))), lit(0L)).as("linf"))
-        .first().getLong(0) * 1000000L / scale
+        .first().getLong(0)
+      residual = (BigInt(linf) * 1000000 / scale).toLong
       itersRun += steps
       prev = cur
     }

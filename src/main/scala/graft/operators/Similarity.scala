@@ -37,6 +37,19 @@ object Similarity {
     * carries enough splits. */
   private def spread(df: DataFrame): DataFrame = graft.util.Spread(df)
 
+  /** Plane-sign bits of the `vu` micro-unit column against the literal
+    * coefficient planes — one codegen'd long DotProduct per plane
+    * (round-8: the transform-over-coefficients HOF ran every inner
+    * fold interpreted with a zip_with alloc per plane per row;
+    * identical wrapping long arithmetic, so the oracle-replayed
+    * signatures are unchanged). ONE shared body for both LSH variants:
+    * their oracle parity depends on identical signatures — the same
+    * single-copy rule as Graph.prRound (round-7 advice item 5). */
+  private def planeBits(spark: org.apache.spark.sql.SparkSession,
+                        coef: Seq[Seq[Long]]): Column =
+    array(coef.map(cp =>
+      (dotProduct(spark, col("vu"), typedLit(cp)) > 0).cast("int")): _*)
+
   /** Exact top-k nearest (cosine) rows for each query row.
     * Cosine is rounded to 6 decimals BEFORE ranking, with the id as
     * tiebreak — ranks are then invariant to last-ulp float noise. */
@@ -198,14 +211,7 @@ object Similarity {
         .withColumn("vn", transform(col("vd"), x => x / col("nrm")))
         .withColumn("vu", transform(col("vd"), x => round(x * 1e6, 0).cast("long")))
         .select(col("id"), col("vn"), col("vu")))
-    // plane signs via the native long DotProduct, one codegen'd loop
-    // per plane over literal coefficients (round-8): the transform-
-    // over-coefLit HOF ran every inner fold interpreted with a
-    // zip_with alloc per plane per row — identical wrapping long
-    // arithmetic, so the oracle-replayed signatures are unchanged
-    val bits = array(coef.map(cp =>
-      (graft.expressions.DotProduct.dotProduct(df.sparkSession, col("vu"),
-        typedLit(cp)) > 0).cast("int")): _*)
+    val bits = planeBits(df.sparkSession, coef)
     val sigCols = (0 until tables).map { t =>
       val sig = (0 until planes).map { p =>
         element_at(col("__bits"), t * planes + p + 1) * lit(1 << p)
@@ -307,14 +313,7 @@ object Similarity {
         .withColumn("vn", transform(col("vd"), x => x / col("nrm")))
         .withColumn("vu", transform(col("vd"), x => round(x * 1e6, 0).cast("long")))
         .select(col("id"), col("vn"), col("vu")))
-    // plane signs via the native long DotProduct, one codegen'd loop
-    // per plane over literal coefficients (round-8): the transform-
-    // over-coefLit HOF ran every inner fold interpreted with a
-    // zip_with alloc per plane per row — identical wrapping long
-    // arithmetic, so the oracle-replayed signatures are unchanged
-    val bits = array(coef.map(cp =>
-      (graft.expressions.DotProduct.dotProduct(df.sparkSession, col("vu"),
-        typedLit(cp)) > 0).cast("int")): _*)
+    val bits = planeBits(df.sparkSession, coef)
     val sigCols = (0 until tables).map { t =>
       val sig = (0 until planes).map { p =>
         element_at(col("__bits"), t * planes + p + 1) * lit(1 << p)

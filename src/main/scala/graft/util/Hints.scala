@@ -54,18 +54,28 @@ object Hints {
     else math.min(DefaultCapBytes, 2L * bytes)
   }
 
-  /** "64m"/"10485760b"/"1g"-style conf values → bytes (the subset of
-    * Spark's byte-string grammar the broadcast threshold actually
-    * uses; a plain number is bytes). */
+  /** Spark byte-string conf values → bytes: "64m", "100MB", "1gb",
+    * "10485760", "10485760b", "1t"… — the single- and double-letter
+    * unit forms Spark's bytesConf grammar accepts (review fix: the
+    * first cut only stripped one trailing letter, so a legal "100MB"
+    * threshold crashed every gatedBroadcast query at construction). */
   private[graft] def parseBytes(s: String): Long = {
-    val t = s.trim.toLowerCase
+    val t0 = s.trim.toLowerCase
+    // optional trailing 'b' ("mb"/"kb"/…); a bare trailing 'b' with no
+    // unit letter before it means plain bytes ("123b")
+    val (t, sawB) =
+      if (t0.endsWith("b")) (t0.dropRight(1), true) else (t0, false)
     val (num, mult) =
       if (t.endsWith("k")) (t.dropRight(1), 1L << 10)
       else if (t.endsWith("m")) (t.dropRight(1), 1L << 20)
       else if (t.endsWith("g")) (t.dropRight(1), 1L << 30)
-      else if (t.endsWith("b")) (t.dropRight(1), 1L)
+      else if (t.endsWith("t")) (t.dropRight(1), 1L << 40)
+      else if (t.endsWith("p")) (t.dropRight(1), 1L << 50)
       else (t, 1L)
-    num.toLong * mult
+    val n = num.trim.toLongOption.getOrElse(
+      sys.error(s"unparseable byte-string conf value: '$s'"))
+    if (sawB && mult == 1L) n // "123b"
+    else n * mult
   }
 
   def gatedBroadcast(slim: DataFrame, scanProxy: DataFrame,

@@ -78,6 +78,13 @@ class ToolsGradingSpec extends AnyFunSuite {
     assert(util.Hints.parseBytes("10485760") == 10485760L)
     assert(util.Hints.parseBytes("1g") == 1L << 30)
     assert(util.Hints.parseBytes("512k") == 512L << 10)
+    // Spark's bytesConf grammar also accepts the two-letter unit forms
+    // (review fix: "100MB" used to throw at query-construction time)
+    assert(util.Hints.parseBytes("100MB") == 100L << 20)
+    assert(util.Hints.parseBytes("64kb") == 64L << 10)
+    assert(util.Hints.parseBytes("2gb") == 2L << 30)
+    assert(util.Hints.parseBytes("1t") == 1L << 40)
+    assert(util.Hints.parseBytes("123b") == 123L)
     // min(2×threshold, 128 MB): a 64 MB threshold caps the gate at
     // 128 MB; a 10 MB threshold caps it at 20 MB; disabled (-1) falls
     // back to the static ceiling (the 128 MB class boundary is the

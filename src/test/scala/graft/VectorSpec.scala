@@ -102,6 +102,12 @@ class VectorSpec extends AnyFunSuite {
       expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, z) -> acc + z)").as("h"))
       .collect().foreach(r => assert(r.getLong(0) == r.getLong(1),
         "long dot product must match the HOF's wrapping arithmetic"))
+    // unequal lengths null-poison the HOF via zip_with padding; the
+    // native expression must agree (review fix)
+    val uneq = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+    assert(uneq.select(graft.expressions.DotProduct.dotProduct(spark,
+      col("a"), col("b"))).collect().head.isNullAt(0),
+      "unequal lengths must yield null like the HOF")
   }
 
   test("AgreeCount equals the HOF size-filter-zip_with count, all length cases") {

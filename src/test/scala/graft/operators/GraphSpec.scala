@@ -67,6 +67,21 @@ class GraphSpec extends AnyFunSuite {
       s"mid threshold must exit at the second probe: ran $nMid, resid $resMid")
   }
 
+  test("pageRankUntil residual stays exact on hub-heavy diffs (no long overflow)") {
+    // a 2000-leaf star (symmetrized): the hub's round-over-round rank
+    // diff is hundreds of times DefaultScale, so `linf * 1e6` would
+    // wrap a long negative and fake instant convergence (review fix —
+    // the residual is now BigInt-exact)
+    val star = (1 to 2000).flatMap(i => Seq(("hub", s"l$i"), (s"l$i", "hub")))
+      .toDF("src", "dst")
+    val (_, n, resid) = Graph.pageRankUntil(star, "src", "dst",
+      residualPpm = 0L, maxIters = 2, checkEvery = 1)
+    assert(n == 2, s"zero threshold must run to maxIters, ran $n")
+    assert(resid > 0L, s"hub-graph residual must stay positive, got $resid")
+    assert(resid > 1000000L,
+      s"round-2 hub diff is many times the base mass; got $resid ppm")
+  }
+
   test("triangleCount equals the naive enumeration, any input orientation") {
     val canon = undirected.map { case (a, b) => if (a < b) (a, b) else (b, a) }.distinct
     val es = canon.toSet

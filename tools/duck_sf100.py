@@ -15,19 +15,23 @@ import sys, json, time, os, multiprocessing as mp
 
 
 def run_one(sf, sql, q, conn_kwargs, out):
-    import duckdb
-    con = duckdb.connect()
-    con.execute(f"SET temp_directory='{conn_kwargs['tmp']}'")
-    con.execute(f"SET max_temp_directory_size='{conn_kwargs['tmp_cap']}'")
-    con.execute(f"SET memory_limit='{conn_kwargs['mem']}'")
-    for t in ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events", "documents", "embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    t0 = time.perf_counter()
+    # the WHOLE body is guarded (review fix): an import/connect/SET/
+    # CREATE VIEW failure outside a narrower try would die silently and
+    # the parent would record bare null — the silent DNF this tool
+    # exists to avoid
     try:
+        import duckdb
+        con = duckdb.connect()
+        con.execute(f"SET temp_directory='{conn_kwargs['tmp']}'")
+        con.execute(f"SET max_temp_directory_size='{conn_kwargs['tmp_cap']}'")
+        con.execute(f"SET memory_limit='{conn_kwargs['mem']}'")
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"]:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        t0 = time.perf_counter()
         con.execute(sql).fetchall()
         out[q] = time.perf_counter() - t0
-    except Exception as e:  # spill-cap / OOM-policy errors land here
+    except Exception as e:  # spill-cap / OOM-policy / setup errors
         out[q] = f"ERR: {type(e).__name__}: {str(e)[:120]}"
 
 
@@ -59,6 +63,8 @@ def main():
                     best = best if isinstance(best, float) else f"DNF: >{timeout_s}s"
                     break
                 got = out.get(q)
+                if got is None:  # child died outside Python (e.g. OOM kill)
+                    got = f"DNF: child exit {p.exitcode} with no result"
             if isinstance(got, float):
                 best = got if not isinstance(best, float) else min(best, got)
             else:
