@@ -61,14 +61,12 @@ object Bench {
     // Service mode, matching the reference's cached served DataFrame
     // (main.py:147 df.cache()): tables persist once, queries run
     // against the warm cache. Also absorbs JIT/codegen warm-up before
-    // the first timed query. SPARK_GRAFT_NO_WARM=1 (local scale
-    // studies only; the driver never sets it) skips the table cache
-    // for fixtures whose cached form outgrows the heap — queries then
-    // read parquet directly, the shape a 100 TB deployment runs
-    // anyway (the OS page cache still absorbs re-reads, exactly like
-    // the DuckDB side's repeated scans).
-    if (!sys.env.contains("SPARK_GRAFT_NO_WARM"))
-      graft.sources.Tables.warm(spark, sfDir)
+    // the first timed query. warm() is SIZE-GATED since round 9
+    // (Tables.warm Scaladoc): tables whose cached form would outgrow
+    // the session's storage region fall out automatically and read
+    // parquet directly — the shape a 100 TB deployment runs anyway —
+    // which retires the round-8 SPARK_GRAFT_NO_WARM escape.
+    graft.sources.Tables.warm(spark, sfDir)
     graft.sources.Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag").count().count()
     // Default: the pinned headline set graded against BASELINE.md.
@@ -223,15 +221,38 @@ object Bench {
     // ad-hoc SPARK_GRAFT_BENCH_ONLY list could be arbitrarily long)
     val headField =
       if (results.size <= 16) s""""queries":${qmap(results)},""" else ""
+    // "noisy": the box was already busy when the bench STARTED (r8
+    // verdict item 6: that round's bench30 read 2.3× the quiet-box
+    // close, attributable only to a reader who knew to check the
+    // loadavg fields — now the artifact says it outright)
+    val noisyField =
+      if (noisy(loadavgStart, cpus.toInt)) """"noisy":true,""" else ""
     def compact(withHead: Boolean): String =
-      s"""{"metric":"total","value":$total,"unit":"sec",$tpchField$b30Field$failField$duckScalars"loadavg_start":"$loadavgStart","loadavg_end":"${loadavg()}",${if (withHead) headField else ""}"sf":"$sfDir"}"""
-    // must survive a ~2 KB tail capture; shed the headline map (still
-    // on the detail line) rather than fail the whole artifact
-    val line = Some(compact(withHead = true)).filter(_.length < 1900)
-      .getOrElse(compact(withHead = false))
-    println(line)
+      s"""{"metric":"total","value":$total,"unit":"sec",$tpchField$b30Field$failField$duckScalars$noisyField"loadavg_start":"$loadavgStart","loadavg_end":"${loadavg()}",${if (withHead) headField else ""}"sf":"$sfDir"}"""
+    println(pickCompact(compact(withHead = true), compact(withHead = false)))
     spark.stop()
   }
+
+  /** The compact `"metric":"total"` line must survive the driver's
+    * ~2 KB tail capture (r7: the artifact outgrew it and parsed null).
+    * Prefer the with-headline-map form; shed the map (it still rides
+    * the detail line) rather than risk the whole artifact. 1900 leaves
+    * ~148 bytes of slack under a 2048-byte window for the trailing
+    * newline and any wrapper the driver adds. */
+  private[graft] val CompactLineMax = 1900
+  private[graft] def pickCompact(withHead: String, withoutHead: String): String =
+    if (withHead.length < CompactLineMax) withHead else withoutHead
+
+  /** True when the box was already loaded at bench start: the 1-min
+    * loadavg exceeds a quarter of the cores the bench was told to use.
+    * A local[cpus] run owns the box by assumption; a quarter of it
+    * already queued elsewhere is past the point where the 32-way
+    * sections degrade super-proportionally (r8: loadavg 9.6 on 32
+    * CPUs read bench30 at 2.3× its quiet-box time while the
+    * single-process DuckDB co-read moved +5%). */
+  private[graft] def noisy(loadavgStart: String, cpus: Int): Boolean =
+    loadavgStart.split("\\s+").headOption.flatMap(_.toDoubleOption)
+      .exists(_ > cpus.toDouble / 4.0)
 
   /** First three fields of /proc/loadavg (1/5/15-min run-queue
     * averages), or "" off-Linux — stamped into the bench artifact so a

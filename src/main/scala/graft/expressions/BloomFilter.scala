@@ -142,33 +142,27 @@ case class BloomMightContain(left: Expression, right: Expression, numHashes: Int
 }
 
 object BloomFilter {
-  import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+  private val aggFace = new FnRegistry("bloom_agg",
+    exprs => BloomFilterAgg(exprs(0), exprs(1), exprs(2)).toAggregateExpression())
+  private val containsFace = new FnRegistry("bloom_might_contain",
+    exprs => {
+      val k = exprs(2) match {
+        case Literal(v: Int, IntegerType) => v
+        case _ => 5
+      }
+      BloomMightContain(exprs(0), exprs(1), k)
+    })
 
   def register(spark: SparkSession): Unit = {
-    val reg = castToImpl(spark).sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("bloom_agg",
-      exprs => BloomFilterAgg(exprs(0), exprs(1), exprs(2)).toAggregateExpression(),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("bloom_might_contain",
-      exprs => {
-        val k = exprs(2) match {
-          case Literal(v: Int, IntegerType) => v
-          case _ => 5
-        }
-        BloomMightContain(exprs(0), exprs(1), k)
-      }, "scala_udf")
+    aggFace.register(spark)
+    containsFace.register(spark)
   }
 
-  def bloomAgg(spark: SparkSession, key: Column, numBits: Int, numHashes: Int): Column = {
-    register(spark)
-    org.apache.spark.sql.functions.call_function("bloom_agg", key,
-      org.apache.spark.sql.functions.lit(numBits),
+  def bloomAgg(spark: SparkSession, key: Column, numBits: Int, numHashes: Int): Column =
+    aggFace.column(spark, key, org.apache.spark.sql.functions.lit(numBits),
       org.apache.spark.sql.functions.lit(numHashes))
-  }
 
-  def mightContain(spark: SparkSession, bloom: Column, key: Column, numHashes: Int): Column = {
-    register(spark)
-    org.apache.spark.sql.functions.call_function("bloom_might_contain", bloom, key,
+  def mightContain(spark: SparkSession, bloom: Column, key: Column, numHashes: Int): Column =
+    containsFace.column(spark, bloom, key,
       org.apache.spark.sql.functions.lit(numHashes))
-  }
 }

@@ -152,33 +152,28 @@ case class CountMinEstimate(left: Expression, right: Expression, depth: Int, wid
 }
 
 object CountMinSketch {
-  import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+  private val aggFace = new FnRegistry("cms_agg",
+    exprs => CountMinAgg(exprs(0), exprs(1), exprs(2)).toAggregateExpression())
+  private val estimateFace = new FnRegistry("cms_estimate",
+    exprs => {
+      def lit(e: Expression, dflt: Int): Int = e match {
+        case Literal(v: Int, IntegerType) => v
+        case _ => dflt
+      }
+      CountMinEstimate(exprs(0), exprs(1), lit(exprs(2), 4), lit(exprs(3), 4096))
+    })
 
   def register(spark: SparkSession): Unit = {
-    val reg = castToImpl(spark).sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("cms_agg",
-      exprs => CountMinAgg(exprs(0), exprs(1), exprs(2)).toAggregateExpression(),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("cms_estimate",
-      exprs => {
-        def lit(e: Expression, dflt: Int): Int = e match {
-          case Literal(v: Int, IntegerType) => v
-          case _ => dflt
-        }
-        CountMinEstimate(exprs(0), exprs(1), lit(exprs(2), 4), lit(exprs(3), 4096))
-      }, "scala_udf")
+    aggFace.register(spark)
+    estimateFace.register(spark)
   }
 
-  def cmsAgg(spark: SparkSession, item: Column, depth: Int, width: Int): Column = {
-    register(spark)
-    org.apache.spark.sql.functions.call_function("cms_agg", item,
+  def cmsAgg(spark: SparkSession, item: Column, depth: Int, width: Int): Column =
+    aggFace.column(spark, item,
       org.apache.spark.sql.functions.lit(depth), org.apache.spark.sql.functions.lit(width))
-  }
 
   def cmsEstimate(spark: SparkSession, sketch: Column, item: Column,
-                  depth: Int, width: Int): Column = {
-    register(spark)
-    org.apache.spark.sql.functions.call_function("cms_estimate", sketch, item,
+                  depth: Int, width: Int): Column =
+    estimateFace.column(spark, sketch, item,
       org.apache.spark.sql.functions.lit(depth), org.apache.spark.sql.functions.lit(width))
-  }
 }

@@ -9,8 +9,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * this ~15-line scaffold, and the r3-verdict once-per-session
   * semantics — re-registering mid-flight mutates the session and
   * floods the log with replaced-function WARNs — had four copies to
-  * keep in sync). Older expression objects predate this helper and
-  * migrate opportunistically. */
+  * keep in sync). As of round 9 every expression object routes its
+  * registration through here — one face per SQL function name — so
+  * the once-per-session semantics has exactly one implementation. */
 private[expressions] final class FnRegistry(
     name: String, builder: Seq[Expression] => Expression) {
   import org.apache.spark.sql.classic.ClassicConversions.castToImpl

@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("simhash64", exprs => SimHash64(exprs.head)))
     e.injectFunction(fn("shingle_hash64", exprs => ShingleHash64(exprs(0), exprs(1))))
     e.injectFunction(fn("dot_product", exprs => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction(fn("sq_dist", exprs => SqDist(exprs(0), exprs(1))))
+    e.injectFunction(fn("sign_sig63", exprs => SignSig63(exprs.head)))
+    e.injectFunction(fn("agree_count", exprs => AgreeCount(exprs(0), exprs(1))))
     e.injectFunction(fn("normalize_string", exprs => {
       val form = exprs(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v,
@@ -52,5 +55,8 @@ object GraftExtensions {
     ShingleHash64.register(spark)
     DotProduct.register(spark)
     NormalizeString.register(spark)
+    SqDist.register(spark)
+    SignSig63.register(spark)
+    AgreeCount.register(spark)
   }
 }

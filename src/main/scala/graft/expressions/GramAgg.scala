@@ -326,25 +326,19 @@ case class GramAggDouble(
 }
 
 object Gram {
-  import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+  private val longFace = new FnRegistry("gram_agg_long",
+    exprs => GramAggLong(exprs(0), exprs(1)).toAggregateExpression())
+  private val doubleFace = new FnRegistry("gram_agg_double",
+    exprs => GramAggDouble(exprs(0), exprs(1)).toAggregateExpression())
 
   def register(spark: SparkSession): Unit = {
-    val reg = castToImpl(spark).sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("gram_agg_long",
-      exprs => GramAggLong(exprs(0), exprs(1)).toAggregateExpression(), "scala_udf")
-    reg.createOrReplaceTempFunction("gram_agg_double",
-      exprs => GramAggDouble(exprs(0), exprs(1)).toAggregateExpression(), "scala_udf")
+    longFace.register(spark)
+    doubleFace.register(spark)
   }
 
-  def gramAggLong(spark: SparkSession, vec: Column, d: Int): Column = {
-    register(spark)
-    org.apache.spark.sql.functions.call_function("gram_agg_long", vec,
-      org.apache.spark.sql.functions.lit(d))
-  }
+  def gramAggLong(spark: SparkSession, vec: Column, d: Int): Column =
+    longFace.column(spark, vec, org.apache.spark.sql.functions.lit(d))
 
-  def gramAggDouble(spark: SparkSession, vec: Column, d: Int): Column = {
-    register(spark)
-    org.apache.spark.sql.functions.call_function("gram_agg_double", vec,
-      org.apache.spark.sql.functions.lit(d))
-  }
+  def gramAggDouble(spark: SparkSession, vec: Column, d: Int): Column =
+    doubleFace.column(spark, vec, org.apache.spark.sql.functions.lit(d))
 }

@@ -198,25 +198,19 @@ case class KllQuantile(left: Expression, right: Expression) extends BinaryExpres
 }
 
 object KllSketch {
-  import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+  private val aggFace = new FnRegistry("kll_agg",
+    exprs => KllAgg(exprs(0), exprs(1)).toAggregateExpression())
+  private val quantileFace = new FnRegistry("kll_quantile",
+    exprs => KllQuantile(exprs(0), exprs(1)))
 
   def register(spark: SparkSession): Unit = {
-    val reg = castToImpl(spark).sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("kll_agg",
-      exprs => KllAgg(exprs(0), exprs(1)).toAggregateExpression(), "scala_udf")
-    reg.createOrReplaceTempFunction("kll_quantile",
-      exprs => KllQuantile(exprs(0), exprs(1)), "scala_udf")
+    aggFace.register(spark)
+    quantileFace.register(spark)
   }
 
-  def kllAgg(spark: SparkSession, value: Column, k: Int): Column = {
-    register(spark)
-    org.apache.spark.sql.functions.call_function("kll_agg", value,
-      org.apache.spark.sql.functions.lit(k))
-  }
+  def kllAgg(spark: SparkSession, value: Column, k: Int): Column =
+    aggFace.column(spark, value, org.apache.spark.sql.functions.lit(k))
 
-  def kllQuantile(spark: SparkSession, sketch: Column, q: Column): Column = {
-    register(spark)
-    org.apache.spark.sql.functions.call_function("kll_quantile", sketch,
-      q.cast("double"))
-  }
+  def kllQuantile(spark: SparkSession, sketch: Column, q: Column): Column =
+    quantileFace.column(spark, sketch, q.cast("double"))
 }

@@ -54,21 +54,17 @@ object NormalizeString {
   def normalize(s: String, form: String): String =
     java.text.Normalizer.normalize(s, java.text.Normalizer.Form.valueOf(form))
 
-  import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+  private val face =
+    new FnRegistry("normalize_string", exprs => {
+      val form = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, StringType) => v.toString
+        case _ => "NFC"
+      }
+      NormalizeString(exprs.head, form)
+    })
 
-  def register(spark: SparkSession): Unit =
-    castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
-      "normalize_string", exprs => {
-        val form = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, StringType) => v.toString
-          case _ => "NFC"
-        }
-        NormalizeString(exprs.head, form)
-      }, "scala_udf")
+  def register(spark: SparkSession): Unit = face.register(spark)
 
-  def normalizeString(spark: SparkSession, c: Column, form: String = "NFC"): Column = {
-    register(spark)
-    org.apache.spark.sql.functions.call_function("normalize_string", c,
-      org.apache.spark.sql.functions.lit(form))
-  }
+  def normalizeString(spark: SparkSession, c: Column, form: String = "NFC"): Column =
+    face.column(spark, c, org.apache.spark.sql.functions.lit(form))
 }

@@ -71,21 +71,11 @@ case class ShingleHash64(tokens: Expression, nExpr: Expression)
 }
 
 object ShingleHash64 {
-  import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+  private val face =
+    new FnRegistry("shingle_hash64", exprs => ShingleHash64(exprs(0), exprs(1)))
 
-  // once per session — see DotProduct.register (r3 verdict: per-call
-  // re-registration spams replaced-function WARNs into bench tails)
-  private val registered = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+  def register(spark: SparkSession): Unit = face.register(spark)
 
-  def register(spark: SparkSession): Unit =
-    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null)
-      castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
-        "shingle_hash64", exprs => ShingleHash64(exprs(0), exprs(1)), "scala_udf")
-
-  def shingleHash64(spark: SparkSession, tokens: Column, n: Int): Column = {
-    register(spark)
-    org.apache.spark.sql.functions.call_function("shingle_hash64",
-      tokens, org.apache.spark.sql.functions.lit(n))
-  }
+  def shingleHash64(spark: SparkSession, tokens: Column, n: Int): Column =
+    face.column(spark, tokens, org.apache.spark.sql.functions.lit(n))
 }

@@ -55,19 +55,16 @@ case class SimHash64(child: Expression)
 }
 
 object SimHash64 {
-  import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+  private val face =
+    new FnRegistry("simhash64", exprs => SimHash64(exprs.head))
 
   /** Register once per session, then usable from SQL and via
     * `call_function` (idempotent). */
-  def register(spark: SparkSession): Unit =
-    castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+  def register(spark: SparkSession): Unit = face.register(spark)
 
   /** Column API: registers on the column's active session and calls
     * through the registry (the public Spark-4 route from Column to a
     * custom Expression). */
-  def simhash64(spark: SparkSession, tokens: Column): Column = {
-    register(spark)
-    org.apache.spark.sql.functions.call_function("simhash64", tokens)
-  }
+  def simhash64(spark: SparkSession, tokens: Column): Column =
+    face.column(spark, tokens)
 }

@@ -74,25 +74,20 @@ case class SimHashPoly(child: Expression)
 }
 
 object SimHashPoly {
-  import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+  private val face =
+    new FnRegistry("simhash_poly", exprs => SimHashPoly(exprs.head))
+  private val face62 =
+    new FnRegistry("simhash_poly62", exprs => SimHashPoly62(exprs.head))
 
-  def register(spark: SparkSession): Unit =
-    castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash_poly", exprs => SimHashPoly(exprs.head), "scala_udf")
+  def register(spark: SparkSession): Unit = face.register(spark)
 
-  def simhashPoly(spark: SparkSession, tokens: Column): Column = {
-    register(spark)
-    org.apache.spark.sql.functions.call_function("simhash_poly", tokens)
-  }
+  def simhashPoly(spark: SparkSession, tokens: Column): Column =
+    face.column(spark, tokens)
 
-  def register62(spark: SparkSession): Unit =
-    castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash_poly62", exprs => SimHashPoly62(exprs.head), "scala_udf")
+  def register62(spark: SparkSession): Unit = face62.register(spark)
 
-  def simhashPoly62(spark: SparkSession, tokens: Column): Column = {
-    register62(spark)
-    org.apache.spark.sql.functions.call_function("simhash_poly62", tokens)
-  }
+  def simhashPoly62(spark: SparkSession, tokens: Column): Column =
+    face62.column(spark, tokens)
 }
 
 /** 62-bit widening of [[SimHashPoly]]: TWO independent 31-bit

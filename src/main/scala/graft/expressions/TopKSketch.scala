@@ -113,18 +113,12 @@ case class TopKSketch(
 }
 
 object TopKSketch {
-  import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+  private val face = new FnRegistry("top_k_sketch",
+    exprs => TopKSketch(exprs(0), exprs(1), exprs(2)).toAggregateExpression())
 
-  def register(spark: SparkSession): Unit =
-    castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
-      "top_k_sketch",
-      exprs => TopKSketch(exprs(0), exprs(1), exprs(2)).toAggregateExpression(),
-      "scala_udf")
+  def register(spark: SparkSession): Unit = face.register(spark)
 
-  def topKSketch(spark: SparkSession, item: Column, k: Int, capacity: Int): Column = {
-    register(spark)
-    org.apache.spark.sql.functions.call_function("top_k_sketch",
-      item, org.apache.spark.sql.functions.lit(k),
+  def topKSketch(spark: SparkSession, item: Column, k: Int, capacity: Int): Column =
+    face.column(spark, item, org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(capacity))
-  }
 }

@@ -49,10 +49,14 @@ object RetrievalQueries {
     // no unnest — and at 100 TB it deletes the pipeline's only
     // corpus-sized exchange; everything downstream of perDoc is
     // O(matching docs)). Empty-token docs yield size([]) = 0, exactly
-    // the oracle's len(toks).
+    // the oracle's len(toks); a NULL text row is pinned to toks = []
+    // so dl reads 0, not size(NULL) = -1, and the corpus scalars
+    // (n_docs, tot_tokens, avgdl) stay honest if the fixture ever
+    // carries nulls (round-9 advice item).
     val perDoc = graft.util.CacheScope.persist(
       Tables.documents(s, d)
-        .select(col("doc_id") +: tokens(col("text")).as("toks") +: Nil: _*)
+        .select(col("doc_id") +:
+          coalesce(tokens(col("text")), array().cast("array<string>")).as("toks") +: Nil: _*)
         .select(col("doc_id") ::
           size(col("toks")).cast("long").as("dl") ::
           qTerms.map(t =>

@@ -82,20 +82,112 @@ object Tables {
     * Verify's table-first queries, service mode) therefore calls
     * warm() before issuing queries; query code always goes through
     * load()/the named accessors at run time (never caches a
-    * DataFrame across warm()), which this registry makes cheap. */
-  def warm(spark: SparkSession, dir: String): Unit =
-    all.foreach { n =>
+    * DataFrame across warm()), which this registry makes cheap.
+    *
+    * SIZE-GATED (round-8 verdict item 4): warm() used to be
+    * all-or-nothing, and the sf100 fixtures needed an operator-level
+    * SPARK_GRAFT_NO_WARM escape because the cached facts outgrow the
+    * heap (MEMORY_AND_DISK then churns serialization + disk for
+    * tables a plain parquet re-read serves faster via the OS page
+    * cache). Now each table is cached only while the BUDGET — the
+    * session's own storage region, spark.memory.fraction ×
+    * spark.memory.storageFraction of (heap − 300 MB reserved),
+    * overridable via spark.graft.warm.heapFraction — still fits its
+    * estimated CACHED size (parquet scan bytes × CachedExpansion,
+    * measured on the sf0.1 fixtures). Tables are considered smallest
+    * first, so at sf100 the big facts fall out automatically while
+    * every dimension stays warm — the exact degradation a long-lived
+    * service wants, no env knob required. */
+  def warm(spark: SparkSession, dir: String): Unit = {
+    val budget = warmBudgetBytes(spark)
+    val sized = all.map { n =>
       val df = load(spark, dir, n)
-      val p = spark.sparkContext.defaultParallelism
-      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-      val spread =
-        if (bytes >= (16L << 20) && graft.util.Spread.estimatedPartitions(df) < p)
-          df.repartition(p)
-        else df
-      if (spread ne df)
-        registry.put((System.identityHashCode(spark).toString, dir, n), spread)
-      spread.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val scanBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      (n, df, scanBytes * CachedExpansion)
     }
+    val chosen = warmSelection(sized.map(t => (t._1, t._3)), budget)
+    sized.foreach { case (n, df, _) =>
+      if (chosen(n)) {
+        val p = spark.sparkContext.defaultParallelism
+        val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val spread =
+          if (bytes >= (16L << 20) && graft.util.Spread.estimatedPartitions(df) < p)
+            df.repartition(p)
+          else df
+        if (spread ne df)
+          registry.put((System.identityHashCode(spark).toString, dir, n), spread)
+        spread.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+    }
+  }
+
+  /** Parquet-scan bytes → in-memory-columnar cached bytes, MEASURED
+    * (tools.CacheFootprint on the sf0.1 fixtures, round 9): the cache
+    * re-encodes snappy parquet into Spark's compressed columnar
+    * batches, which land anywhere from 0.32× (region — parquet footer
+    * overhead dominates tiny files) to 3.32× (lineitem — low-entropy
+    * numeric columns that snappy squeezed hard) the scan stats; 4
+    * bounds the measured max so the gate errs toward NOT caching a
+    * borderline fact table (falling out costs a re-scan the OS page
+    * cache largely absorbs; caching past the storage region costs
+    * eviction churn on every query). */
+  private[graft] val CachedExpansion: Int = 4
+
+  /** The session's storage-region budget for warm(): heap minus
+    * Spark's 300 MB reserved system memory, × spark.memory.fraction ×
+    * spark.memory.storageFraction (the region cached blocks occupy
+    * without eviction pressure — defaults 0.6 × 0.5). Override the
+    * combined fraction via spark.graft.warm.heapFraction. */
+  private[graft] def warmBudgetBytes(spark: SparkSession): Long = {
+    val heap = Runtime.getRuntime.maxMemory()
+    val usable = math.max(0L, heap - (300L << 20))
+    val frac = spark.conf.getOption("spark.graft.warm.heapFraction") match {
+      case Some(f) => f.toDouble
+      case None =>
+        spark.conf.get("spark.memory.fraction", "0.6").toDouble *
+          spark.conf.get("spark.memory.storageFraction", "0.5").toDouble
+    }
+    (usable * frac).toLong
+  }
+
+  /** Greedy smallest-first selection: which tables fit the budget.
+    * Ascending by estimated cached size, so dimensions always win the
+    * budget before a fact table can take it — the degradation order a
+    * service wants (a dim re-scan is cheap to avoid; a heap-sized fact
+    * cache is the thing that hurt). Deterministic tie-break by name. */
+  private[graft] def warmSelection(sizes: Seq[(String, BigInt)],
+                                   budget: Long): Set[String] = {
+    var left = BigInt(budget)
+    val out = Set.newBuilder[String]
+    sizes.sortBy { case (n, b) => (b, n) }.foreach { case (n, b) =>
+      if (b <= left) { out += n; left -= b }
+    }
+    out.result()
+  }
+
+  /** Swap the memoized registry entry for (spark, dir, name) to `df`,
+    * returning the previous entry so the caller can restore it. The
+    * LAYOUT-EXPERIMENT hook (tools.BucketedTpch): bound queries
+    * resolve every table through load(), so an overlay pointing at a
+    * bucketed catalog table re-runs the SAME committed query code
+    * against the alternate physical layout — no per-experiment query
+    * forks to keep in sync. Measurement surface, not a serving API
+    * (warm() after an overlay would persist the overlaid frame). */
+  private[graft] def overlay(spark: SparkSession, dir: String, name: String,
+                             df: DataFrame): Option[DataFrame] =
+    Option(registry.put(
+      (System.identityHashCode(spark).toString, dir, name), df))
+
+  /** Undo an overlay: restore the previous entry (or drop the key so
+    * the next load() re-reads the parquet). */
+  private[graft] def restore(spark: SparkSession, dir: String, name: String,
+                             prev: Option[DataFrame]): Unit = {
+    val key = (System.identityHashCode(spark).toString, dir, name)
+    prev match {
+      case Some(df) => registry.put(key, df)
+      case None     => registry.remove(key)
+    }
+  }
 
   /** Schema-ful JSON reader — the reference's ingest shape
     * (main.py:144 `spark.read.schema(schema).json(path)`): an explicit

@@ -38,7 +38,12 @@ import org.apache.spark.sql.functions._
   * sizes stay bounded and honest plan grading scales linearly with
   * corpus size.
   *
-  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> <factor> [dupGroup]
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> <factor> [dupGroup] [tables]
+  * `tables` (round-9): comma list restricting which SCALED tables are
+  * written (dims region/nation always copy through — they're tiny and
+  * most queries need them). The sf100c dedup-family fixture needs only
+  * documents,embeddings — writing the 1000× facts too would cost ~15 GB
+  * of disk for tables the near-dup queries never read.
   * This is a local test utility — the driver's gates always run on
   * the pristine /root/testdata dirs.
   */
@@ -49,6 +54,9 @@ object ScaleUp {
     val factor = factorS.toInt
     // 0 = legacy all-replicas-one-class behavior
     val dupGroup = args.lift(3).map(_.toInt).getOrElse(0)
+    val only: Option[Set[String]] =
+      args.lift(4).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -92,19 +100,27 @@ object ScaleUp {
     val supp = read("supplier"); val suppS = shiftOf(supp, "s_suppkey")
     val part = read("part"); val partS = shiftOf(part, "p_partkey")
     val ord = read("orders"); val ordS = shiftOf(ord, "o_orderkey")
-    writeOne(replicate(cust, Map("c_custkey" -> custS)), "customer")
-    writeOne(replicate(supp, Map("s_suppkey" -> suppS)), "supplier")
-    writeOne(replicate(part, Map("p_partkey" -> partS)), "part")
-    writeOne(replicate(ord, Map("o_orderkey" -> ordS, "o_custkey" -> custS)), "orders")
-    writeOne(replicate(read("lineitem"), Map(
-      "l_orderkey" -> ordS, "l_partkey" -> partS, "l_suppkey" -> suppS)), "lineitem")
+    if (wanted("customer"))
+      writeOne(replicate(cust, Map("c_custkey" -> custS)), "customer")
+    if (wanted("supplier"))
+      writeOne(replicate(supp, Map("s_suppkey" -> suppS)), "supplier")
+    if (wanted("part"))
+      writeOne(replicate(part, Map("p_partkey" -> partS)), "part")
+    if (wanted("orders"))
+      writeOne(replicate(ord, Map("o_orderkey" -> ordS, "o_custkey" -> custS)), "orders")
+    if (wanted("lineitem"))
+      writeOne(replicate(read("lineitem"), Map(
+        "l_orderkey" -> ordS, "l_partkey" -> partS, "l_suppkey" -> suppS)), "lineitem")
 
-    val ev = read("events")
-    writeOne(replicate(ev, Map(
-      "event_id" -> shiftOf(ev, "event_id"),
-      "user_id" -> shiftOf(ev, "user_id"))), "events")
+    if (wanted("events")) {
+      val ev = read("events")
+      writeOne(replicate(ev, Map(
+        "event_id" -> shiftOf(ev, "event_id"),
+        "user_id" -> shiftOf(ev, "user_id"))), "events")
+    }
 
     val docs = read("documents")
+    if (wanted("documents"))
     writeOne(replicate(docs, Map("doc_id" -> shiftOf(docs, "doc_id")),
       (d, i) => {
         val cls = if (dupGroup > 0) i / dupGroup else 0
@@ -122,6 +138,7 @@ object ScaleUp {
       }), "documents")
 
     val emb = read("embeddings")
+    if (wanted("embeddings"))
     writeOne(replicate(emb, Map("vec_id" -> shiftOf(emb, "vec_id")),
       (d, i) => {
         val cls = if (dupGroup > 0) i / dupGroup else 0

@@ -45,12 +45,18 @@ object Hints {
   val DefaultCapBytes: Long = 128L << 20
 
   /** Effective default cap for `session`: min(2 × the session's
-    * autoBroadcastJoinThreshold, DefaultCapBytes); a disabled (-1/0)
-    * threshold falls back to the static ceiling. */
+    * autoBroadcastJoinThreshold, DefaultCapBytes). A DISABLED (-1/0)
+    * threshold DISARMS the gate entirely (cap 0 — round-9 advice
+    * item): an operator who set autoBroadcastJoinThreshold=-1 is
+    * telling the engine "never build a broadcast hash map here"
+    * (usually an OOM mitigation), and a library-forced hint up to the
+    * static ceiling would override exactly that decision. An explicit
+    * `capBytes` argument still wins — that's the caller saying they
+    * know better for one specific build. */
   private[graft] def defaultCap(session: org.apache.spark.sql.SparkSession): Long = {
     val t = session.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     val bytes = parseBytes(t)
-    if (bytes <= 0L) DefaultCapBytes
+    if (bytes <= 0L) 0L
     else math.min(DefaultCapBytes, 2L * bytes)
   }
 

@@ -152,6 +152,34 @@ class SourcesSpec extends AnyFunSuite {
         "left-join-on-PROMO-slice rewrite is no longer revenue-equivalent")
   }
 
+  test("warm() size gate: smallest-first selection keeps dims, drops the fact that overflows") {
+    // the sf100 shape in miniature: dims fit, the big fact does not
+    val sizes = Seq(
+      ("lineitem", BigInt(80L << 20)), ("orders", BigInt(20L << 20)),
+      ("region", BigInt(1L << 20)), ("nation", BigInt(1L << 20)))
+    val chosen = Tables.warmSelection(sizes, budget = 30L << 20)
+    assert(chosen == Set("region", "nation", "orders"),
+      "dims + the fitting fact stay warm; the overflowing fact falls out")
+    // everything fits a big budget; nothing fits a zero budget
+    assert(Tables.warmSelection(sizes, 1L << 30) == sizes.map(_._1).toSet)
+    assert(Tables.warmSelection(sizes, 0L) == Set.empty[String])
+    // smallest-first means a huge first-listed table can't starve the
+    // small ones behind it (the all-or-nothing failure mode inverted)
+    val skewed = Seq(("fact", BigInt(100L << 20)), ("dim", BigInt(1L << 20)))
+    assert(Tables.warmSelection(skewed, 2L << 20) == Set("dim"))
+  }
+
+  test("warm() budget follows the session storage region and the override conf") {
+    val dflt = Tables.warmBudgetBytes(spark)
+    val usable = Runtime.getRuntime.maxMemory() - (300L << 20)
+    assert(dflt == (usable * (0.6 * 0.5)).toLong,
+      "default budget = storage region: (heap - 300MB) x 0.6 x 0.5")
+    try {
+      spark.conf.set("spark.graft.warm.heapFraction", "0.1")
+      assert(Tables.warmBudgetBytes(spark) == (usable * 0.1).toLong)
+    } finally spark.conf.unset("spark.graft.warm.heapFraction")
+  }
+
   test("events source exposes both exact ts_ns and usable ts") {
     val ev = Tables.events(spark, sfTiny)
     val r = ev.select(col("ts_ns"), unix_micros(col("ts")).as("us")).first()

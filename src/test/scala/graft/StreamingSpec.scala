@@ -529,6 +529,18 @@ class StreamingSpec extends AnyFunSuite {
       .collect()(0)
     assert(r.getDouble(0) == 11.0)
     assert(r.getInt(2) == 2)
+    // the round-8 native expressions face the same SQL surface (r9
+    // advice: the cluster-wide entry point exposed an inconsistent
+    // function set vs the per-session registries)
+    val r2 = spark.sql(
+      """SELECT sq_dist(array(0.0D, 0.0D), array(3.0D, 4.0D)) AS sq,
+        |       sign_sig63(array(1.0D, -2.0D, 3.0D)) AS sig,
+        |       agree_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS ag""".stripMargin)
+      .collect()(0)
+    assert(r2.getDouble(0) == 25.0)
+    assert(r2.getLong(1) == ((1L << 0) | (1L << 2)),
+      "sign bits: positive dims 0 and 2 set, negative dim 1 clear")
+    assert(r2.getInt(2) == 2)
   }
 
   test("streaming transition bigrams replayed equal the batch transition counts") {

@@ -51,6 +51,25 @@ class ToolsGradingSpec extends AnyFunSuite {
     assert(Bench.splitDuckFields("") == (("", "")))
   }
 
+  test("Bench.pickCompact sheds the headline map before outgrowing the tail capture") {
+    val short = """{"metric":"total","value":1.0}"""
+    assert(Bench.pickCompact(short, "fallback") == short)
+    val long = "{" + ("x" * Bench.CompactLineMax) + "}"
+    assert(Bench.pickCompact(long, short) == short,
+      "an over-limit compact line must fall back to the headline-free form")
+    assert(Bench.CompactLineMax <= 1900,
+      "the guard must stay under the driver's ~2 KB tail window")
+  }
+
+  test("Bench.noisy flags a box already loaded at bench start") {
+    assert(!Bench.noisy("0.31 0.46 1.54", 32), "quiet box: 1-min load under cpus/4")
+    assert(Bench.noisy("9.62 8.0 6.0", 32), "r8's loadavg-9.6 start must flag")
+    assert(!Bench.noisy("8.0 20.0 20.0", 32),
+      "only the 1-min field gates: the bench START is what's attributable")
+    assert(!Bench.noisy("", 32), "off-Linux empty loadavg never flags")
+    assert(Bench.noisy("1.1 0.0 0.0", 4), "threshold scales with the core count")
+  }
+
   test("Bench.loadavg reads three numeric fields (box-load attribution)") {
     val la = Bench.loadavg()
     // this box is Linux; off-Linux the contract is "" and fields read empty
@@ -71,6 +90,14 @@ class ToolsGradingSpec extends AnyFunSuite {
       selectivity = 1.0, capBytes = 1L)
     assert(disarmed eq slim,
       "over the cap the frame passes through unhinted (AQE fallback)")
+    // a session that disabled broadcast joins never gets a library hint
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val respectful = util.Hints.gatedBroadcast(slim, proxy, selectivity = 1.0)
+      assert(respectful eq slim,
+        "a disabled session threshold must pass through unhinted")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("Hints default cap tracks the session's autoBroadcastJoinThreshold") {
@@ -86,9 +113,11 @@ class ToolsGradingSpec extends AnyFunSuite {
     assert(util.Hints.parseBytes("1t") == 1L << 40)
     assert(util.Hints.parseBytes("123b") == 123L)
     // min(2×threshold, 128 MB): a 64 MB threshold caps the gate at
-    // 128 MB; a 10 MB threshold caps it at 20 MB; disabled (-1) falls
-    // back to the static ceiling (the 128 MB class boundary is the
-    // sf100 q8/q10 A/B — see Hints.DefaultCapBytes)
+    // 128 MB; a 10 MB threshold caps it at 20 MB; disabled (-1/0)
+    // DISARMS the gate (round-9 advice: an operator who disabled
+    // broadcast joins must not get library-forced broadcasts; the
+    // 128 MB class boundary is the sf100 q8/q10 A/B — see
+    // Hints.DefaultCapBytes)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
@@ -97,8 +126,11 @@ class ToolsGradingSpec extends AnyFunSuite {
       assert(util.Hints.defaultCap(spark) == util.Hints.DefaultCapBytes,
         "the 128 MB ceiling binds when 2×threshold exceeds it")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      assert(util.Hints.defaultCap(spark) == util.Hints.DefaultCapBytes,
-        "a disabled threshold falls back to the static ceiling")
+      assert(util.Hints.defaultCap(spark) == 0L,
+        "a disabled threshold disarms the gate entirely")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "0")
+      assert(util.Hints.defaultCap(spark) == 0L,
+        "a zero threshold disarms the gate entirely")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
