@@ -100,7 +100,16 @@ object Tables {
     * service wants, no env knob required. */
   def warm(spark: SparkSession, dir: String): Unit = {
     val budget = warmBudgetBytes(spark)
-    val sized = all.map { n =>
+    // A directory may carry only a SUBSET of the registry (the round-9
+    // ScaleUp `tables` arg writes e.g. documents/embeddings-only scale
+    // fixtures; a real deployment likewise warms the tables it has,
+    // not a fixed catalog). Absent tables are skipped, not fatal —
+    // queries that need them still fail loudly at load() time.
+    val present = all.filter { n =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$n.parquet")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val sized = present.map { n =>
       val df = load(spark, dir, n)
       val scanBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
       (n, df, scanBytes * CachedExpansion)

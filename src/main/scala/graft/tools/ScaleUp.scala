@@ -138,6 +138,22 @@ object ScaleUp {
       }), "documents")
 
     val emb = read("embeddings")
+    // Rotation capacity is the dimensionality: only `dim` distinct
+    // circular rotations exist, so past dim classes (factor > 3·dim at
+    // dupGroup=3 — the sf100c decade) classes c and c+dim would alias
+    // onto BYTE-IDENTICAL transforms and the "cross-class dissimilar"
+    // invariant would leak ~factor/dim exact twins per vector. Classes
+    // >= dim therefore compose the rotation with a class-keyed ±1
+    // hash-sign pattern (xxhash64(j, cls) parity): expected cross-
+    // class cosine 0 with std 1/sqrt(dim) — the same ambient random
+    // tail the fixture already documents — while classes < dim (all
+    // fixtures through sf10c) stay bit-identical to the round-6 form.
+    // In-class members still share the transform exactly (it depends
+    // only on cls), so duplicates-per-class stays the constant g.
+    val dim: Int =
+      if (wanted("embeddings"))
+        emb.select(size(col("embedding"))).first().getInt(0)
+      else 0
     if (wanted("embeddings"))
     writeOne(replicate(emb, Map("vec_id" -> shiftOf(emb, "vec_id")),
       (d, i) => {
@@ -145,10 +161,13 @@ object ScaleUp {
         // cross-class dissimilarity: circular rotation by the class id
         // (rotations of a random-ish vector have near-zero cosine);
         // within a class the vectors stay byte-identical near-dups
+        val sign =
+          if (cls < dim) ""
+          else s" * cast(1 - 2 * pmod(xxhash64(j, ${cls}L), 2) as float)"
         if (cls == 0) d
         else d.withColumn("embedding", expr(
           s"""transform(sequence(0, size(embedding) - 1),
-             |  j -> element_at(embedding, (cast(j + $cls as int) % size(embedding)) + 1))
+             |  j -> element_at(embedding, (cast(j + $cls as int) % size(embedding)) + 1)$sign)
              |""".stripMargin))
       }), "embeddings")
 

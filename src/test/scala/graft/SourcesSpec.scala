@@ -180,6 +180,20 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.warm.heapFraction")
   }
 
+  test("warm() tolerates a partial fixture directory (round-9 ScaleUp `tables` arg)") {
+    // a documents/embeddings-only scale fixture must warm without
+    // loading the absent tpch facts; queries that DO need an absent
+    // table still fail loudly at load() time
+    val dir = java.nio.file.Files.createTempDirectory("partialwarm")
+    for (t <- Seq("region", "documents"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfTiny/$t.parquet"),
+        dir.resolve(s"$t.parquet"))
+    Tables.warm(spark, dir.toString) // must not throw
+    assert(Tables.documents(spark, dir.toString).count() > 0)
+    intercept[Exception] { Tables.lineitem(spark, dir.toString).count() }
+  }
+
   test("events source exposes both exact ts_ns and usable ts") {
     val ev = Tables.events(spark, sfTiny)
     val r = ev.select(col("ts_ns"), unix_micros(col("ts")).as("us")).first()
