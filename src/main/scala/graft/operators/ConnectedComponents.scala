@@ -66,12 +66,18 @@ object ConnectedComponents {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // min label among neighbors, then min with own label
-      val nbrMin = adj.join(labels, adj("b") === labels("id"))
-        .groupBy(adj("a").as("id")).agg(min(col("label")).as("nbr"))
-      val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+      // min label among neighbors, then min with own label — as ONE
+      // aggregation over the union of neighbor labels and own labels
+      // (round 9: the former shape aggregated neighbor minima and then
+      // LEFT JOINed them back onto `labels` for the least(); identical
+      // algebra — min over the union ≡ least(own, coalesce(nbrMin,
+      // own)) — but the join re-exchanged and sorted both node-grain
+      // sides every round; the union rides the same single exchange
+      // the aggregation needs anyway)
+      val stepped = adj.join(labels, adj("b") === labels("id"))
+        .select(adj("a").as("id"), col("label"))
+        .union(labels)
+        .groupBy("id").agg(min(col("label")).as("label"))
       // pointer doubling: label := label(label). Labels are node ids of
       // the same component, so this only ever jumps closer to the min.
       val roots = stepped.select(col("id").as("rid"), col("label").as("rlabel"))

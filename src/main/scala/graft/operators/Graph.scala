@@ -101,16 +101,32 @@ object Graph {
   }
 
   /** ONE recurrence round: contribution agg (dst-keyed, map-side
-    * partial) + left join back to the node set. */
+    * partial) over the union of per-edge contributions and a zero row
+    * per node.
+    *
+    * Round 9 (optimization): this was previously contribution-agg +
+    * LEFT JOIN back to the node set — identical algebra
+    * (coalesce(s, 0) ≡ summing one extra 0 per node), but the join
+    * planned as a SortMergeJoin that re-exchanged AND re-sorted both
+    * sides every round: under AQE the cached node set's partitioning
+    * is planning-invisible (the cache compiles to its own
+    * AdaptiveSparkPlan, so consumers see UnknownPartitioning and
+    * EnsureRequirements re-shuffles it each round — measured in
+    * plans/r09/q_pagerank_before.txt: 17 node-keyed exchanges + 8
+    * sorts for 8 rounds). The union keeps the zero-filled node set in
+    * the SAME single aggregation: per round exactly ONE exchange, no
+    * join back, no sorts, and no reliance on any broadcast for the
+    * node-completeness step (scale-safe: the node set never needs to
+    * fit anywhere). plans/r09/q_pagerank_after.txt: 9 node-keyed
+    * exchanges, 0 SortMergeJoins. */
   private def prRound(out: DataFrame, nodes: DataFrame, ranks: DataFrame,
-                      base: Long): DataFrame = {
-    val contrib = out.join(ranks, out("src") === ranks("node"))
+                      base: Long): DataFrame =
+    out.join(ranks, out("src") === ranks("node"))
       .select(col("dst").as("node"), expr("rank div deg").as("c"))
+      .union(nodes.select(col("node"), lit(0L).as("c")))
       .groupBy("node").agg(sum(col("c")).as("s"))
-    nodes.join(contrib, Seq("node"), "left")
       .select(col("node"),
-        (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
-  }
+        (lit(base) + expr("(85 * s) div 100")).as("rank"))
 
   /** ONE additional PageRank round applied to an existing rank table —
     * the exact recurrence body of [[pageRank]], exposed so convergence

@@ -25,6 +25,7 @@ object WindowLint {
     "q_rfm"         -> "ntile windows over the customer-grain AGGREGATE (|customers| << |orders|)",
     "q_gap_fill"    -> "7-day MA over the gap-filled DAILY series (calendar-bounded rows)",
     "q_zipf"        -> "rank over the TakeOrdered top-100 tokens (exactly 100 rows)",
+    "q_owner_leaderboard" -> "rank over the TakeOrdered top-100 customers (exactly 100 rows, q_zipf contract)",
     "q_mix_optimal" -> "which-source rank over the TakeOrdered top-2 source aggregate (2 rows)",
     "q_percent_total" -> "share-of-total over the 5-row event-type aggregate",
     "q_auc"         -> "cumulative rank over DISTINCT SCORES (<= 5 priority-grain rows)",

@@ -42,12 +42,24 @@ object MlQueries {
       docs.select(col("doc_id"), col("lang"),
           explode(tokens(col("text"))).as("t"))
         .groupBy("doc_id", "lang", "t").agg(count(lit(1)).as("tf")))
-    val classes = docs.groupBy(col("lang").as("c")).agg(count(lit(1)).as("docs_c"))
-    val nDocs = docs.agg(count(lit(1)).as("docs"))
-    val vocab = dt.agg(countDistinct(col("t")).as("v"))
-    val tokc = dt.groupBy(col("lang").as("c")).agg(sum("tf").as("tok_c"))
-    val model = dt.groupBy(col("lang").as("c"), col("t"))
-      .agg(sum("tf").as("tf_ct"))
+    val classes = graft.util.CacheScope.persist(
+      docs.groupBy(col("lang").as("c")).agg(count(lit(1)).as("docs_c")))
+    // docs = Σ_c docs_c (every document lands in exactly one lang
+    // group, NULL included) — derived from `classes` instead of a
+    // second full scan+agg of the corpus (round 9, guide §2.3)
+    val nDocs = classes.agg(sum(col("docs_c")).as("docs"))
+    // ONE (c, t)-grain aggregation of the corpus feeds vocab, tokc AND
+    // the model (round 9): vocab ≡ countDistinct(t) over dt because
+    // every t appears in ct for each class that saw it; tok_c ≡ Σ_t
+    // tf_ct. Previously each of the three aggregated the corpus-grain
+    // dt cache separately — two full extra passes + shuffles of
+    // token-grain rows for numbers the model-grain relation already
+    // determines.
+    val ct = graft.util.CacheScope.persist(
+      dt.groupBy(col("lang").as("c"), col("t")).agg(sum("tf").as("tf_ct")))
+    val vocab = ct.agg(countDistinct(col("t")).as("v"))
+    val tokc = ct.groupBy("c").agg(sum("tf_ct").as("tok_c"))
+    val model = ct
       .join(broadcast(tokc), "c").crossJoin(broadcast(vocab))
       .select(col("c"), col("t"), round(
         log((col("tf_ct") + 1).cast("double") / (col("tok_c") + col("v")).cast("double"))

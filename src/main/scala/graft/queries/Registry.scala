@@ -498,9 +498,16 @@ object Registry {
         col("best.ok").as("best_orderkey"), col("best.pc").as("best_price_c"))
     val top = TopKPerGroup.topKGlobal(per,
       Seq(desc("spent_c"), col("o_custkey")), 100)
-    val ranked = graft.operators.Ranking
-      .globalRowNumber(top, "rank0", col("spent_c").desc, col("o_custkey").asc)
-      .withColumn("rank", col("rank0") + 1)
+    // rank over the TakeOrdered top-100 slice: a bare window over an
+    // input BOUNDED at 100 rows (the q_zipf whitelist contract).
+    // Round 9: this was Ranking.globalRowNumber — correct at any
+    // scale, but its machinery (range-repartition sampling job,
+    // pinned persist, P×P offset self-join, broadcast join) cost ~4
+    // extra stages per run on a 100-row relation; the distributed
+    // operator stays for data-sized callers.
+    val ranked = top.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("spent_c").desc, col("o_custkey").asc)).cast("long"))
     ranked
       .join(Tables.customer(s, d).select("c_custkey", "c_name"),
         col("o_custkey") === col("c_custkey"))
