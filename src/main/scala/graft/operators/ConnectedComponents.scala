@@ -21,10 +21,11 @@ import org.apache.spark.sql.functions._
   * O(log diameter). Each round is two shuffles keyed by node id —
   * never materializes anything super-linear in |edges|.
   *
-  * Scale notes: `localCheckpoint` every round truncates the lineage so
-  * plan size stays O(1) across iterations (iterative DataFrame jobs
+  * Scale notes: `localCheckpoint` every segment truncates the lineage
+  * so plan size stays O(1) across iterations (iterative DataFrame jobs
   * otherwise re-plan an exponentially growing tree); convergence is
-  * detected with a cheap count of changed labels.
+  * detected by the exact monotone label-sum riding the segment's own
+  * materialization job.
   */
 object ConnectedComponents {
 
@@ -49,49 +50,92 @@ object ConnectedComponents {
                                  maxIter: Int = 25, requireConvergence: Boolean = false)
       : (DataFrame, Boolean) = {
     val e = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
-    // Undirected: propagate both ways. Persist PRE-HASHED on the join
-    // key (explicit partition count — exempt from AQE coalescing, so
-    // the layout stays join-compatible round after round): every
-    // round's neighbor-min joins adj on `b`, and an unhashed cache
-    // re-exchanges the EDGE LIST — the big side — once per round. At
-    // 100 TB that is `rounds` full-data shuffles for one.
+    // Undirected: propagate both ways. Keep PRE-HASHED on the join
+    // key: every round's neighbor-min joins adj on `b`, and an
+    // unhashed edge relation re-exchanges the EDGE LIST — the big
+    // side — once per round. At 100 TB that is `rounds` full-data
+    // shuffles for one.
     val P = edges.sparkSession.sessionState.conf.numShufflePartitions
+    // localCheckpoint, not persist (round 9): a cached relation's
+    // partitioning is PLANNING-INVISIBLE under AQE (the cache compiles
+    // to its own AdaptiveSparkPlan, so consumers see
+    // UnknownPartitioning and EnsureRequirements re-exchanged the edge
+    // list once per round — exactly the re-shuffle this standing
+    // layout exists to avoid). A LogicalRDD carries its
+    // HashPartitioning(b, P) into every round's join, so only the
+    // node-grain label table moves per round; blocks are freed by the
+    // ContextCleaner when the loop's result is dropped (the same
+    // lifecycle as the per-round label checkpoints).
     val adj = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .repartition(P, col("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     var labels = adj.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    // Convergence probe (round 9): labels are NON-INCREASING per node
+    // (min of self and neighbors, then a shortcut that only ever jumps
+    // toward the component min), so Σ label is strictly decreasing
+    // until the fixpoint and "sum unchanged ⟺ no label changed". The
+    // sum is exact (decimal(38,0) — |nodes|·maxId ≪ 10^38) and rides
+    // the SAME job that materializes the round's lazy checkpoint, so a
+    // round costs ONE driver-blocking job. Previously each round ran
+    // an EAGER checkpoint job plus a second job joining next against
+    // labels to count changes — two blocking jobs and an extra
+    // node-grain join per round.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).first()
+        .getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // empty node set
+    }
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // min label among neighbors, then min with own label — as ONE
-      // aggregation over the union of neighbor labels and own labels
-      // (round 9: the former shape aggregated neighbor minima and then
-      // LEFT JOINed them back onto `labels` for the least(); identical
-      // algebra — min over the union ≡ least(own, coalesce(nbrMin,
-      // own)) — but the join re-exchanged and sorted both node-grain
-      // sides every round; the union rides the same single exchange
-      // the aggregation needs anyway)
-      val stepped = adj.join(labels, adj("b") === labels("id"))
-        .select(adj("a").as("id"), col("label"))
-        .union(labels)
-        .groupBy("id").agg(min(col("label")).as("label"))
-      // pointer doubling: label := label(label). Labels are node ids of
-      // the same component, so this only ever jumps closer to the min.
-      val roots = stepped.select(col("id").as("rid"), col("label").as("rlabel"))
-      val next = stepped.join(roots, stepped("label") === roots("rid"), "left")
-        .select(stepped("id"),
-          least(stepped("label"), coalesce(col("rlabel"), stepped("label"))).as("label"))
-        .localCheckpoint(true)
-      val changed = next.as("n").join(labels.as("o"), Seq("id"))
-        .where(col("n.label") =!= col("o.label")).limit(1).count()
+      // TWO rounds per blocking job (round 9, the pageRankUntil
+      // segment pattern): rounds inside a segment unroll lazily and
+      // materialize together in the probe's job, halving the
+      // sequential job count the loop pays — on the q_dbscan ε-graph
+      // (16 rounds to converge) the loop ran 16 blocking jobs before,
+      // 8 after. Convergence across a segment is still exact: the sum
+      // is monotone per ROUND, so segment-sum unchanged ⟺ both rounds
+      // were the identity ⟺ fixpoint.
+      val steps = math.min(2, maxIter - iter)
+      var seg = labels
+      for (_ <- 1 to steps) {
+        // min label among neighbors, then min with own label — as ONE
+        // aggregation over the union of neighbor labels and own labels
+        // (round 9: the former shape aggregated neighbor minima and
+        // then LEFT JOINed them back onto `labels` for the least();
+        // identical algebra — min over the union ≡ least(own,
+        // coalesce(nbrMin, own)) — but the join re-exchanged and
+        // sorted both node-grain sides every round; the union rides
+        // the single exchange the aggregation needs anyway)
+        val stepped = adj.join(seg, adj("b") === seg("id"))
+          .select(adj("a").as("id"), col("label"))
+          .union(seg)
+          .groupBy("id").agg(min(col("label")).as("label"))
+        // pointer doubling: label := label(label). Labels are node ids
+        // of the same component, so this only ever jumps closer to the
+        // min. The self-join's duplicate stepped subtree is deduped at
+        // runtime by exchange reuse (one exchange, two reduce-side
+        // aggs over node-grain rows).
+        val roots = stepped.select(col("id").as("rid"), col("label").as("rlabel"))
+        seg = stepped.join(roots, stepped("label") === roots("rid"), "left")
+          .select(stepped("id"),
+            least(stepped("label"), coalesce(col("rlabel"), stepped("label"))).as("label"))
+      }
+      // LAZY checkpoint: the segment materializes inside the sum
+      // probe's job and is the standing input of the next segment
+      val next = seg.localCheckpoint(false)
+      val curSum = labelSum(next)
       labels = next
-      converged = changed == 0
-      iter += 1
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
+      iter += steps
     }
-    adj.unpersist()
+    org.slf4j.LoggerFactory.getLogger(getClass)
+      .info(s"labelPropagation: $iter rounds, converged=$converged")
     if (!converged) {
       val msg = s"ConnectedComponents.labelPropagation did NOT converge within " +
         s"$maxIter rounds — labels are partial (multiple canonical ids per cluster possible)"
