@@ -43,6 +43,7 @@ object WindowLint {
     "q_engle_granger" -> "Dickey-Fuller recurrence over the DAILY revenue series (calendar-bounded)",
     "q_mixture_rates" -> "cap feasibility scan over the k-row source-size table",
     "q_quantile_norm" -> "rank mapping over DISTINCT values (~1e3 domain rows, q_decile rule)",
+    "q_global_median" -> "cumulative counts over the DISTINCT length domain (~1e3 rows, q_quantile_norm contract)",
     "q_youden"      -> "ROC walk over DISTINCT SCORES (<= 5 priority-grain rows, q_auc contract)",
     "q_variance_ratio" -> "lag differences over the DAILY revenue series (calendar-bounded, q_engle_granger shape)",
     "q_turning_points" -> "lag/lead diffs over the DAILY revenue series (calendar-bounded, q_engle_granger shape)",

@@ -1002,19 +1002,34 @@ object ExtraQueries2 {
     * all-reduce. Cost ≈ one sort-shuffle of (value, id) pairs —
     * what an exact global quantile costs at minimum. */
   private val qGlobalMedian = BoundQuery("q_global_median", (s, d) => {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
-    val tot = docs.agg(count(lit(1)).as("n"))
-    val ranked = graft.operators.Ranking
-      .globalRowNumber(docs, "rn0", col("n_chars"), col("doc_id"))
-      .crossJoin(broadcast(tot))
-      .withColumn("rn", col("rn0") + 1)
-    ranked.agg(
+    // Round 9: exact rank statistics from the VALUE-DOMAIN histogram
+    // instead of a global row number over every document. The value at
+    // row rank r (ordered by n_chars, doc_id) is fully determined by
+    // per-value counts — it is the smallest v with cum(≤v) ≥ r — so
+    // one map-side-partial groupBy(n_chars) plus a cumulative window
+    // over the DISTINCT LENGTH DOMAIN (bounded: ~thousands of rows at
+    // any corpus size, the q_quantile_norm whitelist contract)
+    // replaces Ranking.globalRowNumber's range-sampling job, pinned
+    // persist, P×P offset join and broadcast join: 5 stages → 2,
+    // 0.42 → ~0.2 s at sf0.1. Identical output by construction; the
+    // doc_id tiebreak never matters for the VALUE at a rank.
+    val byLen = Tables.documents(s, d).groupBy(col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_chars"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = byLen
+      .withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(byLen.agg(sum(col("c")).as("n"))))
+    // smallest value whose cumulative count reaches the rank: min()
+    // over the qualifying values
+    cum.agg(
         max(col("n")).as("n_docs"),
-        max(when(col("rn") === expr("(n + 3) div 4"), col("n_chars")))
+        min(when(col("cum") >= expr("(n + 3) div 4"), col("n_chars")))
           .as("p25"),
-        max(when(col("rn") === expr("(n + 1) div 2"), col("n_chars")))
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("n_chars")))
           .as("median"),
-        max(when(col("rn") === expr("(3 * n + 3) div 4"), col("n_chars")))
+        min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("n_chars")))
           .as("p75"))
   }, Some("""
     WITH ranked AS (
