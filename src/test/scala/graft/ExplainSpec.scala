@@ -210,11 +210,17 @@ class ExplainSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("global median ranks two-phase: only __pid windows in the plan") {
+  test("global median ranks over the value-domain histogram, not rows") {
+    // round 9: exact rank stats come from cum counts over the DISTINCT
+    // n_chars domain — the only window is the bounded cumulative one
+    // (ordered by n_chars), there is no row-grain global rank, no
+    // range-repartition sampling, and no offset self-join
     val p = plan("q_global_median")
-    val bad = p.linesIterator.filter(l =>
-      l.contains("windowspecdefinition") && !l.contains("__pid")).toSeq
-    assert(bad.isEmpty, s"non-pid window in global-median plan: ${bad.mkString("\n")}")
+    val wins = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(wins.nonEmpty && wins.forall(_.contains("n_chars")),
+      s"expected only the n_chars cumulative window: ${wins.mkString("\n")}")
+    assert(!p.contains("__pid"), p)
+    assert(!p.contains("RangePartitioning"), p)
   }
 
   test("acf's lag join is a real equi join on day+lag, never cartesian") {
